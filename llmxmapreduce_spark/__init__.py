@@ -1,0 +1,48 @@
+"""llmxmapreduce_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of thunlp/LLMxMapReduce.
+
+The reference (see /root/repo/SURVEY.md) is an LLM-driven dataflow system for
+long-text processing: divide -> map with an LLM -> hierarchically combine ->
+reduce (V1 long-doc QA), plus a multi-stage survey-generation pipeline
+(V2/V3).  This package re-expresses every operator Spark-first:
+
+- typed DataFrame schemas for every table (``schemas``)
+- pure-SQL/column text operators (``functions``)
+- one generic batched-LLM ``mapInPandas`` operator with retry + dead-letter
+  semantics (``operators.llm_op``)
+- bounded driver loops for the iterative stages (collapse, convolution,
+  self-refine, content assembly)
+- deterministic seeding everywhere the reference shuffles
+- scale extensions: dedup, similarity search, text analysis, multimodal
+  columns, streaming windows
+"""
+
+__version__ = "0.1.0"
+
+from llmxmapreduce_spark.session import get_spark  # noqa: F401
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark, sf_dir):
+    """Load the standard test tables from ``sf_dir`` as a dict of DataFrames."""
+    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLES}
+
+
+def register_views(spark, sf_dir):
+    """Register every table in ``sf_dir`` as a temp view; returns the dict."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
