@@ -1,38 +1,438 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query on sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL for each query (same column names).
+
+Every Spark query and its oracle alias computed columns identically; float
+aggregations go through DECIMAL sums (exact, order-independent) and are cast
+to DOUBLE at the end so value hashes match bit-for-bit across engines.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from llmxmapreduce_spark import load_table
+from llmxmapreduce_spark.functions import text as X
+from llmxmapreduce_spark.operators import crawl_ops
+
+
+def _dec(c, scale: int = 4):
+    return F.col(c).cast(f"decimal(20,{scale})") if isinstance(c, str) else c.cast(f"decimal(20,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Relational warm-ups (prove the harness; map to reference op families)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation (A8-family groupBy/agg)."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4)
+                .cast("decimal(20,4)")
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_t1_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """T1 _prune_top_k shape: top-5 orders by price per priority class,
+    deterministic tie-break (reference: convolution_module.py:207-229)."""
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_t3_topn(spark: SparkSession, sf: str) -> DataFrame:
+    """T3 url top-n shape (reference: LLM_search.py:441-443)."""
+    p = load_table(spark, sf, "part")
+    return (
+        p.orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").asc())
+        .limit(10)
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+
+
+def q_t6_limit(spark: SparkSession, sf: str) -> DataFrame:
+    """T6 data_num limit (reference: encode_pipeline.py:41-45)."""
+    o = load_table(spark, sf, "orders")
+    return o.orderBy("o_orderkey").limit(100).select("o_orderkey", "o_custkey")
+
+
+def q_join_star_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """J3-shaped bridge join: fact⋈dims with broadcast, per-region rollup."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    dim = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "r_name")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(dim, c.c_nationkey == dim.n_nationkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+def q_a7_cite_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """A7 cite_ratio shape (reference: decode_pipeline.py:147-149):
+    1 - uncited/all, here per nation over customers⋉orders."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").select("o_custkey").distinct()
+    n = load_table(spark, sf, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.avg(F.when(F.col("o_custkey").isNotNull(), 1.0).otherwise(0.0)).alias("cite_ratio"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+def q_a8_nonzero_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """A8 eval averaging (reference: judge.py:329-341): mean with zeros
+    dropped, exact via decimal sum / count."""
+    ev = load_table(spark, sf, "events")
+    nz = F.col("value") != 0.0
+    return ev.groupBy("event_type").agg(
+        (
+            F.sum(F.when(nz, _dec("value", 6))).cast("double")
+            / F.count(F.when(nz, F.lit(1)))
+        ).alias("avg_nonzero_value"),
+        F.count(F.when(nz, F.lit(1))).alias("n_nonzero"),
+    )
+
+
+def q_a5_topic_grouping(spark: SparkSession, sf: str) -> DataFrame:
+    """A5 crawl topic grouping (reference: async_crawl.py:370-388), with the
+    gathered list rendered sorted so the hash is order-insensitive."""
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("members"),
+        )
+    )
+
+
+def q_p6_crawl_filter_backfill(spark: SparkSession, sf: str) -> DataFrame:
+    """P6+T4 crawl filter + rank backfill (reference: async_crawl.py:392-436)
+    over a crawl table derived deterministically from ``documents``."""
+    d = load_table(spark, sf, "documents")
+    crawl = d.select(
+        F.col("source").alias("topic"),
+        F.concat(F.lit("https://example.com/"), F.col("doc_id").cast("string")).alias("url"),
+        F.col("text").alias("txt"),
+        (F.col("doc_id") * 37 % 101).alias("similarity"),
+    )
+    out = crawl_ops.filter_papers(
+        crawl, similarity_threshold=80, min_length=200, max_length=1500, top_n=5
+    )
+    return out.select("topic", "url", "similarity")
+
+
+# ---------------------------------------------------------------------------
+# Text operators (P* family) over `documents`
+# ---------------------------------------------------------------------------
+
+
+def q_p7_bibkey(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id", X.normalize_bibkey(F.substring("text", 1, 50)).alias("bibkey")
+    )
+
+
+def q_p14_normalize_answer(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id", X.normalize_answer(F.substring("text", 1, 100)).alias("norm")
+    )
+
+
+def q_p16_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        X.token_count_ws(F.col("text")).alias("n_ws"),
+        X.token_count_estimate(F.col("text")).alias("n_est"),
+        X.token_count_bpe_ish(F.col("text")).alias("n_bpe"),
+    )
+
+
+def q_p15_sentence_count(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    s = F.concat(
+        F.substring("text", 1, 80), F.lit(". "),
+        F.substring("text", 81, 80), F.lit("! "),
+        F.substring("text", 161, 80), F.lit("? tail"),
+    )
+    return d.select(
+        "doc_id", F.size(X.sentence_split(s)).cast("long").alias("n_sentences")
+    )
+
+
+def q_p13_extract_answer(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    reply = F.concat(
+        F.lit("Preamble text. Answer: "),
+        F.substring("text", 1, 40),
+        F.lit(" Confidence Score: 5"),
+    )
+    return d.select("doc_id", X.extract_answer(reply).alias("answer"))
+
+
+def q_p1_filter_informative(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    reply = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [no information]"))
+    ).otherwise(F.col("text"))
+    return (
+        d.withColumn("reply", reply)
+        .filter(X.keep_informative(F.col("reply")))
+        .select("doc_id")
+    )
+
+
+def q_p3_strip_citations(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    paper = F.concat(
+        F.substring("text", 1, 120),
+        F.lit(" see [ref_a, ref_b] for detail.\n# References\n[ref_a] Paper A\n[ref_b] Paper B\n"),
+    )
+    return d.select("doc_id", X.strip_citations(paper).alias("cleaned"))
+
+
+# ---------------------------------------------------------------------------
+# Scale extensions: dedup + events windows
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy — representative = min(doc_id)."""
+    d = load_table(spark, sf, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def q_events_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 5-minute windowed aggregation over the events stream table
+    (batch equivalent of the Structured Streaming query in streaming/)."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value", 6)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contract functions
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q_pricing_summary,
+        "t1_topk_per_group": q_t1_topk_per_group,
+        "t3_topn": q_t3_topn,
+        "t6_limit": q_t6_limit,
+        "j3_star_join_agg": q_join_star_agg,
+        "a7_cite_ratio": q_a7_cite_ratio,
+        "a8_nonzero_avg": q_a8_nonzero_avg,
+        "a5_topic_grouping": q_a5_topic_grouping,
+        "p6_crawl_filter_backfill": q_p6_crawl_filter_backfill,
+        "p7_bibkey_normalize": q_p7_bibkey,
+        "p14_normalize_answer": q_p14_normalize_answer,
+        "p16_token_counts": q_p16_token_counts,
+        "p15_sentence_count": q_p15_sentence_count,
+        "p13_extract_answer": q_p13_extract_answer,
+        "p1_filter_informative": q_p1_filter_informative,
+        "p3_strip_citations": q_p3_strip_citations,
+        "exact_dedup": q_exact_dedup,
+        "events_tumbling_window": q_events_tumbling,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_PUNCT_SQL = r"[!\"#$%&'()*+,./:;<=>?@\[\]^_`{|}~\\-]".replace("'", "''")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 4) AS DECIMAL(20,4))) AS DOUBLE) AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "t1_topk_per_group": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders) WHERE rn <= 5
+        """,
+        "t3_topn": """
+            SELECT p_partkey, p_name, p_retailprice FROM part
+            ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10
+        """,
+        "t6_limit": """
+            SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 100
+        """,
+        "j3_star_join_agg": """
+            SELECT r_name, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "a7_cite_ratio": """
+            SELECT n_name,
+                   AVG(CASE WHEN o.o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END) AS cite_ratio,
+                   COUNT(*) AS n_customers
+            FROM customer c
+            LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o ON c.c_custkey = o.o_custkey
+            JOIN nation ON c.c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "a8_nonzero_avg": """
+            SELECT event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(20,6))) FILTER (WHERE value <> 0) AS DOUBLE)
+                     / COUNT(*) FILTER (WHERE value <> 0) AS avg_nonzero_value,
+                   COUNT(*) FILTER (WHERE value <> 0) AS n_nonzero
+            FROM events GROUP BY event_type
+        """,
+        "a5_topic_grouping": """
+            SELECT r_name, COUNT(*) AS n_members,
+                   STRING_AGG(n_name, ',' ORDER BY n_name) AS members
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "p6_crawl_filter_backfill": """
+            WITH crawl AS (
+                SELECT source AS topic,
+                       'https://example.com/' || CAST(doc_id AS VARCHAR) AS url,
+                       text AS txt, (doc_id * 37) % 101 AS similarity
+                FROM documents),
+            valid AS (SELECT * FROM crawl WHERE LENGTH(txt) BETWEEN 200 AND 1500),
+            passed AS (SELECT topic, url, similarity FROM valid WHERE similarity >= 80),
+            need AS (SELECT topic, COUNT(*) AS np FROM passed GROUP BY topic),
+            bf AS (
+                SELECT v.topic, v.url, v.similarity,
+                       ROW_NUMBER() OVER (PARTITION BY v.topic
+                           ORDER BY v.similarity DESC, LENGTH(v.txt) DESC, v.url ASC) AS rn,
+                       COALESCE(n.np, 0) AS np
+                FROM valid v LEFT JOIN need n USING (topic)
+                WHERE v.similarity < 80)
+            SELECT topic, url, similarity FROM passed
+            UNION ALL
+            SELECT topic, url, similarity FROM bf WHERE rn <= 5 - np
+        """,
+        "p7_bibkey_normalize": r"""
+            SELECT doc_id,
+                   REGEXP_REPLACE(
+                     REPLACE(
+                       REGEXP_REPLACE(
+                         REPLACE(LOWER(TRIM(SUBSTR(text, 1, 50))), '-', '_'),
+                         '[^\w\s]', '', 'g'),
+                       ' ', '_'),
+                     '_{2,}', '_', 'g') AS bibkey
+            FROM documents
+        """,
+        "p14_normalize_answer": (
+            "SELECT doc_id, TRIM(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE("
+            "LOWER(SUBSTR(text, 1, 100)), '" + _PUNCT_SQL + r"', '', 'g'),"
+            r" '\b(a|an|the)\b', ' ', 'g'), '\s+', ' ', 'g')) AS norm FROM documents"
+        ),
+        "p16_token_counts": r"""
+            SELECT doc_id,
+                   CAST(LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS BIGINT) AS n_ws,
+                   CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS n_est,
+                   CAST(LENGTH(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS BIGINT) AS n_bpe
+            FROM documents
+        """,
+        "p15_sentence_count": r"""
+            SELECT doc_id,
+                   CAST(LENGTH(LIST_FILTER(
+                     STRING_SPLIT(
+                       REGEXP_REPLACE(
+                         SUBSTR(text,1,80) || '. ' || SUBSTR(text,81,80) || '! ' || SUBSTR(text,161,80) || '? tail',
+                         '([。！？；.?!;])', '\1' || CHR(1), 'g'),
+                       CHR(1)),
+                     x -> TRIM(x) <> '')) AS BIGINT) AS n_sentences
+            FROM documents
+        """,
+        "p13_extract_answer": """
+            SELECT doc_id, SUBSTR(text, 1, 40) || ' ' AS answer FROM documents
+        """,
+        "p1_filter_informative": """
+            SELECT doc_id FROM documents WHERE doc_id % 7 <> 0
+        """,
+        "p3_strip_citations": r"""
+            SELECT doc_id,
+                   REGEXP_REPLACE(
+                     REGEXP_REPLACE(
+                       SUBSTR(text, 1, 120) || ' see [ref_a, ref_b] for detail.' || CHR(10) ||
+                       '# References' || CHR(10) || '[ref_a] Paper A' || CHR(10) || '[ref_b] Paper B' || CHR(10),
+                       '(?smi)^# (References|REFERENCE|REFERENCES|Bibliography)\s.*', ''),
+                     '\[(.*?)\]', '', 'g') AS cleaned
+            FROM documents
+        """,
+        "exact_dedup": """
+            SELECT MD5(text) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY MD5(text)
+        """,
+        "events_tumbling_window": """
+            SELECT CAST(EPOCH(TIME_BUCKET(INTERVAL '5 minutes', ts)) AS BIGINT) AS bucket_start,
+                   event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+    }

@@ -35,9 +35,26 @@ TABLES = (
 )
 
 
+def load_table(spark, sf_dir, name):
+    """Load one test table; normalizes the nanosecond ``events.ts`` column.
+
+    ``events.parquet`` stores TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` (set in :mod:`session` and here
+    defensively) the column arrives as a BIGINT of nanoseconds and is
+    converted to a microsecond timestamp.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def load_tables(spark, sf_dir):
     """Load the standard test tables from ``sf_dir`` as a dict of DataFrames."""
-    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLES}
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
 def register_views(spark, sf_dir):
