@@ -265,6 +265,38 @@ def q_events_tumbling(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# V1 QA pipeline end-to-end (flagship): chunk → map → filter → collapse →
+# reduce with the deterministic mock LLM over planted-fact documents.
+# The oracle computes the planted answers directly — a full-pipeline
+# hash-checked correctness row.
+# ---------------------------------------------------------------------------
+
+
+def q_v1_qa_secret_key(spark: SparkSession, sf: str) -> DataFrame:
+    from llmxmapreduce_spark.llm.client import MockQAClient
+    from llmxmapreduce_spark.pipelines.v1_qa import run_v1_qa
+
+    d = load_table(spark, sf, "documents")
+    secret = F.concat(
+        F.lit("The secret key for document "), F.col("doc_id").cast("string"),
+        F.lit(" is SK-"), (F.col("doc_id") * 7919 % 99991).cast("string"), F.lit("."),
+    )
+    docs = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.col("text"), secret, F.col("text"), secret,
+            F.col("text"), secret, F.col("text"), secret,
+        ).alias("context"),
+        F.concat(
+            F.lit("What is the secret key for document "),
+            F.col("doc_id").cast("string"), F.lit("?"),
+        ).alias("question"),
+    )
+    out = run_v1_qa(docs, chunk_size=600, client_factory=MockQAClient)
+    return out.select("doc_id", "answer")
+
+
+# ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
 
@@ -294,6 +326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p3_strip_citations": q_p3_strip_citations,
         "exact_dedup": q_exact_dedup,
         "events_tumbling_window": q_events_tumbling,
+        "v1_qa_secret_key": q_v1_qa_secret_key,
     }
 
 
@@ -434,5 +467,10 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "v1_qa_secret_key": """
+            SELECT doc_id,
+                   'SK-' || CAST((doc_id * 7919) % 99991 AS VARCHAR) AS answer
+            FROM documents
         """,
     }

@@ -311,8 +311,10 @@ def token_count_bpe_ish(text: Column) -> Column:
 
 
 def format_chunk_information(chunk_id: Column, text: Column) -> Column:
+    """``f'Information of Chunk {index}:\\n{d}\\n'`` (Generator.py:325-331)."""
     return F.concat(
-        F.lit("Information of Chunk "), chunk_id.cast("string"), F.lit(":\n"), text
+        F.lit("Information of Chunk "), chunk_id.cast("string"), F.lit(":\n"),
+        text, F.lit("\n"),
     )
 
 
