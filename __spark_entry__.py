@@ -265,6 +265,95 @@ def q_events_tumbling(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Scale extensions: MinHash-LSH near-dup, SimHash, embedding similarity,
+# text analysis, sliding/session windows
+# ---------------------------------------------------------------------------
+
+
+def _corpus_with_mutants(spark: SparkSession, sf: str) -> DataFrame:
+    """documents ∪ near-duplicate mutants (first word replaced) — gives the
+    near-dup operators known positives with exactly checkable pairs."""
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    mutants = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("concat('zzz ', substring(text, instr(text, ' ') + 1))").alias("text"),
+    )
+    return d.unionByName(mutants)
+
+
+_MUTANT_SQL = """
+            corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id,
+                       'zzz ' || substr(text, instr(text, ' ') + 1) AS text
+                FROM documents)
+"""
+
+
+def q_minhash_lsh_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    from llmxmapreduce_spark.operators import dedup
+
+    corpus = _corpus_with_mutants(spark, sf)
+    return dedup.minhash_dedup_pairs(
+        corpus, n=3, num_hashes=8, bands=4, threshold=0.5
+    )
+
+
+def q_simhash16(spark: SparkSession, sf: str) -> DataFrame:
+    from llmxmapreduce_spark.operators import dedup
+
+    return dedup.simhash16(load_table(spark, sf, "documents"))
+
+
+def q_embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from llmxmapreduce_spark.operators import similarity
+
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter("vec_id < 20"), k=5)
+
+
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    from llmxmapreduce_spark.operators import text_stats
+
+    d = load_table(spark, sf, "documents")
+    out = text_stats.quality_features(d)
+    return out.select(
+        "doc_id",
+        text_stats.lang_id(F.col("text")).alias("lang_guess"),
+        "n_tokens", "mean_word_len", "punct_ratio", "stopword_ratio",
+        "quality_score",
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    from llmxmapreduce_spark.operators import text_stats
+
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", text_stats.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def q_events_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.unix_timestamp("w.start").alias("window_start"),
+                "event_type", "n_events")
+    )
+
+
+def q_events_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.unix_micros("w.start").alias("session_start"),
+                "user_id", "n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
 # V1 QA pipeline end-to-end (flagship): chunk → map → filter → collapse →
 # reduce with the deterministic mock LLM over planted-fact documents.
 # The oracle computes the planted answers directly — a full-pipeline
@@ -326,11 +415,134 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p3_strip_citations": q_p3_strip_citations,
         "exact_dedup": q_exact_dedup,
         "events_tumbling_window": q_events_tumbling,
+        "minhash_lsh_neardup": q_minhash_lsh_neardup,
+        "simhash16": q_simhash16,
+        "embedding_cosine_topk": q_embedding_cosine_topk,
+        "text_quality": q_text_quality,
+        "doc_fingerprint": q_doc_fingerprint,
+        "events_sliding_window": q_events_sliding,
+        "events_session_windows": q_events_sessions,
         "v1_qa_secret_key": q_v1_qa_secret_key,
     }
 
 
 _PUNCT_SQL = r"[!\"#$%&'()*+,./:;<=>?@\[\]^_`{|}~\\-]".replace("'", "''")
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n                   ".join(
+        f"SUM(CASE WHEN strpos('13579bdf', substr(h, {j + 1}, 1)) > 0 "
+        f"THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(16)
+    )
+    fp = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    return rf"""
+        WITH tok AS (
+            SELECT doc_id, md5(t.w) AS h
+            FROM documents, UNNEST(string_split_regex(trim(text), '\s+')) AS t(w)),
+        v AS (SELECT doc_id, {votes}
+              FROM tok GROUP BY doc_id)
+        SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM v
+    """
+
+
+def _minhash_oracle(num_hashes: int = 8, bands_n: int = 4) -> str:
+    rows_per_band = num_hashes // bands_n
+    sigs = ",\n               ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS m{i}"
+        for i in range(num_hashes)
+    )
+    sep = " || '|' || "
+    bands = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"md5({sep.join(f'm{b * rows_per_band + r}' for r in range(rows_per_band))}) AS band_hash FROM sig"
+        for b in range(bands_n)
+    )
+    return rf"""
+        WITH {_MUTANT_SQL.strip()},
+        toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM corpus),
+        sh AS (SELECT doc_id,
+                 CASE WHEN len(ws) >= 3
+                      THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                          for i in range(1, len(ws) - 1)])
+                      ELSE [array_to_string(ws, ' ')] END AS shingles
+               FROM toks),
+        sig AS (SELECT doc_id, shingles,
+               {sigs}
+               FROM sh),
+        buckets AS ({bands}),
+        cand AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM buckets l JOIN buckets r
+              ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+             AND l.doc_id < r.doc_id),
+        verified AS (
+            SELECT c.id_a, c.id_b,
+                   CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                   (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+            FROM cand c
+            JOIN sh a ON c.id_a = a.doc_id
+            JOIN sh b ON c.id_b = b.doc_id)
+        SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+    """
+
+
+def _cosine_oracle() -> str:
+    q = "[CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT) for x in embedding]"
+    return f"""
+        WITH qv AS (SELECT vec_id AS qid, {q} AS v FROM embeddings WHERE vec_id < 20),
+        cv AS (SELECT vec_id, {q} AS v FROM embeddings),
+        pairs AS (
+            SELECT q.qid, c.vec_id,
+                   CAST(list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)]) AS DOUBLE) AS dot,
+                   CAST(list_sum([q.v[i] * q.v[i] for i in range(1, len(q.v) + 1)]) AS DOUBLE) AS qn,
+                   CAST(list_sum([c.v[i] * c.v[i] for i in range(1, len(c.v) + 1)]) AS DOUBLE) AS cn
+            FROM qv q, cv c WHERE q.qid <> c.vec_id),
+        ranked AS (
+            SELECT qid, vec_id, dot / (sqrt(qn) * sqrt(cn)) AS cosine,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY dot / (sqrt(qn) * sqrt(cn)) DESC, vec_id ASC) AS rank
+            FROM pairs)
+        SELECT qid, vec_id, CAST(rank AS INT) AS rank, cosine
+        FROM ranked WHERE rank <= 5
+    """
+
+
+_STOPWORDS_SQL = "['" + "', '".join(
+    "the a an and or but if then of in on at to for with by from as is are was"
+    " were be been this that these those it its he she they we you i not no".split()
+) + "']"
+
+
+def _text_quality_oracle() -> str:
+    return rf"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks,
+                   length(text) AS n_chars,
+                   len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                   len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+            FROM documents),
+        feat AS (
+            SELECT doc_id, text, n_chars, n_tokens, n_punct,
+                   CAST(len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL}, t))) AS DOUBLE)
+                     / len(toks) AS stopword_ratio,
+                   CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_word_len,
+                   CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio
+            FROM base)
+        SELECT doc_id,
+               CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) * 4 > n_chars THEN 'zh'
+                    WHEN stopword_ratio >= 0.08 THEN 'en'
+                    ELSE 'unknown' END AS lang_guess,
+               CAST(n_tokens AS BIGINT) AS n_tokens, mean_word_len, punct_ratio,
+               stopword_ratio,
+               (CASE WHEN n_tokens >= 20 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+                + CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+                + CASE WHEN punct_ratio <= 0.2 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+                + CASE WHEN stopword_ratio >= 0.05 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS quality_score
+        FROM feat
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -467,6 +679,47 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "minhash_lsh_neardup": _minhash_oracle(),
+        "simhash16": _simhash_oracle(),
+        "embedding_cosine_topk": _cosine_oracle(),
+        "text_quality": _text_quality_oracle(),
+        "doc_fingerprint": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+                FROM documents),
+            g AS (SELECT doc_id,
+                    CASE WHEN len(ws) >= 3
+                         THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                               for i in range(1, len(ws) - 1)]
+                         ELSE [array_to_string(ws, ' ')] END AS grams
+                  FROM toks)
+            SELECT doc_id, list_min(list_transform(grams, s -> md5(s))) AS fingerprint
+            FROM g
+        """,
+        "events_sliding_window": """
+            WITH x AS (SELECT CAST(EPOCH(TIME_BUCKET(INTERVAL '5 minutes', ts)) AS BIGINT) AS b,
+                              event_type
+                       FROM events),
+            w AS (SELECT b AS window_start, event_type FROM x
+                  UNION ALL
+                  SELECT b - 300 AS window_start, event_type FROM x)
+            SELECT window_start, event_type, COUNT(*) AS n_events
+            FROM w GROUP BY 1, 2
+        """,
+        "events_session_windows": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+            m AS (SELECT user_id, t,
+                    CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                         OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) >= 300000000
+                         THEN 1 ELSE 0 END AS new_s
+                  FROM e),
+            s AS (SELECT user_id, t,
+                    SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM m)
+            SELECT MIN(t) AS session_start, user_id, COUNT(*) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         "v1_qa_secret_key": """
             SELECT doc_id,

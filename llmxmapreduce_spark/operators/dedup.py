@@ -1,0 +1,228 @@
+"""Deduplication operators (scale extensions, SURVEY.md §7 step 9).
+
+Four families, each designed for the 100 TB case:
+
+- exact       — content-hash groupBy (one shuffle on a 32-byte key, never on
+                the text itself)
+- MinHash+LSH — shingle → minhash signature → banded bucket join.  Candidate
+                generation is a self-join on (band_id, band_hash) buckets,
+                NEVER an all-pairs cartesian; verification (true Jaccard)
+                runs only on bucket collisions.
+- SimHash     — bit-vote fingerprint; near-dups collide on fingerprint
+                (optionally with rotated bands for 1-2 bit tolerance)
+- n-gram Jaccard — exact verifier used after LSH candidate generation
+
+Two hash variants are provided: a *portable* md5-based one (bit-identical in
+DuckDB, used by the correctness oracle) and a *fast* xxhash64-based one for
+production (JVM-side, no md5 string churn).  Both share the same plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                normalize: bool = True) -> DataFrame:
+    """Keep one representative row (min id) per distinct text.
+
+    The shuffle key is ``md5(text)`` — constant width regardless of document
+    size, so the exchange moves 32-byte keys + ids, not 100 TB of text.
+    """
+    t = F.col(text_col)
+    if normalize:
+        t = F.lower(F.trim(F.regexp_replace(t, r"\s+", " ")))
+    w = Window.partitionBy(F.md5(t)).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of ``text`` (whitespace tokenized)."""
+    words = F.split(F.trim(text), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.get(words, i + j) for j in range(n)])
+    )
+    return F.array_distinct(
+        F.when(F.size(words) >= n, grams).otherwise(F.array(F.concat_ws(" ", words)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (portable md5 variant — oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 12) -> Column:
+    """MinHash via keyed md5: signature[i] = min over shingles of
+    md5(i || ':' || shingle).  Lexicographic min of a uniform hash is a valid
+    min-wise permutation; md5 keeps Spark and DuckDB bit-identical."""
+    return F.array(*[
+        F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        )
+        for i in range(num_hashes)
+    ])
+
+
+def minhash_signature_fast(shingles: Column, num_hashes: int = 12) -> Column:
+    """Production variant: xxhash64 with per-permutation seeds — stays in
+    whole-stage codegen, no md5 string allocation."""
+    return F.array(*[
+        F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ])
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "signature",
+    bands: int = 4,
+    rows_per_band: int = 3,
+) -> DataFrame:
+    """Banded LSH: hash each band of the signature; docs sharing any band
+    hash become a candidate pair.  Plan: explode to (band_id, band_hash,
+    id) → self-join on the band key (equi-join, shuffle on band_hash) →
+    distinct (a, b) with a < b.  No cartesian product at any scale."""
+    band_entries = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws(
+                    "|", *[F.get(F.col(sig_col).cast("array<string>"),
+                                 b * rows_per_band + r)
+                           for r in range(rows_per_band)]
+                )).alias("band_hash"),
+            )
+            for b in range(bands)
+        ])
+    )
+    buckets = df.select(F.col(id_col).alias("id"), band_entries.alias("b")) \
+                .select("id", "b.band_id", "b.band_hash")
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    shingle_df: DataFrame,
+    id_col: str = "doc_id",
+    shingles_col: str = "shingles",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs only (id_a, id_b, jaccard).
+
+    Join is on ids (narrow compared to the corpus); the set operations run
+    on the two shingle arrays JVM-side."""
+    a = shingle_df.select(F.col(id_col).alias("id_a"),
+                          F.col(shingles_col).alias("sh_a"))
+    b = shingle_df.select(F.col(id_col).alias("id_b"),
+                          F.col(shingles_col).alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.7,
+    fast: bool = False,
+) -> DataFrame:
+    """End-to-end near-dup pair detection: shingle → minhash → LSH buckets →
+    exact Jaccard verify.  Returns (id_a, id_b, jaccard >= threshold)."""
+    sig_fn = minhash_signature_fast if fast else minhash_signature
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
+    ).withColumn("signature", sig_fn(F.col("shingles"), num_hashes))
+    cands = lsh_candidate_pairs(base, id_col, "signature", bands, rows_per_band)
+    return jaccard_verify(cands, base, id_col, "shingles", threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_ODD_HEX = "13579bdf"
+
+
+def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              out_col: str = "simhash") -> DataFrame:
+    """Portable 16-bit SimHash: per-token md5, bit j votes ±1 by the parity
+    of hex digit j; fingerprint bit j = (vote > 0).
+
+    Plan: explode tokens → 16 conditional sums in ONE aggregation pass →
+    fingerprint assembly.  One shuffle on id; identical SQL runs in DuckDB.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    tok = df.select(F.col(id_col), F.explode(words).alias("w")) \
+            .withColumn("h", F.md5("w"))
+    votes = tok.groupBy(id_col).agg(*[
+        F.sum(
+            F.when(F.instr(F.lit(_ODD_HEX), F.substring("h", j + 1, 1)) > 0, 1)
+            .otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(16)
+    ])
+    fingerprint = sum(
+        F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(16)
+    )
+    return votes.select(F.col(id_col), fingerprint.cast("long").alias(out_col))
+
+
+def simhash64_fast(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", out_col: str = "simhash") -> DataFrame:
+    """Production 64-bit SimHash on xxhash64 — JVM-side bit ops only."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    tok = df.select(F.col(id_col), F.explode(words).alias("w")) \
+            .withColumn("h", F.xxhash64("w"))
+    votes = tok.groupBy(id_col).agg(*[
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ])
+    # bit 63 overflows a py4j literal — shift JVM-side instead.
+    fingerprint = sum(
+        F.when(F.col(f"b{j}") > 0,
+               F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
+        for j in range(64)
+    )
+    return votes.select(F.col(id_col), fingerprint.cast("long").alias(out_col))

@@ -1,0 +1,172 @@
+"""Embedding similarity search (scale extension, SURVEY.md §7 step 9).
+
+- ``cosine_topk``          — brute-force exact top-k: broadcast the (small)
+  query set, one linear scan over the corpus, per-partition top-k via window.
+  The dot product is computed over *quantized* integer embeddings (element ×
+  1e6 → BIGINT) so it is exact, order-independent, and bit-identical in any
+  engine — the correctness oracle depends on this.
+- ``cosine_topk_double``   — same plan with plain double math (production).
+- ``lsh_bucket_topk``      — scale path: random-hyperplane LSH bucketing;
+  only vectors sharing a bucket are compared.  Planes are derived from
+  xxhash64 so the whole thing stays deterministic with a seed.
+
+100 TB framing: the corpus side is never collected or crossed with itself;
+queries are broadcast; candidate generation is an equi-join on bucket id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000
+
+
+def quantize(vec: Column) -> Column:
+    """array<float> → array<bigint>, element*1e6 rounded — exact integer
+    arithmetic domain for cross-engine reproducibility.  The float→double
+    cast happens BEFORE the multiply so every engine computes the same
+    double product."""
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * F.lit(float(SCALE)), 0).cast("long")
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm2(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (qid, vec_id, rank, cosine).  Self-matches (qid == vec_id)
+    are excluded.  cosine = dot/(sqrt(n2a)*sqrt(n2b)) on quantized ints →
+    the double result is bit-identical across engines.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), quantize(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm2(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col), quantize(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", _norm2(F.col("cv")))
+    joined = c.crossJoin(F.broadcast(q)).filter(F.col(query_id_col) != F.col(id_col))
+    cosine = (
+        _dot(F.col("qv"), F.col("cv"))
+        / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("cn").cast("double")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("cosine", cosine)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "cosine")
+    )
+
+
+def cosine_topk_double(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       query_id_col: str = "qid") -> DataFrame:
+    """Production variant: double math end to end (no quantization)."""
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    q = queries.select(F.col(id_col).alias(query_id_col),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("cv"))
+    joined = c.crossJoin(F.broadcast(q)).filter(F.col(query_id_col) != F.col(id_col))
+    cosine = dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("cv"), F.col("cv")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(),
+                                                 F.col(id_col).asc())
+    return (
+        joined.withColumn("cosine", cosine)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "cosine")
+    )
+
+
+def hyperplane_signs(vec: Column, n_planes: int = 8, seed: int = 42,
+                     dim: int = 64) -> Column:
+    """Random-hyperplane LSH signature as a bit-string column.
+
+    Plane p's component d is a deterministic pseudo-random ±weight derived
+    from xxhash64(seed, p, d) — no stored plane matrix, reproducible on any
+    cluster.  sign_p = sign(sum_d vec[d] * w[p][d])."""
+    def plane_dot(p: int) -> Column:
+        prods = F.transform(
+            vec,
+            lambda x, i: x * (
+                (F.xxhash64(F.lit(seed), F.lit(p), i) % 2001 - 1000).cast("double")
+                / 1000.0
+            ),
+        )
+        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+    return F.concat(*[
+        F.when(plane_dot(p) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(n_planes)
+    ])
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Approximate top-k: compare only vectors whose hyperplane signature
+    matches the query's.  Equi-join on the bucket string — shuffle on an
+    8-char key instead of a cartesian product.  Recall is tuned by
+    ``n_planes`` (fewer planes → bigger buckets → higher recall/cost)."""
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("cv")
+    ).withColumn("bucket", hyperplane_signs(F.col("cv"), n_planes, seed))
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("bucket", hyperplane_signs(F.col("qv"), n_planes, seed))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    joined = c.join(F.broadcast(q), "bucket").filter(
+        F.col(query_id_col) != F.col(id_col)
+    )
+    cosine = dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("cv"), F.col("cv")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(),
+                                                 F.col(id_col).asc())
+    return (
+        joined.withColumn("cosine", cosine)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "cosine")
+    )

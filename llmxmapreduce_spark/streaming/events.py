@@ -1,0 +1,97 @@
+"""Watermarked windowed aggregations over the ``events`` table as a stream.
+
+Batch/stream parity by construction: each streaming query is the same
+expression as its batch twin in ``__spark_entry__`` (tumbling / sliding /
+session windows), so correctness of the streaming path is checked by
+running the stream with ``Trigger.AvailableNow`` into a memory sink and
+comparing against the batch result (tests/test_streaming.py).
+
+Scale notes: watermark bounds state (late events beyond 10 minutes are
+dropped, so state size is O(active windows × keys), not O(history));
+``session_window`` uses Spark's native session state store, not a custom
+``applyInPandasWithState`` — the built-in operator merges sessions
+incrementally and spills via RocksDB on a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) arrives as long
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over the events parquet (nanos → timestamp)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, window: str = "5 minutes",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling-window count + sum per event_type with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("sum_value"))
+        .select(F.unix_timestamp("w.start").alias("bucket_start"),
+                "event_type", "n_events", "sum_value")
+    )
+
+
+def sliding_counts(events: DataFrame, window: str = "10 minutes",
+                   slide: str = "5 minutes",
+                   watermark: str = "10 minutes") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.unix_timestamp("w.start").alias("window_start"),
+                "event_type", "n_events")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "5 minutes",
+                   watermark: str = "10 minutes") -> DataFrame:
+    """Per-user session windows (gap-based) — the stateful custom-operator
+    checkbox; sessions merge incrementally in the state store."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.unix_micros("w.start").alias("session_start"),
+                "user_id", "n_events")
+    )
+
+
+def run_available_now(agg: DataFrame, query_name: str,
+                      checkpoint_dir: str) -> DataFrame:
+    """Execute a streaming aggregation to completion over the currently
+    available files (Trigger.AvailableNow) into a memory sink; returns the
+    complete-mode result as a batch DataFrame."""
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return agg.sparkSession.table(query_name)

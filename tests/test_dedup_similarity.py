@@ -1,0 +1,127 @@
+"""Tests for dedup (exact/MinHash-LSH/SimHash/Jaccard) and similarity ops."""
+
+from pyspark.sql import functions as F
+
+from llmxmapreduce_spark.operators import dedup, similarity
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "unique text")],
+        ["doc_id", "text"],
+    )
+    out = dedup.exact_dedup(df).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 3]  # normalized dup dropped
+    out2 = dedup.exact_dedup(df, normalize=False).collect()
+    assert sorted(r["doc_id"] for r in out2) == [1, 2, 3]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("x y",)], ["text"])
+    got = [r[0] for r in df.select(dedup.word_shingles(F.col("text"), 3)).collect()]
+    assert sorted(got[0]) == ["a b c", "b c d"]
+    assert got[1] == ["x y"]  # shorter than n -> single whole-text shingle
+
+
+def test_minhash_finds_neardups_not_strangers(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    rows = [
+        (1, base),
+        (2, base.replace("quick", "speedy")),   # near-dup of 1
+        (3, "completely different content about spark engines and parquet files "
+            "with nothing shared at all in any shingle of this text here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.minhash_dedup_pairs(df, threshold=0.4).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    assert all(0.4 <= r["jaccard"] <= 1.0 for r in pairs)
+
+
+def test_minhash_fast_variant_agrees_on_pairs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [(1, base), (2, base.replace("gamma", "mu")), (3, "q w e r t y u i o p " * 5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    slow = {(r["id_a"], r["id_b"]) for r in
+            dedup.minhash_dedup_pairs(df, threshold=0.4).collect()}
+    fast = {(r["id_a"], r["id_b"]) for r in
+            dedup.minhash_dedup_pairs(df, threshold=0.4, fast=True).collect()}
+    assert slow == fast == {(1, 2)}
+
+
+def test_simhash_similar_docs_close(spark):
+    base = "one two three four five six seven eight nine ten " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " eleven"), (3, "z9 y8 x7 w6 v5 u4 t3 s2 " * 6)],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash16(df).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(got[1], got[2]) <= 4
+    assert hamming(got[1], got[3]) > hamming(got[1], got[2])
+    got64 = {r["doc_id"]: r["simhash"] for r in dedup.simhash64_fast(df).collect()}
+    assert bin(got64[1] ^ got64[2]).count("1") < bin(got64[1] ^ got64[3]).count("1")
+
+
+def _unit_vecs():
+    # 64-dim: three clusters along different axes + noise dims
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    rows = []
+    for i in range(30):
+        v = rng.normal(0, 0.05, 64)
+        v[i % 3] = 1.0
+        rows.append((i, [float(x) for x in v]))
+    return rows
+
+
+def test_cosine_topk_exact(spark):
+    import numpy as np
+
+    rows = _unit_vecs()
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+        .withColumn("embedding", F.col("embedding").cast("array<float>"))
+    out = similarity.cosine_topk(df, df.filter("vec_id < 3"), k=5).collect()
+    assert len(out) == 15
+    # brute-force check in numpy (on the same quantized ints)
+    q = {i: np.round(np.array(v, dtype=np.float64) * 1e6) for i, v in rows}
+    for r in out:
+        a, b = q[r["qid"]], q[r["vec_id"]]
+        expect = float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b)))
+        assert abs(expect - r["cosine"]) < 1e-9
+    # same-cluster vectors must dominate the top ranks
+    for qid in range(3):
+        top1 = next(r for r in out if r["qid"] == qid and r["rank"] == 1)
+        assert top1["vec_id"] % 3 == qid % 3
+
+
+def test_lsh_bucket_topk_recall(spark):
+    rows = _unit_vecs()
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+        .withColumn("embedding", F.col("embedding").cast("array<float>"))
+    queries = df.filter("vec_id < 3")
+    exact = similarity.cosine_topk_double(df, queries, k=3).collect()
+    approx = similarity.lsh_bucket_topk(df, queries, k=3, n_planes=4).collect()
+    exact_set = {(r["qid"], r["vec_id"]) for r in exact}
+    approx_set = {(r["qid"], r["vec_id"]) for r in approx}
+    # LSH with 4 planes on tight clusters should recover most exact neighbors
+    assert len(exact_set & approx_set) >= len(exact_set) // 2
+    # and never invent a worse-than-bucket neighbor for rank 1
+    for qid in range(3):
+        a1 = [r for r in approx if r["qid"] == qid and r["rank"] == 1]
+        if a1:
+            assert a1[0]["vec_id"] % 3 == qid % 3
+
+
+def test_no_cartesian_in_lsh_plans(spark):
+    """The LSH candidate join must be an equi-join, never a cartesian."""
+    df = spark.createDataFrame([(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(10)],
+                               ["doc_id", "text"])
+    base = df.select("doc_id", dedup.word_shingles(F.col("text")).alias("shingles"))
+    base = base.withColumn("signature", dedup.minhash_signature(F.col("shingles"), 8))
+    plan = dedup.lsh_candidate_pairs(base, bands=4, rows_per_band=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
