@@ -354,6 +354,201 @@ def q_events_sessions(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# V2 survey-engine deterministic operators: skeleton tree (parse⇄serialize,
+# J1 alignment), A3 digest merge, P12 citation renumbering, A9 claim
+# metrics, C6 seeded batching, T2 best-of
+# ---------------------------------------------------------------------------
+
+
+def _outline_markdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic outline markdown per region: sections = its nations."""
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    piece = F.concat(
+        F.lit("## "), F.col("n_name"),
+        F.lit("\nDigest Construction: \nfocus on "), F.col("n_name"),
+        F.lit("\nDigest Analysis: \nanalysis of "), F.col("n_name"),
+    )
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .withColumn("__p", F.struct(F.col("n_name").alias("k"), piece.alias("v")))
+        .groupBy("r_name")
+        .agg(
+            F.concat(
+                F.lit("# Survey of "), F.col("r_name"), F.lit("\n"),
+                F.concat_ws("\n", F.transform(F.array_sort(F.collect_list("__p")),
+                                              lambda s: s["v"])),
+            ).alias("markdown")
+        )
+        .select(F.col("r_name").alias("survey_id"),
+                F.concat(F.lit("Survey of "), F.col("r_name")).alias("title"),
+                "markdown")
+    )
+
+
+def q_skeleton_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """parse ∘ serialize identity on canonical outlines (skeleton.py:75-169)."""
+    from llmxmapreduce_spark.operators import skeleton
+
+    md = _outline_markdown(spark, sf)
+    nodes = skeleton.parse_outlines(md)
+    return skeleton.serialize_outlines(nodes, construction=True, analysis=True)
+
+
+def q_skeleton_nodes(spark: SparkSession, sf: str) -> DataFrame:
+    """Exploded skeleton_nodes contract: preorder pos, index path, depth."""
+    from llmxmapreduce_spark.operators import skeleton
+
+    nodes = skeleton.parse_outlines(_outline_markdown(spark, sf))
+    return nodes.select(
+        "survey_id", "pos", F.col("node_path").cast("array<int>").alias("node_path"),
+        "depth", "title", "construction", "analysis",
+    ).withColumn("node_path", F.concat_ws(".", F.col("node_path")))
+
+
+def q_j1_alignment(spark: SparkSession, sf: str) -> DataFrame:
+    """J1 digest↔outline correspondence with planted title mismatches."""
+    from llmxmapreduce_spark.operators import skeleton
+
+    nodes = skeleton.parse_outlines(_outline_markdown(spark, sf))
+    n = load_table(spark, sf, "nation")
+    mutated = (
+        nodes.join(n.select(F.col("n_name").alias("title"), "n_nationkey"),
+                   "title", "left")
+        .withColumn(
+            "title",
+            F.when((F.col("n_nationkey") % 5 == 0) & F.col("n_nationkey").isNotNull(),
+                   F.concat(F.col("title"), F.lit(" MUT"))).otherwise(F.col("title")),
+        )
+        .drop("n_nationkey")
+        .withColumn("digest_id", F.lit("d1"))
+    )
+    _, mismatched = skeleton.align_digest_nodes(nodes, mutated)
+    return mismatched
+
+
+def q_a3_digest_merge(spark: SparkSession, sf: str) -> DataFrame:
+    from llmxmapreduce_spark.operators import digest_ops
+
+    c = load_table(spark, sf, "customer")
+    dig = (
+        c.groupBy(
+            F.col("c_mktsegment").alias("survey_id"),
+            (F.col("c_custkey") % 4).alias("digest_id"),
+            (F.col("c_nationkey") % 3).cast("int").alias("pos"),
+        )
+        .agg(F.min("c_name").alias("description"))
+        .withColumn("bibkeys", F.array(F.concat(F.lit("bib"),
+                                                F.col("digest_id").cast("string"))))
+    )
+    out = digest_ops.merge_digest_descriptions(dig)
+    return out.select(
+        "survey_id", "pos", "description",
+        F.concat_ws(",", F.col("all_bibkeys")).alias("bibkeys"),
+    )
+
+
+def q_p12_citation_renumber(spark: SparkSession, sf: str) -> DataFrame:
+    from llmxmapreduce_spark.operators import citations
+
+    c = load_table(spark, sf, "customer").filter("c_custkey <= 40")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_custkey")
+    papers = c.select(
+        F.col("c_mktsegment").alias("survey_id"),
+        (F.row_number().over(w) - 1).alias("paper_pos"),
+        F.concat(F.lit("ck_"), F.col("c_custkey").cast("string")).alias("bibkey"),
+        F.col("c_name").alias("title"),
+        F.lit(None).cast("string").alias("url"),
+    )
+    sections = papers.filter("paper_pos < 3").select(
+        "survey_id", F.col("paper_pos").alias("pos"),
+        F.concat(F.lit("Section cites ["), F.col("bibkey"),
+                 F.lit("] and [ck_nonexistent_xq].")).alias("content"),
+    )
+    out = citations.renumber_citations(sections, papers)
+    return out.select("survey_id", "pos", "content",
+                      F.concat_ws(",", "cited_bibkeys").alias("cited"))
+
+
+def q_a9_claim_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    from llmxmapreduce_spark.operators import eval_ops
+
+    o = load_table(spark, sf, "orders")
+    claims = o.select(
+        F.col("o_orderpriority").alias("survey_id"),
+        F.col("o_orderkey"),
+        F.array_distinct(
+            F.array((F.col("o_custkey") % 10 + 1).cast("int"),
+                    (F.col("o_custkey") % 7 + 1).cast("int"))
+        ).alias("cited_indices"),
+        F.lit(10).alias("total_papers"),
+    ).withColumn(
+        "nli_verdict",
+        F.transform(F.col("cited_indices"),
+                    lambda r: ((F.col("o_orderkey") + r) % 3) > 0),
+    )
+    return eval_ops.claim_metrics(claims)
+
+
+def q_c6_hash_batches(spark: SparkSession, sf: str) -> DataFrame:
+    from llmxmapreduce_spark.operators import grouping
+
+    p = load_table(spark, sf, "part")
+    out = grouping.hash_shuffled_batches(p, "p_partkey", batch_size=7, seed=42)
+    return out.select("p_partkey", "group_id")
+
+
+def q_t2_best_of(spark: SparkSession, sf: str) -> DataFrame:
+    from llmxmapreduce_spark.operators import topk
+
+    ev = load_table(spark, sf, "events")
+    return topk.best_of(ev, ["event_type"], "value", "event_id").select(
+        "event_type", "event_id", "value"
+    )
+
+
+def q_v2_survey_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Full V2 survey pipeline (group→outline→digest→convolve→refine→decode)
+    with the deterministic survey mock over documents-derived papers.
+    Genuinely non-SQL-expressible (iterative LLM dataflow) → rows-only check.
+    """
+    from llmxmapreduce_spark.llm.survey_mock import MockSurveyClient
+    from llmxmapreduce_spark.pipelines import v2_survey as v2
+
+    d = load_table(spark, sf, "documents").filter("doc_id < 8")
+    papers = d.select(
+        F.concat(F.lit("survey"), (F.col("doc_id") % 2).cast("string")).alias("survey_id"),
+        F.struct(
+            F.concat(F.lit("paper_"), F.col("doc_id").cast("string")).alias("bibkey"),
+            F.concat(F.lit("Paper "), F.col("doc_id").cast("string")).alias("title"),
+            F.substring("text", 1, 200).alias("abstract"),
+            F.col("text").alias("txt"),
+            F.concat(F.lit("https://example.org/"), F.col("doc_id").cast("string")).alias("url"),
+            F.lit(None).cast("long").alias("txt_token"),
+        ).alias("p"),
+    )
+    surveys = papers.groupBy("survey_id").agg(
+        F.concat(F.lit("Survey of "), F.col("survey_id")).alias("title"),
+        F.array_sort(F.collect_list("p")).alias("papers"),
+    )
+    cfg = v2.V2Config(conv_layers=1, receptive_field=2, result_num=2,
+                      top_k=2, refine_rounds=1, best_of=1, polish=False)
+    # The pipeline is dozens of tiny jobs over a handful of rows: wide
+    # shuffles are pure overhead here.  Restore the session conf after.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        out = v2.run_v2_survey(surveys, MockSurveyClient, cfg)
+        result = out.select(
+            "survey_id", "n_sections", "n_papers", "cite_ratio",
+            F.length("content_md").alias("content_len"),
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return result
+
+
+# ---------------------------------------------------------------------------
 # V1 QA pipeline end-to-end (flagship): chunk → map → filter → collapse →
 # reduce with the deterministic mock LLM over planted-fact documents.
 # The oracle computes the planted answers directly — a full-pipeline
@@ -415,6 +610,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p3_strip_citations": q_p3_strip_citations,
         "exact_dedup": q_exact_dedup,
         "events_tumbling_window": q_events_tumbling,
+        "skeleton_roundtrip": q_skeleton_roundtrip,
+        "skeleton_nodes": q_skeleton_nodes,
+        "j1_alignment_mismatches": q_j1_alignment,
+        "a3_digest_merge": q_a3_digest_merge,
+        "p12_citation_renumber": q_p12_citation_renumber,
+        "a9_claim_metrics": q_a9_claim_metrics,
+        "c6_hash_batches": q_c6_hash_batches,
+        "t2_best_of": q_t2_best_of,
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
         "simhash16": q_simhash16,
         "embedding_cosine_topk": q_embedding_cosine_topk,
@@ -423,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_window": q_events_sliding,
         "events_session_windows": q_events_sessions,
         "v1_qa_secret_key": q_v1_qa_secret_key,
+        "v2_survey_pipeline": q_v2_survey_pipeline,
     }
 
 
@@ -679,6 +883,103 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "skeleton_roundtrip": """
+            SELECT r_name AS survey_id,
+                   '# Survey of ' || r_name || chr(10) || chr(10) ||
+                   STRING_AGG(
+                     '## ' || n_name || chr(10) ||
+                     'Digest Construction: ' || chr(10) || 'focus on ' || n_name || chr(10) ||
+                     'Digest Analysis: ' || chr(10) || 'analysis of ' || n_name,
+                     chr(10) || chr(10) || chr(10) ORDER BY n_name) AS markdown
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "skeleton_nodes": """
+            WITH nn AS (
+                SELECT r_name, n_name,
+                       ROW_NUMBER() OVER (PARTITION BY r_name ORDER BY n_name) AS rn
+                FROM nation JOIN region ON n_regionkey = r_regionkey)
+            SELECT r_name AS survey_id, 0 AS pos, '0' AS node_path, 0 AS depth,
+                   'Survey of ' || r_name AS title, '' AS construction, '' AS analysis
+            FROM region
+            UNION ALL
+            SELECT r_name, CAST(rn AS INT), '0.' || CAST(rn - 1 AS VARCHAR), 1, n_name,
+                   'focus on ' || n_name, 'analysis of ' || n_name
+            FROM nn
+        """,
+        "j1_alignment_mismatches": """
+            WITH nn AS (
+                SELECT r_name, n_name, n_nationkey,
+                       ROW_NUMBER() OVER (PARTITION BY r_name ORDER BY n_name) AS rn
+                FROM nation JOIN region ON n_regionkey = r_regionkey)
+            SELECT r_name AS survey_id, 'd1' AS digest_id, CAST(rn AS INT) AS pos,
+                   'title mismatch' AS reason
+            FROM nn WHERE n_nationkey % 5 = 0
+        """,
+        "a3_digest_merge": """
+            WITH d AS (
+                SELECT c_mktsegment AS s, c_custkey % 4 AS did,
+                       CAST(c_nationkey % 3 AS INT) AS pos, MIN(c_name) AS description
+                FROM customer GROUP BY 1, 2, 3)
+            SELECT s AS survey_id, pos,
+                   STRING_AGG('Paper bibkey: [bib' || did || ']' || chr(10) ||
+                              'Digest: ' || chr(10) || description,
+                              '--------------------' || chr(10) ORDER BY did) AS description,
+                   STRING_AGG('bib' || did, ',' ORDER BY did) AS bibkeys
+            FROM d GROUP BY 1, 2
+        """,
+        "p12_citation_renumber": """
+            WITH p AS (
+                SELECT c_mktsegment AS s,
+                       ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                          ORDER BY c_custkey) - 1 AS paper_pos,
+                       'ck_' || CAST(c_custkey AS VARCHAR) AS bibkey
+                FROM customer WHERE c_custkey <= 40)
+            SELECT s AS survey_id, CAST(paper_pos AS INT) AS pos,
+                   'Section cites [' || CAST(paper_pos + 1 AS VARCHAR) || '] and .' AS content,
+                   bibkey AS cited
+            FROM p WHERE paper_pos < 3
+        """,
+        "a9_claim_metrics": """
+            WITH c AS (
+                SELECT o_orderpriority AS s, o_orderkey AS k,
+                       list_distinct([CAST(o_custkey % 10 + 1 AS INT),
+                                      CAST(o_custkey % 7 + 1 AS INT)]) AS refs
+                FROM orders),
+            e AS (SELECT s, k, r.ref, ((k + r.ref) % 3) > 0 AS ok
+                  FROM c, UNNEST(refs) AS r(ref)),
+            per_claim AS (
+                SELECT s, k, MAX(CASE WHEN ok THEN 1 ELSE 0 END) AS any_ok,
+                       COUNT(*) AS n_cit, SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS n_ok
+                FROM e GROUP BY s, k),
+            agg AS (SELECT s, COUNT(*) AS n_claims, SUM(any_ok) AS n_sup,
+                           SUM(n_cit) AS n_citations, SUM(n_ok) AS n_sup_cit
+                    FROM per_claim GROUP BY s),
+            sref AS (SELECT s, COUNT(DISTINCT ref) AS nsr FROM e WHERE ok GROUP BY s),
+            cref AS (SELECT s, COUNT(DISTINCT ref) AS ncr FROM e GROUP BY s)
+            SELECT agg.s AS survey_id,
+                   CAST(n_sup AS DOUBLE) / n_claims AS claim_precision,
+                   CAST(n_sup_cit AS DOUBLE) / n_citations AS citation_precision,
+                   CAST(COALESCE(nsr, 0) AS DOUBLE) / 10 AS reference_precision,
+                   CAST(COALESCE(ncr, 0) AS DOUBLE) / 10 AS reference_coverage,
+                   CAST(n_citations AS DOUBLE) / n_claims AS avg_citation_per_claim,
+                   CAST(n_claims AS BIGINT) AS n_claims
+            FROM agg LEFT JOIN sref ON agg.s = sref.s LEFT JOIN cref ON agg.s = cref.s
+        """,
+        "c6_hash_batches": """
+            SELECT p_partkey,
+                   CAST(FLOOR((ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(p_partkey AS VARCHAR) || '#42'),
+                                p_partkey) - 1) / 7) AS INT) AS group_id
+            FROM part
+        """,
+        "t2_best_of": """
+            SELECT event_type, event_id, value FROM (
+                SELECT event_type, event_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY value DESC, event_id ASC) AS rn
+                FROM events) WHERE rn = 1
         """,
         "minhash_lsh_neardup": _minhash_oracle(),
         "simhash16": _simhash_oracle(),

@@ -1,0 +1,94 @@
+"""Deterministic mock LLM for the V2 survey pipeline (FIXTURES.md A9).
+
+Routes on the stage markers embedded in pipelines/v2_survey.py's prompts and
+behaves like a *cooperative* model: outlines are built from the bibkeys it
+is shown, digests echo the outline structure (so J1 alignment genuinely
+passes/fails on structure), modifications tweak descriptions only, and eval
+scores are prompt-hash-derived — every run is bit-identical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from llmxmapreduce_spark.llm.client import HashEchoClient, LLMClient
+
+_BIBKEY_RE = re.compile(r"Bibkey: '([^']+)'")
+_HEADING_RE = re.compile(r"^## (.+)$", re.MULTILINE)
+_TITLE_RE = re.compile(r"Survey title: (.+)")
+_PAPER_KEY_RE = re.compile(r"Paper bibkey: ([\w-]+)")
+_SECTION_RE = re.compile(r"Section title: (.+)")
+_FENCED_RE = re.compile(r"```markdown\n(.*?)\n```", re.DOTALL)
+_SUGG_RE = re.compile(r"```suggestion\n(.*?)\n```", re.DOTALL)
+
+
+def _h(s: str, n: int = 8) -> str:
+    return hashlib.md5(s.encode()).hexdigest()[:n]
+
+
+class MockSurveyClient(LLMClient):
+    def complete(self, prompt: str) -> str:  # noqa: C901 - routing table
+        if "[INIT_OUTLINE]" in prompt:
+            title = (_TITLE_RE.search(prompt) or [None, "Untitled"])[1].strip()
+            keys = sorted(set(_BIBKEY_RE.findall(prompt)))
+            lines = [f"# {title}"]
+            for k in keys[:4]:
+                lines.append(f"## Studies of {k}")
+                lines.append(f"Covers the work of {k}.")
+            return "```markdown\n" + "\n".join(lines) + "\n```"
+
+        if "[CONCAT_OUTLINE]" in prompt:
+            title = (_TITLE_RE.search(prompt) or [None, "Untitled"])[1].strip()
+            sections = sorted(set(_HEADING_RE.findall(prompt)))
+            lines = [f"# {title}"]
+            for s in sections:
+                lines.append(f"## {s}")
+                lines.append(f"Merged coverage of {s}.")
+            return "```markdown\n" + "\n".join(lines) + "\n```"
+
+        if "[DIGEST]" in prompt:
+            key = (_PAPER_KEY_RE.search(prompt) or [None, "unknown"])[1]
+            outline = _FENCED_RE.search(prompt)
+            body = outline.group(1) if outline else "# Digest"
+            lines = []
+            for line in body.split("\n"):
+                m = re.match(r"^(#+)\s+(.*)$", line)
+                if m:
+                    lines.append(line)
+                    if len(m.group(1)) > 1:
+                        lines.append(f"Extract for {m.group(2)} from [{key}].")
+            out = "\n".join(lines)
+            return (f"```markdown\n{out}\n```\n"
+                    f"```suggestion\nCover {key} more deeply.\n```")
+
+        if "[FEEDBACK]" in prompt or "[KERNEL]" in prompt:
+            return f"```suggestion\nEmphasize theme {_h(prompt)}.\n```"
+
+        if "[MODIFY]" in prompt:
+            outline = _FENCED_RE.search(prompt)
+            sugg = _SUGG_RE.search(prompt)
+            body = outline.group(1) if outline else "# Untitled"
+            tag = _h(sugg.group(1) if sugg else prompt, 6)
+            lines = list(body.split("\n"))
+            lines.append(f"Revision note {tag}.")
+            return "```markdown\n" + "\n".join(lines) + "\n```"
+
+        if "[EVAL_OUTLINE]" in prompt:
+            score = (int(_h(prompt), 16) % 101) / 10.0
+            return f"Assessment.\n<SCORE>{score}</SCORE>"
+
+        if "[SELF_REFINE]" in prompt:
+            return f"```suggestion\nTighten structure {_h(prompt, 6)}.\n```"
+
+        if "[ORCHESTRA]" in prompt or "[SUMMARY]" in prompt:
+            section = (_SECTION_RE.search(prompt) or [None, "Section"])[1].strip()
+            keys = sorted(set(_PAPER_KEY_RE.findall(prompt)))[:3]
+            cites = " ".join(f"[{k}]" for k in keys) if keys else ""
+            return f"Generated prose for {section}. {cites}".strip()
+
+        if "[POLISH]" in prompt:
+            body = prompt.split("Draft:\n", 1)[-1]
+            return body.strip()
+
+        return HashEchoClient().complete(prompt)
