@@ -507,6 +507,39 @@ def q_t2_best_of(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_p17_html_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """P17 deterministic main-content extraction over synthetic HTML built
+    from documents (main text keeps stopword density; nav/footer doesn't)."""
+    from llmxmapreduce_spark.operators import html_clean
+
+    d = load_table(spark, sf, "documents")
+    html = F.concat(
+        F.lit("<html><head><script>var x = 1;</script><style>.a{}</style></head>"
+              "<body><nav>nav nav nav</nav><div>"),
+        F.substring("text", 1, 300),
+        F.lit("</div><footer>menu items list</footer></body></html>"),
+    )
+    # The synthetic corpus is stopword-sparse; 0.05 keeps real text blocks
+    # while still dropping the zero-density nav/footer boilerplate.
+    return d.select(
+        "doc_id",
+        html_clean.extract_main_content(html, density_threshold=0.05).alias("content"),
+        html_clean.boilerplate_ratio(html, density_threshold=0.05).alias("boilerplate_ratio"),
+    )
+
+
+def q_qa_f1_score(spark: SparkSession, sf: str) -> DataFrame:
+    """V1 eval scorer: normalized token multiset F1 (compute_scores.py:52-101)."""
+    from llmxmapreduce_spark.operators import eval_ops
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.substring("text", 1, 120).alias("prediction"),
+        F.substring("text", 61, 120).alias("ground_truth"),
+    )
+    return eval_ops.qa_f1(d).select("doc_id", "f1")
+
+
 def q_v2_survey_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """Full V2 survey pipeline (group→outline→digest→convolve→refine→decode)
     with the deterministic survey mock over documents-derived papers.
@@ -625,6 +658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "events_sliding_window": q_events_sliding,
         "events_session_windows": q_events_sessions,
+        "p17_html_extract": q_p17_html_extract,
+        "qa_f1_score": q_qa_f1_score,
         "v1_qa_secret_key": q_v1_qa_secret_key,
         "v2_survey_pipeline": q_v2_survey_pipeline,
     }
@@ -1022,6 +1057,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(t) AS session_start, user_id, COUNT(*) AS n_events
             FROM s GROUP BY user_id, sid
         """,
+        "p17_html_extract": rf"""
+            WITH raw AS (
+                SELECT doc_id,
+                       '<html><head><script>var x = 1;</script><style>.a{{}}</style></head>'
+                       || '<body><nav>nav nav nav</nav><div>' || SUBSTR(text, 1, 300)
+                       || '</div><footer>menu items list</footer></body></html>' AS html
+                FROM documents),
+            blk AS (
+                SELECT doc_id,
+                       list_filter(
+                         list_transform(
+                           string_split(
+                             regexp_replace(
+                               regexp_replace(
+                                 regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                                 '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                               '<[^>]*>', chr(10), 'g'),
+                             chr(10)),
+                           b -> trim(b)),
+                         b -> b <> '') AS blocks
+                FROM raw),
+            kept AS (
+                SELECT doc_id, blocks,
+                       list_filter(blocks,
+                         b -> len(regexp_split_to_array(b, '\s+')) >= 3
+                          AND CAST(len(list_filter(regexp_split_to_array(b, '\s+'),
+                                     t -> list_contains({_STOPWORDS_SQL}, lower(t)))) AS DOUBLE)
+                              / len(regexp_split_to_array(b, '\s+')) >= 0.05) AS keep
+                FROM blk)
+            SELECT doc_id, COALESCE(array_to_string(keep, chr(10)), '') AS content,
+                   CASE WHEN len(blocks) = 0 THEN 0.0
+                        ELSE 1.0 - CAST(len(keep) AS DOUBLE) / len(blocks)
+                   END AS boilerplate_ratio
+            FROM kept
+        """,
+        "qa_f1_score": (
+            lambda norm: f"""
+            WITH base AS (
+                SELECT doc_id, {norm('SUBSTR(text, 1, 120)')} AS pn,
+                       {norm('SUBSTR(text, 61, 120)')} AS gn
+                FROM documents),
+            pt AS (SELECT doc_id, t, COUNT(*) AS c
+                   FROM (SELECT doc_id, UNNEST(string_split(pn, ' ')) AS t FROM base)
+                   WHERE t <> '' GROUP BY doc_id, t),
+            gt AS (SELECT doc_id, t, COUNT(*) AS c
+                   FROM (SELECT doc_id, UNNEST(string_split(gn, ' ')) AS t FROM base)
+                   WHERE t <> '' GROUP BY doc_id, t),
+            inter AS (SELECT p.doc_id, SUM(LEAST(p.c, g.c)) AS m
+                      FROM pt p JOIN gt g ON p.doc_id = g.doc_id AND p.t = g.t
+                      GROUP BY p.doc_id),
+            lens AS (SELECT b.doc_id,
+                            (SELECT COALESCE(SUM(c), 0) FROM pt WHERE pt.doc_id = b.doc_id) AS lp,
+                            (SELECT COALESCE(SUM(c), 0) FROM gt WHERE gt.doc_id = b.doc_id) AS lg
+                     FROM base b)
+            SELECT lens.doc_id,
+                   CASE WHEN m IS NULL OR m = 0 OR lp = 0 OR lg = 0 THEN 0.0
+                        ELSE (2 * (CAST(m AS DOUBLE) / lp) * (CAST(m AS DOUBLE) / lg))
+                             / ((CAST(m AS DOUBLE) / lp) + (CAST(m AS DOUBLE) / lg))
+                   END AS f1
+            FROM lens LEFT JOIN inter ON lens.doc_id = inter.doc_id
+        """)(
+            lambda col: (
+                "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE("
+                f"LOWER({col}), '{_PUNCT_SQL}', '', 'g'),"
+                r" '\b(a|an|the)\b', ' ', 'g'), '\s+', ' ', 'g'))"
+            )
+        ),
         "v1_qa_secret_key": """
             SELECT doc_id,
                    'SK-' || CAST((doc_id * 7919) % 99991 AS VARCHAR) AS answer

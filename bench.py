@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "total_sec", "value": N, "unit": "sec",
+     "queries": {"q1_pricing_summary": s, ...}, "sf": 0.1}
+
+Each query executes to completion with a noop sink (no driver-side row
+transfer), so the timing measures the engine, not collect().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from llmxmapreduce_spark.session import get_spark  # noqa: E402
+
+# Headline set: relational core, windows/streaming twins, dedup/similarity
+# scale extensions, both LLM pipelines (mock client).
+HEADLINE = [
+    "q1_pricing_summary",
+    "j3_star_join_agg",
+    "t1_topk_per_group",
+    "p6_crawl_filter_backfill",
+    "a8_nonzero_avg",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_session_windows",
+    "exact_dedup",
+    "simhash16",
+    "minhash_lsh_neardup",
+    "embedding_cosine_topk",
+    "text_quality",
+    "doc_fingerprint",
+    "skeleton_roundtrip",
+    "a3_digest_merge",
+    "a9_claim_metrics",
+    "v1_qa_secret_key",
+    "v2_survey_pipeline",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001 - bench must always report
+            print(f"# bench error in {name}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    print(json.dumps({
+        "metric": "total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

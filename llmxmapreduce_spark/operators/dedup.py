@@ -167,9 +167,12 @@ def minhash_dedup_pairs(
     exact Jaccard verify.  Returns (id_a, id_b, jaccard >= threshold)."""
     sig_fn = minhash_signature_fast if fast else minhash_signature
     rows_per_band = num_hashes // bands
+    # Shingling + signatures feed BOTH the bucket join (twice, as left and
+    # right) and the verify join — persist so the expensive md5/xxhash pass
+    # over the full corpus runs once, not four times.
     base = df.select(
         F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
-    ).withColumn("signature", sig_fn(F.col("shingles"), num_hashes))
+    ).withColumn("signature", sig_fn(F.col("shingles"), num_hashes)).persist()
     cands = lsh_candidate_pairs(base, id_col, "signature", bands, rows_per_band)
     return jaccard_verify(cands, base, id_col, "shingles", threshold)
 
