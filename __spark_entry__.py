@@ -507,6 +507,71 @@ def q_t2_best_of(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_j2_digest_members(spark: SparkSession, sf: str) -> DataFrame:
+    """J2 bibkey→digest bridge table (multi_key_dict.py:4-62 as rows)."""
+    from llmxmapreduce_spark.functions import text as TX
+
+    c = load_table(spark, sf, "customer")
+    bridge = c.select(
+        F.col("c_mktsegment").alias("survey_id"),
+        (F.col("c_custkey") % 4).alias("digest_id"),
+        TX.normalize_bibkey(F.col("c_name")).alias("bibkey"),
+    ).distinct()
+    w = Window.partitionBy("survey_id", "digest_id")
+    return bridge.withColumn("n_members", F.count(F.lit(1)).over(w))
+
+
+def q_j4_claim_source_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J4 claim × cited-source join (judge.py:160-174): explode citations,
+    join the paper dimension."""
+    o = load_table(spark, sf, "orders").filter("o_orderkey < 3000")
+    p = load_table(spark, sf, "part")
+    claims = o.select(
+        F.col("o_orderpriority").alias("survey_id"), "o_orderkey",
+        F.explode(F.array_distinct(F.array(
+            (F.col("o_custkey") % 10 + 1).cast("int"),
+            (F.col("o_custkey") % 7 + 1).cast("int"),
+        ))).alias("ref"),
+    )
+    dim = p.groupBy((F.col("p_partkey") % 10 + 1).cast("int").alias("ref")) \
+        .agg(F.min("p_name").alias("ref_title"))
+    return claims.join(F.broadcast(dim), "ref").select(
+        "survey_id", "o_orderkey", "ref", "ref_title"
+    )
+
+
+def q_p11_str2list(spark: SparkSession, sf: str) -> DataFrame:
+    p = load_table(spark, sf, "part")
+    s = F.concat(F.lit("['"), F.col("p_name"), F.lit("', \"second item\", third]"))
+    return p.select(
+        "p_partkey", F.concat_ws("|", X.str2list(s)).alias("items"),
+        X.list2str(X.str2list(s)).alias("canonical"),
+    )
+
+
+def q_j5_figure_anchor(spark: SparkSession, sf: str) -> DataFrame:
+    """J5 figure→section anchor insertion (figure_module.py:27-48)."""
+    from llmxmapreduce_spark.operators import figures as FG
+
+    d = load_table(spark, sf, "documents").filter("n_chars >= 70")
+    sections = d.select(
+        F.concat(F.lit("s"), (F.col("doc_id") % 3).cast("string")).alias("survey_id"),
+        F.col("doc_id").alias("pos"),
+        F.concat(F.lit("Topic "), F.col("doc_id").cast("string")).alias("title"),
+        F.substring("text", 1, 200).alias("content"),
+    )
+    figs = d.select(
+        F.concat(F.lit("s"), (F.col("doc_id") % 3).cast("string")).alias("survey_id"),
+        F.concat(F.lit("Topic "), F.col("doc_id").cast("string")).alias("section_title"),
+        F.substring("text", 50, 20).alias("pos_sentence"),
+        F.concat(F.lit("Fig "), F.col("doc_id").cast("string")).alias("fig_title"),
+        F.lit("mermaid").alias("img_type"),
+        F.lit("graph TD;\nA-->B").alias("code"),
+    )
+    out = FG.anchor_figures(sections, figs)
+    return out.select("survey_id", "pos", "content")
+
+
 def q_p17_html_extract(spark: SparkSession, sf: str) -> DataFrame:
     """P17 deterministic main-content extraction over synthetic HTML built
     from documents (main text keeps stopword density; nav/footer doesn't)."""
@@ -658,6 +723,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "events_sliding_window": q_events_sliding,
         "events_session_windows": q_events_sessions,
+        "j2_digest_members": q_j2_digest_members,
+        "j4_claim_source_join": q_j4_claim_source_join,
+        "p11_str2list": q_p11_str2list,
+        "j5_figure_anchor": q_j5_figure_anchor,
         "p17_html_extract": q_p17_html_extract,
         "qa_f1_score": q_qa_f1_score,
         "v1_qa_secret_key": q_v1_qa_secret_key,
@@ -1056,6 +1125,70 @@ def oracle_sql() -> dict[str, str]:
                   FROM m)
             SELECT MIN(t) AS session_start, user_id, COUNT(*) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "j2_digest_members": r"""
+            WITH bridge AS (
+                SELECT DISTINCT c_mktsegment AS survey_id, c_custkey % 4 AS digest_id,
+                       REGEXP_REPLACE(
+                         REPLACE(
+                           REGEXP_REPLACE(
+                             REPLACE(LOWER(TRIM(c_name)), '-', '_'),
+                             '[^\w\s]', '', 'g'),
+                           ' ', '_'),
+                         '_{2,}', '_', 'g') AS bibkey
+                FROM customer)
+            SELECT survey_id, digest_id, bibkey,
+                   COUNT(*) OVER (PARTITION BY survey_id, digest_id) AS n_members
+            FROM bridge
+        """,
+        "j4_claim_source_join": """
+            WITH claims AS (
+                SELECT o_orderpriority AS survey_id, o_orderkey, r.ref
+                FROM (SELECT o_orderpriority, o_orderkey,
+                             list_distinct([CAST(o_custkey % 10 + 1 AS INT),
+                                            CAST(o_custkey % 7 + 1 AS INT)]) AS refs
+                      FROM orders WHERE o_orderkey < 3000),
+                     UNNEST(refs) AS r(ref)),
+            dim AS (SELECT CAST(p_partkey % 10 + 1 AS INT) AS ref,
+                           MIN(p_name) AS ref_title
+                    FROM part GROUP BY 1)
+            SELECT survey_id, o_orderkey, claims.ref AS ref, ref_title
+            FROM claims JOIN dim ON claims.ref = dim.ref
+        """,
+        "p11_str2list": """
+            WITH s AS (SELECT p_partkey,
+                              '[''' || p_name || ''', "second item", third]' AS raw
+                       FROM part),
+            items AS (SELECT p_partkey,
+                             LIST_FILTER(
+                               LIST_TRANSFORM(STRING_SPLIT(raw, ','),
+                                 x -> TRIM(REPLACE(REPLACE(REPLACE(REPLACE(x,
+                                        '[', ''), ']', ''), '''', ''), '"', ''))),
+                               x -> x <> '') AS lst
+                      FROM s)
+            SELECT p_partkey, ARRAY_TO_STRING(lst, '|') AS items,
+                   CASE WHEN LEN(lst) = 0 THEN ''
+                        ELSE '[' || ARRAY_TO_STRING(
+                               LIST_TRANSFORM(lst, x -> '''' || x || ''''), ', ')
+                             || ']' END AS canonical
+            FROM items
+        """,
+        "j5_figure_anchor": """
+            WITH sec AS (
+                SELECT 's' || CAST(doc_id % 3 AS VARCHAR) AS survey_id,
+                       doc_id AS pos,
+                       SUBSTR(text, 1, 200) AS content,
+                       SUBSTR(text, 50, 20) AS anchor,
+                       '<figure-link title=''Fig ' || CAST(doc_id AS VARCHAR)
+                       || ''' type=''mermaid'' content=''graph TD;\\nA-->B''></figure-link>' AS link
+                FROM documents WHERE n_chars >= 70)
+            SELECT survey_id, pos,
+                   CASE WHEN STRPOS(content, anchor) > 0
+                        THEN SUBSTR(content, 1, STRPOS(content, anchor) - 1)
+                             || CHR(10) || link || CHR(10)
+                             || SUBSTR(content, STRPOS(content, anchor))
+                        ELSE content END AS content
+            FROM sec
         """,
         "p17_html_extract": rf"""
             WITH raw AS (

@@ -87,6 +87,20 @@ class MockSurveyClient(LLMClient):
             cites = " ".join(f"[{k}]" for k in keys) if keys else ""
             return f"Generated prose for {section}. {cites}".strip()
 
+        if "[FIGURES]" in prompt:
+            m = re.search(r"^## (.+)$\n(.+)$", prompt.split("Content:\n", 1)[-1],
+                          re.MULTILINE)
+            if not m:
+                return "No figures."
+            section, first_line = m.group(1).strip(), m.group(2).strip()
+            anchor = first_line[:25]
+            return (
+                f"Section Title: {section}\n"
+                f"Position Sentence: {anchor}\n"
+                f"Figure Title: Overview of {section}\n"
+                "```mermaid\ngraph TD;\nA-->B\n```"
+            )
+
         if "[POLISH]" in prompt:
             body = prompt.split("Draft:\n", 1)[-1]
             return body.strip()

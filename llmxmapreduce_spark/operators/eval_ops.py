@@ -90,6 +90,29 @@ def claim_metrics(
     )
 
 
+def dedup_claims(claims: DataFrame, claim_col: str = "claim",
+                 id_col: str = "claim_id", near_threshold: float = 0.7,
+                 ) -> DataFrame:
+    """A10 fact dedup, deterministic replacement for the reference's LLM
+    dedup (atomic_facts.py:36-144): exact dedup on the normalized claim,
+    then MinHash-LSH near-dup removal (greedy: within each detected pair the
+    higher id drops — linear, no clustering pass).
+
+    The reference's group-pairwise LLM comparison is O(n²) LLM calls; this
+    is one hash shuffle + a bucketed join, the 100 TB-viable contract.
+    """
+    from llmxmapreduce_spark.operators import dedup as D
+
+    t = F.col(claim_col)
+    exact = D.exact_dedup(claims, text_col=claim_col, id_col=id_col)
+    pairs = D.minhash_dedup_pairs(
+        exact.select(F.col(id_col).alias("doc_id"), t.alias("text")),
+        threshold=near_threshold,
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return exact.join(losers, id_col, "left_anti")
+
+
 def count_sentences(text: Column) -> Column:
     """judge.py:400-404: split on ``[.!?\\n]+(\\s|\\n|$)``, count non-empty."""
     return F.size(F.filter(

@@ -32,6 +32,33 @@ LLM_COLS = [
 ]
 
 
+class LLMMetrics:
+    """D10/D12 call + token accounting via Spark accumulators (the engine
+    analog of the reference's token_counter.py:7-37 / pipeline_analyser).
+
+    Character counts stand in for tokens (÷4 ≈ the reference's estimate);
+    accumulators aggregate across all executors and are readable on the
+    driver after each action.
+    """
+
+    def __init__(self, spark):
+        sc = spark.sparkContext
+        self.calls = sc.accumulator(0)
+        self.failures = sc.accumulator(0)
+        self.prompt_chars = sc.accumulator(0)
+        self.reply_chars = sc.accumulator(0)
+
+    def snapshot(self) -> dict:
+        return {
+            "calls": self.calls.value,
+            "failures": self.failures.value,
+            "prompt_chars": self.prompt_chars.value,
+            "reply_chars": self.reply_chars.value,
+            "est_prompt_tokens": self.prompt_chars.value // 4,
+            "est_reply_tokens": self.reply_chars.value // 4,
+        }
+
+
 def llm_stage(
     df: DataFrame,
     build_prompt: Callable[[dict[str, Any]], str],
@@ -40,6 +67,7 @@ def llm_stage(
     payload_fields: list[T.StructField],
     keep_cols: list[str],
     retry: RetryPolicy | None = None,
+    metrics: LLMMetrics | None = None,
 ) -> DataFrame:
     """Run one LLM stage over ``df``.
 
@@ -62,6 +90,13 @@ def llm_stage(
             for row in pdf.to_dict("records"):
                 prompt = build_prompt(row)
                 reply, err, attempts = call_with_retry(client, prompt, retry)
+                if metrics is not None:
+                    metrics.calls.add(1)
+                    metrics.prompt_chars.add(len(prompt))
+                    if reply is None:
+                        metrics.failures.add(1)
+                    else:
+                        metrics.reply_chars.add(len(reply))
                 payload: dict[str, Any] = dict.fromkeys(payload_names)
                 ok = reply is not None
                 if ok:

@@ -53,6 +53,7 @@ class V2Config:
     best_of: int = 2             # args.py:29, default 3
     seed: int = 42
     polish: bool = True
+    figures: bool = False        # L16/J5 chart stage (chart_node)
 
 
 _STR = T.StringType()
@@ -576,6 +577,25 @@ def decode_survey(final_outline: DataFrame, digests: DataFrame, papers: DataFram
             keep_cols=["survey_id", "pos", "depth", "title"],
             retry=retry,
         ).filter("llm_ok").select("survey_id", "pos", "depth", "title", "content")
+
+    # L16/J5 figures: propose from the assembled draft, anchor per section
+    # (figure_module.py:27-48)
+    if cfg.figures:
+        from llmxmapreduce_spark.operators.figures import anchor_figures, generate_figures
+
+        # draft includes section headings so the model can reference them
+        draft_with_heads = (
+            done.withColumn("__s", F.struct(
+                F.col("pos").alias("k"),
+                F.concat(F.lit("## "), F.col("title"), F.lit("\n"),
+                         F.col("content")).alias("v")))
+            .groupBy("survey_id")
+            .agg(F.concat_ws("\n\n", F.transform(
+                F.array_sort(F.collect_list("__s")), lambda s: s["v"])).alias("content_md"))
+            .join(final_outline.select("survey_id", "survey_title"), "survey_id")
+        )
+        figs = generate_figures(draft_with_heads, client_factory, retry)
+        done = anchor_figures(done, figs)
 
     # P12 renumber + A7 + references (decode_pipeline.py:115-156)
     sections = done.select("survey_id", "pos", "content")
