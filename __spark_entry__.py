@@ -572,6 +572,27 @@ def q_j5_figure_anchor(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("survey_id", "pos", "content")
 
 
+def q_claim_extraction(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic claim extraction (judge.py:122-135 citation_pattern)
+    over synthetic survey bodies."""
+    from llmxmapreduce_spark.pipelines.eval_suite import extract_claims
+
+    d = load_table(spark, sf, "documents")
+    content = F.concat(
+        F.lit("## Sec\nFirst claim about "), F.substring("text", 1, 40),
+        F.lit(" [1]. Filler sentence without citation. Second point "),
+        F.substring("text", 41, 30), F.lit(" [1, 2].\n## References\n[1] X\n[2] Y\n"),
+    )
+    surveys = d.select(F.col("doc_id").cast("string").alias("survey_id"),
+                       content.alias("content_md"))
+    out = extract_claims(surveys)
+    return out.select(
+        "survey_id", "claim_pos", "claim",
+        F.concat_ws(",", F.transform(F.col("cited_indices"),
+                                     lambda x: x.cast("string"))).alias("cited"),
+    )
+
+
 def q_p17_html_extract(spark: SparkSession, sf: str) -> DataFrame:
     """P17 deterministic main-content extraction over synthetic HTML built
     from documents (main text keeps stopword density; nav/footer doesn't)."""
@@ -723,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "events_sliding_window": q_events_sliding,
         "events_session_windows": q_events_sessions,
+        "l27_claim_extraction": q_claim_extraction,
         "j2_digest_members": q_j2_digest_members,
         "j4_claim_source_join": q_j4_claim_source_join,
         "p11_str2list": q_p11_str2list,
@@ -1125,6 +1147,39 @@ def oracle_sql() -> dict[str, str]:
                   FROM m)
             SELECT MIN(t) AS session_start, user_id, COUNT(*) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "l27_claim_extraction": r"""
+            WITH s AS (
+                SELECT CAST(doc_id AS VARCHAR) AS survey_id,
+                       '## Sec' || chr(10) || 'First claim about ' || SUBSTR(text, 1, 40)
+                       || ' [1]. Filler sentence without citation. Second point '
+                       || SUBSTR(text, 41, 30) || ' [1, 2].' || chr(10)
+                       || '## References' || chr(10) || '[1] X' || chr(10) || '[2] Y' || chr(10)
+                         AS content_md
+                FROM documents),
+            body AS (SELECT survey_id,
+                            STRING_SPLIT(content_md, '## References')[1] AS body
+                     FROM s),
+            c AS (SELECT survey_id,
+                         UNNEST(regexp_extract_all(body, '[^.!?]*\[[^\]]+\][^.!?]*[.!?]'))
+                           AS claim,
+                         GENERATE_SUBSCRIPTS(
+                           regexp_extract_all(body, '[^.!?]*\[[^\]]+\][^.!?]*[.!?]'), 1) - 1
+                           AS claim_pos
+                  FROM body),
+            parsed AS (
+                SELECT survey_id, claim_pos, claim,
+                       list_sort(list_distinct(FLATTEN(LIST_TRANSFORM(
+                         regexp_extract_all(claim, '\[([0-9, ]+)\]', 1),
+                         g -> LIST_TRANSFORM(
+                               LIST_FILTER(LIST_TRANSFORM(STRING_SPLIT(g, ','),
+                                                          x -> TRIM(x)),
+                                           x -> x <> ''),
+                               x -> CAST(x AS INT)))))) AS cited
+                FROM c)
+            SELECT survey_id, CAST(claim_pos AS INT) AS claim_pos, claim,
+                   ARRAY_TO_STRING(cited, ',') AS cited
+            FROM parsed WHERE LEN(cited) > 0
         """,
         "j2_digest_members": r"""
             WITH bridge AS (

@@ -101,6 +101,36 @@ class MockSurveyClient(LLMClient):
                 "```mermaid\ngraph TD;\nA-->B\n```"
             )
 
+        if "[QUERY_EXPAND]" in prompt:
+            topic = (_TITLE_RE.search(prompt) or [None, "topic"])[1].strip()
+            qs = "; ".join(f"{topic} {suffix}"
+                           for suffix in ("survey", "methods", "benchmarks"))
+            return f"```markdown\n{qs}\n```"
+
+        if "[SNIPPET_SCORE]" in prompt or "[SIMILARITY]" in prompt:
+            return f"relevance analysis\n<SCORE>{int(_h(prompt), 16) % 101}</SCORE>"
+
+        if "[PAGE_REFINE]" in prompt:
+            raw = prompt.split("Page:\n", 1)[-1]
+            first = raw.strip().split("\n", 1)[0].lstrip("# ")[:60] or "Untitled"
+            return (f"<TITLE>{first}</TITLE>\n"
+                    f"<CONTENT>{raw.strip()[:2000]}</CONTENT>")
+
+        if "[NLI]" in prompt:
+            # cooperative NLI: supported iff the claim shares a rare token
+            # with the source (deterministic, content-sensitive)
+            src = prompt.split("Source:\n", 1)[-1].split("\nClaim:", 1)[0]
+            claim = prompt.split("Claim:\n", 1)[-1]
+            src_toks = {t for t in re.findall(r"[a-z]{6,}", src.lower())}
+            hit = any(t in src_toks for t in re.findall(r"[a-z]{6,}", claim.lower()))
+            return "Yes, the source supports the claim." if hit else "No."
+
+        if "[CRITERIA]" in prompt:
+            return f"Justification.\nScore: {1 + int(_h(prompt), 16) % 5}"
+
+        if "[SECTION_SCORE]" in prompt:
+            return f"analysis\n<SCORE>{int(_h(prompt), 16) % 101}</SCORE>"
+
         if "[POLISH]" in prompt:
             body = prompt.split("Draft:\n", 1)[-1]
             return body.strip()

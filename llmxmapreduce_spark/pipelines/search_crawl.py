@@ -1,0 +1,161 @@
+"""Search/crawl front-end pipeline (SURVEY.md §3.2 optional front-end;
+reference: start_pipeline.py:81-104, LLM_search.py, async_crawl.py).
+
+topic → L17 query expansion → S3 web search (T7 over-fetch, url dedup) →
+L19 snippet scoring → T3 url top-n → S4 crawl → L20 page refine →
+L21 similarity scoring → P6 filter+backfill → A5 topic grouping (S6 shape).
+
+Network-dependent steps (search_fn / fetch_fn) are injected; LLM steps run
+through the generic ``llm_stage`` so retry/dead-letter/metrics semantics are
+identical to the main pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from llmxmapreduce_spark.operators import crawl_ops
+from llmxmapreduce_spark.operators.llm_op import llm_stage
+from llmxmapreduce_spark.operators.topk import over_fetch
+from llmxmapreduce_spark.sources import crawl as crawl_src
+
+_STR = T.StringType()
+
+
+def _parse_query_block(reply: str) -> dict:
+    """LLM_search.py:111-120: fenced block, ';'-separated, quotes stripped."""
+    import re
+
+    m = re.search(r"```markdown\n([\s\S]*?)```", reply)
+    if not m:
+        raise ValueError("QueryParseError: no fenced query block")
+    queries = [q.replace('"', "").strip() for q in m.group(1).strip().split(";")
+               if q.strip()]
+    if not queries:
+        raise ValueError("QueryParseError: empty query list")
+    return {"queries": queries}
+
+
+def _parse_score_100(reply: str) -> dict:
+    """async_crawl.py:106-110 / LLM_search.py:307-334: integer <SCORE> 0-100."""
+    import re
+
+    m = re.search(r"<SCORE>(\d+)</SCORE>", reply)
+    if not m:
+        raise ValueError("Invalid similarity score format")
+    return {"score": int(m.group(1))}
+
+
+def _parse_title_content(reply: str) -> dict:
+    """async_crawl.py:125-137: <TITLE>/<CONTENT> tags."""
+    import re
+
+    t = re.search(r"<TITLE>(.*?)</TITLE>", reply, re.DOTALL)
+    c = re.search(r"<CONTENT>(.*?)</CONTENT>", reply, re.DOTALL)
+    if not t or not c:
+        raise ValueError("Invalid response format")
+    return {"title": t.group(1).strip(), "filtered": c.group(1).strip()}
+
+
+def expand_queries(topics: DataFrame, client_factory, retry=None) -> DataFrame:
+    """L17 (+L18 refinement folded into one validated call): topic →
+    exploded (topic, query) rows."""
+    out = llm_stage(
+        topics,
+        build_prompt=lambda r: (
+            f"[QUERY_EXPAND] Survey title: {r['topic']}\n"
+            f"Description: {r.get('description') or ''}\n"
+            "Propose search queries, ';'-separated, in a fenced ```markdown block."
+        ),
+        parse=_parse_query_block,
+        client_factory=client_factory,
+        payload_fields=[T.StructField("queries", T.ArrayType(_STR), True)],
+        keep_cols=["topic"],
+        retry=retry,
+    ).filter("llm_ok")
+    return out.select("topic", F.explode("queries").alias("query"))
+
+
+def score_snippets(hits: DataFrame, client_factory, retry=None) -> DataFrame:
+    """L19: topic × snippet relevance 0-100."""
+    out = llm_stage(
+        hits,
+        build_prompt=lambda r: (
+            f"[SNIPPET_SCORE] Survey title: {r['topic']}\n"
+            f"Snippet:\n{r['snippet']}\nScore 0-100 as <SCORE>n</SCORE>."
+        ),
+        parse=_parse_score_100,
+        client_factory=client_factory,
+        payload_fields=[T.StructField("score", T.IntegerType(), True)],
+        keep_cols=["topic", "query", "url", "title", "snippet"],
+        retry=retry,
+    ).filter("llm_ok")
+    return out.withColumnRenamed("score", "snippet_score")
+
+
+def refine_pages(pages: DataFrame, client_factory, retry=None) -> DataFrame:
+    """L20: raw page → <TITLE>/<CONTENT> boilerplate removal."""
+    return llm_stage(
+        pages.filter(~F.col("error")),
+        build_prompt=lambda r: (
+            f"[PAGE_REFINE] Survey title: {r['topic']}\n"
+            f"Page:\n{(r['raw_content'] or '')[:4000]}\n"
+            "Reply with <TITLE>…</TITLE> and <CONTENT>…</CONTENT>."
+        ),
+        parse=_parse_title_content,
+        client_factory=client_factory,
+        payload_fields=[T.StructField("title", _STR, True),
+                        T.StructField("filtered", _STR, True)],
+        keep_cols=["topic", "url"],
+        retry=retry,
+    ).filter("llm_ok")
+
+
+def score_pages(refined: DataFrame, client_factory, retry=None) -> DataFrame:
+    """L21: topic × cleaned page similarity 0-100."""
+    out = llm_stage(
+        refined,
+        build_prompt=lambda r: (
+            f"[SIMILARITY] Survey title: {r['topic']}\n"
+            f"Content:\n{(r['filtered'] or '')[:4000]}\n"
+            "Score 0-100 as <SCORE>n</SCORE>."
+        ),
+        parse=_parse_score_100,
+        client_factory=client_factory,
+        payload_fields=[T.StructField("score", T.IntegerType(), True)],
+        keep_cols=["topic", "url", "title", "filtered"],
+        retry=retry,
+    ).filter("llm_ok")
+    return out.withColumnRenamed("score", "similarity")
+
+
+def run_search_crawl(
+    topics: DataFrame,
+    search_fn_factory,
+    fetch_fn_factory,
+    client_factory,
+    top_n: int = 20,
+    snippet_threshold: int = 50,
+    similarity_threshold: int = crawl_ops.SIMILARITY_THRESHOLD,
+    min_length: int = crawl_ops.MIN_LENGTH,
+    max_length: int = crawl_ops.MAX_LENGTH,
+    retry=None,
+) -> DataFrame:
+    """Full front-end → one row per topic with its filtered papers
+    (the S6 ``{"title": topic, "papers": [...]}`` shape)."""
+    queries = expand_queries(topics, client_factory, retry)
+    hits = crawl_src.batch_web_search(queries, search_fn_factory,
+                                      top_n=over_fetch(top_n))
+    scored_hits = score_snippets(hits, client_factory, retry) \
+        .filter(F.col("snippet_score") >= snippet_threshold)
+    pages = crawl_src.crawl_urls(scored_hits, fetch_fn_factory)
+    refined = refine_pages(pages, client_factory, retry)
+    scored = score_pages(refined, client_factory, retry) \
+        .withColumnRenamed("filtered", "txt")
+    kept = crawl_ops.filter_papers(
+        scored, similarity_threshold=similarity_threshold,
+        min_length=min_length, max_length=max_length, top_n=top_n,
+    )
+    return crawl_ops.group_topics(kept)
