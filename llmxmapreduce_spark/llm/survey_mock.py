@@ -101,6 +101,23 @@ class MockSurveyClient(LLMClient):
                 "```mermaid\ngraph TD;\nA-->B\n```"
             )
 
+        if "[GROUP]" in prompt:
+            # cluster consecutive pairs of the listed bibkeys, leave the last
+            # key ungrouped when odd (exercises the regroup repair pass)
+            keys = re.findall(r"- ([\w-]+)$", prompt, re.MULTILINE)
+            groups = ["[" + ", ".join(keys[i:i + 2]) + "]"
+                      for i in range(0, len(keys) - 1, 2)]
+            return "Grouping:\n" + "\n".join(groups)
+
+        if "[TOPIC_EXPANSION]" in prompt:
+            topic = (_TITLE_RE.search(prompt) or [None, "topic"])[1].strip()
+            return (f"Expanded framing of {topic}: scope, methods, "
+                    f"applications, and open problems of {topic}.")
+
+        if "[ABSTRACT_GEN]" in prompt:
+            body = prompt.split("Content:\n", 1)[-1].strip()
+            return "Abstract: " + body[:150]
+
         if "[QUERY_EXPAND]" in prompt:
             topic = (_TITLE_RE.search(prompt) or [None, "topic"])[1].strip()
             qs = "; ".join(f"{topic} {suffix}"

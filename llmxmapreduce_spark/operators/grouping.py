@@ -78,3 +78,73 @@ def regroup_result_py(result: list[list[str]], rest_bibkeys: list[str],
     for i in range(0, len(rest), batch_size):
         final_result.append(rest[i:i + batch_size])
     return final_result
+
+
+def parse_group_result_py(raw_result: str, bibkeys: list[str]
+                          ) -> tuple[list[list[str]], list[str]]:
+    """group_module.py:117-133 ``_parse_group_result``: bracket groups →
+    lists; hallucinated keys dropped; unassigned keys returned (ordered,
+    unlike the reference's set)."""
+    import re
+
+    from llmxmapreduce_spark.functions.text import _str2list_py
+
+    result = [_str2list_py(g) for g in re.findall(r"\[(.*?)\]", raw_result)]
+    known = set(bibkeys)
+    result = [[b for b in group if b in known] for group in result]
+    assigned = {b for group in result for b in group}
+    rest = [b for b in bibkeys if b not in assigned]
+    return [g for g in result if g], rest
+
+
+def llm_group_papers(papers, client_factory, batch_size: int,
+                     retry=None, group_col: str = "digest_id"):
+    """C7 'llm' mode (L4 GroupNeuron + repair, group_module.py:62-133):
+    one LLM call per survey proposes semantic groups over (title, bibkey)
+    pairs; ``regroup_result_py`` repairs sizes; output = papers with a
+    ``digest_id`` assignment.
+
+    The per-survey title list is small (collect_list per survey inside the
+    stage's Arrow batch) — the papers themselves never round-trip through
+    the prompt.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from llmxmapreduce_spark.operators.llm_op import llm_stage
+
+    per_survey = papers.groupBy("survey_id", "survey_title").agg(
+        F.array_sort(F.collect_list("bibkey")).alias("bibkeys")
+    )
+
+    out = llm_stage(
+        per_survey,
+        build_prompt=lambda r: (
+            f"[GROUP] Survey title: {r['survey_title']}\n"
+            "Cluster these papers into research-direction groups; reply with "
+            "bracketed bibkey lists.\n"
+            + "\n".join(f"- {k}" for k in r["bibkeys"])
+        ),
+        parse=lambda reply: {"reply": reply},
+        client_factory=client_factory,
+        payload_fields=[T.StructField("reply", T.StringType(), True)],
+        keep_cols=["survey_id", "bibkeys"],
+        retry=retry,
+    ).filter("llm_ok")
+
+    assign_type = T.ArrayType(T.StructType([
+        T.StructField("bibkey", T.StringType(), False),
+        T.StructField("gid", T.IntegerType(), False),
+    ]))
+
+    @F.udf(assign_type)
+    def assign(reply, bibkeys):
+        groups, rest = parse_group_result_py(reply, list(bibkeys))
+        repaired = regroup_result_py(groups, rest, batch_size)
+        return [{"bibkey": b, "gid": gid}
+                for gid, group in enumerate(repaired) for b in group]
+
+    assignments = out.select(
+        "survey_id", F.explode(assign(F.col("reply"), F.col("bibkeys"))).alias("a")
+    ).select("survey_id", "a.bibkey", F.col("a.gid").alias(group_col))
+    return papers.join(assignments, ["survey_id", "bibkey"])

@@ -41,7 +41,10 @@ def sample_suggestion_groups(
                 for i in range(0, n, receptive_field)]
 
     p = np.asarray(scores, dtype=float)
-    if p.sum() <= 0:
+    # zero-score suggestions would make choice(replace=False) infeasible
+    # when fewer than receptive_field entries are non-zero — fall back to
+    # uniform weights in that case (the reference crashes here).
+    if p.sum() <= 0 or (p > 0).sum() < min(receptive_field, n):
         p = np.ones(n)
     p = p / p.sum()
     all_combos = math.comb(n, receptive_field) if n >= receptive_field else 1

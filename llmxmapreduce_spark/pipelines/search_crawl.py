@@ -59,6 +59,41 @@ def _parse_title_content(reply: str) -> dict:
     return {"title": t.group(1).strip(), "filtered": c.group(1).strip()}
 
 
+def expand_topic(topics: DataFrame, client_factory, retry=None) -> DataFrame:
+    """L22 (V3 topic_expansion, llm_search_mcp_server.py:246-266,448-496):
+    topic → expanded research framing used as the query-expansion context."""
+    return llm_stage(
+        topics,
+        build_prompt=lambda r: (
+            f"[TOPIC_EXPANSION] Survey title: {r['topic']}\n"
+            "Expand this topic into a research framing paragraph."
+        ),
+        parse=lambda s: {"description": s},
+        client_factory=client_factory,
+        payload_fields=[T.StructField("description", _STR, True)],
+        keep_cols=["topic"],
+        retry=retry,
+    ).filter("llm_ok").select("topic", "description")
+
+
+def generate_abstracts(pages: DataFrame, client_factory,
+                       content_col: str = "filtered", retry=None) -> DataFrame:
+    """L23 (V3 per-URL abstracts, llm_search_mcp_server.py:1062-1104)."""
+    out = llm_stage(
+        pages,
+        build_prompt=lambda r: (
+            f"[ABSTRACT_GEN] url: {r['url']}\n"
+            f"Content:\n{(r[content_col] or '')[:3000]}\nWrite a short abstract."
+        ),
+        parse=lambda s: {"abstract": s},
+        client_factory=client_factory,
+        payload_fields=[T.StructField("abstract", _STR, True)],
+        keep_cols=["topic", "url"],
+        retry=retry,
+    ).filter("llm_ok")
+    return pages.join(out.select("topic", "url", "abstract"), ["topic", "url"], "left")
+
+
 def expand_queries(topics: DataFrame, client_factory, retry=None) -> DataFrame:
     """L17 (+L18 refinement folded into one validated call): topic →
     exploded (topic, query) rows."""
@@ -141,10 +176,16 @@ def run_search_crawl(
     similarity_threshold: int = crawl_ops.SIMILARITY_THRESHOLD,
     min_length: int = crawl_ops.MIN_LENGTH,
     max_length: int = crawl_ops.MAX_LENGTH,
+    expand_topics: bool = False,
+    with_abstracts: bool = False,
     retry=None,
 ) -> DataFrame:
     """Full front-end → one row per topic with its filtered papers
-    (the S6 ``{"title": topic, "papers": [...]}`` shape)."""
+    (the S6 ``{"title": topic, "papers": [...]}`` shape).  ``expand_topics``
+    enables the V3 L22 framing step; ``with_abstracts`` the V3 L23 per-URL
+    abstracts."""
+    if expand_topics:
+        topics = expand_topic(topics, client_factory, retry)
     queries = expand_queries(topics, client_factory, retry)
     hits = crawl_src.batch_web_search(queries, search_fn_factory,
                                       top_n=over_fetch(top_n))
@@ -154,8 +195,13 @@ def run_search_crawl(
     refined = refine_pages(pages, client_factory, retry)
     scored = score_pages(refined, client_factory, retry) \
         .withColumnRenamed("filtered", "txt")
+    paper_cols = ["title", "url", "txt", "similarity"]
+    if with_abstracts:
+        scored = generate_abstracts(scored, client_factory, content_col="txt",
+                                    retry=retry)
+        paper_cols.append("abstract")
     kept = crawl_ops.filter_papers(
         scored, similarity_threshold=similarity_threshold,
         min_length=min_length, max_length=max_length, top_n=top_n,
     )
-    return crawl_ops.group_topics(kept)
+    return crawl_ops.group_topics(kept, paper_cols=paper_cols)

@@ -54,6 +54,7 @@ class V2Config:
     seed: int = 42
     polish: bool = True
     figures: bool = False        # L16/J5 chart stage (chart_node)
+    group_mode: str = "random"   # C7: 'random' (hash) | 'llm' (L4 + repair)
 
 
 _STR = T.StringType()
@@ -131,8 +132,15 @@ def build_papers(surveys: DataFrame) -> DataFrame:
     return digest_ops.enrich_papers(p)
 
 
-def group_papers(papers: DataFrame, cfg: V2Config) -> DataFrame:
-    """C7 (random mode): keyed-hash shuffle into digest groups."""
+def group_papers(papers: DataFrame, cfg: V2Config,
+                 client_factory=None, retry=None) -> DataFrame:
+    """C7: 'random' = keyed-hash shuffle batches; 'llm' = L4 GroupNeuron
+    proposal + regroup repair (group_module.py:29-133)."""
+    if cfg.group_mode == "llm":
+        if client_factory is None:
+            raise ValueError("group_mode='llm' needs a client_factory")
+        return grouping.llm_group_papers(papers, client_factory,
+                                         cfg.digest_batch, retry)
     return grouping.hash_shuffled_batches(
         papers, "bibkey", cfg.digest_batch, seed=cfg.seed,
         partition_cols=["survey_id"], group_col="digest_id",
@@ -638,7 +646,7 @@ def run_v2_survey(surveys: DataFrame, client_factory,
     """SURVEYS_INPUT rows → one output row per survey (S5 shape)."""
     cfg = cfg or V2Config()
     papers = build_papers(surveys).localCheckpoint(eager=True)
-    grouped = group_papers(papers, cfg)
+    grouped = group_papers(papers, cfg, client_factory, retry)
     outlines = init_outlines(grouped, client_factory, cfg, retry) \
         .localCheckpoint(eager=True)
     digests, _dead = make_digests(grouped, outlines, client_factory, cfg, retry)
