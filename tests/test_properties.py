@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis) for the pure operator cores."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from llmxmapreduce_spark.functions.text import (
+    normalize_answer_py,
+    normalize_bibkey_py,
+    scrub_illegal_citations_py,
+)
+from llmxmapreduce_spark.operators import chunker
+from llmxmapreduce_spark.operators.skeleton import (
+    parse_outline_py,
+    serialize_outline_py,
+)
+
+FAST = settings(max_examples=60, deadline=None,
+                suppress_health_check=[HealthCheck.too_slow])
+
+words = st.lists(st.text(alphabet="abcdefghij", min_size=1, max_size=8),
+                 min_size=1, max_size=80)
+
+
+@FAST
+@given(words, st.integers(min_value=4, max_value=30))
+def test_chunker_respects_budget_and_loses_nothing(ws, budget):
+    text = " ".join(ws)
+    chunks = chunker.chunk_docs(text, budget, chunker.ws_len)
+    assert all(chunker.ws_len(c) <= budget for c in chunks)
+    # token multiset preserved (separator packing never drops words)
+    got = [w for c in chunks for w in c.split()]
+    assert sorted(got) == sorted(text.split())
+
+
+@FAST
+@given(st.lists(st.text(alphabet="xyz ", min_size=1, max_size=20),
+                min_size=1, max_size=20),
+       st.integers(min_value=5, max_value=50))
+def test_bin_packing_partitions_in_order(docs, token_max):
+    docs = [d for d in docs if d.strip()]
+    if not docs:
+        return
+    length = lambda g: sum(len(d.split()) for d in g)  # noqa: E731
+    if any(length([d]) > token_max for d in docs):
+        return
+    groups = chunker.split_list_of_docs(docs, length, token_max)
+    assert [d for g in groups for d in g] == docs      # order preserved
+    assert all(length(g) <= token_max or len(g) == 1 for g in groups)
+
+
+@FAST
+@given(st.text(max_size=200))
+def test_normalize_answer_idempotent(s):
+    once = normalize_answer_py(s)
+    assert normalize_answer_py(once) == once
+
+
+@FAST
+@given(st.text(alphabet="abc -_'!.", max_size=60))
+def test_normalize_bibkey_output_charset(s):
+    out = normalize_bibkey_py(s)
+    assert all(ch.isalnum() or ch in "_\t\n" for ch in out)
+    assert "__" not in out
+
+
+@FAST
+@given(st.lists(st.sampled_from(["alpha_beta", "gamma_delta", "eps_zeta"]),
+                min_size=1, max_size=3, unique=True),
+       st.lists(st.sampled_from(["alpha_beta", "gamma_delta", "unknown_key_x"]),
+                min_size=0, max_size=3))
+def test_scrub_never_leaves_illegal_keys(legal, cited):
+    content = "Text " + " ".join(f"[{c}]" for c in cited) + " end."
+    out = scrub_illegal_citations_py(content, legal)
+    assert "unknown_key_x" not in out
+    # idempotent: scrubbing clean content changes nothing
+    assert scrub_illegal_citations_py(out, legal) == out
+
+
+@st.composite
+def outline_trees(draw):
+    """Random canonical outline markdown: depth ≤ 3, unique titles."""
+    lines = ["# Root Title"]
+    n = draw(st.integers(min_value=1, max_value=6))
+    depth = 1
+    for i in range(n):
+        depth = draw(st.integers(min_value=1, max_value=min(depth + 1, 3)))
+        lines.append("#" * (depth + 1) + f" Section {i}")
+        if draw(st.booleans()):
+            lines.append(f"desc line for {i}")
+    return "\n".join(lines)
+
+
+@FAST
+@given(outline_trees())
+def test_outline_parse_serialize_roundtrip(md):
+    nodes = parse_outline_py("Root Title", md)
+    out = serialize_outline_py(nodes)
+    # the serialized form starts with the root heading, which the parser
+    # consumes as the title line (skeleton.py:93-96)
+    nodes2 = parse_outline_py("Root Title", out)
+    # structural identity: same paths, depths, titles
+    a = [(n["node_path"], n["depth"], n["title"]) for n in nodes]
+    b = [(n["node_path"], n["depth"], n["title"]) for n in nodes2]
+    assert a == b
+    # serialize is a fixpoint
+    assert serialize_outline_py(nodes2) == out
