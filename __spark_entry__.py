@@ -626,6 +626,23 @@ def q_qa_f1_score(spark: SparkSession, sf: str) -> DataFrame:
     return eval_ops.qa_f1(d).select("doc_id", "f1")
 
 
+def q_v1_scorers(spark: SparkSession, sf: str) -> DataFrame:
+    """InfiniteBench containment + last-capital scorers
+    (compute_scores.py:143-163, 185-213)."""
+    from llmxmapreduce_spark.operators import eval_ops
+
+    d = load_table(spark, sf, "documents")
+    gt = F.when(F.col("doc_id") % 3 == 0, F.lit("zzqq_not_present")) \
+        .otherwise(F.substring("text", 10, 15))
+    pred_cap = F.concat(F.lit("Analysis A then answer "),
+                        F.when(F.col("doc_id") % 2 == 0, F.lit("B")).otherwise(F.lit("C")))
+    return d.select(
+        "doc_id",
+        eval_ops.containment_score(F.col("text"), gt).alias("containment"),
+        eval_ops.last_capital_score(pred_cap, F.lit("B")).alias("last_capital"),
+    )
+
+
 def q_v2_survey_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """Full V2 survey pipeline (group→outline→digest→convolve→refine→decode)
     with the deterministic survey mock over documents-derived papers.
@@ -751,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j5_figure_anchor": q_j5_figure_anchor,
         "p17_html_extract": q_p17_html_extract,
         "qa_f1_score": q_qa_f1_score,
+        "v1_scorers": q_v1_scorers,
         "v1_qa_secret_key": q_v1_qa_secret_key,
         "v2_survey_pipeline": q_v2_survey_pipeline,
     }
@@ -1312,6 +1330,20 @@ def oracle_sql() -> dict[str, str]:
                 r" '\b(a|an|the)\b', ' ', 'g'), '\s+', ' ', 'g'))"
             )
         ),
+        "v1_scorers": """
+            WITH s AS (
+                SELECT doc_id, text,
+                       CASE WHEN doc_id % 3 = 0 THEN 'zzqq_not_present'
+                            ELSE SUBSTR(text, 10, 15) END AS gt,
+                       'Analysis A then answer ' ||
+                       CASE WHEN doc_id % 2 = 0 THEN 'B' ELSE 'C' END AS pred_cap
+                FROM documents)
+            SELECT doc_id,
+                   CASE WHEN STRPOS(text, gt) > 0 THEN 1.0 ELSE 0.0 END AS containment,
+                   CASE WHEN regexp_extract_all(pred_cap, '[A-Z]')[-1] = 'B'
+                        THEN 1.0 ELSE 0.0 END AS last_capital
+            FROM s
+        """,
         "v1_qa_secret_key": """
             SELECT doc_id,
                    'SK-' || CAST((doc_id * 7919) % 99991 AS VARCHAR) AS answer

@@ -155,5 +155,6 @@ _CAPITAL_RE = r"[A-Z]"
 def last_capital_score(pred: Column, ground_truth: Column) -> Column:
     """compute_scores.py:185-213 (code_debug): last capital letter of the
     prediction must equal the ground-truth option letter."""
-    last_cap = F.element_at(F.regexp_extract_all(pred, F.lit(_CAPITAL_RE)), -1)
+    caps = F.regexp_extract_all(pred, F.lit(_CAPITAL_RE), 0)
+    last_cap = F.when(F.size(caps) > 0, F.element_at(caps, -1))
     return F.when(last_cap == ground_truth, 1.0).otherwise(0.0)
