@@ -974,7 +974,7 @@ def oracle_sql() -> dict[str, str]:
                      REPLACE(
                        REGEXP_REPLACE(
                          REPLACE(LOWER(TRIM(SUBSTR(text, 1, 50))), '-', '_'),
-                         '[^\w\s]', '', 'g'),
+                         '[^\p{L}\p{N}_\s]', '', 'g'),
                        ' ', '_'),
                      '_{2,}', '_', 'g') AS bibkey
             FROM documents
@@ -1206,7 +1206,7 @@ def oracle_sql() -> dict[str, str]:
                          REPLACE(
                            REGEXP_REPLACE(
                              REPLACE(LOWER(TRIM(c_name)), '-', '_'),
-                             '[^\w\s]', '', 'g'),
+                             '[^\p{L}\p{N}_\s]', '', 'g'),
                            ' ', '_'),
                          '_{2,}', '_', 'g') AS bibkey
                 FROM customer)

@@ -93,17 +93,20 @@ def normalize_bibkey(title: Column) -> Column:
     """
     t = F.lower(F.trim(title))
     t = F.translate(t, "-", "_")
-    t = F.regexp_replace(t, r"[^\w\s]", "")
+    # (?U): Java \w is ASCII by default; the reference's Python \w is
+    # Unicode, so accented letters must survive ('Réseaux' -> 'réseaux').
+    t = F.regexp_replace(t, r"(?U)[^\w\s]", "")
     t = F.translate(t, " ", "_")
     return F.regexp_replace(t, r"_{2,}", "_")
 
 
 def normalize_bibkey_py(origin_title: str) -> str:
     """Pure-Python twin of :func:`normalize_bibkey` for driver-side use
-    (tests assert both agree).  Reference: process_str.py:131-137."""
+    (tests assert both agree).  Reference: process_str.py:131-137 —
+    Unicode \\w, so accented letters are kept."""
     title = origin_title.lower().strip()
     title = title.replace("-", "_")
-    title = re.sub(r"[^\w\s_]", "", title, flags=re.ASCII)
+    title = re.sub(r"[^\w\s_]", "", title)
     title = title.replace(" ", "_")
     return re.sub(r"_{2,}", "_", title)
 

@@ -84,7 +84,13 @@ def renumber_citations(
     def rewrite(content: pd.Series, keylists: pd.Series) -> pd.DataFrame:
         new_contents, cited_lists = [], []
         for c, kl in zip(content, keylists):
-            kl = list(kl)
+            # survey with no papers (left join -> null keys) or null content:
+            # pass through instead of killing the task
+            kl = list(kl) if kl is not None else []
+            if c is None:
+                new_contents.append(None)
+                cited_lists.append([])
+                continue
             if scrub:
                 c = scrub_illegal_citations_py(c, kl)
             nc, cited = renumber_citations_py(c, kl)

@@ -55,8 +55,8 @@ def filter_papers(
     )
     backfill = (
         failed.withColumn("__rn", F.row_number().over(w))
-        # right_outer keeps topics where nothing passed the threshold
-        # (need has no row -> coalesce to 0 passed).
+        # left join: topics where nothing passed the threshold have no
+        # `need` row -> coalesce to 0 passed, so backfill fills all top_n.
         .join(need, on=topic_col, how="left")
         .filter(F.col("__rn") <= F.lit(top_n) - F.coalesce(F.col("__n_passed"), F.lit(0)))
         .drop("__rn", "__n_passed")

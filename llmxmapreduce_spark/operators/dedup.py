@@ -162,19 +162,32 @@ def minhash_dedup_pairs(
     bands: int = 4,
     threshold: float = 0.7,
     fast: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """End-to-end near-dup pair detection: shingle → minhash → LSH buckets →
-    exact Jaccard verify.  Returns (id_a, id_b, jaccard >= threshold)."""
+    exact Jaccard verify.  Returns (id_a, id_b, jaccard >= threshold).
+
+    ``materialize=True`` (default) computes the pairs eagerly and releases
+    the signature cache; pass False to get the lazy plan (the signature
+    DataFrame then stays persisted and is the caller's to release)."""
     sig_fn = minhash_signature_fast if fast else minhash_signature
     rows_per_band = num_hashes // bands
     # Shingling + signatures feed BOTH the bucket join (twice, as left and
     # right) and the verify join — persist so the expensive md5/xxhash pass
-    # over the full corpus runs once, not four times.
+    # over the full corpus runs once, not four times.  The cache is released
+    # before returning (the result is materialized via localCheckpoint, so
+    # repeated calls don't pin corpus-sized blocks for the session's life).
     base = df.select(
         F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
     ).withColumn("signature", sig_fn(F.col("shingles"), num_hashes)).persist()
     cands = lsh_candidate_pairs(base, id_col, "signature", bands, rows_per_band)
-    return jaccard_verify(cands, base, id_col, "shingles", threshold)
+    pairs = jaccard_verify(cands, base, id_col, "shingles", threshold)
+    if not materialize:
+        return pairs
+    try:
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        base.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -115,11 +115,13 @@ def hyperplane_signs(vec: Column, n_planes: int = 8, seed: int = 42,
     from xxhash64(seed, p, d) — no stored plane matrix, reproducible on any
     cluster.  sign_p = sign(sum_d vec[d] * w[p][d])."""
     def plane_dot(p: int) -> Column:
+        # pmod, not % — Spark's % keeps the dividend's sign, which would
+        # skew every weight negative and collapse all signatures to 0…0.
         prods = F.transform(
             vec,
             lambda x, i: x * (
-                (F.xxhash64(F.lit(seed), F.lit(p), i) % 2001 - 1000).cast("double")
-                / 1000.0
+                (F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2001)) - 1000)
+                .cast("double") / 1000.0
             ),
         )
         return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)

@@ -27,7 +27,11 @@ from pyspark.sql import types as T
 # pure-Python tree core (ports)
 # --------------------------------------------------------------------------
 
-_HEADING_RE = re.compile(r"^(#+)\s*[\d\.]*\s+(.*)")
+# shared with the column-level P10 parsers (functions/text.py) so the Python
+# and Catalyst paths can't drift apart
+from llmxmapreduce_spark.functions.text import _HEADING_PATTERN  # noqa: E402
+
+_HEADING_RE = re.compile(_HEADING_PATTERN)
 _CONSTRUCTION_RE = re.compile(r"Digest Construction:\s*(.*)\s*Digest Analysis:", re.DOTALL)
 _ANALYSIS_RE = re.compile(r"Digest Analysis:\s*(.*)", re.DOTALL)
 

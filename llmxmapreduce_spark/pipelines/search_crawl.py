@@ -186,11 +186,21 @@ def run_search_crawl(
     abstracts."""
     if expand_topics:
         topics = expand_topic(topics, client_factory, retry)
+    from pyspark.sql import Window
+
     queries = expand_queries(topics, client_factory, retry)
-    hits = crawl_src.batch_web_search(queries, search_fn_factory,
-                                      top_n=over_fetch(top_n))
-    scored_hits = score_snippets(hits, client_factory, retry) \
+    hits = crawl_src.batch_web_search(queries, search_fn_factory, top_n=top_n)
+    # L19 gate, then T3: keep the over-fetched top urls per topic by score
+    # (LLM_search.py:441-443) before paying for the crawl.
+    w = Window.partitionBy("topic").orderBy(
+        F.col("snippet_score").desc(), F.col("url").asc())
+    scored_hits = (
+        score_snippets(hits, client_factory, retry)
         .filter(F.col("snippet_score") >= snippet_threshold)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= over_fetch(top_n))
+        .drop("__rn")
+    )
     pages = crawl_src.crawl_urls(scored_hits, fetch_fn_factory)
     refined = refine_pages(pages, client_factory, retry)
     scored = score_pages(refined, client_factory, retry) \

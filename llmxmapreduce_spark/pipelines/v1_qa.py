@@ -216,8 +216,19 @@ def run_v1_qa(
         keep_cols=["doc_id"],
         retry=retry,
     )
-    return reduced.select(
+    answers = reduced.select(
         "doc_id",
         X.extract_answer(F.col("raw_reply")).alias("answer"),
         "raw_reply",
+    )
+    # Documents whose every map/collapse output was filtered (all
+    # [NO INFORMATION] or all llm_ok=false) must still produce a row — the
+    # reference runs mr_reduce regardless and the answer scores 0; dropping
+    # them would silently inflate eval denominators (v1_eval).
+    return docs.select("doc_id").join(answers, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("answer"), F.lit(X.NO_INFORMATION)).alias("answer"),
+        F.coalesce(F.col("raw_reply"),
+                   F.lit(f"Rationale: no informative chunks.\nAnswer: {X.NO_INFORMATION}")
+                   ).alias("raw_reply"),
     )

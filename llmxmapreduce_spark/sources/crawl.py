@@ -51,7 +51,9 @@ def batch_web_search(queries: DataFrame, search_fn_factory: Callable[[], SearchF
                      top_n: int, topic_col: str = "topic",
                      query_col: str = "query") -> DataFrame:
     """S3 (LLM_search.py:336-445): fan queries out inside partitions, dedup
-    by url, over-fetch ×1.2 (T7) for the downstream crawl filter."""
+    by url *within each topic*, cap at over-fetch(top_n) **per topic** (T7)
+    for the downstream crawl filter.  The cap is deterministic (url order);
+    relevance-ranked trimming happens after L19 snippet scoring (T3)."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         search = search_fn_factory()
         for pdf in batches:
@@ -65,9 +67,16 @@ def batch_web_search(queries: DataFrame, search_fn_factory: Callable[[], SearchF
                     })
             yield pd.DataFrame(rows, columns=[f.name for f in SEARCH_RESULT.fields])
 
+    from pyspark.sql import Window
+
     hits = queries.mapInPandas(run, schema=SEARCH_RESULT)
-    deduped = hits.dropDuplicates(["url"])
-    return deduped.orderBy("url").limit(over_fetch(top_n))
+    deduped = hits.dropDuplicates([topic_col, "url"])
+    w = Window.partitionBy(topic_col).orderBy("url")
+    return (
+        deduped.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= over_fetch(top_n))
+        .drop("__rn")
+    )
 
 
 def crawl_urls(targets: DataFrame, fetch_fn_factory: Callable[[], FetchFn],

@@ -41,7 +41,17 @@ def test_star_join_broadcasts_dims(spark):
 
 
 def test_lsh_neardup_no_cartesian(spark):
-    plan = plan_of(spark, "minhash_lsh_neardup")
+    # inspect the lazy plan (the query itself materializes via checkpoint,
+    # which would hide the join operators)
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+    from llmxmapreduce_spark.operators import dedup
+
+    corpus = em._corpus_with_mutants(spark, SF)
+    lazy = dedup.minhash_dedup_pairs(corpus, num_hashes=8, bands=4,
+                                     threshold=0.5, materialize=False)
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 

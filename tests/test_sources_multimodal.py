@@ -66,14 +66,18 @@ def test_search_crawl_flow(spark):
     )
     hits = crawl.batch_web_search(queries, lambda: fake_search, top_n=5)
     got = hits.collect()
-    assert len(got) == 6  # over_fetch(5) = 6, deduped by url
-    assert len({r["url"] for r in got}) == 6
+    # per-topic cap of over_fetch(5)=6: topic1 has qa+qb = 6 urls, topic2 has 3
+    by_topic = {}
+    for r in got:
+        by_topic.setdefault(r["topic"], set()).add(r["url"])
+    assert len(by_topic["topic1"]) == 6
+    assert len(by_topic["topic2"]) == 3
 
     pages = crawl.crawl_urls(hits, lambda: fake_fetch)
     rows = pages.collect()
     errs = [r for r in rows if r["error"]]
     oks = [r for r in rows if not r["error"]]
-    assert len(errs) == 2  # the /1 urls per topic batch that survived dedup
+    assert len(errs) == 3  # the /1 url of each of qa, qb, qc
     assert all(r["raw_content"] is None for r in errs)
     assert all(r["raw_content"].startswith("# Page") for r in oks)
 
