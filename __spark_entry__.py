@@ -667,21 +667,60 @@ def q_v2_survey_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         F.concat(F.lit("Survey of "), F.col("survey_id")).alias("title"),
         F.array_sort(F.collect_list("p")).alias("papers"),
     )
+    # block_count=1 = the shipped script's setting (pipeline_start.sh:13):
+    # digests are regenerated against the refined outline before decode.
+    # shuffle_partitions sized to the survey count — the control plane moves
+    # KBs per survey, so wide shuffles are pure overhead at this scale.
     cfg = v2.V2Config(conv_layers=1, receptive_field=2, result_num=2,
-                      top_k=2, refine_rounds=1, best_of=1, polish=False)
-    # The pipeline is dozens of tiny jobs over a handful of rows: wide
-    # shuffles are pure overhead here.  Restore the session conf after.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        out = v2.run_v2_survey(surveys, MockSurveyClient, cfg)
-        result = out.select(
-            "survey_id", "n_sections", "n_papers", "cite_ratio",
-            F.length("content_md").alias("content_len"),
-        ).localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return result
+                      top_k=2, refine_rounds=1, best_of=1, polish=False,
+                      block_count=1, shuffle_partitions=2)
+    out = v2.run_v2_survey(surveys, MockSurveyClient, cfg)
+    return out.select(
+        "survey_id", "n_sections", "n_papers", "cite_ratio",
+        F.length("content_md").alias("content_len"),
+        "block_cycle_count",
+    )
+
+
+def q_v2_block_cycle(spark: SparkSession, sf: str) -> DataFrame:
+    """Block cycle under *structural* refinement (hidden_pipeline.py:73-85):
+    the RestructuringSurveyClient's [MODIFY] inserts a new top-level section,
+    shifting every preorder position; digests are regenerated against the
+    refined outline, so the new section both exists in the decoded survey AND
+    carries digest-derived prose with citations.  Rows-only check (iterative
+    LLM dataflow).
+    """
+    from llmxmapreduce_spark.llm.survey_mock import RestructuringSurveyClient
+    from llmxmapreduce_spark.pipelines import v2_survey as v2
+
+    d = load_table(spark, sf, "documents").filter("doc_id < 6")
+    papers = d.select(
+        F.concat(F.lit("survey"), (F.col("doc_id") % 2).cast("string")).alias("survey_id"),
+        F.struct(
+            F.concat(F.lit("paper_"), F.col("doc_id").cast("string")).alias("bibkey"),
+            F.concat(F.lit("Paper "), F.col("doc_id").cast("string")).alias("title"),
+            F.substring("text", 1, 200).alias("abstract"),
+            F.col("text").alias("txt"),
+            F.concat(F.lit("https://example.org/"), F.col("doc_id").cast("string")).alias("url"),
+            F.lit(None).cast("long").alias("txt_token"),
+        ).alias("p"),
+    )
+    surveys = papers.groupBy("survey_id").agg(
+        F.concat(F.lit("Survey of "), F.col("survey_id")).alias("title"),
+        F.array_sort(F.collect_list("p")).alias("papers"),
+    )
+    cfg = v2.V2Config(conv_layers=1, receptive_field=2, result_num=2,
+                      top_k=2, refine_rounds=1, best_of=1, polish=False,
+                      block_count=1, shuffle_partitions=2)
+    out = v2.run_v2_survey(surveys, RestructuringSurveyClient, cfg)
+    sec = RestructuringSurveyClient.SECTION
+    return out.select(
+        "survey_id", "block_cycle_count", "n_sections",
+        F.col("outline_md").contains(sec).alias("refined_outline_has_section"),
+        F.col("content_md").rlike(
+            rf"# {sec}\nGenerated prose for {sec}\. \[").alias("section_rediggested"),
+        F.size("block_avg_score").alias("n_block_cycles_scored"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -771,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v1_scorers": q_v1_scorers,
         "v1_qa_secret_key": q_v1_qa_secret_key,
         "v2_survey_pipeline": q_v2_survey_pipeline,
+        "v2_block_cycle": q_v2_block_cycle,
     }
 
 

@@ -18,6 +18,8 @@ _BIBKEY_RE = re.compile(r"Bibkey: '([^']+)'")
 _HEADING_RE = re.compile(r"^## (.+)$", re.MULTILINE)
 _TITLE_RE = re.compile(r"Survey title: (.+)")
 _PAPER_KEY_RE = re.compile(r"Paper bibkey: ([\w-]+)")
+# merged digest material (digest_ops.MERGE format): "Paper bibkey: [<key>]"
+_MERGED_KEY_RE = re.compile(r"Paper bibkey: \[([\w-]+)\]")
 _SECTION_RE = re.compile(r"Section title: (.+)")
 _FENCED_RE = re.compile(r"```markdown\n(.*?)\n```", re.DOTALL)
 _SUGG_RE = re.compile(r"```suggestion\n(.*?)\n```", re.DOTALL)
@@ -83,7 +85,8 @@ class MockSurveyClient(LLMClient):
 
         if "[ORCHESTRA]" in prompt or "[SUMMARY]" in prompt:
             section = (_SECTION_RE.search(prompt) or [None, "Section"])[1].strip()
-            keys = sorted(set(_PAPER_KEY_RE.findall(prompt)))[:3]
+            keys = sorted(set(_MERGED_KEY_RE.findall(prompt))
+                          or set(_PAPER_KEY_RE.findall(prompt)))[:3]
             cites = " ".join(f"[{k}]" for k in keys) if keys else ""
             return f"Generated prose for {section}. {cites}".strip()
 
@@ -153,3 +156,27 @@ class MockSurveyClient(LLMClient):
             return body.strip()
 
         return HashEchoClient().complete(prompt)
+
+
+class RestructuringSurveyClient(MockSurveyClient):
+    """Mock whose [MODIFY] *restructures* the outline: it inserts a new
+    top-level section right under the root.  Exercises the block cycle
+    (hidden_pipeline.py:73-85): after refinement the preorder positions of
+    every section shift, so decode is only correct if digests were
+    regenerated against the refined outline — with single-shot digestion the
+    old pos-keyed join would land material in the wrong sections.
+    Idempotent (inserts once), so repeated modify calls keep the structure
+    stable within a cycle."""
+
+    SECTION = "Emergent Topics"
+
+    def complete(self, prompt: str) -> str:
+        if "[MODIFY]" in prompt:
+            outline = _FENCED_RE.search(prompt)
+            body = outline.group(1) if outline else "# Untitled"
+            if self.SECTION in body:
+                return "```markdown\n" + body + "\n```"
+            lines = body.split("\n")
+            lines[1:1] = [f"## {self.SECTION}", "Cross-cutting new directions."]
+            return "```markdown\n" + "\n".join(lines) + "\n```"
+        return super().complete(prompt)

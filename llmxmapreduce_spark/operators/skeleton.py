@@ -64,13 +64,16 @@ def parse_outline_py(provide_title: str, raw_outline: str) -> list[dict]:
             while stack and stack[-1][1] >= depth:
                 stack[-1][0]["description"] = stack[-1][0]["description"].strip()
                 stack.pop()
-            if stack:
+            # orphan subtrees (heading above the root level, or a descendant
+            # of one) are unreachable from the root in the reference and are
+            # dropped entirely — including their children.
+            if stack and stack[-1][0]["node_path"][0] != -1:
                 parent = stack[-1][0]
                 node["node_path"] = parent["node_path"] + [parent["children"]]
                 node["depth"] = parent["depth"] + 1
                 parent["children"] += 1
                 nodes.append(node)
-            else:  # orphan (heading above the root level) — reference drops it
+            else:
                 node["node_path"] = [-1]
                 node["depth"] = depth
             stack.append((node, depth))
@@ -89,6 +92,7 @@ def parse_outline_py(provide_title: str, raw_outline: str) -> list[dict]:
             "description": desc,
             "construction": cm.group(1).strip() if cm else "",
             "analysis": am.group(1).strip() if am else "",
+            "n_children": n["children"],
         })
     return out
 
@@ -153,7 +157,60 @@ NODE_FIELDS = T.StructType([
     T.StructField("description", T.StringType(), True),
     T.StructField("construction", T.StringType(), True),
     T.StructField("analysis", T.StringType(), True),
+    T.StructField("n_children", T.IntegerType(), False),
 ])
+
+
+def _norm_title_py(t: str) -> str:
+    return re.sub(r"\s+", " ", (t or "").lower()).strip()
+
+
+def align_reason_py(provide_title: str, outline_md: str,
+                    digest_md: str) -> str | None:
+    """Scalar form of :func:`align_digest_nodes` for one (outline, digest)
+    pair (digest.py:238-255): positional compare of the two preorder node
+    lists; returns the first mismatch reason, or ``None`` when the digest's
+    structure corresponds fully.  Used by the V2 pipeline so per-paper
+    alignment costs one column expression instead of an explode + full-outer
+    join + regroup round-trip."""
+    o = parse_outline_py(provide_title, outline_md)
+    d = parse_outline_py(provide_title, digest_md)
+    for pos in range(max(len(o), len(d))):
+        if pos >= len(o):
+            return "extra digest section"
+        if pos >= len(d):
+            return "missing digest section"
+        if _norm_title_py(o[pos]["title"]) != _norm_title_py(d[pos]["title"]):
+            return "title mismatch"
+        if o[pos]["node_path"] != d[pos]["node_path"]:
+            return "index mismatch"
+    return None
+
+
+@F.pandas_udf(T.ArrayType(NODE_FIELDS))
+def parse_nodes_udf(titles: pd.Series, mds: pd.Series) -> pd.Series:
+    """Scalar (title, markdown) → array<node> — explode-friendly parse that
+    needs no per-group shuffle."""
+    return pd.Series([parse_outline_py(t, m) for t, m in zip(titles, mds)])
+
+
+@F.pandas_udf(T.StringType())
+def placeholder_udf(titles: pd.Series, mds: pd.Series) -> pd.Series:
+    """Outline markdown → digest-placeholder markdown (serialize ∘ parse with
+    ``with_digest_placeholder``), as one scalar column expression."""
+    return pd.Series([
+        serialize_outline_py(parse_outline_py(t, m), with_digest_placeholder=True)
+        for t, m in zip(titles, mds)
+    ])
+
+
+@F.pandas_udf(T.StringType())
+def align_reason_udf(titles: pd.Series, outline_mds: pd.Series,
+                     digest_mds: pd.Series) -> pd.Series:
+    return pd.Series([
+        align_reason_py(t, o, d)
+        for t, o, d in zip(titles, outline_mds, digest_mds)
+    ])
 
 
 def parse_outlines(df: DataFrame, id_col: str = "survey_id",

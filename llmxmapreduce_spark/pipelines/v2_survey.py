@@ -1,50 +1,61 @@
 """V2 survey-generation pipeline (reference: LLMxMapReduce_V2, SURVEY.md §3.2).
 
 Stages, each a DataFrame→DataFrame operator; the reference's gevent actor
-DAG becomes a linear chain of Spark jobs with two bounded driver loops
-(convolution layers; content assembly by tree depth):
+DAG becomes a chain of Spark jobs with a bounded block-cycle loop
+(hidden_pipeline.py:73-85 — ``digest → skeleton_refine → re-digest`` while
+``block_cycle_count < block_count``):
 
   surveys ─ explode → papers ─ C7 group → digest groups
     ├─ C6 batch → L5 init outlines → L6 concat → outline          (encode)
-    ├─ L7 per-paper digest → J1 align → A3 merge → digests        (hidden)
-    ├─ L9 feedback → [conv layers: T5 sample → L10 kernel →
-    │     L11 modify → L12 eval → T1 prune] → best outline        (refine)
-    └─ decode: L14 orchestra leaves → A6 level-synchronous
-          assembly → L15 polish → P12/J3 renumber → A7 → S5-shape (decode)
+    ├─ [block cycle ×block_count:
+    │     L7 per-paper digest → J1 align → A3 merge → digests     (hidden)
+    │     L9 feedback → conv block (T5/L10/L11/L12/T1) →
+    │     L13 self-refine → refined outline → re-digest]
+    └─ decode: L14 orchestra leaves → A6 bottom-up assembly →
+          L15 polish → P12/J3 renumber → A7 → S5-shape            (decode)
 
-Determinism: every shuffle the reference does with ``random.shuffle``
-is a keyed-hash order here; T5 sampling uses a per-survey seeded
-RandomState; the mock client is prompt-hash deterministic — two runs are
-byte-identical (tests/test_v2_pipeline.py).
+Fused control plane: the convolution block, self-refine, and content
+assembly are per-survey iterative LLM algorithms (the reference runs each
+``forward()`` per survey object).  They are expressed as ONE
+``applyInPandas`` stage per survey each — surveys are the scale axis
+(thousands of independent groups on a cluster), per-survey state is tiny
+(≤ result_num outlines), and intra-survey LLM calls can fan out over
+``V2Config.llm_threads`` (the reference's per-node worker pool).  The
+per-paper digest stage and per-section orchestra stage stay row-parallel
+``mapInPandas`` — those are the big fan-outs.  This removes the per-layer /
+per-depth global job barriers the staged form had: the whole refine loop is
+one shuffle, and assembly is one shuffle, regardless of tree depth.
 
-Scale: surveys are rows, never driver objects; per-survey tree work rides
-``applyInPandas``; the only driver-side state is the loop counter and the
-per-survey suggestion pools (≤ result_num ≈ 10 rows each, the same bound
-the reference holds in memory).
+Determinism: every shuffle the reference does with ``random.shuffle`` is a
+keyed-hash order here; T5 sampling uses a per-survey seeded RandomState; the
+mock client is prompt-hash deterministic — two runs are byte-identical
+(tests/test_v2_pipeline.py).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from llmxmapreduce_spark.functions import text as X
-from llmxmapreduce_spark.llm.client import RetryPolicy
+from llmxmapreduce_spark.llm.client import RetryPolicy, call_with_retry
 from llmxmapreduce_spark.operators import digest_ops, grouping, sampling, skeleton
 from llmxmapreduce_spark.operators.citations import cite_ratio as a7_cite_ratio
 from llmxmapreduce_spark.operators.citations import references_block, renumber_citations
 from llmxmapreduce_spark.operators.llm_op import llm_stage
-from llmxmapreduce_spark.operators.topk import prune_top_k
 
 
 @dataclass
 class V2Config:
     digest_batch: int = 3        # --digest_group_mode batch size (args.py:18)
     skeleton_batch: int = 3      # skeleton_group_size (args.py:19)
+    block_count: int = 1         # --block_count (args.py:21; shipped script
+                                 # scripts/pipeline_start.sh:13 uses 1)
     conv_layers: int = 2         # --conv_layer (args.py:24, default 6)
     receptive_field: int = 2     # kernel width (args.py:25, default 3)
     result_num: int = 4          # args.py:26, default 10
@@ -55,9 +66,18 @@ class V2Config:
     polish: bool = True
     figures: bool = False        # L16/J5 chart stage (chart_node)
     group_mode: str = "random"   # C7: 'random' (hash) | 'llm' (L4 + repair)
+    llm_threads: int = 1         # intra-survey LLM fan-out inside the fused
+                                 # stages (reference worker pool, node.py:48)
+    shuffle_partitions: int | None = None
+    # ^ control-plane shuffle sizing: the refine/assembly stages move a few
+    # KB per survey, so shuffles should be sized to the survey count, not the
+    # session default.  None = leave the session conf alone.
 
 
 _STR = T.StringType()
+_SCORES = T.ArrayType(T.DoubleType())
+_BLOCK_SCORES = T.ArrayType(_SCORES)                     # per cycle: layer avgs
+_REFINE_SCORES = T.ArrayType(T.ArrayType(_SCORES))       # per cycle/round: chain scores
 
 
 def _payload(*names: str) -> list[T.StructField]:
@@ -107,6 +127,83 @@ def _parse_score(reply: str) -> dict:
     if not 0 <= score <= 10:
         raise ValueError(f"score out of bounds: {score}")
     return {"score": score}
+
+
+# ---------------------------------------------------------------------------
+# prompt templates — shared by the row-parallel llm_stage operators and the
+# fused per-survey stages, so both paths drive the mock identically
+# ---------------------------------------------------------------------------
+
+
+def _modify_prompt(title: str, outline_md: str, content: str) -> str:
+    return (
+        f"[MODIFY] Survey title: {title}\n"
+        f"Outline:\n```markdown\n{outline_md}\n```\n"
+        f"Suggestion:\n```suggestion\n{content}\n```\n"
+        "Apply the suggestion; reply with a fenced ```markdown outline."
+    )
+
+
+def _eval_prompt(title: str, outline_md: str) -> str:
+    return (
+        f"[EVAL_OUTLINE] Survey title: {title}\n"
+        f"Outline:\n```markdown\n{outline_md}\n```\n"
+        "Score the information entropy 0-10 as <SCORE>x</SCORE>."
+    )
+
+
+def _kernel_prompt(title: str, joined: str) -> str:
+    return (
+        f"[KERNEL] Survey title: {title}\n"
+        f"Merge these suggestions into one:\n{joined}\n"
+        "Reply with a ```suggestion block."
+    )
+
+
+def _refine_prompt(chain_id: int, rnd: int, title: str, outline_md: str) -> str:
+    return (
+        f"[SELF_REFINE] chain {chain_id} round {rnd}\n"
+        f"Survey title: {title}\n"
+        f"Outline:\n```markdown\n{outline_md}\n```\n"
+        "Reply with a ```suggestion block."
+    )
+
+
+def _summary_prompt(title: str, section: str, subcontents: str) -> str:
+    return (
+        f"[SUMMARY] Survey title: {title}\n"
+        f"Section title: {section}\n"
+        f"Subsections:\n{subcontents[:3000]}\n"
+        "Summarize into the parent section's lead prose."
+    )
+
+
+def _polish_prompt(section: str, content: str) -> str:
+    return f"[POLISH] Section title: {section}\nDraft:\n{content}"
+
+
+def _call(client, prompt: str, retry: RetryPolicy) -> str | None:
+    reply, _err, _attempts = call_with_retry(client, prompt, retry)
+    return reply
+
+
+def _pmap(fn, items, threads: int):
+    """Order-preserving map with bounded intra-survey concurrency (the fused
+    analog of the reference's per-node worker pool, async_d node.py:48)."""
+    items = list(items)
+    if threads <= 1 or len(items) <= 1:
+        return [fn(x) for x in items]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=threads) as ex:
+        return list(ex.map(fn, items))
+
+
+def _prune_py(rows: list[dict], k: int) -> list[dict]:
+    """T1 ``_prune_top_k`` (convolution_module.py:207-229): score desc, ties
+    broken by the deterministic sugg_id key (the engine's seeded stand-in
+    for ``random.sample``) — same contract as operators/topk.prune_top_k."""
+    return sorted(rows, key=lambda r: (-r["score"], r["sugg_id"]))[:k]
 
 
 # ---------------------------------------------------------------------------
@@ -160,7 +257,7 @@ def init_outlines(papers_grouped: DataFrame, client_factory, cfg: V2Config,
         "digest_id", cfg.skeleton_batch, seed=cfg.seed + 1,
         partition_cols=["survey_id"], group_col="batch_id",
     )
-    joined = papers_grouped.join(batches, ["survey_id", "digest_id"])
+    joined = papers_grouped.join(F.broadcast(batches), ["survey_id", "digest_id"])
     abstract_fmt = F.concat(
         F.lit("Bibkey: '"), F.col("bibkey"), F.lit("':\nAbstract:\n"),
         F.substring(F.col("abstract"), 1, 1500),
@@ -224,17 +321,20 @@ def init_outlines(papers_grouped: DataFrame, client_factory, cfg: V2Config,
 def make_digests(papers_grouped: DataFrame, outlines: DataFrame, client_factory,
                  cfg: V2Config, retry: RetryPolicy | None = None
                  ) -> tuple[DataFrame, DataFrame]:
-    """→ (digests (survey_id, digest_id, pos, description), dead_letters)."""
-    outline_nodes = skeleton.parse_outlines(
-        outlines, title_col="survey_title", md_col="outline_md"
-    )
-    placeholder = skeleton.serialize_outlines(
-        outline_nodes, with_digest_placeholder=True
-    ).withColumnRenamed("markdown", "placeholder_md")
+    """→ (digests (survey_id, digest_id, pos, description), dead_letters).
 
-    per_paper = papers_grouped.join(placeholder, "survey_id").join(
-        outlines.select("survey_id", "survey_title").distinct(), ["survey_id", "survey_title"]
+    One row-parallel llm_stage over papers (the big fan-out), with the
+    placeholder serialization and J1 structural alignment as scalar column
+    expressions (skeleton.placeholder_udf / align_reason_udf) — no
+    explode/regroup or full-outer join round-trips; the only shuffle is the
+    A3 merge aggregation.  Runs once per block cycle (digest_node re-entry,
+    hidden_pipeline.py:75).
+    """
+    o = outlines.select(
+        "survey_id", "survey_title", "outline_md",
+        skeleton.placeholder_udf("survey_title", "outline_md").alias("placeholder_md"),
     )
+    per_paper = papers_grouped.drop("survey_title").join(F.broadcast(o), "survey_id")
     raw = llm_stage(
         per_paper,
         build_prompt=lambda r: (
@@ -248,27 +348,25 @@ def make_digests(papers_grouped: DataFrame, outlines: DataFrame, client_factory,
         parse=_parse_fenced_with_suggestion,
         client_factory=client_factory,
         payload_fields=_payload("md", "suggestion"),
-        keep_cols=["survey_id", "survey_title", "digest_id", "bibkey"],
+        keep_cols=["survey_id", "survey_title", "outline_md", "digest_id", "bibkey"],
         retry=retry,
     )
-    ok = raw.filter("llm_ok")
-    digest_nodes = skeleton.parse_outlines(
-        ok.withColumn("__id", F.concat_ws("|", "survey_id", "bibkey"))
-          .select("__id", "survey_title", F.col("md").alias("markdown"),
-                  "survey_id", "digest_id", "bibkey"),
-        id_col="__id", title_col="survey_title", md_col="markdown",
-    ).join(
-        ok.select(F.concat_ws("|", "survey_id", "bibkey").alias("__id"),
-                  "survey_id", "digest_id", "bibkey"),
-        "__id",
+    # J1 per-paper structural correspondence; misaligned papers quarantine
+    # like D8 dead letters (the reference raises + retries per paper).
+    checked = raw.filter("llm_ok").withColumn(
+        "align_reason",
+        skeleton.align_reason_udf("survey_title", "outline_md", "md"),
     )
-    matched, mismatched = skeleton.align_digest_nodes(
-        outline_nodes, digest_nodes, id_cols=["survey_id"], digest_id_col="bibkey"
+    good_nodes = (
+        checked.filter("align_reason IS NULL")
+        .select(
+            "survey_id", "digest_id", "bibkey",
+            F.explode(skeleton.parse_nodes_udf("survey_title", "md")).alias("node"),
+        )
+        .select("survey_id", "digest_id", "bibkey",
+                F.col("node.pos").alias("pos"),
+                F.col("node.description").alias("description"))
     )
-    # keep only fully-aligned papers (reference raises + retries per paper;
-    # here misaligned papers quarantine like D8 dead letters)
-    bad_papers = mismatched.select("survey_id", "bibkey").distinct()
-    good_nodes = digest_nodes.join(bad_papers, ["survey_id", "bibkey"], "left_anti")
     merged = digest_ops.merge_digest_descriptions(
         good_nodes.withColumn("bibkeys", F.array("bibkey")),
         id_cols=["survey_id", "digest_id"],
@@ -277,13 +375,14 @@ def make_digests(papers_grouped: DataFrame, outlines: DataFrame, client_factory,
     dead = raw.filter("NOT llm_ok").select(
         "survey_id", "bibkey", F.col("llm_error").alias("reason")
     ).unionByName(
-        mismatched.select("survey_id", F.col("bibkey"), F.col("reason")).distinct()
+        checked.filter("align_reason IS NOT NULL")
+        .select("survey_id", "bibkey", F.col("align_reason").alias("reason"))
     )
     return merged, dead
 
 
 # ---------------------------------------------------------------------------
-# convolution block: L9 → [T5 → L10 → L11 → L12 → T1]* → best outline
+# hidden block: L9 feedback → fused conv block → fused self-refine
 # ---------------------------------------------------------------------------
 
 
@@ -295,7 +394,8 @@ def feedback_suggestions(digests: DataFrame, outlines: DataFrame, client_factory
         .groupBy("survey_id", "digest_id")
         .agg(F.concat_ws("\n", F.transform(F.array_sort(F.collect_list("__d")),
                                            lambda s: s["v"])).alias("digest_content"))
-        .join(outlines, "survey_id")
+        .join(F.broadcast(outlines.select("survey_id", "survey_title", "outline_md")),
+              "survey_id")
     )
     out = llm_stage(
         per_group,
@@ -318,165 +418,198 @@ def feedback_suggestions(digests: DataFrame, outlines: DataFrame, client_factory
     )
 
 
-def _modify_and_eval(cands: DataFrame, client_factory, retry) -> DataFrame:
-    """L11 modify + L12 eval for candidate (survey, sugg) pairs."""
-    modified = llm_stage(
-        cands,
-        build_prompt=lambda r: (
-            f"[MODIFY] Survey title: {r['survey_title']}\n"
-            f"Outline:\n```markdown\n{r['outline_md']}\n```\n"
-            f"Suggestion:\n```suggestion\n{r['content']}\n```\n"
-            "Apply the suggestion; reply with a fenced ```markdown outline."
-        ),
-        parse=_parse_fenced,
-        client_factory=client_factory,
-        payload_fields=_payload("md"),
-        keep_cols=["survey_id", "survey_title", "sugg_id", "content"],
-        retry=retry,
-    ).filter("llm_ok").withColumnRenamed("md", "new_outline_md")
-    return llm_stage(
-        modified,
-        build_prompt=lambda r: (
-            f"[EVAL_OUTLINE] Survey title: {r['survey_title']}\n"
-            f"Outline:\n```markdown\n{r['new_outline_md']}\n```\n"
-            "Score the information entropy 0-10 as <SCORE>x</SCORE>."
-        ),
-        parse=_parse_score,
-        client_factory=client_factory,
-        payload_fields=[T.StructField("score", T.DoubleType(), True)],
-        keep_cols=["survey_id", "survey_title", "sugg_id", "content", "new_outline_md"],
-        retry=retry,
-    ).filter("llm_ok")
+# The score bookkeeping crosses the applyInPandas boundary as JSON strings:
+# pyarrow's arrow_to_pandas segfaults on null deeply-nested list columns in
+# this environment, and the lists are tiny survey metadata — they become real
+# array<array<double>> columns JVM-side (from_json) after the block loop.
+_CONV_SCHEMA = T.StructType([
+    T.StructField("survey_id", _STR, False),
+    T.StructField("survey_title", _STR, True),
+    T.StructField("outline_md", _STR, True),
+    T.StructField("eval_score", T.DoubleType(), True),
+    T.StructField("block_avg_score", _STR, True),
+    T.StructField("self_refine_score", _STR, True),
+])
+
+
+def _nested(val) -> list:
+    import json
+
+    return json.loads(val) if val else []
+
+
+def _dumps(val: list) -> str:
+    import json
+
+    return json.dumps(val)
 
 
 def convolution_block(outlines: DataFrame, suggestions: DataFrame, client_factory,
                       cfg: V2Config, retry: RetryPolicy | None = None) -> DataFrame:
-    """convolution_module.py:38-127: initial single-suggestion pass, then
-    ``conv_layers`` rounds of sample→kernel→modify→eval with top-k pruning.
-    → (survey_id, survey_title, outline_md, eval_score) best outline."""
-    spark = outlines.sparkSession
-    # initial pass: each suggestion alone (kernel = identity for single input)
-    cands = suggestions.join(outlines, "survey_id")
-    state = _modify_and_eval(cands, client_factory, retry).select(
-        "survey_id", "sugg_id", "content", "new_outline_md", "score"
-    ).localCheckpoint(eager=True)
+    """convolution_module.py:38-127 as ONE ``applyInPandas`` stage: per
+    survey, the initial single-suggestion pass then ``conv_layers`` rounds of
+    T5 sample → L10 kernel → L11 modify → L12 eval → T1 prune, appending this
+    cycle's per-layer average scores to ``block_avg_score``
+    (convolution_module.py:45-122).  → best
+    (survey_id, survey_title, outline_md, eval_score) per survey."""
+    retry = retry or RetryPolicy()
+    cands = suggestions.join(
+        F.broadcast(outlines.select("survey_id", "survey_title", "outline_md",
+                                    "block_avg_score", "self_refine_score")),
+        "survey_id",
+    )
+    conv_layers, receptive_field = cfg.conv_layers, cfg.receptive_field
+    result_num, top_k, seed, threads = cfg.result_num, cfg.top_k, cfg.seed, cfg.llm_threads
 
-    sample_schema = T.StructType([
-        T.StructField("survey_id", _STR, False),
-        T.StructField("group_id", T.IntegerType(), False),
-        T.StructField("members", T.ArrayType(_STR), False),
-    ])
-
-    def sample(pdf: pd.DataFrame) -> pd.DataFrame:
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        client = client_factory()
         sid = pdf["survey_id"].iloc[0]
-        rng_seed = sampling.survey_seed(str(sid), cfg.seed)
-        import numpy as np
+        title = pdf["survey_title"].iloc[0]
+        outline_md = pdf["outline_md"].iloc[0]
 
-        rng = np.random.RandomState(rng_seed)
-        pdf = pdf.sort_values("sugg_id")
-        groups = sampling.sample_suggestion_groups(
-            list(pdf["sugg_id"]), list(pdf["score"]),
-            cfg.receptive_field, cfg.result_num, rng,
-        )
-        return pd.DataFrame([
-            {"survey_id": sid, "group_id": gid, "members": members}
-            for gid, members in enumerate(groups)
-        ])
+        def modify_eval(item: tuple[str, str]) -> dict | None:
+            sugg_id, content = item
+            reply = _call(client, _modify_prompt(title, outline_md, content), retry)
+            if reply is None:
+                return None
+            try:
+                new_md = _parse_fenced(reply)["md"]
+            except ValueError:
+                return None
+            reply2 = _call(client, _eval_prompt(title, new_md), retry)
+            if reply2 is None:
+                return None
+            try:
+                score = _parse_score(reply2)["score"]
+            except ValueError:
+                return None
+            return {"sugg_id": sugg_id, "content": content,
+                    "new_outline_md": new_md, "score": score}
 
-    for _layer in range(cfg.conv_layers):
-        groups = state.groupBy("survey_id").applyInPandas(sample, sample_schema)
-        member_rows = groups.select(
-            "survey_id", "group_id", F.explode("members").alias("sugg_id")
-        ).join(state, ["survey_id", "sugg_id"])
-        merged_in = (
-            member_rows.withColumn("__c", F.struct(F.col("sugg_id").alias("k"),
-                                                   F.col("content").alias("v")))
-            .groupBy("survey_id", "group_id")
-            .agg(
-                F.concat_ws("\n---\n",
-                            F.transform(F.array_sort(F.collect_list("__c")),
-                                        lambda s: s["v"])).alias("joined"),
-                F.count(F.lit(1)).alias("n_members"),
+        init = sorted(zip(pdf["sugg_id"], pdf["content"]))
+        state = [r for r in _pmap(modify_eval, init, threads) if r]
+        cycle_scores: list[float] = []
+        if state:
+            cycle_scores.append(float(np.mean([r["score"] for r in state])))
+        for layer in range(conv_layers):
+            # fresh per-layer RandomState on the survey seed — matches the
+            # staged sampler's per-invocation seeding (deterministic and
+            # independent of executor placement)
+            rng = np.random.RandomState(sampling.survey_seed(str(sid), seed))
+            pool = sorted(state, key=lambda r: r["sugg_id"])
+            groups = sampling.sample_suggestion_groups(
+                [r["sugg_id"] for r in pool], [r["score"] for r in pool],
+                receptive_field, result_num, rng,
             )
-        )
-        multi = llm_stage(
-            merged_in.filter("n_members > 1").join(outlines, "survey_id"),
-            build_prompt=lambda r: (
-                f"[KERNEL] Survey title: {r['survey_title']}\n"
-                f"Merge these suggestions into one:\n{r['joined']}\n"
-                "Reply with a ```suggestion block."
-            ),
-            parse=_parse_suggestion,
-            client_factory=client_factory,
-            payload_fields=_payload("suggestion"),
-            keep_cols=["survey_id", "group_id"],
-            retry=retry,
-        ).filter("llm_ok").select("survey_id", "group_id",
-                                  F.col("suggestion").alias("content"))
-        single = merged_in.filter("n_members = 1").select(
-            "survey_id", "group_id", F.col("joined").alias("content")
-        )
-        new_cands = (
-            multi.unionByName(single)
-            .withColumn("sugg_id", F.concat(F.lit(f"l{_layer}g"),
-                                            F.col("group_id").cast("string")))
-            .drop("group_id")
-            .join(outlines, "survey_id")
-        )
-        new_state = _modify_and_eval(new_cands, client_factory, retry).select(
-            "survey_id", "sugg_id", "content", "new_outline_md", "score"
-        )
-        # conv_results_old + conv_results_new → T1 prune (tie-break by keyed
-        # hash, the engine's seeded stand-in for random.sample)
-        state = prune_top_k(
-            state.unionByName(new_state), ["survey_id"], "score", cfg.top_k,
-            tiebreak_col="sugg_id",
-        ).localCheckpoint(eager=True)
+            by_id = {r["sugg_id"]: r for r in pool}
 
-    best = prune_top_k(state, ["survey_id"], "score", 1, tiebreak_col="sugg_id")
-    return best.join(outlines.select("survey_id", "survey_title"), "survey_id") \
-        .select("survey_id", "survey_title",
-                F.col("new_outline_md").alias("outline_md"),
-                F.col("score").alias("eval_score"))
+            def kernel(item: tuple[int, list[str]]) -> tuple[str, str] | None:
+                gid, members = item
+                if len(members) > 1:
+                    joined = "\n---\n".join(
+                        by_id[m]["content"] for m in sorted(members))
+                    reply = _call(client, _kernel_prompt(title, joined), retry)
+                    if reply is None:
+                        return None
+                    try:
+                        content = _parse_suggestion(reply)["suggestion"]
+                    except ValueError:
+                        return None
+                else:
+                    content = by_id[members[0]]["content"]
+                return (f"l{layer}g{gid}", content)
+
+            new_cands = [c for c in _pmap(kernel, enumerate(groups), threads) if c]
+            new_state = [r for r in _pmap(modify_eval, new_cands, threads) if r]
+            if new_state:
+                cycle_scores.append(
+                    float(np.mean([r["score"] for r in new_state])))
+            # conv_results_old + conv_results_new → T1 prune
+            state = _prune_py(state + new_state, top_k)
+
+        best = _prune_py(state, 1)
+        if not best:
+            return pd.DataFrame(columns=[f.name for f in _CONV_SCHEMA.fields])
+        block_scores = _nested(pdf["block_avg_score"].iloc[0]) + [cycle_scores]
+        return pd.DataFrame([{
+            "survey_id": sid, "survey_title": title,
+            "outline_md": best[0]["new_outline_md"],
+            "eval_score": best[0]["score"],
+            "block_avg_score": _dumps(block_scores),
+            "self_refine_score": pdf["self_refine_score"].iloc[0] or "[]",
+        }])
+
+    return cands.groupBy("survey_id").applyInPandas(run, _CONV_SCHEMA)
 
 
 def self_refine(best: DataFrame, client_factory, cfg: V2Config,
                 retry: RetryPolicy | None = None) -> DataFrame:
-    """refine_module.py:25-66: rounds × best_of L13→L11→L12 chains, keep max."""
-    state = best
-    for rnd in range(cfg.refine_rounds):
-        chains = state.crossJoin(
-            state.sparkSession.range(cfg.best_of).select(
-                F.col("id").cast("int").alias("chain_id"))
-        )
-        sugg = llm_stage(
-            chains,
-            build_prompt=lambda r: (
-                f"[SELF_REFINE] chain {r['chain_id']} round {rnd}\n"
-                f"Survey title: {r['survey_title']}\n"
-                f"Outline:\n```markdown\n{r['outline_md']}\n```\n"
-                "Reply with a ```suggestion block."
-            ),
-            parse=_parse_suggestion,
-            client_factory=client_factory,
-            payload_fields=_payload("suggestion"),
-            keep_cols=["survey_id", "survey_title", "outline_md", "chain_id"],
-            retry=retry,
-        ).filter("llm_ok").select(
-            "survey_id", "survey_title", "outline_md",
-            F.concat(F.lit(f"r{rnd}c"), F.col("chain_id").cast("string")).alias("sugg_id"),
-            F.col("suggestion").alias("content"),
-        )
-        evald = _modify_and_eval(sugg, client_factory, retry)
-        pool = evald.select(
-            "survey_id", "survey_title",
-            F.col("new_outline_md").alias("outline_md"),
-            F.col("score").alias("eval_score"), F.col("sugg_id"),
-        ).unionByName(state.withColumn("sugg_id", F.lit("keep")))
-        state = prune_top_k(pool, ["survey_id"], "eval_score", 1,
-                            tiebreak_col="sugg_id").drop("sugg_id") \
-            .localCheckpoint(eager=True)
-    return state
+    """refine_module.py:25-66 as one ``applyInPandas`` stage: per survey,
+    ``refine_rounds`` rounds of best-of L13→L11→L12 chains, keeping the max
+    (ties prefer the kept state, matching the staged 'keep' < 'r…c…' key
+    order), appending this cycle's round×chain scores to
+    ``self_refine_score`` (refine_module.py:52-63)."""
+    retry = retry or RetryPolicy()
+    refine_rounds, best_of, threads = cfg.refine_rounds, cfg.best_of, cfg.llm_threads
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        client = client_factory()
+        row = pdf.iloc[0]
+        sid, title = row["survey_id"], row["survey_title"]
+        state_md, state_score = row["outline_md"], float(row["eval_score"])
+        cycle_scores: list[list[float]] = []
+        for rnd in range(refine_rounds):
+            outline_now = state_md
+
+            def chain(chain_id: int) -> tuple[str, str] | None:
+                reply = _call(
+                    client, _refine_prompt(chain_id, rnd, title, outline_now), retry)
+                if reply is None:
+                    return None
+                try:
+                    content = _parse_suggestion(reply)["suggestion"]
+                except ValueError:
+                    return None
+                return (f"r{rnd}c{chain_id}", content)
+
+            def modify_eval(item: tuple[str, str]) -> dict | None:
+                sugg_id, content = item
+                reply = _call(
+                    client, _modify_prompt(title, outline_now, content), retry)
+                if reply is None:
+                    return None
+                try:
+                    new_md = _parse_fenced(reply)["md"]
+                except ValueError:
+                    return None
+                reply2 = _call(client, _eval_prompt(title, new_md), retry)
+                if reply2 is None:
+                    return None
+                try:
+                    score = _parse_score(reply2)["score"]
+                except ValueError:
+                    return None
+                return {"sugg_id": sugg_id, "new_outline_md": new_md,
+                        "score": score}
+
+            cands = [c for c in _pmap(chain, range(best_of), threads) if c]
+            results = [r for r in _pmap(modify_eval, cands, threads) if r]
+            cycle_scores.append(
+                sorted((r["score"] for r in results), reverse=True))
+            pool = results + [{"sugg_id": "keep", "new_outline_md": state_md,
+                               "score": state_score}]
+            top = _prune_py(pool, 1)[0]
+            state_md, state_score = top["new_outline_md"], top["score"]
+        out = {
+            "survey_id": sid, "survey_title": title,
+            "outline_md": state_md, "eval_score": state_score,
+            "block_avg_score": row["block_avg_score"] or "[]",
+            "self_refine_score": _dumps(
+                _nested(row["self_refine_score"]) + [cycle_scores]),
+        }
+        return pd.DataFrame([out])
+
+    return best.groupBy("survey_id").applyInPandas(run, _CONV_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -484,19 +617,32 @@ def self_refine(best: DataFrame, client_factory, cfg: V2Config,
 # ---------------------------------------------------------------------------
 
 
+_DONE_SCHEMA = T.StructType([
+    T.StructField("survey_id", _STR, False),
+    T.StructField("pos", T.IntegerType(), False),
+    T.StructField("depth", T.IntegerType(), False),
+    T.StructField("title", _STR, True),
+    T.StructField("content", _STR, True),
+])
+
+
 def decode_survey(final_outline: DataFrame, digests: DataFrame, papers: DataFrame,
                   client_factory, cfg: V2Config,
                   retry: RetryPolicy | None = None) -> DataFrame:
+    """content.py:108-146 decode: leaf sections get prose from their digest
+    material (L14 orchestra — the per-section fan-out stays a row-parallel
+    llm_stage), then ONE per-survey ``applyInPandas`` walks the tree
+    bottom-up, summarizing parents from their children and polishing
+    (content.py:139-146 ready-queue semantics, without the level-synchronous
+    global barrier: each survey proceeds independently)."""
+    retry = retry or RetryPolicy()
+    outline_meta = final_outline.select("survey_id", "survey_title")
     nodes = skeleton.parse_outlines(
         final_outline, title_col="survey_title", md_col="outline_md"
-    ).localCheckpoint(eager=True)
-    # leaf = node that is no one's parent (content.py:139-146: leaves seed
-    # the ready queue)
-    pp = nodes.filter(F.size("node_path") > 1).select(
-        "survey_id",
-        F.expr("slice(node_path, 1, size(node_path) - 1)").alias("node_path"),
-    ).distinct()
-    leaves = nodes.join(pp, ["survey_id", "node_path"], "left_anti")
+    )
+    # leaf = node with no children (content.py:139-146: leaves seed the
+    # ready queue)
+    leaves = nodes.filter(F.col("n_children") == 0)
 
     # digest material per (survey, pos)
     section_digests = (
@@ -507,7 +653,7 @@ def decode_survey(final_outline: DataFrame, digests: DataFrame, papers: DataFram
                                            lambda s: s["v"])).alias("material"))
     )
     leaf_in = leaves.join(section_digests, ["survey_id", "pos"], "left") \
-        .join(final_outline.select("survey_id", "survey_title"), "survey_id")
+        .join(F.broadcast(outline_meta), "survey_id")
     contents = llm_stage(
         leaf_in.withColumn("material", F.coalesce("material", F.lit(""))),
         build_prompt=lambda r: (
@@ -519,72 +665,63 @@ def decode_survey(final_outline: DataFrame, digests: DataFrame, papers: DataFram
         parse=lambda s: {"content": s},
         client_factory=client_factory,
         payload_fields=_payload("content"),
-        keep_cols=["survey_id", "pos", "depth", "title"],
+        keep_cols=["survey_id", "pos"],
         retry=retry,
-    ).filter("llm_ok").select("survey_id", "pos", "depth", "title", "content")
+    ).filter("llm_ok").select("survey_id", "pos", "content")
 
-    # A6 level-synchronous bottom-up: parents summarize their children
-    max_depth = nodes.agg(F.max("depth")).collect()[0][0] or 0
-    done = contents
-    for d in range(max_depth - 1, -1, -1):
-        level_nodes = nodes.filter(F.col("depth") == d).join(
-            done.select("survey_id", "pos").distinct(), ["survey_id", "pos"],
-            "left_anti",
-        )
-        if level_nodes.isEmpty():
-            continue
-        children = nodes.filter(F.size("node_path") > 1).select(
-            "survey_id", "pos",
-            F.expr("slice(node_path, 1, size(node_path) - 1)").alias("parent_path"),
-        ).join(done, ["survey_id", "pos"]) \
-         .withColumnRenamed("pos", "child_pos")
-        subcontent = (
-            children.join(
-                level_nodes.select("survey_id",
-                                   F.col("node_path").alias("parent_path"),
-                                   F.col("pos").alias("parent_pos"),
-                                   F.col("title").alias("parent_title"),
-                                   F.col("depth").alias("parent_depth")),
-                ["survey_id", "parent_path"],
-            )
-            .withColumn("__c", F.struct(F.col("child_pos").alias("k"),
-                                        F.col("content").alias("v")))
-            .groupBy("survey_id", "parent_pos", "parent_title", "parent_depth")
-            .agg(F.concat_ws("\n\n", F.transform(
-                F.array_sort(F.collect_list("__c")), lambda s: s["v"])).alias("subcontents"))
-        ).join(final_outline.select("survey_id", "survey_title"), "survey_id")
-        parent_content = llm_stage(
-            subcontent,
-            build_prompt=lambda r: (
-                f"[SUMMARY] Survey title: {r['survey_title']}\n"
-                f"Section title: {r['parent_title']}\n"
-                f"Subsections:\n{r['subcontents'][:3000]}\n"
-                "Summarize into the parent section's lead prose."
-            ),
-            parse=lambda s: {"content": s},
-            client_factory=client_factory,
-            payload_fields=_payload("content"),
-            keep_cols=["survey_id", "parent_pos", "parent_title", "parent_depth"],
-            retry=retry,
-        ).filter("llm_ok").select(
-            "survey_id", F.col("parent_pos").alias("pos"),
-            F.col("parent_depth").alias("depth"),
-            F.col("parent_title").alias("title"), "content",
-        )
-        done = done.unionByName(parent_content).localCheckpoint(eager=True)
+    # A6 bottom-up assembly + L15 polish, fused per survey
+    asm_in = (
+        nodes.select("survey_id", "pos", "node_path", "depth", "title", "n_children")
+        .join(contents, ["survey_id", "pos"], "left")
+        .join(F.broadcast(outline_meta), "survey_id")
+    )
+    polish, threads = cfg.polish, cfg.llm_threads
 
-    if cfg.polish:
-        done = llm_stage(
-            done,
-            build_prompt=lambda r: (
-                f"[POLISH] Section title: {r['title']}\nDraft:\n{r['content']}"
-            ),
-            parse=lambda s: {"content": s},
-            client_factory=client_factory,
-            payload_fields=_payload("content"),
-            keep_cols=["survey_id", "pos", "depth", "title"],
-            retry=retry,
-        ).filter("llm_ok").select("survey_id", "pos", "depth", "title", "content")
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        client = client_factory()
+        rows = pdf.sort_values("pos").to_dict("records")
+        survey_title = rows[0]["survey_title"]
+        content: dict[int, str] = {
+            r["pos"]: r["content"] for r in rows
+            if r["n_children"] == 0 and r["content"] is not None
+        }
+        children_of: dict[tuple, list[dict]] = {}
+        for r in rows:
+            path = tuple(r["node_path"])
+            if len(path) > 1:
+                children_of.setdefault(path[:-1], []).append(r)
+        # bottom-up: deepest parents first; a parent whose children all
+        # failed stays contentless (same as the staged inner-join semantics)
+        parents = [r for r in rows if r["n_children"] > 0]
+        for r in sorted(parents, key=lambda r: (-r["depth"], r["pos"])):
+            kids = [content[c["pos"]]
+                    for c in children_of.get(tuple(r["node_path"]), [])
+                    if c["pos"] in content]
+            if not kids:
+                continue
+            reply = _call(
+                client,
+                _summary_prompt(survey_title, r["title"], "\n\n".join(kids)),
+                retry)
+            if reply is not None:
+                content[r["pos"]] = reply
+        out_rows = [
+            {"survey_id": r["survey_id"], "pos": r["pos"], "depth": r["depth"],
+             "title": r["title"], "content": content[r["pos"]]}
+            for r in rows if r["pos"] in content
+        ]
+        if polish:
+            replies = _pmap(
+                lambda r: _call(client, _polish_prompt(r["title"], r["content"]),
+                                retry),
+                out_rows, threads)
+            out_rows = [
+                {**r, "content": rep} for r, rep in zip(out_rows, replies)
+                if rep is not None
+            ]
+        return pd.DataFrame(out_rows, columns=[f.name for f in _DONE_SCHEMA.fields])
+
+    done = asm_in.groupBy("survey_id").applyInPandas(assemble, _DONE_SCHEMA)
 
     # L16/J5 figures: propose from the assembled draft, anchor per section
     # (figure_module.py:27-48)
@@ -600,7 +737,7 @@ def decode_survey(final_outline: DataFrame, digests: DataFrame, papers: DataFram
             .groupBy("survey_id")
             .agg(F.concat_ws("\n\n", F.transform(
                 F.array_sort(F.collect_list("__s")), lambda s: s["v"])).alias("content_md"))
-            .join(final_outline.select("survey_id", "survey_title"), "survey_id")
+            .join(F.broadcast(outline_meta), "survey_id")
         )
         figs = generate_figures(draft_with_heads, client_factory, retry)
         done = anchor_figures(done, figs)
@@ -629,9 +766,10 @@ def decode_survey(final_outline: DataFrame, digests: DataFrame, papers: DataFram
     return (
         assembled.join(ratios, "survey_id", "left")
         .join(refs, "survey_id", "left")
-        .join(final_outline, "survey_id")
+        .join(F.broadcast(final_outline), "survey_id")
         .select("survey_id", "survey_title", "outline_md", "content_md",
-                "ref_str", "cite_ratio", "n_papers", "n_sections", "eval_score")
+                "ref_str", "cite_ratio", "n_papers", "n_sections", "eval_score",
+                "block_avg_score", "self_refine_score")
     )
 
 
@@ -643,15 +781,57 @@ def decode_survey(final_outline: DataFrame, digests: DataFrame, papers: DataFram
 def run_v2_survey(surveys: DataFrame, client_factory,
                   cfg: V2Config | None = None,
                   retry: RetryPolicy | None = None) -> DataFrame:
-    """SURVEYS_INPUT rows → one output row per survey (S5 shape)."""
+    """SURVEYS_INPUT rows → one output row per survey (S5 shape).
+
+    Implements the reference's block cycle (hidden_pipeline.py:73-85): while
+    ``block_cycle_count < block_count``, the survey loops
+    ``digest → skeleton_refine → digest`` — so decode always consumes digests
+    regenerated against the *refined* outline, and the digest→section join
+    in :func:`decode_survey` cannot misalign when refinement restructures the
+    outline.  ``block_count=0`` decodes the unrefined outline (args.py:21
+    default); the shipped script uses 1 (scripts/pipeline_start.sh:13).
+    """
     cfg = cfg or V2Config()
-    papers = build_papers(surveys).localCheckpoint(eager=True)
-    grouped = group_papers(papers, cfg, client_factory, retry)
-    outlines = init_outlines(grouped, client_factory, cfg, retry) \
-        .localCheckpoint(eager=True)
-    digests, _dead = make_digests(grouped, outlines, client_factory, cfg, retry)
-    digests = digests.localCheckpoint(eager=True)
-    suggestions = feedback_suggestions(digests, outlines, client_factory, retry)
-    best = convolution_block(outlines, suggestions, client_factory, cfg, retry)
-    refined = self_refine(best, client_factory, cfg, retry).localCheckpoint(eager=True)
-    return decode_survey(refined, digests, papers, client_factory, cfg, retry)
+    spark = surveys.sparkSession
+    prev_parts = None
+    if cfg.shuffle_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
+    try:
+        papers = build_papers(surveys).localCheckpoint(eager=True)
+        grouped = group_papers(papers, cfg, client_factory, retry)
+        outlines = init_outlines(grouped, client_factory, cfg, retry) \
+            .localCheckpoint(eager=True)
+        digests, _dead = make_digests(grouped, outlines, client_factory, cfg, retry)
+        cur = outlines.select(
+            "survey_id", "survey_title", "outline_md",
+            F.lit(None).cast("double").alias("eval_score"),
+            F.lit("[]").alias("block_avg_score"),
+            F.lit("[]").alias("self_refine_score"),
+        )
+        for _cycle in range(cfg.block_count):
+            digests = digests.localCheckpoint(eager=True)
+            suggestions = feedback_suggestions(digests, cur, client_factory, retry)
+            best = convolution_block(cur, suggestions, client_factory, cfg, retry)
+            cur = self_refine(best, client_factory, cfg, retry) \
+                .localCheckpoint(eager=True)
+            # re-digest against the refined outline (digest_node re-entry)
+            digests, _dead = make_digests(grouped, cur, client_factory, cfg, retry)
+        digests = digests.localCheckpoint(eager=True)
+        # lift the JSON score bookkeeping back into typed nested arrays now
+        # that no pandas boundary remains (see _CONV_SCHEMA note)
+        cur = cur.withColumn(
+            "block_avg_score", F.from_json("block_avg_score", _BLOCK_SCORES)
+        ).withColumn(
+            "self_refine_score", F.from_json("self_refine_score", _REFINE_SCORES)
+        )
+        out = decode_survey(cur, digests, papers, client_factory, cfg, retry) \
+            .withColumn("block_cycle_count", F.lit(cfg.block_count))
+        if cfg.shuffle_partitions is not None:
+            # materialize before the session conf is restored, so the decode
+            # shuffles actually run at the pipeline's sizing
+            out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

@@ -1,0 +1,111 @@
+"""Block cycle (hidden_pipeline.py:73-85): digests regenerated against the
+refined outline, so structural refinement cannot misalign decode's
+digest-to-section join — the round-2 latent bug."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from llmxmapreduce_spark.llm.survey_mock import (
+    MockSurveyClient,
+    RestructuringSurveyClient,
+)
+from llmxmapreduce_spark.pipelines import v2_survey as v2
+from tests.test_v2_pipeline import make_surveys
+
+SEC = RestructuringSurveyClient.SECTION
+
+
+def _cfg(**kw):
+    base = dict(conv_layers=1, receptive_field=2, result_num=2, top_k=2,
+                refine_rounds=1, best_of=1, polish=False, block_count=1)
+    base.update(kw)
+    return v2.V2Config(**base)
+
+
+def test_redigest_aligns_to_restructured_outline(spark):
+    """Direct alignment property: after a structure-changing refinement,
+    make_digests against the refined outline puts each section's extract at
+    that section's (new) preorder pos."""
+    from llmxmapreduce_spark.operators.skeleton import parse_outline_py
+
+    surveys = make_surveys(spark, n_surveys=1, n_papers=4)
+    cfg = _cfg()
+    papers = v2.build_papers(surveys)
+    grouped = v2.group_papers(papers, cfg)
+    outlines = v2.init_outlines(grouped, MockSurveyClient, cfg)
+    o = outlines.collect()[0]
+    # refine = insert a section under the root, shifting every pos by one
+    lines = o["outline_md"].split("\n")
+    lines[1:1] = [f"## {SEC}", "Cross-cutting new directions."]
+    refined_md = "\n".join(lines)
+    refined = spark.createDataFrame(
+        [(o["survey_id"], o["survey_title"], refined_md)],
+        "survey_id string, survey_title string, outline_md string",
+    )
+    digests, dead = v2.make_digests(grouped, refined, MockSurveyClient, cfg)
+    assert dead.count() == 0
+    titles = {n["pos"]: n["title"].strip()
+              for n in parse_outline_py(o["survey_title"], refined_md)}
+    rows = digests.collect()
+    assert rows, "re-digestion produced no sections"
+    seen_titles = set()
+    for r in rows:
+        if not r["description"]:
+            continue
+        assert f"Extract for {titles[r['pos']]} " in r["description"], (
+            r["pos"], titles[r["pos"]], r["description"][:120])
+        seen_titles.add(titles[r["pos"]])
+    assert SEC in seen_titles  # the NEW section got digest material too
+
+
+@pytest.fixture(scope="module")
+def cycle_out(spark):
+    surveys = make_surveys(spark, n_surveys=1, n_papers=4)
+    return v2.run_v2_survey(surveys, RestructuringSurveyClient, _cfg()).collect()
+
+
+def test_block_cycle_decodes_restructured_section(cycle_out):
+    (r,) = cycle_out
+    assert r["block_cycle_count"] == 1
+    assert f"## {SEC}" in r["outline_md"] or f"# {SEC}" in r["outline_md"]
+    # the inserted section is decoded AND carries digest-derived prose with
+    # citations — impossible without re-digestion (its pos did not exist in
+    # the initial outline)
+    import re
+
+    m = re.search(rf"# {SEC}\nGenerated prose for {SEC}\. \[[0-9,]+\]",
+                  r["content_md"])
+    assert m, r["content_md"][:400]
+
+
+def test_block_cycle_bookkeeping(cycle_out):
+    (r,) = cycle_out
+    # one block cycle: conv initial pass + conv_layers layer averages
+    assert len(r["block_avg_score"]) == 1
+    assert len(r["block_avg_score"][0]) == 1 + 1  # initial pass + 1 layer
+    assert all(0.0 <= s <= 10.0 for s in r["block_avg_score"][0])
+    # self-refine: 1 cycle × refine_rounds × best_of chain scores
+    assert len(r["self_refine_score"]) == 1
+    assert len(r["self_refine_score"][0]) == 1
+    assert len(r["self_refine_score"][0][0]) == 1
+
+
+def test_block_count_zero_skips_refinement(spark):
+    surveys = make_surveys(spark, n_surveys=1, n_papers=4)
+    out = v2.run_v2_survey(surveys, RestructuringSurveyClient,
+                           _cfg(block_count=0)).collect()
+    (r,) = out
+    assert r["block_cycle_count"] == 0
+    assert r["eval_score"] is None          # no conv/refine ran
+    assert r["block_avg_score"] == []
+    assert SEC not in r["outline_md"]       # modify never invoked
+
+
+def test_block_count_two_runs_two_cycles(spark):
+    surveys = make_surveys(spark, n_surveys=1, n_papers=4)
+    out = v2.run_v2_survey(surveys, MockSurveyClient,
+                           _cfg(block_count=2)).collect()
+    (r,) = out
+    assert r["block_cycle_count"] == 2
+    assert len(r["block_avg_score"]) == 2
+    assert len(r["self_refine_score"]) == 2
