@@ -327,10 +327,14 @@ def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Engine-portable md5 twin (the DuckDB oracle can reproduce it); the
+    xxhash64 default is the production path, covered by tests."""
     from llmxmapreduce_spark.operators import text_stats
 
     d = load_table(spark, sf, "documents")
-    return d.select("doc_id", text_stats.fingerprint(F.col("text")).alias("fingerprint"))
+    return d.select(
+        "doc_id",
+        text_stats.fingerprint(F.col("text"), algo="md5").alias("fingerprint"))
 
 
 def q_events_sliding(spark: SparkSession, sf: str) -> DataFrame:
@@ -627,20 +631,118 @@ def q_qa_f1_score(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_v1_scorers(spark: SparkSession, sf: str) -> DataFrame:
-    """InfiniteBench containment + last-capital scorers
-    (compute_scores.py:143-163, 185-213)."""
+    """InfiniteBench column scorers, reference-faithful
+    (compute_scores.py:139-182, 230-258): whole digit-run membership
+    (passkey/number_string), whole-word membership after separator strip
+    (kv_retrieval), last-word-as-int (code_run), first-number equality
+    (math_find, int + float label branches), uppercase containment
+    (longdialogue).  Fixtures plant both hits and the adversarial
+    substring-but-not-token cases (gt '0123' inside token '00123' must be 0).
+    """
     from llmxmapreduce_spark.operators import eval_ops
 
     d = load_table(spark, sf, "documents")
-    gt = F.when(F.col("doc_id") % 3 == 0, F.lit("zzqq_not_present")) \
-        .otherwise(F.substring("text", 10, 15))
-    pred_cap = F.concat(F.lit("Analysis A then answer "),
-                        F.when(F.col("doc_id") % 2 == 0, F.lit("B")).otherwise(F.lit("C")))
+    key = F.lpad((F.col("doc_id") * 7919 % 99991).cast("string"), 5, "0")
+    digit_label = F.when(F.col("doc_id") % 2 == 0, key) \
+        .otherwise(F.substring(key, 2, 4))          # substring of the run → 0
+    digit_pred = F.concat(F.lit("key SK-"), key, F.lit(" end"))
+    word = F.concat(F.lit("w"), key)
+    kv_pred = F.concat(F.lit('The value is "'), word, F.lit('".'))
+    kv_label = F.when(F.col("doc_id") % 3 == 0, word) \
+        .otherwise(F.substring(word, 1, 4))         # prefix substring → 0
+    run_n = (F.col("doc_id") % 1000).cast("string")
+    run_pred = F.concat(F.lit("The result is: "), run_n, F.lit("."))
+    run_label = F.when(F.col("doc_id") % 2 == 0, run_n) \
+        .otherwise((F.col("doc_id") % 1000 + 1).cast("string"))
+    mf_first = (F.col("doc_id") % 50).cast("string")
+    mf_pred = F.concat(F.lit("About "), mf_first, F.lit(" items and later 999"))
+    mf_label = (
+        F.when(F.col("doc_id") % 3 == 0, mf_first)            # first number → 1
+        .when(F.col("doc_id") % 3 == 1, F.lit("999"))         # later number → 0
+        .otherwise(F.concat(mf_first, F.lit(".0")))           # float label → 1
+    )
+    dia_pred = F.lit("He SAID YES clearly.")
+    dia_label = F.when(F.col("doc_id") % 2 == 0, F.lit("said yes")) \
+        .otherwise(F.lit("nope"))
     return d.select(
         "doc_id",
-        eval_ops.containment_score(F.col("text"), gt).alias("containment"),
-        eval_ops.last_capital_score(pred_cap, F.lit("B")).alias("last_capital"),
+        eval_ops.digit_token_score(digit_pred, digit_label).alias("digit_score"),
+        eval_ops.retrieval_word_score(kv_pred, kv_label).alias("kv_score"),
+        eval_ops.code_run_score(run_pred, run_label).alias("code_run_score"),
+        eval_ops.math_find_score(mf_pred, mf_label).alias("math_find_score"),
+        eval_ops.longdialogue_score(dia_pred, F.array(dia_label)).alias("dialogue_score"),
     )
+
+
+def q_v1_option_scorers(spark: SparkSession, sf: str) -> DataFrame:
+    """The prefix-fallback option scorers (compute_scores.py:185-227
+    code_debug, :261-310 longbook_choice, :331-355 math_calc) over a planted
+    truth-table fixture; the oracle holds the hand-derived expected scores
+    per variant."""
+    from llmxmapreduce_spark.operators import eval_ops
+
+    d = load_table(spark, sf, "documents")
+    v = F.col("doc_id") % 5
+    debug_pred = (
+        F.when(v == 0, F.lit("Deep dive.\nThe answer is: B indeed"))
+        .when(v == 1, F.lit("Answer: C\nlater the option D"))
+        .when(v == 2, F.lit("my_function fixes it"))
+        .when(v == 3, F.lit("The answer is B. See Chapter X"))
+        .otherwise(F.lit("nothing useful"))
+    )
+    c = F.col("doc_id") % 4
+    choice_pred = (
+        F.when(c == 0, F.lit("A. Because of the twist"))
+        .when(c == 1, F.lit("The best option is B"))
+        .when(c == 2, F.lit("answer is C"))
+        .otherwise(F.lit("no clue here"))
+    )
+    choice_labels = F.when(c == 2, F.array(F.lit("C"), F.lit("C) theme"))) \
+        .otherwise(F.array(F.lit("A"), F.lit("A) plot")))
+    k = F.col("doc_id") % 5
+    calc_pred = (
+        F.when(k == 0, F.lit("starts wrong: 9 9 9 9"))
+        .when(k == 1, F.lit("1 then 99 nope"))
+        .when(k == 2, F.lit("1 2 break 77"))
+        .when(k == 3, F.lit("1,2,3 then 0"))
+        .otherwise(F.lit("1 2 3 4 all right"))
+    )
+    calc_labels = F.array(*[F.lit(i).cast("long") for i in (1, 2, 3, 4)])
+    return d.select(
+        "doc_id",
+        eval_ops.code_debug_score(debug_pred, F.lit("B"),
+                                  F.lit("my_function")).alias("debug_score"),
+        eval_ops.longbook_choice_score(choice_pred, choice_labels).alias("choice_score"),
+        eval_ops.math_calc_score(calc_pred, calc_labels).alias("calc_score"),
+    )
+
+
+def q_rouge_lsum(spark: SparkSession, sf: str) -> DataFrame:
+    """ROUGE-Lsum (rouge.py port of rouge_score summary-level LCS) on a
+    planted fixture with a closed-form score: the label is 3 token-disjoint
+    newline sentences (4 tokens each), the prediction keeps k = doc_id%4 of
+    them plus (3-k) disjoint noise sentences (1 token each), so
+    hits = 4k, P = 4k/(3k+3), R = 4k/12, F1 closed-form in the oracle."""
+    from llmxmapreduce_spark.operators.rouge import rouge_lsum
+
+    d = load_table(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+
+    def sent(i: int):
+        return F.concat(F.lit(f"alpha{i} beta{i} gamma{i} d"), did, F.lit(f"x{i}"))
+
+    def noise(i: int):
+        return F.concat(F.lit(f"noise{i}z"), did)
+
+    label = F.concat_ws("\n", sent(0), sent(1), sent(2))
+    k = F.col("doc_id") % 4
+    pred = (
+        F.when(k == 0, F.concat_ws("\n", noise(0), noise(1), noise(2)))
+        .when(k == 1, F.concat_ws("\n", sent(0), noise(1), noise(2)))
+        .when(k == 2, F.concat_ws("\n", sent(0), sent(1), noise(2)))
+        .otherwise(F.concat_ws("\n", sent(0), sent(1), sent(2)))
+    )
+    return d.select("doc_id", rouge_lsum(pred, label).alias("rouge_lsum"))
 
 
 def q_v2_survey_pipeline(spark: SparkSession, sf: str) -> DataFrame:
@@ -808,6 +910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p17_html_extract": q_p17_html_extract,
         "qa_f1_score": q_qa_f1_score,
         "v1_scorers": q_v1_scorers,
+        "v1_option_scorers": q_v1_option_scorers,
+        "rouge_lsum": q_rouge_lsum,
         "v1_qa_secret_key": q_v1_qa_secret_key,
         "v2_survey_pipeline": q_v2_survey_pipeline,
         "v2_block_cycle": q_v2_block_cycle,
@@ -1370,18 +1474,86 @@ def oracle_sql() -> dict[str, str]:
                 r" '\b(a|an|the)\b', ' ', 'g'), '\s+', ' ', 'g'))"
             )
         ),
-        "v1_scorers": """
+        "v1_scorers": r"""
             WITH s AS (
-                SELECT doc_id, text,
-                       CASE WHEN doc_id % 3 = 0 THEN 'zzqq_not_present'
-                            ELSE SUBSTR(text, 10, 15) END AS gt,
-                       'Analysis A then answer ' ||
-                       CASE WHEN doc_id % 2 = 0 THEN 'B' ELSE 'C' END AS pred_cap
-                FROM documents)
+                SELECT doc_id,
+                       lpad(CAST(doc_id * 7919 % 99991 AS VARCHAR), 5, '0') AS key,
+                       CAST(doc_id % 1000 AS VARCHAR) AS run_n,
+                       CAST(doc_id % 50 AS VARCHAR) AS mf_first
+                FROM documents),
+            x AS (
+                SELECT doc_id, key, run_n, mf_first,
+                       CASE WHEN doc_id % 2 = 0 THEN key
+                            ELSE substr(key, 2, 4) END AS digit_label,
+                       'key SK-' || key || ' end' AS digit_pred,
+                       'w' || key AS word,
+                       'The value is "' || 'w' || key || '".' AS kv_pred,
+                       'The result is: ' || run_n || '.' AS run_pred,
+                       CASE WHEN doc_id % 2 = 0 THEN run_n
+                            ELSE CAST(doc_id % 1000 + 1 AS VARCHAR) END AS run_label,
+                       'About ' || mf_first || ' items and later 999' AS mf_pred,
+                       CASE WHEN doc_id % 3 = 0 THEN mf_first
+                            WHEN doc_id % 3 = 1 THEN '999'
+                            ELSE mf_first || '.0' END AS mf_label,
+                       CASE WHEN doc_id % 2 = 0 THEN 'said yes'
+                            ELSE 'nope' END AS dia_label
+                FROM s)
             SELECT doc_id,
-                   CASE WHEN STRPOS(text, gt) > 0 THEN 1.0 ELSE 0.0 END AS containment,
-                   CASE WHEN regexp_extract_all(pred_cap, '[A-Z]')[-1] = 'B'
-                        THEN 1.0 ELSE 0.0 END AS last_capital
+                   CAST(CASE WHEN list_contains(
+                            string_split_regex(digit_pred, '[^0-9]'), digit_label)
+                        THEN 1 ELSE 0 END AS DOUBLE) AS digit_score,
+                   CAST(CASE WHEN list_contains(
+                            string_split_regex(
+                                translate(kv_pred, chr(10) || ':"''.,?!{}',
+                                          '          '), '\s+'),
+                            CASE WHEN doc_id % 3 = 0 THEN word
+                                 ELSE substr(word, 1, 4) END)
+                        THEN 1 ELSE 0 END AS DOUBLE) AS kv_score,
+                   CAST(CASE WHEN TRY_CAST(
+                            list_filter(
+                                string_split_regex(
+                                    translate(trim(run_pred),
+                                              chr(10) || '.`''":', '      '),
+                                    '\s+'),
+                                w -> w <> '')[-1] AS BIGINT)
+                            = TRY_CAST(run_label AS BIGINT)
+                        THEN 1 ELSE 0 END AS DOUBLE) AS code_run_score,
+                   CAST(CASE WHEN strpos(mf_label, '.') > 0
+                        THEN CASE WHEN CAST(regexp_extract(mf_pred, '\d+\.\d+|\d+')
+                                           AS DOUBLE)
+                                       = CAST(mf_label AS DOUBLE)
+                                  THEN 1 ELSE 0 END
+                        ELSE CASE WHEN strpos(regexp_extract(mf_pred,
+                                                             '\d+\.\d+|\d+'),
+                                              '.') = 0
+                                       AND CAST(regexp_extract(mf_pred,
+                                                               '\d+\.\d+|\d+')
+                                                AS BIGINT)
+                                           = CAST(mf_label AS BIGINT)
+                                  THEN 1 ELSE 0 END
+                        END AS DOUBLE) AS math_find_score,
+                   CAST(CASE WHEN strpos(upper(trim('He SAID YES clearly.')),
+                                         upper(dia_label)) > 0
+                        THEN 1 ELSE 0 END AS DOUBLE) AS dialogue_score
+            FROM x
+        """,
+        "v1_option_scorers": """
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 5 IN (0, 2, 3) THEN 1 ELSE 0 END
+                        AS DOUBLE) AS debug_score,
+                   CAST(CASE WHEN doc_id % 4 IN (0, 2) THEN 1 ELSE 0 END
+                        AS DOUBLE) AS choice_score,
+                   CAST(doc_id % 5 AS DOUBLE) / 4 AS calc_score
+            FROM documents
+        """,
+        "rouge_lsum": """
+            WITH s AS (SELECT doc_id, CAST(doc_id % 4 AS DOUBLE) AS k
+                       FROM documents)
+            SELECT doc_id,
+                   CASE WHEN k = 0 THEN CAST(0 AS DOUBLE)
+                        ELSE (2 * ((4 * k) / (3 * k + 3)) * ((4 * k) / 12))
+                             / (((4 * k) / (3 * k + 3)) + ((4 * k) / 12))
+                   END AS rouge_lsum
             FROM s
         """,
         "v1_qa_secret_key": """

@@ -201,10 +201,8 @@ def extract_answer(reply: Column) -> Column:
     as the reference does), then cut at the last ``置信度分数：`` and last
     ``Confidence Score:`` markers.  No trimming — the reference returns the
     slice verbatim."""
-    out = reply
-    # Prefix loop: first prefix found wins (reference iterates in order and
-    # returns inside the loop).
-    for prefix in reversed(ANS_PREFIXES):
+    out = None
+    for prefix in ANS_PREFIXES:
         # substring_index(.., -1) = text after the LAST occurrence; the
         # reference then skips one extra character (pred[idx+len(prefix)+1:]).
         tail = F.substring_index(reply, prefix, -1)
@@ -216,11 +214,14 @@ def extract_answer(reply: Column) -> Column:
                 "(?s)" + re.escape(marker) + "(?:(?!" + re.escape(marker) + ").)*$",
                 "",
             )
-        # The reference breaks (returns the input unchanged) when nothing
-        # follows the prefix (process_answer.py:41-43).
-        out = F.when(reply.contains(prefix) & (F.length(tail) >= 1), after).otherwise(out)
-    # reversed() makes ANS_PREFIXES[0]'s WHEN outermost = first prefix wins.
-    return out
+        # The reference BREAKS (returns the input unchanged) when nothing
+        # follows the prefix (process_answer.py:41-43) — a found-but-empty
+        # first prefix must NOT fall through to the second prefix, so each
+        # contains() clause owns both its extract and its break case.
+        val = F.when(F.length(tail) >= 1, after).otherwise(reply)
+        out = (F.when(reply.contains(prefix), val) if out is None
+               else out.when(reply.contains(prefix), val))
+    return out.otherwise(reply)
 
 
 # ---------------------------------------------------------------------------
@@ -246,6 +247,17 @@ def normalize_answer_py(s: str) -> str:
     s = "".join(ch for ch in s if ch not in set(string.punctuation))
     s = re.sub(r"\b(a|an|the)\b", " ", s)
     return " ".join(s.split())
+
+
+def normalize_answer_zh_py(s: str) -> str:
+    """Pure-Python twin (mirrors compute_scores.py:35-49 exactly)."""
+    cn = (
+        "！？｡。＂＃＄％＆＇（）＊＋，－／：；＜＝＞＠［＼］＾＿｀｛｜｝～｟｠｢｣､、〃》「」"
+        "『』【】〔〕〖〗〘〙〚〛〜〝〞〟〰〾〿–—‘’‛“”„‟…‧﹏."
+    )
+    exclude = set(string.punctuation + cn)
+    s = "".join(ch for ch in s.lower() if ch not in exclude)
+    return "".join(s.split())
 
 
 def normalize_answer_zh(s: Column) -> Column:

@@ -2,16 +2,22 @@
 eval/infinitebench/eval_infinitebench_MR.py:104-147, process_answer.py,
 compute_scores.py).
 
-task JSONL → run_v1_qa → task-specific answer post-processing (P13) →
-per-task scorer → per-task averages (A8-style) → S8 CSV shape.
+task JSONL → run_v1_qa → task-specific answer post-processing (P13,
+``task_special_process``) → per-task scorer (``get_score_one``) → per-task
+averages (A8-style) → S8 CSV shape.
 
-Task → scorer mapping (compute_scores.py):
-- passkey / number_string / kv_retrieval → containment
-- longbook_qa_* / longdialogue_qa_eng    → normalized token F1
-- longbook_choice_eng / code_debug       → last-capital-letter match
-- math_find / code_run                   → first-number containment
-(ROUGE for longbook_sum_eng needs the `evaluate` package — not in this
-environment; summarization falls back to token F1, flagged in the output.)
+Task → scorer mapping (compute_scores.py:358-388, all reference-faithful):
+- passkey / number_string      → whole digit-run membership (my_find_key)
+- kv_retrieval                 → whole-word membership after separator strip
+- code_run                     → last word parsed as int, numeric equality
+- code_debug                   → last standalone [A-J] + prefix fallbacks
+- longbook_choice_eng          → last standalone [A-D] + prefix fallbacks
+- longdialogue_qa_eng          → uppercase label containment (0/1)
+- longbook_qa_eng              → normalized token F1
+- longbook_qa_chn              → zh char-level F1
+- longbook_sum_eng             → ROUGE-Lsum (dependency-free port)
+- math_find                    → first number, numeric equality
+- math_calc                    → matching number-prefix ratio
 """
 
 from __future__ import annotations
@@ -21,45 +27,101 @@ from pyspark.sql import functions as F
 
 from llmxmapreduce_spark.functions import text as X
 from llmxmapreduce_spark.operators.eval_ops import (
-    containment_score,
-    last_capital_score,
+    code_debug_score,
+    code_run_score,
+    digit_token_score,
+    longbook_choice_score,
+    longdialogue_score,
+    math_calc_score,
+    math_find_score,
     qa_f1,
+    qa_f1_zh,
+    retrieval_word_score,
 )
+from llmxmapreduce_spark.operators.rouge import rouge_lsum
 
-CONTAINMENT_TASKS = {"passkey", "number_string", "kv_retrieval",
-                     "math_find", "code_run"}
-F1_TASKS = {"longbook_qa_eng", "longbook_qa_chn", "longdialogue_qa_eng",
-            "longbook_sum_eng"}
-CAPITAL_TASKS = {"longbook_choice_eng", "code_debug"}
+DIGIT_TASKS = {"passkey", "number_string"}
+CHOICE_TASKS = {"longbook_choice_eng", "code_debug"}
+QA_EXTRACT_TASKS = {"longbook_qa_eng", "longbook_qa_chn",
+                    "longdialogue_qa_eng", "longbook_sum_eng"}
+
+
+def _cut_last(col, marker: str):
+    """text[:rfind(marker)] when present, else unchanged."""
+    head_len = (F.length(col) - F.length(F.substring_index(col, marker, -1))
+                - len(marker))
+    return F.when(col.contains(marker), col.substr(F.lit(1), head_len)) \
+        .otherwise(col)
 
 
 def postprocess_predictions(preds: DataFrame, task_col: str = "task",
                             pred_col: str = "prediction") -> DataFrame:
-    """P13 per task (process_answer.py:35-57): QA/sum tasks strip the
-    answer tail; choice tasks keep the prefixed form."""
-    extracted = X.extract_answer(F.col(pred_col))
+    """P13 ``task_special_process`` (process_answer.py:35-57), faithful:
+    prefixes tried in order (``Answer:`` then ``答案：``) against the LAST
+    occurrence; a found-but-empty prefix breaks with the prediction
+    unchanged; choice tasks get ``'answer: ' + tail`` ONLY when a prefix was
+    actually found; QA/sum tasks take the tail and cut trailing confidence
+    markers; every other task passes through untouched."""
+    p = F.col(pred_col)
+    choice_expr, qa_expr = None, None
+    for prefix in X.ANS_PREFIXES:
+        tail = F.substring_index(p, prefix, -1)
+        after = F.substring(tail, 2, 2147483647)
+        found = p.contains(prefix)
+        ok = F.length(tail) >= 1
+        choice_val = F.when(ok, F.concat(F.lit("answer: "), after)).otherwise(p)
+        qa_tail = _cut_last(_cut_last(after, X._CONFIDENCE_MARKERS[0]),
+                            X._CONFIDENCE_MARKERS[1])
+        qa_val = F.when(ok, qa_tail).otherwise(p)
+        choice_expr = (F.when(found, choice_val) if choice_expr is None
+                       else choice_expr.when(found, choice_val))
+        qa_expr = (F.when(found, qa_val) if qa_expr is None
+                   else qa_expr.when(found, qa_val))
     return preds.withColumn(
         pred_col,
-        F.when(F.col(task_col).isin(*F1_TASKS), extracted)
-        .when(F.col(task_col).isin(*CAPITAL_TASKS),
-              F.concat(F.lit("answer: "), extracted))
-        .otherwise(F.col(pred_col)),
+        F.when(F.col(task_col).isin(*CHOICE_TASKS), choice_expr.otherwise(p))
+        .when(F.col(task_col).isin(*QA_EXTRACT_TASKS), qa_expr.otherwise(p))
+        .otherwise(p),
     )
 
 
 def score_predictions(preds: DataFrame, task_col: str = "task",
                       pred_col: str = "prediction",
-                      gt_col: str = "ground_truth") -> DataFrame:
-    """One score column per row, scorer chosen by task."""
-    with_f1 = qa_f1(preds, pred_col, gt_col, out_col="__f1")
-    score = (
-        F.when(F.col(task_col).isin(*CONTAINMENT_TASKS),
-               containment_score(F.col(pred_col), F.col(gt_col)))
-        .when(F.col(task_col).isin(*CAPITAL_TASKS),
-              last_capital_score(F.col(pred_col), F.col(gt_col)))
-        .otherwise(F.col("__f1"))
+                      gt_col: str = "ground_truth",
+                      fn_name_col: str | None = None) -> DataFrame:
+    """One score column per row, scorer chosen by task
+    (compute_scores.py:358-388).
+
+    ``ground_truth`` is a string column; list-labelled tasks
+    (longdialogue/choice) treat it as a single-element label list, and
+    math_calc parses it as a separator-delimited number list.  code_debug's
+    function-name fallback label comes from ``fn_name_col`` when provided
+    (the reference's ``label[0]``)."""
+    p, gt = F.col(pred_col), F.col(gt_col)
+    fn = F.col(fn_name_col) if fn_name_col else F.lit(None).cast("string")
+    gt_list = F.array(gt)
+    gt_nums = F.transform(
+        F.filter(F.split(gt, r"[^0-9]"), lambda x: x != F.lit("")),
+        lambda x: x.cast("long"),
     )
-    return with_f1.withColumn("score", score).drop("__f1")
+    with_f1 = qa_f1(preds, pred_col, gt_col, out_col="__f1")
+    with_f1 = qa_f1_zh(with_f1, pred_col, gt_col, out_col="__f1_zh")
+    score = (
+        F.when(F.col(task_col).isin(*DIGIT_TASKS), digit_token_score(p, gt))
+        .when(F.col(task_col) == "kv_retrieval", retrieval_word_score(p, gt))
+        .when(F.col(task_col) == "code_run", code_run_score(p, gt))
+        .when(F.col(task_col) == "code_debug", code_debug_score(p, gt, fn))
+        .when(F.col(task_col) == "longbook_choice_eng",
+              longbook_choice_score(p, gt_list))
+        .when(F.col(task_col) == "longdialogue_qa_eng",
+              longdialogue_score(p, gt_list))
+        .when(F.col(task_col) == "longbook_qa_chn", F.col("__f1_zh"))
+        .when(F.col(task_col) == "longbook_sum_eng", rouge_lsum(p, gt))
+        .when(F.col(task_col) == "math_find", math_find_score(p, gt))
+        .when(F.col(task_col) == "math_calc", math_calc_score(p, gt_nums))
+        .otherwise(F.col("__f1"))          # longbook_qa_eng + default
+    )
+    return with_f1.withColumn("score", score).drop("__f1", "__f1_zh")
 
 
 def task_averages(scored: DataFrame, task_col: str = "task") -> DataFrame:
@@ -72,18 +134,28 @@ def task_averages(scored: DataFrame, task_col: str = "task") -> DataFrame:
 
 
 def run_v1_eval(examples: DataFrame, chunk_size: int, client_factory,
-                retry=None) -> tuple[DataFrame, DataFrame]:
+                retry=None, existing_predictions: DataFrame | None = None,
+                ) -> tuple[DataFrame, DataFrame]:
     """examples: (doc_id, task, context, question, ground_truth) →
-    (per-example scored rows, per-task averages)."""
+    (per-example scored rows, per-task averages).
+
+    ``existing_predictions`` (doc_id, prediction) resumes a partial run the
+    way the reference skips already-answered ids
+    (eval_infinitebench_MR.py:88-94): those examples are anti-joined out of
+    the QA pipeline and their stored predictions are scored instead.
+    """
     from llmxmapreduce_spark.pipelines.v1_qa import run_v1_qa
 
-    answers = run_v1_qa(
-        examples.select("doc_id", "context", "question"),
-        chunk_size, client_factory, retry=retry,
-    )
-    joined = examples.select("doc_id", "task", "ground_truth").join(
-        answers.select("doc_id", F.col("raw_reply").alias("prediction")),
-        "doc_id",
-    )
+    todo = examples.select("doc_id", "context", "question")
+    if existing_predictions is not None:
+        done_ids = existing_predictions.select("doc_id").distinct()
+        todo = todo.join(done_ids, "doc_id", "left_anti")
+    answers = run_v1_qa(todo, chunk_size, client_factory, retry=retry) \
+        .select("doc_id", F.col("raw_reply").alias("prediction"))
+    if existing_predictions is not None:
+        answers = answers.unionByName(
+            existing_predictions.select("doc_id", "prediction"))
+    joined = examples.select("doc_id", "task", "ground_truth") \
+        .join(answers, "doc_id")
     scored = score_predictions(postprocess_predictions(joined))
     return scored, task_averages(scored)

@@ -110,3 +110,33 @@ def test_v2_pipeline_with_figures(spark):
     out = v2.run_v2_survey(surveys, MockSurveyClient, cfg).collect()
     assert len(out) == 1
     assert "<figure-link title='Overview of " in out[0]["content_md"]
+
+
+def test_fingerprint_fast_and_portable_paths(spark):
+    import pytest
+
+    from llmxmapreduce_spark.operators import text_stats
+
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "the quick brown fox jumps over the lazy dog"),   # exact dup
+         (2, "a completely different document about spark engines"),
+         (3, "one two"),                                        # < n words
+         (4, "")],
+        ["doc_id", "text"],
+    )
+    out = df.select(
+        "doc_id",
+        text_stats.fingerprint(F.col("text")).alias("fast"),
+        text_stats.fingerprint(F.col("text"), algo="md5").alias("portable"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # fast path is a bigint, portable a hex string; both collide on dups
+    assert isinstance(by_id[0]["fast"], int)
+    assert by_id[0]["fast"] == by_id[1]["fast"]
+    assert by_id[0]["portable"] == by_id[1]["portable"]
+    assert by_id[0]["fast"] != by_id[2]["fast"]
+    # short/empty texts still fingerprint (partial shingle)
+    assert by_id[3]["fast"] is not None and by_id[4]["fast"] is not None
+    with pytest.raises(ValueError):
+        text_stats.fingerprint(F.col("text"), algo="sha1")

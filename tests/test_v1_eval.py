@@ -1,4 +1,8 @@
-"""V1 InfiniteBench eval driver: scorer routing + end-to-end accuracy."""
+"""V1 InfiniteBench eval driver: scorer routing + end-to-end accuracy.
+
+Scorer semantics are the reference's compute_scores.py — the adversarial
+rows below are exactly the cases where the round-2 substring/any-capital
+approximations scored wrong."""
 
 from pyspark.sql import functions as F
 
@@ -10,10 +14,27 @@ def test_scorer_routing(spark):
     rows = [
         ("passkey", "the code is 71432 maybe", "71432", 1.0),
         ("passkey", "no idea", "71432", 0.0),
+        # substring-but-not-token: reference my_find_key scores 0
+        ("passkey", "the code is 471432 maybe", "71432", 0.0),
+        ("number_string", "SK-91234 found", "1234", 0.0),
+        ("kv_retrieval", 'value: "abc-def".', "abc-def", 1.0),
+        ("kv_retrieval", "values abc-defg here", "abc-def", 0.0),
         ("longbook_qa_eng", "Answer: the Eiffel Tower", "eiffel tower", 1.0),
         ("longbook_qa_eng", "Answer: something else", "eiffel tower", 0.0),
         ("code_debug", "analysis...\nAnswer: B", "B", 1.0),
         ("code_debug", "analysis...\nAnswer: C", "B", 0.0),
+        # trailing capitalized word must NOT flip the verdict (ref \b[A-J]\b)
+        ("code_debug", "The answer is B. See Chapter X", "B", 1.0),
+        ("code_run", "The function returns: 42", "42", 1.0),
+        # containment is not enough: last word as int must EQUAL
+        ("code_run", "maybe 42 or 43", "42", 0.0),
+        ("math_find", "The largest is 17 (not 99)", "17", 1.0),
+        ("math_find", "The largest is 99 I think, or 17", "17", 0.0),
+        # dialogue: uppercase containment, not token F1
+        ("longdialogue_qa_eng", "it was JOHN SMITH speaking", "John Smith", 1.0),
+        ("longdialogue_qa_eng", "someone else entirely", "John Smith", 0.0),
+        ("longbook_choice_eng", "thinking... answer is C", "C", 1.0),
+        ("longbook_sum_eng", "alpha beta gamma", "alpha beta gamma", 1.0),
     ]
     df = spark.createDataFrame(
         [(i, t, p, g) for i, (t, p, g, _) in enumerate(rows)],
@@ -25,25 +46,75 @@ def test_scorer_routing(spark):
         assert got[i] == expected, (i, rows[i], got[i])
 
 
-def test_v1_eval_end_to_end(spark):
-    # planted-secret passkey task through the full QA pipeline + eval
+def test_postprocess_prefix_semantics(spark):
+    rows = [
+        # no prefix at all → choice tasks left untouched (no 'answer: ' added)
+        (0, "code_debug", "B is correct"),
+        # found-but-empty first prefix breaks without trying 答案：
+        (1, "longbook_qa_eng", "答案：早 then Answer:"),
+        # confidence tail is cut for QA tasks
+        (2, "longbook_qa_eng", "Answer: Paris\nConfidence Score: 4"),
+        # non-extract tasks pass through even with a prefix
+        (3, "passkey", "Answer: 12345"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "task", "prediction"])
+    got = {r["doc_id"]: r["prediction"]
+           for r in v1_eval.postprocess_predictions(df).collect()}
+    assert got[0] == "B is correct"
+    assert got[1] == "答案：早 then Answer:"
+    assert got[2] == "Paris\n"
+    assert got[3] == "Answer: 12345"
+
+
+def _passkey_examples(spark, n=4):
     rows = []
-    for i in range(4):
+    for i in range(n):
         filler = "\n".join(f"noise line {j} for doc {i}." for j in range(15))
         secret = f"The secret key for document {i} is SK-{2000 + i}."
         rows.append((
             i, "passkey",
             f"{filler}\n{secret}\n{filler}",
             f"What is the secret key for document {i}?",
-            f"SK-{2000 + i}",
+            f"{2000 + i}",
         ))
-    examples = spark.createDataFrame(
+    return spark.createDataFrame(
         rows, ["doc_id", "task", "context", "question", "ground_truth"])
+
+
+def test_v1_eval_end_to_end(spark):
+    # planted-secret passkey task through the full QA pipeline + eval
+    examples = _passkey_examples(spark)
     scored, avgs = v1_eval.run_v1_eval(examples, chunk_size=520, client_factory=MockQAClient)
     srows = scored.collect()
     assert all(r["score"] == 1.0 for r in srows), srows
     a = avgs.collect()[0]
     assert a["task"] == "passkey" and a["accuracy"] == 100.0 and a["n_examples"] == 4
+
+
+def test_v1_eval_resumes_from_existing_predictions(spark):
+    """eval_infinitebench_MR.py:88-94: already-answered ids skip the QA
+    pipeline; their stored predictions are scored as-is."""
+
+    class ExplodingClient(MockQAClient):
+        def complete(self, prompt):
+            for i in (0, 1):
+                if f"document {i}?" in prompt:
+                    raise AssertionError(f"doc {i} should have been skipped")
+            return super().complete(prompt)
+
+    examples = _passkey_examples(spark)
+    existing = spark.createDataFrame(
+        [(0, "recovered earlier: 2000"), (1, "wrong stored answer")],
+        ["doc_id", "prediction"],
+    )
+    scored, avgs = v1_eval.run_v1_eval(
+        examples, chunk_size=520, client_factory=ExplodingClient,
+        existing_predictions=existing,
+    )
+    got = {r["doc_id"]: r["score"] for r in scored.collect()}
+    assert got == {0: 1.0, 1: 0.0, 2: 1.0, 3: 1.0}
+    a = avgs.collect()[0]
+    assert a["n_examples"] == 4 and a["accuracy"] == 75.0
 
 
 def test_task_averages_decimal_exact(spark):
