@@ -784,6 +784,45 @@ def q_v2_survey_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_v2_decode_tail(spark: SparkSession, sf: str) -> DataFrame:
+    """The V2 decode pipeline's deterministic suffix (v2_survey.decode_tail:
+    P12 renumber → A7 cite_ratio → references block → markdown assembly,
+    decode_pipeline.py:115-156) over a fixed section/paper transcript —
+    hash-checked, unlike the LLM-prefixed full pipeline."""
+    from llmxmapreduce_spark.pipelines.v2_survey import decode_tail
+
+    c = load_table(spark, sf, "customer").filter("c_custkey <= 40")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_custkey")
+    papers = c.select(
+        F.col("c_mktsegment").alias("survey_id"),
+        (F.row_number().over(w) - 1).alias("paper_pos"),
+        F.concat(F.lit("ck_"), F.col("c_custkey").cast("string")).alias("bibkey"),
+        F.col("c_name").alias("title"),
+        F.concat(F.lit("u_"), F.col("c_custkey").cast("string")).alias("url"),
+    )
+    first_key = papers.filter("paper_pos = 0").select(
+        "survey_id", F.col("bibkey").alias("root_key"))
+    done = (
+        papers.filter("paper_pos < 4").join(first_key, "survey_id")
+        .select(
+            "survey_id",
+            F.col("paper_pos").alias("pos"),
+            F.when(F.col("paper_pos") == 0, 0).otherwise(1).alias("depth"),
+            F.concat(F.lit("Sec "), F.col("paper_pos").cast("string")).alias("title"),
+            F.when(
+                F.col("paper_pos") == 0,
+                F.concat(F.lit("Overview cites ["), F.col("bibkey"), F.lit("].")),
+            ).otherwise(
+                F.concat(F.lit("Body ["), F.col("bibkey"), F.lit("] then ["),
+                         F.col("root_key"), F.lit("] and [zz_missing]."))
+            ).alias("content"),
+        )
+    )
+    out = decode_tail(done, papers)
+    return out.select("survey_id", "content_md", "n_sections",
+                      "cite_ratio", "n_papers", "ref_str")
+
+
 def q_v2_block_cycle(spark: SparkSession, sf: str) -> DataFrame:
     """Block cycle under *structural* refinement (hidden_pipeline.py:73-85):
     the RestructuringSurveyClient's [MODIFY] inserts a new top-level section,
@@ -915,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v1_qa_secret_key": q_v1_qa_secret_key,
         "v2_survey_pipeline": q_v2_survey_pipeline,
         "v2_block_cycle": q_v2_block_cycle,
+        "v2_decode_tail": q_v2_decode_tail,
     }
 
 
@@ -1560,5 +1600,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    'SK-' || CAST((doc_id * 7919) % 99991 AS VARCHAR) AS answer
             FROM documents
+        """,
+        "v2_decode_tail": """
+            WITH p AS (
+                SELECT c_mktsegment AS s,
+                       ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                          ORDER BY c_custkey) - 1 AS paper_pos,
+                       c_name AS title,
+                       'u_' || CAST(c_custkey AS VARCHAR) AS url
+                FROM customer WHERE c_custkey <= 40),
+            n AS (SELECT s, COUNT(*) AS n_papers FROM p GROUP BY s),
+            sec AS (
+                SELECT s, paper_pos AS pos,
+                       CASE WHEN paper_pos = 0
+                            THEN '# Sec 0' || chr(10) || 'Overview cites [1].'
+                            ELSE '## Sec ' || CAST(paper_pos AS VARCHAR) || chr(10)
+                                 || 'Body [' || CAST(paper_pos + 1 AS VARCHAR)
+                                 || '] then [1] and .'
+                       END AS block
+                FROM p WHERE paper_pos < 4),
+            md AS (SELECT s,
+                          STRING_AGG(block, chr(10) || chr(10) ORDER BY pos)
+                              AS content_md,
+                          COUNT(*) AS n_sections
+                   FROM sec GROUP BY s),
+            refs AS (SELECT s, '## References' || chr(10) ||
+                            STRING_AGG('[' || CAST(paper_pos + 1 AS VARCHAR)
+                                       || '] ' || title || ' ' || url
+                                       || chr(10) || chr(10),
+                                       '' ORDER BY paper_pos) AS ref_str
+                     FROM p GROUP BY s)
+            SELECT md.s AS survey_id, content_md,
+                   CAST(n_sections AS BIGINT) AS n_sections,
+                   CAST(LEAST(4, n_papers) AS DOUBLE) / n_papers AS cite_ratio,
+                   CAST(n_papers AS BIGINT) AS n_papers, ref_str
+            FROM md JOIN n ON md.s = n.s JOIN refs ON md.s = refs.s
         """,
     }

@@ -131,6 +131,26 @@ class MockQAClient(LLMClient):
         return HashEchoClient().complete(prompt)
 
 
+class MockDedupClient(LLMClient):
+    """Cooperative A10 fact-dedup mock (atomic_facts.py get_deduplication
+    prompt contract): given a numbered fact list, replies with the 1-based
+    indices of later exact (whitespace/case-normalized) duplicates."""
+
+    def complete(self, prompt: str) -> str:
+        if "[DEDUP]" in prompt:
+            facts = re.findall(r"^\d+\. (.*)$", prompt, re.MULTILINE)
+            seen: set[str] = set()
+            drop: list[str] = []
+            for i, f in enumerate(facts):
+                key = " ".join(f.lower().split())
+                if key in seen:
+                    drop.append(str(i + 1))
+                else:
+                    seen.add(key)
+            return ", ".join(drop) if drop else "none"
+        return HashEchoClient().complete(prompt)
+
+
 class FlakyClient(LLMClient):
     """Test double: fails the first ``n_failures`` calls per prompt, then
     delegates — exercises the retry + dead-letter path (D8/D13)."""

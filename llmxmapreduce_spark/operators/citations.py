@@ -114,20 +114,25 @@ def cite_ratio(
     id_col: str = "survey_id",
     bibkey_col: str = "bibkey",
 ) -> DataFrame:
-    """A7 (decode_pipeline.py:147-149): 1 − uncited/all per survey."""
+    """A7 (decode_pipeline.py:147-149): 1 − uncited/all per survey.
+
+    The cited side's join keys are renamed before the join so the operator
+    stays unambiguous even when sections and papers share lineage (e.g. the
+    decode_tail oracle fixture derives both from one table)."""
     cited = (
-        renumbered_sections.select(id_col, F.explode_outer("cited_bibkeys").alias("k"))
+        renumbered_sections.select(F.col(id_col).alias("__cs"),
+                                   F.explode_outer("cited_bibkeys").alias("__ck"))
         .distinct()
     )
     return (
         papers.join(
             cited,
-            (papers[id_col] == cited[id_col]) & (papers[bibkey_col] == cited["k"]),
+            (F.col(id_col) == F.col("__cs")) & (F.col(bibkey_col) == F.col("__ck")),
             "left",
         )
-        .groupBy(papers[id_col].alias(id_col))
+        .groupBy(id_col)
         .agg(
-            F.avg(F.when(F.col("k").isNotNull(), 1.0).otherwise(0.0)).alias("cite_ratio"),
+            F.avg(F.when(F.col("__ck").isNotNull(), 1.0).otherwise(0.0)).alias("cite_ratio"),
             F.count(F.lit(1)).alias("n_papers"),
         )
     )

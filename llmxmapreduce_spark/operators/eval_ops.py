@@ -113,6 +113,92 @@ def dedup_claims(claims: DataFrame, claim_col: str = "claim",
     return exact.join(losers, id_col, "left_anti")
 
 
+def _parse_remove_indices(output: str) -> set[int]:
+    """atomic_facts.py:44-49: comma-separated 1-based indices to drop."""
+    return {
+        int(idx.strip()) - 1
+        for idx in (output or "").split(",")
+        if idx.strip().isdigit()
+    }
+
+
+def _dedup_prompt(facts: list[str]) -> str:
+    lines = "\n".join(f"{i + 1}. {f}" for i, f in enumerate(facts))
+    return (
+        "[DEDUP] Identify duplicate facts in this numbered list.\n"
+        f"{lines}\n"
+        "Reply with the comma-separated numbers of the facts to REMOVE "
+        "(keep the first occurrence), or 'none'."
+    )
+
+
+def llm_dedup_claims(
+    claims: DataFrame,
+    client_factory,
+    group_size: int = 300,
+    retry=None,
+    survey_col: str = "survey_id",
+    id_col: str = "claim_id",
+    claim_col: str = "claim",
+) -> DataFrame:
+    """A10 LLM-mode fact dedup, the reference's semantics
+    (atomic_facts.py:36-144): facts split into ``group_size`` batches, an
+    in-group LLM dedup per batch, then pairwise cross-group merge rounds
+    until one group remains.  One ``applyInPandas`` per survey — the fact
+    list per survey is bounded (the reference holds it in memory too), and
+    surveys are the horizontal-scale axis.  Deterministic divergence from
+    the reference: groups merge in (batch, id) order instead of
+    ``random.shuffle`` (documented; the reference's shuffle makes its output
+    run-dependent).  For corpus-scale claim tables use the deterministic
+    :func:`dedup_claims` (MinHash) path instead."""
+    from llmxmapreduce_spark.llm.client import RetryPolicy, call_with_retry
+
+    retry = retry or RetryPolicy()
+    out_schema = T.StructType([
+        claims.schema[survey_col],
+        claims.schema[id_col],
+        claims.schema[claim_col],
+    ])
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        client = client_factory()
+        rows = pdf.sort_values(id_col).to_dict("records")
+        facts = [(r[id_col], r[claim_col]) for r in rows]
+        groups = [facts[i:i + group_size]
+                  for i in range(0, len(facts), group_size)]
+
+        def dedup_group(group):
+            if not group:
+                return group
+            reply, _err, _n = call_with_retry(
+                client, _dedup_prompt([f for _, f in group]), retry)
+            if reply is None:
+                return group        # dead-letter semantics: keep the group
+            drop = _parse_remove_indices(reply)
+            return [f for i, f in enumerate(group) if i not in drop]
+
+        groups = [dedup_group(g) for g in groups]
+        # pairwise cross-group merge until a single group remains
+        # (atomic_facts.py:66-83 get_merged_group, deterministic order)
+        while len(groups) > 1:
+            nxt = []
+            for i in range(0, len(groups) - 1, 2):
+                nxt.append(dedup_group(groups[i] + groups[i + 1]))
+            if len(groups) % 2 == 1:
+                nxt.append(groups[-1])
+            groups = nxt
+        kept = {cid for cid, _ in (groups[0] if groups else [])}
+        keep_rows = [
+            {survey_col: r[survey_col], id_col: r[id_col],
+             claim_col: r[claim_col]}
+            for r in rows if r[id_col] in kept
+        ]
+        return pd.DataFrame(keep_rows,
+                            columns=[f.name for f in out_schema.fields])
+
+    return claims.groupBy(survey_col).applyInPandas(run, out_schema)
+
+
 def count_sentences(text: Column) -> Column:
     """judge.py:400-404: split on ``[.!?\\n]+(\\s|\\n|$)``, count non-empty."""
     return F.size(F.filter(

@@ -132,6 +132,84 @@ def hyperplane_signs(vec: Column, n_planes: int = 8, seed: int = 42,
     ])
 
 
+def _bucket_rank_topk(joined: DataFrame, k: int, id_col: str,
+                      query_id_col: str) -> DataFrame:
+    cosine = _ddot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(_ddot(F.col("qv"), F.col("qv")))
+        * F.sqrt(_ddot(F.col("cv"), F.col("cv")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(),
+                                                 F.col(id_col).asc())
+    return (
+        joined.withColumn("cosine", cosine)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "cosine")
+    )
+
+
+def _ddot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def probe_buckets(vec: Column, n_planes: int = 8, seed: int = 42,
+                  multi_probe: int = 0) -> Column:
+    """Bucket signature plus its Hamming-1 neighbors for the first
+    ``multi_probe`` planes — a query lying near plane i's boundary is
+    recovered by also probing the bucket with bit i flipped (classic
+    multi-probe LSH).  Returns an array of 1 + multi_probe bucket keys."""
+    base = hyperplane_signs(vec, n_planes, seed)
+    probes = [base]
+    for i in range(min(multi_probe, n_planes)):
+        flipped = F.when(F.substring(base, i + 1, 1) == "1", F.lit("0")) \
+            .otherwise(F.lit("1"))
+        probes.append(F.concat(
+            F.substring(base, 1, i), flipped,
+            F.substring(base, i + 2, n_planes - i - 1),
+        ))
+    return F.array(*probes)
+
+
+def lsh_bucket_topk_large(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+    multi_probe: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Corpus-vs-corpus ANN: BOTH sides large, so no broadcast hint — a
+    plain shuffled equi-join on the bucket key (Catalyst/AQE picks
+    sort-merge, shuffled-hash, or broadcast from actual sizes; the plan can
+    never contain a BroadcastNestedLoopJoin or CartesianProduct because the
+    join is an equi-join).  ``multi_probe`` explodes each query to its
+    Hamming-1 probe buckets for recall; duplicate (query, candidate) pairs
+    from overlapping probes are dropped before ranking.
+
+    100 TB framing: shuffle volume = rows × (1 + multi_probe), partitioned
+    by bucket key; per-bucket work is |bucket_q| × |bucket_c|, tuned by
+    ``n_planes``.  Skewed buckets (dense embedding regions) are handled by
+    AQE skew-join like any other shuffled join."""
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("cv")
+    ).withColumn("bucket", hyperplane_signs(F.col("cv"), n_planes, seed))
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn(
+        "bucket",
+        F.explode(probe_buckets(F.col("qv"), n_planes, seed, multi_probe)),
+    )
+    joined = c.join(q, "bucket").filter(
+        F.col(query_id_col) != F.col(id_col)
+    ).dropDuplicates([query_id_col, id_col])
+    return _bucket_rank_topk(joined, k, id_col, query_id_col)
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -142,10 +220,12 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     query_id_col: str = "qid",
 ) -> DataFrame:
-    """Approximate top-k: compare only vectors whose hyperplane signature
-    matches the query's.  Equi-join on the bucket string — shuffle on an
-    8-char key instead of a cartesian product.  Recall is tuned by
-    ``n_planes`` (fewer planes → bigger buckets → higher recall/cost)."""
+    """Approximate top-k for a SMALL query side: compare only vectors whose
+    hyperplane signature matches the query's, with the queries broadcast.
+    Equi-join on the bucket string — shuffle on an 8-char key instead of a
+    cartesian product.  Recall is tuned by ``n_planes`` (fewer planes →
+    bigger buckets → higher recall/cost).  For large query sides (corpus vs
+    corpus) use :func:`lsh_bucket_topk_large`."""
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("cv")
     ).withColumn("bucket", hyperplane_signs(F.col("cv"), n_planes, seed))

@@ -742,7 +742,24 @@ def decode_survey(final_outline: DataFrame, digests: DataFrame, papers: DataFram
         figs = generate_figures(draft_with_heads, client_factory, retry)
         done = anchor_figures(done, figs)
 
-    # P12 renumber + A7 + references (decode_pipeline.py:115-156)
+    tail = decode_tail(done, papers)
+    return (
+        tail.join(F.broadcast(final_outline), "survey_id")
+        .select("survey_id", "survey_title", "outline_md", "content_md",
+                "ref_str", "cite_ratio", "n_papers", "n_sections", "eval_score",
+                "block_avg_score", "self_refine_score")
+    )
+
+
+def decode_tail(done: DataFrame, papers: DataFrame) -> DataFrame:
+    """The deterministic decode suffix (decode_pipeline.py:115-156): P12
+    citation renumbering over the assembled sections, A7 cite_ratio, the
+    ``## References`` block, and the per-survey markdown assembly.  LLM-free
+    — exercised hash-checked by the ``v2_decode_tail`` oracle query.
+
+    ``done``: (survey_id, pos, depth, title, content) section rows.
+    → (survey_id, content_md, n_sections, cite_ratio, n_papers, ref_str).
+    """
     sections = done.select("survey_id", "pos", "content")
     renumbered = renumber_citations(sections, papers)
     ratios = a7_cite_ratio(renumbered, papers)
@@ -766,10 +783,6 @@ def decode_survey(final_outline: DataFrame, digests: DataFrame, papers: DataFram
     return (
         assembled.join(ratios, "survey_id", "left")
         .join(refs, "survey_id", "left")
-        .join(F.broadcast(final_outline), "survey_id")
-        .select("survey_id", "survey_title", "outline_md", "content_md",
-                "ref_str", "cite_ratio", "n_papers", "n_sections", "eval_score",
-                "block_avg_score", "self_refine_score")
     )
 
 

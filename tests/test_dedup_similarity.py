@@ -125,3 +125,54 @@ def test_no_cartesian_in_lsh_plans(spark):
     plan = dedup.lsh_candidate_pairs(base, bands=4, rows_per_band=2) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_bucket_topk_large_recall_5k(spark):
+    """Corpus-vs-corpus ANN (no broadcast): recall vs exact on a sampled
+    query subset at 5k x 5k, multi-probe strictly improves recall, and the
+    plan is a pure equi-join (no BroadcastNestedLoopJoin / cartesian)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    n, dim = 5000, 16
+    vecs = rng.randn(n, dim).astype("float64")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        ["vec_id", "embedding"],
+    ).repartition(8).cache()
+    df.count()
+
+    approx = similarity.lsh_bucket_topk_large(
+        df, df, k=5, n_planes=6, multi_probe=6)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    # exact ground truth on a 200-query sample (numpy, not a 5k x 5k join)
+    sample_ids = list(range(0, n, 25))
+    norms = np.linalg.norm(vecs, axis=1)
+    cos = (vecs[sample_ids] @ vecs.T) / np.outer(norms[sample_ids], norms)
+    exact = {}
+    for row, qid in enumerate(sample_ids):
+        order = np.argsort(-cos[row])
+        order = order[order != qid]
+        exact[qid] = set(int(v) for v in order[:5])
+
+    got = approx.filter(F.col("qid").isin(sample_ids)).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], set()).add(r["vec_id"])
+    hits = sum(len(by_q.get(q, set()) & exact[q]) for q in sample_ids)
+    recall_probe = hits / (len(sample_ids) * 5)
+
+    single = similarity.lsh_bucket_topk_large(df, df, k=5, n_planes=6)
+    got1 = single.filter(F.col("qid").isin(sample_ids)).collect()
+    by_q1 = {}
+    for r in got1:
+        by_q1.setdefault(r["qid"], set()).add(r["vec_id"])
+    hits1 = sum(len(by_q1.get(q, set()) & exact[q]) for q in sample_ids)
+    recall_single = hits1 / (len(sample_ids) * 5)
+
+    assert recall_probe >= 0.4, (recall_probe, recall_single)
+    assert recall_probe > recall_single
+    df.unpersist()

@@ -140,3 +140,42 @@ def test_fingerprint_fast_and_portable_paths(spark):
     assert by_id[3]["fast"] is not None and by_id[4]["fast"] is not None
     with pytest.raises(ValueError):
         text_stats.fingerprint(F.col("text"), algo="sha1")
+
+
+def test_llm_dedup_claims_matches_deterministic_on_planted_dups(spark):
+    """A10 LLM mode (mock) vs deterministic MinHash mode on a
+    planted-duplicate fixture: both must drop the exact duplicates; the
+    LLM path additionally exercises the group-split + pairwise-merge rounds
+    (group_size=4 forces cross-group merging)."""
+    from llmxmapreduce_spark.llm.client import MockDedupClient
+    from llmxmapreduce_spark.operators.eval_ops import llm_dedup_claims
+
+    uniques = [f"unique finding number {i} about topic {i * 7}" for i in range(8)]
+    rows = []
+    cid = 0
+    for s in ("s1", "s2"):
+        for i, u in enumerate(uniques):
+            rows.append((s, cid, u)); cid += 1
+            if i % 2 == 0:          # plant a duplicate of every even claim
+                rows.append((s, cid, u.upper())); cid += 1
+    claims = spark.createDataFrame(rows, ["survey_id", "claim_id", "claim"])
+
+    llm_kept = llm_dedup_claims(claims, MockDedupClient, group_size=4).collect()
+    per_survey = {}
+    for r in llm_kept:
+        per_survey.setdefault(r["survey_id"], []).append(r)
+    for s, kept in per_survey.items():
+        texts = [" ".join(r["claim"].lower().split()) for r in kept]
+        assert sorted(texts) == sorted(uniques), (s, texts)
+        # first occurrence (lowest claim_id) survives
+        assert all(
+            r["claim_id"] == min(
+                row[1] for row in rows
+                if row[0] == s
+                and " ".join(row[2].lower().split()) == " ".join(r["claim"].lower().split())
+            ) for r in kept)
+
+    # deterministic mode agrees on the count (per survey: 8 uniques)
+    det = dedup_claims(
+        claims.filter("survey_id = 's1'").select("claim_id", "claim"))
+    assert det.count() == len(uniques)
