@@ -313,6 +313,52 @@ def q_embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_topk(emb, emb.filter("vec_id < 20"), k=5)
 
 
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram Jaccard verifier (dedup.word_shingles + jaccard_verify)
+    on planted original/mutant pairs: mutant = text + doc_id%5+1 novel
+    suffix tokens, so the jaccard value varies with document length and
+    mutation size."""
+    from llmxmapreduce_spark.operators import dedup
+
+    d = load_table(spark, sf, "documents")
+    suffix = F.concat_ws(
+        " ",
+        *[F.when(F.col("doc_id") % 5 >= i, F.lit(f"zznovel{i}")) for i in range(5)],
+    )
+    originals = d.select("doc_id", "text")
+    mutants = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "), suffix).alias("text"),
+    )
+    shingle_df = originals.unionByName(mutants).select(
+        "doc_id", dedup.word_shingles(F.col("text"), 3).alias("shingles"))
+    pairs = d.select(F.col("doc_id").alias("id_a"),
+                     (F.col("doc_id") + 1000000).alias("id_b"))
+    out = dedup.jaccard_verify(pairs, shingle_df, threshold=0.0)
+    return out.select(
+        "id_a", "jaccard",
+        (F.col("jaccard") >= 0.8).alias("is_neardup"),
+    )
+
+
+def q_embedding_cosine_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (similarity.cosine_neardup_pairs):
+    sign-bucket candidate join + exact quantized-cosine verify over the
+    corpus plus perturbed twins (x*1.01 + 0.0001)."""
+    from llmxmapreduce_spark.operators import similarity
+
+    emb = load_table(spark, sf, "embeddings")
+    twins = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") * 1.01 + 0.0001
+        ).alias("embedding"),
+    )
+    both = emb.select("vec_id", F.col("embedding").cast("array<double>")
+                      .alias("embedding")).unionByName(twins)
+    return similarity.cosine_neardup_pairs(both, threshold=0.9, sign_bits=8)
+
+
 def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     from llmxmapreduce_spark.operators import text_stats
 
@@ -937,6 +983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
         "simhash16": q_simhash16,
         "embedding_cosine_topk": q_embedding_cosine_topk,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_cosine_neardup": q_embedding_cosine_neardup,
         "text_quality": q_text_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "events_sliding_window": q_events_sliding,
@@ -1038,6 +1086,36 @@ def _cosine_oracle() -> str:
             FROM pairs)
         SELECT qid, vec_id, CAST(rank AS INT) AS rank, cosine
         FROM ranked WHERE rank <= 5
+    """
+
+
+def _cosine_neardup_oracle() -> str:
+    bucket = " || ".join(
+        f"(CASE WHEN v[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(8)
+    )
+    return f"""
+        WITH src AS (
+            SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb
+            FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   [CAST(x AS DOUBLE) * 1.01 + 0.0001 for x in embedding]
+            FROM embeddings),
+        qv AS (SELECT vec_id,
+                      [CAST(round(x * 1000000.0, 0) AS BIGINT) for x in emb] AS v
+               FROM src),
+        b AS (SELECT vec_id, v, {bucket} AS bucket,
+                     CAST(list_sum([v[i] * v[i]
+                                    for i in range(1, len(v) + 1)]) AS DOUBLE) AS n2
+              FROM qv),
+        pairs AS (
+            SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                   CAST(list_sum([a.v[i] * c.v[i]
+                                  for i in range(1, len(a.v) + 1)]) AS DOUBLE) AS dot,
+                   a.n2 AS na, c.n2 AS nb
+            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+        SELECT id_a, id_b, dot / (sqrt(na) * sqrt(nb)) AS cosine
+        FROM pairs WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.9
     """
 
 
@@ -1312,6 +1390,48 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_neardup": _minhash_oracle(),
         "simhash16": _simhash_oracle(),
         "embedding_cosine_topk": _cosine_oracle(),
+        "ngram_jaccard": r"""
+            WITH src AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000,
+                       text || ' ' || CASE doc_id % 5
+                           WHEN 0 THEN 'zznovel0'
+                           WHEN 1 THEN 'zznovel0 zznovel1'
+                           WHEN 2 THEN 'zznovel0 zznovel1 zznovel2'
+                           WHEN 3 THEN 'zznovel0 zznovel1 zznovel2 zznovel3'
+                           ELSE 'zznovel0 zznovel1 zznovel2 zznovel3 zznovel4'
+                       END
+                FROM documents),
+            tok AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS w,
+                       generate_subscripts(
+                           string_split_regex(trim(text), '\s+'), 1) AS ord
+                FROM src),
+            grams AS (
+                SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+                FROM tok a
+                JOIN tok b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+                JOIN tok c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2),
+            cnt AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, COUNT(*) AS ni
+                FROM grams a
+                JOIN grams m ON m.doc_id = a.doc_id + 1000000 AND m.g = a.g
+                WHERE a.doc_id < 1000000
+                GROUP BY a.doc_id)
+            SELECT d.doc_id AS id_a,
+                   CAST(COALESCE(ni, 0) AS DOUBLE)
+                       / (ca.n + cb.n - COALESCE(ni, 0)) AS jaccard,
+                   (CAST(COALESCE(ni, 0) AS DOUBLE)
+                       / (ca.n + cb.n - COALESCE(ni, 0))) >= 0.8 AS is_neardup
+            FROM documents d
+            JOIN cnt ca ON ca.doc_id = d.doc_id
+            JOIN cnt cb ON cb.doc_id = d.doc_id + 1000000
+            LEFT JOIN inter ON inter.id_a = d.doc_id
+        """,
+        "embedding_cosine_neardup": _cosine_neardup_oracle(),
         "text_quality": _text_quality_oracle(),
         "doc_fingerprint": r"""
             WITH toks AS (

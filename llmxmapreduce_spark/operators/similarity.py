@@ -107,6 +107,57 @@ def cosine_topk_double(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def sign_bucket(vec: Column, bits: int = 8) -> Column:
+    """Engine-portable coarse LSH bucket: the sign bits of the first
+    ``bits`` elements (of the QUANTIZED vector, so Spark and any oracle
+    engine bucket identically).  Near-identical vectors agree on element
+    signs except components near zero — the documented recall contract of
+    :func:`cosine_neardup_pairs`."""
+    return F.concat(*[
+        F.when(F.get(vec, i) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(bits)
+    ])
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    sign_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup flavor of the
+    similarity stack): candidates = self equi-join on the sign-bit bucket,
+    verify = exact quantized cosine ≥ threshold.  → (id_a, id_b, cosine),
+    id_a < id_b.
+
+    100 TB framing: the corpus is never self-crossed — the only join is an
+    equi-join on a ``sign_bits``-char key (bucket population ~ n/2^bits;
+    skewed sign patterns are AQE skew-join territory).  Verification runs
+    per colliding pair on the quantized integers, so the result is
+    bit-identical in any engine (oracle-checkable, like the md5 minhash
+    path)."""
+    base = df.select(
+        F.col(id_col), quantize(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", sign_bucket(F.col("v"), sign_bits)) \
+     .withColumn("n2", _norm2(F.col("v")))
+    a = base.select(F.col(id_col).alias("id_a"), F.col("bucket"),
+                    F.col("v").alias("va"), F.col("n2").alias("na"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col("bucket"),
+                    F.col("v").alias("vb"), F.col("n2").alias("nb"))
+    cosine = (
+        _dot(F.col("va"), F.col("vb"))
+        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def hyperplane_signs(vec: Column, n_planes: int = 8, seed: int = 42,
                      dim: int = 64) -> Column:
     """Random-hyperplane LSH signature as a bit-string column.

@@ -176,3 +176,21 @@ def test_lsh_bucket_topk_large_recall_5k(spark):
     assert recall_probe >= 0.4, (recall_probe, recall_single)
     assert recall_probe > recall_single
     df.unpersist()
+
+
+def test_cosine_neardup_pairs_plants_and_plan(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(40, 16)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    # twins: tiny scale perturbation preserves every sign -> same bucket
+    rows += [(i + 1000, [float(x) * 1.01 for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.cosine_neardup_pairs(df, threshold=0.99, sign_bits=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert {(i, i + 1000) for i in range(40)} <= got
+    # random distinct vectors in 16-d essentially never reach cosine 0.99
+    assert got == {(i, i + 1000) for i in range(40)}
