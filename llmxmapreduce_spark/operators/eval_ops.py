@@ -149,8 +149,17 @@ def llm_dedup_claims(
     surveys are the horizontal-scale axis.  Deterministic divergence from
     the reference: groups merge in (batch, id) order instead of
     ``random.shuffle`` (documented; the reference's shuffle makes its output
-    run-dependent).  For corpus-scale claim tables use the deterministic
-    :func:`dedup_claims` (MinHash) path instead."""
+    run-dependent).
+
+    Caveat inherited from the reference: merged groups GROW past
+    ``group_size`` (``get_merged_group`` concatenates two whole groups, so
+    the final merge prompt enumerates every surviving fact) — a survey whose
+    facts exceed the model's context makes the merge call fail, and that
+    round's cross-group duplicates survive (the group is kept whole, the
+    dead-letter contract).  For corpus-scale claim tables use the
+    deterministic :func:`dedup_claims` (MinHash) path — that is the 100 TB
+    contract; this mode exists for reference parity of SurveyEval's
+    Claim-Num metric."""
     from llmxmapreduce_spark.llm.client import RetryPolicy, call_with_retry
 
     retry = retry or RetryPolicy()

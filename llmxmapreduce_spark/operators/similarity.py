@@ -86,25 +86,11 @@ def cosine_topk_double(corpus: DataFrame, queries: DataFrame, k: int = 5,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        query_id_col: str = "qid") -> DataFrame:
     """Production variant: double math end to end (no quantization)."""
-    def dot(a, b):
-        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                           F.lit(0.0), lambda acc, x: acc + x)
-
     q = queries.select(F.col(id_col).alias(query_id_col),
                        F.col(vec_col).cast("array<double>").alias("qv"))
     c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("cv"))
     joined = c.crossJoin(F.broadcast(q)).filter(F.col(query_id_col) != F.col(id_col))
-    cosine = dot(F.col("qv"), F.col("cv")) / (
-        F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("cv"), F.col("cv")))
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(),
-                                                 F.col(id_col).asc())
-    return (
-        joined.withColumn("cosine", cosine)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "rank", "cosine")
-    )
+    return _bucket_rank_topk(joined, k, id_col, query_id_col)
 
 
 def sign_bucket(vec: Column, bits: int = 8) -> Column:
@@ -284,22 +270,7 @@ def lsh_bucket_topk(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).withColumn("bucket", hyperplane_signs(F.col("qv"), n_planes, seed))
-
-    def dot(a, b):
-        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                           F.lit(0.0), lambda acc, x: acc + x)
-
     joined = c.join(F.broadcast(q), "bucket").filter(
         F.col(query_id_col) != F.col(id_col)
     )
-    cosine = dot(F.col("qv"), F.col("cv")) / (
-        F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("cv"), F.col("cv")))
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(),
-                                                 F.col(id_col).asc())
-    return (
-        joined.withColumn("cosine", cosine)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "rank", "cosine")
-    )
+    return _bucket_rank_topk(joined, k, id_col, query_id_col)

@@ -46,14 +46,6 @@ QA_EXTRACT_TASKS = {"longbook_qa_eng", "longbook_qa_chn",
                     "longdialogue_qa_eng", "longbook_sum_eng"}
 
 
-def _cut_last(col, marker: str):
-    """text[:rfind(marker)] when present, else unchanged."""
-    head_len = (F.length(col) - F.length(F.substring_index(col, marker, -1))
-                - len(marker))
-    return F.when(col.contains(marker), col.substr(F.lit(1), head_len)) \
-        .otherwise(col)
-
-
 def postprocess_predictions(preds: DataFrame, task_col: str = "task",
                             pred_col: str = "prediction") -> DataFrame:
     """P13 ``task_special_process`` (process_answer.py:35-57), faithful:
@@ -61,26 +53,22 @@ def postprocess_predictions(preds: DataFrame, task_col: str = "task",
     occurrence; a found-but-empty prefix breaks with the prediction
     unchanged; choice tasks get ``'answer: ' + tail`` ONLY when a prefix was
     actually found; QA/sum tasks take the tail and cut trailing confidence
-    markers; every other task passes through untouched."""
+    markers (exactly ``X.extract_answer`` — reused, not re-derived); every
+    other task passes through untouched."""
     p = F.col(pred_col)
-    choice_expr, qa_expr = None, None
+    choice_expr = None
     for prefix in X.ANS_PREFIXES:
         tail = F.substring_index(p, prefix, -1)
         after = F.substring(tail, 2, 2147483647)
         found = p.contains(prefix)
-        ok = F.length(tail) >= 1
-        choice_val = F.when(ok, F.concat(F.lit("answer: "), after)).otherwise(p)
-        qa_tail = _cut_last(_cut_last(after, X._CONFIDENCE_MARKERS[0]),
-                            X._CONFIDENCE_MARKERS[1])
-        qa_val = F.when(ok, qa_tail).otherwise(p)
+        choice_val = F.when(F.length(tail) >= 1,
+                            F.concat(F.lit("answer: "), after)).otherwise(p)
         choice_expr = (F.when(found, choice_val) if choice_expr is None
                        else choice_expr.when(found, choice_val))
-        qa_expr = (F.when(found, qa_val) if qa_expr is None
-                   else qa_expr.when(found, qa_val))
     return preds.withColumn(
         pred_col,
         F.when(F.col(task_col).isin(*CHOICE_TASKS), choice_expr.otherwise(p))
-        .when(F.col(task_col).isin(*QA_EXTRACT_TASKS), qa_expr.otherwise(p))
+        .when(F.col(task_col).isin(*QA_EXTRACT_TASKS), X.extract_answer(p))
         .otherwise(p),
     )
 
@@ -96,32 +84,58 @@ def score_predictions(preds: DataFrame, task_col: str = "task",
     (longdialogue/choice) treat it as a single-element label list, and
     math_calc parses it as a separator-delimited number list.  code_debug's
     function-name fallback label comes from ``fn_name_col`` when provided
-    (the reference's ``label[0]``)."""
-    p, gt = F.col(pred_col), F.col(gt_col)
+    (the reference's ``label[0]``).
+
+    Catalyst extracts Python UDFs out of CASE WHEN arms (one ArrowEvalPython
+    node evaluates them ALL per row), so each pandas scorer's inputs are
+    gated to empty values on rows of other tasks — the UDF still runs per
+    row but does O(1) work (e.g. the ROUGE LCS DP never sees a non-sum
+    prediction)."""
+    task, p, gt = F.col(task_col), F.col(pred_col), F.col(gt_col)
     fn = F.col(fn_name_col) if fn_name_col else F.lit(None).cast("string")
-    gt_list = F.array(gt)
-    gt_nums = F.transform(
-        F.filter(F.split(gt, r"[^0-9]"), lambda x: x != F.lit("")),
-        lambda x: x.cast("long"),
+
+    def gated(cond, col, empty=""):
+        return F.when(cond, col).otherwise(F.lit(empty))
+
+    with_f1 = preds.withColumn(
+        "__p_f1", gated(task.isin("longbook_qa_eng"), p)
+    ).withColumn(
+        "__p_f1_zh", gated(task == "longbook_qa_chn", p)
     )
-    with_f1 = qa_f1(preds, pred_col, gt_col, out_col="__f1")
-    with_f1 = qa_f1_zh(with_f1, pred_col, gt_col, out_col="__f1_zh")
+    with_f1 = qa_f1(with_f1, "__p_f1", gt_col, out_col="__f1")
+    with_f1 = qa_f1_zh(with_f1, "__p_f1_zh", gt_col, out_col="__f1_zh")
+    gt_list = F.array(gt)
+    empty_arr = F.array().cast("array<string>")
+    gt_nums = gated(
+        task == "math_calc",
+        F.transform(
+            F.filter(F.split(gt, r"[^0-9]"), lambda x: x != F.lit("")),
+            lambda x: x.cast("long"),
+        ),
+        None,
+    ).cast("array<long>")
     score = (
-        F.when(F.col(task_col).isin(*DIGIT_TASKS), digit_token_score(p, gt))
-        .when(F.col(task_col) == "kv_retrieval", retrieval_word_score(p, gt))
-        .when(F.col(task_col) == "code_run", code_run_score(p, gt))
-        .when(F.col(task_col) == "code_debug", code_debug_score(p, gt, fn))
-        .when(F.col(task_col) == "longbook_choice_eng",
-              longbook_choice_score(p, gt_list))
-        .when(F.col(task_col) == "longdialogue_qa_eng",
-              longdialogue_score(p, gt_list))
-        .when(F.col(task_col) == "longbook_qa_chn", F.col("__f1_zh"))
-        .when(F.col(task_col) == "longbook_sum_eng", rouge_lsum(p, gt))
-        .when(F.col(task_col) == "math_find", math_find_score(p, gt))
-        .when(F.col(task_col) == "math_calc", math_calc_score(p, gt_nums))
+        F.when(task.isin(*DIGIT_TASKS), digit_token_score(p, gt))
+        .when(task == "kv_retrieval", retrieval_word_score(p, gt))
+        .when(task == "code_run", code_run_score(p, gt))
+        .when(task == "code_debug",
+              code_debug_score(gated(task == "code_debug", p), gt, fn))
+        .when(task == "longbook_choice_eng",
+              longbook_choice_score(
+                  gated(task == "longbook_choice_eng", p),
+                  F.when(task == "longbook_choice_eng", gt_list)
+                  .otherwise(empty_arr)))
+        .when(task == "longdialogue_qa_eng", longdialogue_score(p, gt_list))
+        .when(task == "longbook_qa_chn", F.col("__f1_zh"))
+        .when(task == "longbook_sum_eng",
+              rouge_lsum(gated(task == "longbook_sum_eng", p),
+                         gated(task == "longbook_sum_eng", gt)))
+        .when(task == "math_find", math_find_score(p, gt))
+        .when(task == "math_calc", math_calc_score(p, gt_nums))
         .otherwise(F.col("__f1"))          # longbook_qa_eng + default
     )
-    return with_f1.withColumn("score", score).drop("__f1", "__f1_zh")
+    return with_f1.withColumn("score", score) \
+        .drop("__f1", "__f1_zh", "__p_f1", "__p_f1_zh")
 
 
 def task_averages(scored: DataFrame, task_col: str = "task") -> DataFrame:
@@ -148,13 +162,15 @@ def run_v1_eval(examples: DataFrame, chunk_size: int, client_factory,
 
     todo = examples.select("doc_id", "context", "question")
     if existing_predictions is not None:
-        done_ids = existing_predictions.select("doc_id").distinct()
-        todo = todo.join(done_ids, "doc_id", "left_anti")
+        # append-style resume files can hold an id twice — keep one
+        existing_predictions = existing_predictions \
+            .select("doc_id", "prediction").dropDuplicates(["doc_id"])
+        todo = todo.join(existing_predictions.select("doc_id"),
+                         "doc_id", "left_anti")
     answers = run_v1_qa(todo, chunk_size, client_factory, retry=retry) \
         .select("doc_id", F.col("raw_reply").alias("prediction"))
     if existing_predictions is not None:
-        answers = answers.unionByName(
-            existing_predictions.select("doc_id", "prediction"))
+        answers = answers.unionByName(existing_predictions)
     joined = examples.select("doc_id", "task", "ground_truth") \
         .join(answers, "doc_id")
     scored = score_predictions(postprocess_predictions(joined))

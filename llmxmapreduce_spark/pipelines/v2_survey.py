@@ -187,9 +187,38 @@ def _call(client, prompt: str, retry: RetryPolicy) -> str | None:
     return reply
 
 
+def _modify_eval_py(client, retry: RetryPolicy, title: str, outline_md: str,
+                    sugg_id: str, content: str) -> dict | None:
+    """One L11 modify → L12 eval chain for a candidate suggestion; None on
+    any LLM failure or parse error (the candidate drops, matching the staged
+    ``filter(llm_ok)`` semantics).  Shared by the conv block and
+    self-refine fused stages."""
+    reply = _call(client, _modify_prompt(title, outline_md, content), retry)
+    if reply is None:
+        return None
+    try:
+        new_md = _parse_fenced(reply)["md"]
+    except ValueError:
+        return None
+    reply2 = _call(client, _eval_prompt(title, new_md), retry)
+    if reply2 is None:
+        return None
+    try:
+        score = _parse_score(reply2)["score"]
+    except ValueError:
+        return None
+    return {"sugg_id": sugg_id, "content": content,
+            "new_outline_md": new_md, "score": score}
+
+
 def _pmap(fn, items, threads: int):
     """Order-preserving map with bounded intra-survey concurrency (the fused
-    analog of the reference's per-node worker pool, async_d node.py:48)."""
+    analog of the reference's per-node worker pool, async_d node.py:48).
+
+    With ``threads > 1`` the ONE client instance of the enclosing stage is
+    called concurrently — the same contract as ``LLMClient.complete_batch``
+    (a thread pool over ``self.complete``), so clients must keep
+    ``complete()`` thread-safe, as the base class already requires."""
     items = list(items)
     if threads <= 1 or len(items) <= 1:
         return [fn(x) for x in items]
@@ -468,23 +497,7 @@ def convolution_block(outlines: DataFrame, suggestions: DataFrame, client_factor
         outline_md = pdf["outline_md"].iloc[0]
 
         def modify_eval(item: tuple[str, str]) -> dict | None:
-            sugg_id, content = item
-            reply = _call(client, _modify_prompt(title, outline_md, content), retry)
-            if reply is None:
-                return None
-            try:
-                new_md = _parse_fenced(reply)["md"]
-            except ValueError:
-                return None
-            reply2 = _call(client, _eval_prompt(title, new_md), retry)
-            if reply2 is None:
-                return None
-            try:
-                score = _parse_score(reply2)["score"]
-            except ValueError:
-                return None
-            return {"sugg_id": sugg_id, "content": content,
-                    "new_outline_md": new_md, "score": score}
+            return _modify_eval_py(client, retry, title, outline_md, *item)
 
         init = sorted(zip(pdf["sugg_id"], pdf["content"]))
         state = [r for r in _pmap(modify_eval, init, threads) if r]
@@ -573,24 +586,7 @@ def self_refine(best: DataFrame, client_factory, cfg: V2Config,
                 return (f"r{rnd}c{chain_id}", content)
 
             def modify_eval(item: tuple[str, str]) -> dict | None:
-                sugg_id, content = item
-                reply = _call(
-                    client, _modify_prompt(title, outline_now, content), retry)
-                if reply is None:
-                    return None
-                try:
-                    new_md = _parse_fenced(reply)["md"]
-                except ValueError:
-                    return None
-                reply2 = _call(client, _eval_prompt(title, new_md), retry)
-                if reply2 is None:
-                    return None
-                try:
-                    score = _parse_score(reply2)["score"]
-                except ValueError:
-                    return None
-                return {"sugg_id": sugg_id, "new_outline_md": new_md,
-                        "score": score}
+                return _modify_eval_py(client, retry, title, outline_now, *item)
 
             cands = [c for c in _pmap(chain, range(best_of), threads) if c]
             results = [r for r in _pmap(modify_eval, cands, threads) if r]

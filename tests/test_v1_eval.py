@@ -122,3 +122,19 @@ def test_task_averages_decimal_exact(spark):
         [("t", 1.0), ("t", 0.0), ("t", 1.0), ("t", 1.0)], ["task", "score"])
     got = v1_eval.task_averages(df).collect()[0]
     assert got["accuracy"] == 75.0
+
+
+def test_resume_with_duplicate_stored_predictions(spark):
+    """Append-style resume files can repeat an id; only one row is scored."""
+    examples = _passkey_examples(spark)
+    existing = spark.createDataFrame(
+        [(0, "recovered: 2000"), (0, "recovered again: 2000"),
+         (1, "wrong stored answer")],
+        ["doc_id", "prediction"],
+    )
+    scored, avgs = v1_eval.run_v1_eval(
+        examples, chunk_size=520, client_factory=MockQAClient,
+        existing_predictions=existing,
+    )
+    assert scored.count() == 4
+    assert avgs.collect()[0]["n_examples"] == 4
