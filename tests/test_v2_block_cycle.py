@@ -109,3 +109,13 @@ def test_block_count_two_runs_two_cycles(spark):
     assert r["block_cycle_count"] == 2
     assert len(r["block_avg_score"]) == 2
     assert len(r["self_refine_score"]) == 2
+
+
+def test_v2_many_surveys_scale_smoke(spark):
+    """12 independent surveys through the fused pipeline: one output row
+    each, all decoded (per-survey applyInPandas groups — the 100 TB scale
+    axis is survey count, and groups must not interfere)."""
+    surveys = make_surveys(spark, n_surveys=12, n_papers=4)
+    out = v2.run_v2_survey(surveys, MockSurveyClient, _cfg()).collect()
+    assert {r["survey_id"] for r in out} == {f"survey{i}" for i in range(12)}
+    assert all(r["n_sections"] >= 2 and r["block_cycle_count"] == 1 for r in out)
