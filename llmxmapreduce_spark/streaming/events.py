@@ -80,6 +80,53 @@ def session_counts(events: DataFrame, gap: str = "5 minutes",
     )
 
 
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    cumulative event count + value sum carried across micro-batches, one
+    update row emitted per (batch, user).  This is the shape the built-in
+    window operators can't express — arbitrary Python state transition
+    logic keyed by user (the streaming form of S10's incremental crawl
+    state; cf. ``GroupState`` docs).
+
+    Value totals accumulate as micro-units (``round(value * 1e6)`` with
+    HALF_UP, matching ``F.round``) so the stream result is bit-identical to
+    the batch twin regardless of per-batch float addition order.
+
+    Scale: state is two BIGINTs per user in the state store (RocksDB on a
+    real cluster); no timeout — pair with a TTL timeout conf when user
+    cardinality is unbounded."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id BIGINT, total_events BIGINT, total_value_micros BIGINT"
+    state_schema = "n BIGINT, v BIGINT"
+
+    def update(key, pdfs, state):
+        n, v = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            x = pdf["value"].to_numpy(dtype="float64") * 1e6
+            v += int((np.sign(x) * np.floor(np.abs(x) + 0.5)).astype("int64").sum())
+        state.update((int(n), int(v)))
+        yield pd.DataFrame([{
+            "user_id": key[0], "total_events": int(n),
+            "total_value_micros": int(v),
+        }])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
+
+
+def user_totals_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of :func:`user_running_totals`'s FINAL state."""
+    micros = F.round(F.col("value") * 1e6, 0).cast("long")
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.sum(micros).alias("total_value_micros"),
+    )
+
+
 def run_available_now(agg: DataFrame, query_name: str,
                       checkpoint_dir: str) -> DataFrame:
     """Execute a streaming aggregation to completion over the currently

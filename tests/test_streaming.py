@@ -29,3 +29,47 @@ def test_stream_matches_batch(spark, agg_name):
         got = rows_set(se.run_available_now(s, f"t_{agg_name}", ckpt))
     assert got == rows_set(b)
     assert len(got) > 0
+
+
+def test_stateful_running_totals_matches_batch(spark, tmp_path):
+    """applyInPandasWithState: per-user state accumulates across
+    micro-batches; the final emission per user equals the batch aggregate."""
+    batch = load_table(spark, SF, "events").select("user_id", "value", "ts")
+    src = str(tmp_path / "src")
+    batch.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id BIGINT, value DOUBLE, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    emissions = []
+    q = (
+        se.user_running_totals(stream)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda df, _id: emissions.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # cross-batch accumulation actually happened: at least one user was
+    # updated in more than one micro-batch with growing totals
+    per_user = {}
+    multi = 0
+    for r in emissions:
+        prev = per_user.get(r["user_id"])
+        if prev is not None:
+            assert r["total_events"] > prev["total_events"]
+            multi += 1
+        if prev is None or r["total_events"] > prev["total_events"]:
+            per_user[r["user_id"]] = r
+    assert multi > 0, "expected multi-batch state updates"
+
+    expected = {r["user_id"]: r for r in se.user_totals_batch(batch).collect()}
+    assert set(per_user) == set(expected)
+    for uid, r in per_user.items():
+        e = expected[uid]
+        assert (r["total_events"], r["total_value_micros"]) == \
+            (e["total_events"], e["total_value_micros"]), uid
