@@ -359,6 +359,38 @@ def q_embedding_cosine_neardup(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_neardup_pairs(both, threshold=0.9, sign_bits=8)
 
 
+def q_media_assets(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal binary-column plumbing that IS oracle-expressible: opaque
+    payloads (UTF-8 bytes of text standing in for media bytes) + typed
+    metadata, through multimodal.checksum (JVM-side md5 over binary) and
+    the media_stats rollup joined back per asset."""
+    from llmxmapreduce_spark.operators import multimodal
+
+    d = load_table(spark, sf, "documents")
+    assets = d.select(
+        F.concat(F.lit("asset_"), F.col("doc_id").cast("string")).alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int")).alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0,
+               (F.col("doc_id") % 640 + 1).cast("int")).alias("width"),
+        F.when(F.col("doc_id") % 3 == 0,
+               (F.col("doc_id") % 480 + 1).cast("int")).alias("height"),
+        F.when(F.col("doc_id") % 3 == 2,
+               (F.col("doc_id") % 90000 + 1000).cast("long")).alias("duration_ms"),
+    )
+    with_sum = multimodal.checksum(assets)
+    stats = multimodal.media_stats(assets)
+    return (
+        with_sum.join(stats, "media_type")
+        .select("asset_id", "media_type",
+                F.length("payload").alias("n_bytes"),
+                "payload_md5", "n_assets", "total_bytes",
+                "avg_pixels", "total_duration_ms")
+    )
+
+
 def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     from llmxmapreduce_spark.operators import text_stats
 
@@ -985,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_cosine_neardup": q_embedding_cosine_neardup,
+        "media_assets": q_media_assets,
         "text_quality": q_text_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "events_sliding_window": q_events_sliding,
@@ -1432,6 +1465,33 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN inter ON inter.id_a = d.doc_id
         """,
         "embedding_cosine_neardup": _cosine_neardup_oracle(),
+        "media_assets": """
+            WITH a AS (
+                SELECT doc_id,
+                       'asset_' || CAST(doc_id AS VARCHAR) AS asset_id,
+                       CASE doc_id % 3 WHEN 0 THEN 'image'
+                                       WHEN 1 THEN 'audio'
+                                       ELSE 'video' END AS media_type,
+                       octet_length(encode(text)) AS n_bytes,
+                       md5(text) AS payload_md5,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN CAST(doc_id % 640 + 1 AS BIGINT) END AS w,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN CAST(doc_id % 480 + 1 AS BIGINT) END AS h,
+                       CASE WHEN doc_id % 3 = 2
+                            THEN CAST(doc_id % 90000 + 1000 AS BIGINT)
+                       END AS duration_ms
+                FROM documents),
+            s AS (SELECT media_type, COUNT(*) AS n_assets,
+                         SUM(n_bytes) AS total_bytes,
+                         AVG(w * h) AS avg_pixels,
+                         SUM(COALESCE(duration_ms, 0)) AS total_duration_ms
+                  FROM a GROUP BY media_type)
+            SELECT asset_id, a.media_type, CAST(n_bytes AS INT) AS n_bytes,
+                   payload_md5, n_assets, total_bytes, avg_pixels,
+                   total_duration_ms
+            FROM a JOIN s ON a.media_type = s.media_type
+        """,
         "text_quality": _text_quality_oracle(),
         "doc_fingerprint": r"""
             WITH toks AS (

@@ -81,8 +81,11 @@ def export_markdown(df: DataFrame, id_col: str = "survey_id",
 def save_eval_csv(metrics: DataFrame, path: str) -> None:
     """S8 (all_eval.py:92-126): per-survey metric rows + overall averages
     appended as a final row."""
+    # ALL numeric columns average (counts included) — labelling a numeric
+    # column "AVG" would make the union's ANSI cast throw.
     num_cols = [f.name for f in metrics.schema.fields
-                if f.dataType.typeName() in ("double", "float")]
+                if f.dataType.typeName() in
+                ("double", "float", "integer", "long", "short", "decimal")]
     avg_row = metrics.agg(
         *[F.avg(c).alias(c) for c in num_cols],
     )

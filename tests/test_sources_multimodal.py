@@ -147,3 +147,31 @@ def test_html_extract_drops_boilerplate(spark):
     assert got["c"].startswith("this is the main body")
     assert "nav" not in got["c"] and "bad" not in got["c"]
     assert 0.5 < got["r"] < 1.0
+
+
+def test_save_eval_csv_appends_avg_row(spark, tmp_path):
+    import csv
+    import glob
+
+    metrics = spark.createDataFrame(
+        [("s1", 0.5, 10), ("s2", 0.7, 20)], ["survey_id", "score", "n"])
+    path = str(tmp_path / "eval_csv")
+    jsonl.save_eval_csv(metrics, path)
+    (csv_file,) = glob.glob(path + "/part-*.csv")
+    with open(csv_file) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 3
+    avg = next(r for r in rows if r["survey_id"] == "AVG")
+    assert float(avg["score"]) == 0.6           # mean of the double column
+    assert float(avg["n"]) == 15.0              # counts average too
+    assert {r["survey_id"] for r in rows} == {"s1", "s2", "AVG"}
+
+
+def test_trace_sink_lineage_rows(spark):
+    df = spark.createDataFrame([(1, "in-a", "out-a"), (2, "in-b", "out-b")],
+                               ["doc_id", "input", "output"])
+    got = jsonl.trace_sink(df, "map_stage").collect()
+    assert {(r["doc_id"], r["input"], r["output"], r["operator_type"])
+            for r in got} == {(1, "in-a", "out-a", "map_stage"),
+                              (2, "in-b", "out-b", "map_stage")}
+    assert all(r["ts"] is not None for r in got)
