@@ -119,3 +119,34 @@ def test_v2_many_surveys_scale_smoke(spark):
     out = v2.run_v2_survey(surveys, MockSurveyClient, _cfg()).collect()
     assert {r["survey_id"] for r in out} == {f"survey{i}" for i in range(12)}
     assert all(r["n_sections"] >= 2 and r["block_cycle_count"] == 1 for r in out)
+
+
+def test_llm_threads_preserve_determinism(spark):
+    """llm_threads=4 fans intra-survey LLM calls over a thread pool; the
+    order-preserving _pmap + deterministic mock must give byte-identical
+    output to the serial path."""
+    surveys = make_surveys(spark, n_surveys=2, n_papers=5)
+    a = v2.run_v2_survey(surveys, MockSurveyClient, _cfg(best_of=2)).collect()
+    b = v2.run_v2_survey(surveys, MockSurveyClient,
+                         _cfg(best_of=2, llm_threads=4)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_align_reason_roundtrip_property():
+    """A digest that echoes serialize(parse(outline)) structure always
+    aligns; any title/structure edit yields a reason."""
+    from llmxmapreduce_spark.operators.skeleton import (
+        align_reason_py,
+        parse_outline_py,
+        serialize_outline_py,
+    )
+
+    md = ("# T\n## Alpha\nDigest Construction: \nc\nDigest Analysis: \na\n"
+          "### Sub One\ntext\n## Beta\nmore")
+    echo = serialize_outline_py(parse_outline_py("T", md))
+    assert align_reason_py("T", md, echo) is None
+    assert align_reason_py("T", md, echo.replace("Beta", "Gamma")) == "title mismatch"
+    assert align_reason_py("T", md, echo + "\n## Extra") == "extra digest section"
+    assert align_reason_py(
+        "T", md, "\n".join(echo.split("\n")[:-1])) in (
+        "missing digest section", "title mismatch", "index mismatch")
