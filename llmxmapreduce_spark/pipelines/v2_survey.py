@@ -477,10 +477,17 @@ def convolution_block(outlines: DataFrame, suggestions: DataFrame, client_factor
                       cfg: V2Config, retry: RetryPolicy | None = None) -> DataFrame:
     """convolution_module.py:38-127 as ONE ``applyInPandas`` stage: per
     survey, the initial single-suggestion pass then ``conv_layers`` rounds of
-    T5 sample → L10 kernel → L11 modify → L12 eval → T1 prune, appending this
-    cycle's per-layer average scores to ``block_avg_score``
-    (convolution_module.py:45-122).  → best
-    (survey_id, survey_title, outline_md, eval_score) per survey."""
+    T5 sample → L10 kernel → L11 modify → L12 eval, appending this cycle's
+    per-layer average scores to ``block_avg_score``
+    (convolution_module.py:45-122).  Layer capacity follows the reference's
+    two modes (:80-97): while candidates / receptive_field still exceeds
+    ``result_num``, POOLING — the new results replace the pool outright, so
+    the candidate count contracts by the receptive field each layer;
+    otherwise union + T1 top-k prune.  Documented divergence: the final
+    best is argmax over the prune-accumulated state, which (unlike the
+    reference's last-layer-only pool) can never lose an earlier layer's
+    best outline.  → best (survey_id, survey_title, outline_md, eval_score)
+    per survey."""
     retry = retry or RetryPolicy()
     cands = suggestions.join(
         F.broadcast(outlines.select("survey_id", "survey_title", "outline_md",
@@ -537,8 +544,13 @@ def convolution_block(outlines: DataFrame, suggestions: DataFrame, client_factor
             if new_state:
                 cycle_scores.append(
                     float(np.mean([r["score"] for r in new_state])))
-            # conv_results_old + conv_results_new → T1 prune
-            state = _prune_py(state + new_state, top_k)
+            if len(pool) / receptive_field > result_num:
+                # pooling (convolution_module.py:80-85): replace, no prune —
+                # contracts a large candidate pool by the receptive field
+                state = new_state if new_state else state
+            else:
+                # conv_results_old + conv_results_new → T1 prune
+                state = _prune_py(state + new_state, top_k)
 
         best = _prune_py(state, 1)
         if not best:

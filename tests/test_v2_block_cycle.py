@@ -150,3 +150,18 @@ def test_align_reason_roundtrip_property():
     assert align_reason_py(
         "T", md, "\n".join(echo.split("\n")[:-1])) in (
         "missing digest section", "title mismatch", "index mismatch")
+
+
+def test_conv_block_pooling_mode_contracts_pool(spark):
+    """With suggestions/receptive_field > result_num the reference's pooling
+    branch replaces the pool each layer (no union+prune) — the pipeline must
+    still converge to one best outline per survey, deterministically."""
+    surveys = make_surveys(spark, n_surveys=1, n_papers=8)
+    cfg = _cfg(conv_layers=2, receptive_field=2, result_num=2, top_k=2,
+               digest_batch=1)          # 8 digest groups -> 8 suggestions
+    a = v2.run_v2_survey(surveys, MockSurveyClient, cfg).collect()
+    b = v2.run_v2_survey(surveys, MockSurveyClient, cfg).collect()
+    assert len(a) == 1 and a[0]["n_sections"] >= 2
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # two conv layers scored (initial pass + 2 layers)
+    assert len(a[0]["block_avg_score"][0]) == 3
