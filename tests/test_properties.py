@@ -104,3 +104,77 @@ def test_outline_parse_serialize_roundtrip(md):
     assert a == b
     # serialize is a fixpoint
     assert serialize_outline_py(nodes2) == out
+
+
+@FAST
+@given(st.text(alphabet="abc 12.\n", max_size=60),
+       st.text(alphabet="abc 12.\n", max_size=60))
+def test_rouge_lsum_bounds_and_identity(pred, label):
+    from llmxmapreduce_spark.operators.rouge import rouge_lsum_py, rouge_tokenize
+
+    s = rouge_lsum_py(pred, label)
+    assert 0.0 <= s <= 1.0
+    if rouge_tokenize(label):
+        assert rouge_lsum_py(label, label) == 1.0
+    else:
+        assert rouge_lsum_py(label, label) == 0.0
+
+
+@FAST
+@given(st.text(alphabet="ABCJKanswer: .\n`'-*", max_size=60),
+       st.sampled_from(list("ABCDEFGHIJ")))
+def test_code_debug_score_is_binary(pred, label):
+    from llmxmapreduce_spark.operators.eval_ops import code_debug_score_py
+
+    assert code_debug_score_py(pred, label, "fn_name") in (0.0, 1.0)
+
+
+@FAST
+@given(st.text(alphabet="0123456789 ,x", max_size=40),
+       st.lists(st.integers(min_value=0, max_value=99), min_size=1, max_size=6))
+def test_math_calc_score_is_prefix_ratio(pred, labels):
+    import re
+
+    from llmxmapreduce_spark.operators.eval_ops import math_calc_score_py
+
+    s = math_calc_score_py(pred, labels)
+    assert 0.0 <= s <= 1.0
+    assert round(s * len(labels), 6) == int(round(s * len(labels)))
+    # perfect prefix scores 1.0
+    assert math_calc_score_py(" ".join(map(str, labels)), labels) == 1.0
+
+
+@FAST
+@given(st.text(alphabet="ab竟早 c.!", max_size=40))
+def test_zh_f1_identity(t):
+    from llmxmapreduce_spark.functions.text import normalize_answer_zh_py
+    from llmxmapreduce_spark.operators.eval_ops import qa_f1_zh_py
+
+    if normalize_answer_zh_py(t):
+        assert qa_f1_zh_py(t, t) == 1.0
+    else:
+        assert qa_f1_zh_py(t, t) == 0.0
+
+
+def test_complete_batch_fans_out_in_order(spark):
+    """D12: the client-side request pool preserves input order under
+    concurrency."""
+    import threading
+    import time as _t
+
+    from llmxmapreduce_spark.llm.client import LLMClient
+
+    seen_threads = set()
+
+    class SlowEcho(LLMClient):
+        pool_size = 8
+
+        def complete(self, prompt):
+            seen_threads.add(threading.get_ident())
+            _t.sleep(0.01)
+            return f"r:{prompt}"
+
+    prompts = [f"p{i}" for i in range(32)]
+    got = SlowEcho().complete_batch(prompts)
+    assert got == [f"r:p{i}" for i in range(32)]
+    assert len(seen_threads) > 1        # genuinely concurrent
