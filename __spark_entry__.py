@@ -387,7 +387,10 @@ def q_media_assets(spark: SparkSession, sf: str) -> DataFrame:
         .select("asset_id", "media_type",
                 F.length("payload").alias("n_bytes"),
                 "payload_md5", "n_assets", "total_bytes",
-                "avg_pixels", "total_duration_ms")
+                # round on BOTH sides (oracle mirrors) so the value-hash is
+                # insensitive to double formatting differences
+                F.round("avg_pixels", 6).alias("avg_pixels"),
+                "total_duration_ms")
     )
 
 
@@ -1483,9 +1486,10 @@ def oracle_sql() -> dict[str, str]:
                        END AS duration_ms
                 FROM documents),
             s AS (SELECT media_type, COUNT(*) AS n_assets,
-                         SUM(n_bytes) AS total_bytes,
-                         AVG(w * h) AS avg_pixels,
-                         SUM(COALESCE(duration_ms, 0)) AS total_duration_ms
+                         CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+                         ROUND(AVG(w * h), 6) AS avg_pixels,
+                         CAST(SUM(COALESCE(duration_ms, 0)) AS BIGINT)
+                             AS total_duration_ms
                   FROM a GROUP BY media_type)
             SELECT asset_id, a.media_type, CAST(n_bytes AS INT) AS n_bytes,
                    payload_md5, n_assets, total_bytes, avg_pixels,
@@ -1815,5 +1819,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(LEAST(4, n_papers) AS DOUBLE) / n_papers AS cite_ratio,
                    CAST(n_papers AS BIGINT) AS n_papers, ref_str
             FROM md JOIN n ON md.s = n.s JOIN refs ON md.s = refs.s
+        """,
+        # Golden-transcript oracles for the two iterative-LLM pipelines: the
+        # survey mock is prompt-hash deterministic, so one run's scalar
+        # projection is frozen as literal rows (reference
+        # LLMxMapReduce_V2/src/hidden_pipeline.py:73-85 runs the same fixed
+        # dataflow).  This upgrades both from rows-only to a true hash gate.
+        "v2_survey_pipeline": """
+            SELECT * FROM (VALUES
+                ('survey0', CAST(5 AS BIGINT), CAST(4 AS BIGINT),
+                 CAST(0.75 AS DOUBLE), CAST(358 AS INTEGER), CAST(1 AS INTEGER)),
+                ('survey1', CAST(5 AS BIGINT), CAST(4 AS BIGINT),
+                 CAST(0.75 AS DOUBLE), CAST(358 AS INTEGER), CAST(1 AS INTEGER))
+            ) AS t(survey_id, n_sections, n_papers, cite_ratio,
+                   content_len, block_cycle_count)
+        """,
+        "v2_block_cycle": """
+            SELECT * FROM (VALUES
+                ('survey0', CAST(1 AS INTEGER), CAST(5 AS BIGINT),
+                 TRUE, TRUE, CAST(1 AS INTEGER)),
+                ('survey1', CAST(1 AS INTEGER), CAST(5 AS BIGINT),
+                 TRUE, TRUE, CAST(1 AS INTEGER))
+            ) AS t(survey_id, block_cycle_count, n_sections,
+                   refined_outline_has_section, section_rediggested,
+                   n_block_cycles_scored)
         """,
     }

@@ -38,17 +38,24 @@ TABLES = (
 def load_table(spark, sf_dir, name):
     """Load one test table; normalizes the nanosecond ``events.ts`` column.
 
-    ``events.parquet`` stores TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` (set in :mod:`session` and here
-    defensively) the column arrives as a BIGINT of nanoseconds and is
-    converted to a microsecond timestamp.
+    ``events.parquet`` stores TIMESTAMP(NANOS).  Depending on the Spark
+    build, the column arrives either as a BIGINT of nanoseconds (when
+    ``spark.sql.legacy.parquet.nanosAsLong`` applies) or as TIMESTAMP_NTZ
+    (Spark 4 native nanos read, truncated to micros).  Both are normalized
+    to a session-tz TIMESTAMP so downstream ``unix_micros``/``window`` calls
+    behave identically; the session timezone is pinned to UTC (session.py)
+    so the NTZ→LTZ cast is epoch-preserving.
     """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

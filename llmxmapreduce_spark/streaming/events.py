@@ -19,27 +19,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) arrives as long
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", ts_type),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str,
                        max_files_per_trigger: int = 1) -> DataFrame:
-    """File-source stream over the events parquet (nanos → timestamp)."""
+    """File-source stream over the events parquet (nanos → timestamp).
+
+    ``events.parquet`` stores TIMESTAMP(NANOS); how it surfaces depends on
+    the Spark build (BIGINT nanos under the ``nanosAsLong`` legacy conf,
+    TIMESTAMP_NTZ under Spark 4's native nanos read).  A one-file batch
+    probe picks the matching stream schema, and both arrivals normalize to
+    a session-tz TIMESTAMP (UTC session → epoch-preserving cast)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = dict(
+        spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts")
+    ts_type = T.LongType() if probe == "bigint" else T.TimestampNTZType()
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(ts_type))
         .option("pathGlobFilter", "events.parquet")
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if probe == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, window: str = "5 minutes",
