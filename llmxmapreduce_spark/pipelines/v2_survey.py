@@ -78,6 +78,12 @@ _STR = T.StringType()
 _SCORES = T.ArrayType(T.DoubleType())
 _BLOCK_SCORES = T.ArrayType(_SCORES)                     # per cycle: layer avgs
 _REFINE_SCORES = T.ArrayType(T.ArrayType(_SCORES))       # per cycle/round: chain scores
+_POOL_SIZES = T.ArrayType(T.ArrayType(T.IntegerType()))  # per cycle: pool sizes
+#   pool-size trajectory [initial, after layer 0, ...]: pooling layers
+#   contract the pool by the receptive field, prune layers clamp it to top_k
+#   — the externally observable proof of the convolution_module.py:80-97
+#   mode transition (and the per-stage telemetry the reference's monitor
+#   prints, pipeline_analyser.py:64-124).
 
 
 def _payload(*names: str) -> list[T.StructField]:
@@ -458,6 +464,7 @@ _CONV_SCHEMA = T.StructType([
     T.StructField("eval_score", T.DoubleType(), True),
     T.StructField("block_avg_score", _STR, True),
     T.StructField("self_refine_score", _STR, True),
+    T.StructField("conv_pool_sizes", _STR, True),
 ])
 
 
@@ -491,7 +498,8 @@ def convolution_block(outlines: DataFrame, suggestions: DataFrame, client_factor
     retry = retry or RetryPolicy()
     cands = suggestions.join(
         F.broadcast(outlines.select("survey_id", "survey_title", "outline_md",
-                                    "block_avg_score", "self_refine_score")),
+                                    "block_avg_score", "self_refine_score",
+                                    "conv_pool_sizes")),
         "survey_id",
     )
     conv_layers, receptive_field = cfg.conv_layers, cfg.receptive_field
@@ -511,11 +519,16 @@ def convolution_block(outlines: DataFrame, suggestions: DataFrame, client_factor
         cycle_scores: list[float] = []
         if state:
             cycle_scores.append(float(np.mean([r["score"] for r in state])))
+        cycle = len(_nested(pdf["block_avg_score"].iloc[0]))
+        pool_sizes: list[int] = [len(state)]
         for layer in range(conv_layers):
-            # fresh per-layer RandomState on the survey seed — matches the
-            # staged sampler's per-invocation seeding (deterministic and
-            # independent of executor placement)
-            rng = np.random.RandomState(sampling.survey_seed(str(sid), seed))
+            # fresh per-layer RandomState, seeded on (survey, block cycle,
+            # layer) — deterministic and independent of executor placement,
+            # while two layers over identical pool contents still draw
+            # distinct sample groups (the reference's module-level numpy RNG
+            # evolves across layers; a bare survey seed would not)
+            rng = np.random.RandomState(
+                sampling.survey_seed(f"{sid}:{cycle}:{layer}", seed))
             pool = sorted(state, key=lambda r: r["sugg_id"])
             groups = sampling.sample_suggestion_groups(
                 [r["sugg_id"] for r in pool], [r["score"] for r in pool],
@@ -551,6 +564,7 @@ def convolution_block(outlines: DataFrame, suggestions: DataFrame, client_factor
             else:
                 # conv_results_old + conv_results_new → T1 prune
                 state = _prune_py(state + new_state, top_k)
+            pool_sizes.append(len(state))
 
         best = _prune_py(state, 1)
         if not best:
@@ -562,6 +576,8 @@ def convolution_block(outlines: DataFrame, suggestions: DataFrame, client_factor
             "eval_score": best[0]["score"],
             "block_avg_score": _dumps(block_scores),
             "self_refine_score": pdf["self_refine_score"].iloc[0] or "[]",
+            "conv_pool_sizes": _dumps(
+                _nested(pdf["conv_pool_sizes"].iloc[0]) + [pool_sizes]),
         }])
 
     return cands.groupBy("survey_id").applyInPandas(run, _CONV_SCHEMA)
@@ -573,7 +589,14 @@ def self_refine(best: DataFrame, client_factory, cfg: V2Config,
     ``refine_rounds`` rounds of best-of L13→L11→L12 chains, keeping the max
     (ties prefer the kept state, matching the staged 'keep' < 'r…c…' key
     order), appending this cycle's round×chain scores to
-    ``self_refine_score`` (refine_module.py:52-63)."""
+    ``self_refine_score`` (refine_module.py:52-63).
+
+    Documented divergence (mirrors :func:`convolution_block`'s): the
+    reference unconditionally adopts the best NEW outline each round even
+    when it scores below the incumbent (refine_module.py:49-52); here the
+    incumbent competes in the pool, so a refine round can never regress the
+    running best.  Monotone state is deliberate — at cluster scale a single
+    low-scoring round must not destroy a survey's accumulated outline."""
     retry = retry or RetryPolicy()
     refine_rounds, best_of, threads = cfg.refine_rounds, cfg.best_of, cfg.llm_threads
 
@@ -614,6 +637,7 @@ def self_refine(best: DataFrame, client_factory, cfg: V2Config,
             "block_avg_score": row["block_avg_score"] or "[]",
             "self_refine_score": _dumps(
                 _nested(row["self_refine_score"]) + [cycle_scores]),
+            "conv_pool_sizes": row["conv_pool_sizes"] or "[]",
         }
         return pd.DataFrame([out])
 
@@ -755,7 +779,7 @@ def decode_survey(final_outline: DataFrame, digests: DataFrame, papers: DataFram
         tail.join(F.broadcast(final_outline), "survey_id")
         .select("survey_id", "survey_title", "outline_md", "content_md",
                 "ref_str", "cite_ratio", "n_papers", "n_sections", "eval_score",
-                "block_avg_score", "self_refine_score")
+                "block_avg_score", "self_refine_score", "conv_pool_sizes")
     )
 
 
@@ -829,6 +853,7 @@ def run_v2_survey(surveys: DataFrame, client_factory,
             F.lit(None).cast("double").alias("eval_score"),
             F.lit("[]").alias("block_avg_score"),
             F.lit("[]").alias("self_refine_score"),
+            F.lit("[]").alias("conv_pool_sizes"),
         )
         for _cycle in range(cfg.block_count):
             digests = digests.localCheckpoint(eager=True)
@@ -845,6 +870,8 @@ def run_v2_survey(surveys: DataFrame, client_factory,
             "block_avg_score", F.from_json("block_avg_score", _BLOCK_SCORES)
         ).withColumn(
             "self_refine_score", F.from_json("self_refine_score", _REFINE_SCORES)
+        ).withColumn(
+            "conv_pool_sizes", F.from_json("conv_pool_sizes", _POOL_SIZES)
         )
         out = decode_survey(cur, digests, papers, client_factory, cfg, retry) \
             .withColumn("block_cycle_count", F.lit(cfg.block_count))

@@ -1,0 +1,82 @@
+"""The convolution block at the reference's shipped knob settings.
+
+Reference defaults: conv_layer 6, kernel (receptive field) 3, result_num 10,
+top_k 6, refine 3 rounds × 3 chains (LLMxMapReduce_V2/src/args.py:18-30),
+block_count 1 (scripts/pipeline_start.sh:13).  Every other test runs reduced
+knobs; this one proves the fused per-survey stage converges at the real
+settings, that the pooling→prune mode transition
+(convolution_module.py:80-97) actually happens, and that wall-clock stays
+flat as surveys are added (surveys are independent applyInPandas groups).
+"""
+
+import time
+
+from llmxmapreduce_spark.llm.survey_mock import MockSurveyClient
+from llmxmapreduce_spark.pipelines import v2_survey as v2
+from tests.test_v2_pipeline import make_surveys
+
+REF_KNOBS = dict(conv_layers=6, receptive_field=3, result_num=10, top_k=6,
+                 refine_rounds=3, best_of=3, block_count=1,
+                 digest_batch=1, polish=False, llm_threads=8)
+
+
+def _run(spark, n_surveys):
+    surveys = make_surveys(spark, n_surveys=n_surveys, n_papers=32)
+    cfg = v2.V2Config(shuffle_partitions=max(2, n_surveys), **REF_KNOBS)
+    t0 = time.time()
+    out = v2.run_v2_survey(surveys, MockSurveyClient, cfg).collect()
+    return out, time.time() - t0
+
+
+def test_reference_defaults_converge_with_mode_transition(spark):
+    out, _ = _run(spark, 8)
+    assert {r["survey_id"] for r in out} == {f"survey{i}" for i in range(8)}
+    for r in out:
+        # pool trajectory for the one block cycle: [initial, after each of
+        # the 6 layers].  32 digest-group suggestions → 32/3 > 10 puts layer
+        # 0 in POOLING mode (pool replaced by the ⌈32/3⌉=11 kernel merges);
+        # 11/3 ≤ 10 switches every later layer to union+top_k PRUNE mode.
+        (sizes,) = r["conv_pool_sizes"]
+        assert len(sizes) == 7, sizes
+        assert sizes[0] == 32
+        assert sizes[1] == 11, f"pooling layer should contract 32→11: {sizes}"
+        assert all(s <= REF_KNOBS["top_k"] for s in sizes[2:]), sizes
+        # score bookkeeping at reference shape: initial pass + 6 layer
+        # averages; 3 refine rounds × 3 chains
+        assert len(r["block_avg_score"][0]) == 1 + 6
+        assert all(0.0 <= s <= 10.0 for s in r["block_avg_score"][0])
+        (refine_cycle,) = r["self_refine_score"]
+        assert len(refine_cycle) == 3
+        assert all(len(chain_scores) == 3 for chain_scores in refine_cycle)
+        # converged: one decoded survey with real structure
+        assert r["n_sections"] >= 2 and r["content_md"]
+        assert r["eval_score"] is not None
+
+
+def test_reference_defaults_flat_latency(spark):
+    """4× the surveys must NOT cost 4× the wall-clock: per-survey work rides
+    independent applyInPandas groups over local[32], so fixed job overhead
+    dominates.  Generous 2.5× bound — shared-box timing noise."""
+    _, t2 = _run(spark, 2)
+    out8, t8 = _run(spark, 8)
+    assert len(out8) == 8
+    assert t8 < 2.5 * t2, f"8 surveys {t8:.1f}s vs 2 surveys {t2:.1f}s"
+
+
+def test_layer_seeds_are_diverse(spark):
+    """Two conv layers over identical pool contents must draw different
+    sample groups: the per-layer RandomState mixes (cycle, layer) into the
+    survey seed (ADVICE r3 — a bare survey seed repeated the groups)."""
+    import numpy as np
+
+    from llmxmapreduce_spark.operators import sampling
+
+    ids = [f"s{i}" for i in range(12)]
+    scores = [1.0 + i for i in range(12)]
+    g0 = sampling.sample_suggestion_groups(
+        ids, scores, 3, 10,
+        np.random.RandomState(sampling.survey_seed("survey0:0:0", 42)))
+    g1 = sampling.sample_suggestion_groups(
+        ids, scores, 3, 10,
+        np.random.RandomState(sampling.survey_seed("survey0:0:1", 42)))
+    assert g0 != g1
