@@ -343,8 +343,11 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_embedding_cosine_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (similarity.cosine_neardup_pairs):
-    sign-bucket candidate join + exact quantized-cosine verify over the
-    corpus plus perturbed twins (x*1.01 + 0.0001)."""
+    candidate equi-join + exact quantized-cosine verify over the corpus
+    plus perturbed twins (x*1.01 + 0.0001).  Uses the DuckDB-portable
+    ``bucket_mode="signbits"`` oracle twin; production defaults to the
+    skew-resistant hyperplane bucket (same portable/fast split as the
+    md5/xxhash64 minhash twins)."""
     from llmxmapreduce_spark.operators import similarity
 
     emb = load_table(spark, sf, "embeddings")
@@ -356,7 +359,8 @@ def q_embedding_cosine_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
     both = emb.select("vec_id", F.col("embedding").cast("array<double>")
                       .alias("embedding")).unionByName(twins)
-    return similarity.cosine_neardup_pairs(both, threshold=0.9, sign_bits=8)
+    return similarity.cosine_neardup_pairs(
+        both, threshold=0.9, sign_bits=8, bucket_mode="signbits")
 
 
 def q_media_assets(spark: SparkSession, sf: str) -> DataFrame:

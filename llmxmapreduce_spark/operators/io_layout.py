@@ -38,13 +38,29 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
 
 
 def repartition_for_llm(df: DataFrame, rows_per_partition: int = 512,
-                        key_col: str | None = None) -> DataFrame:
+                        key_col: str | None = None,
+                        row_estimate: int | None = None) -> DataFrame:
     """Bound LLM-stage parallelism: n_partitions = ceil(rows / rpp).
 
     With pool_size=20 per client (llm/client.py), cluster-wide concurrency =
     n_partitions × 20 — tune rows_per_partition to the provider's rate
-    limit instead of letting input partitioning decide it."""
-    n = max(1, -(-df.count() // rows_per_partition))
+    limit instead of letting input partitioning decide it.
+
+    ``row_estimate`` is the caller's row count (exact or approximate —
+    e.g. carried from an upstream stage or a catalog statistic).  When
+    omitted, the count is read from Catalyst's plan statistics, falling
+    back to the input's current partition count — never an eager
+    ``df.count()`` job (an extra full scan before any LLM work)."""
+    if row_estimate is None:
+        stats_rows = (
+            df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        )
+        if stats_rows.isDefined():
+            row_estimate = int(str(stats_rows.get()))
+    if row_estimate is not None:
+        n = max(1, -(-row_estimate // rows_per_partition))
+    else:
+        n = max(1, df.rdd.getNumPartitions())
     if key_col:
         return df.repartition(n, key_col)
     return df.repartition(n)

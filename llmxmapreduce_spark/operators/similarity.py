@@ -111,22 +111,46 @@ def cosine_neardup_pairs(
     sign_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_mode: str = "hyperplane",
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the dedup flavor of the
-    similarity stack): candidates = self equi-join on the sign-bit bucket,
+    similarity stack): candidates = self equi-join on an LSH bucket,
     verify = exact quantized cosine ≥ threshold.  → (id_a, id_b, cosine),
     id_a < id_b.
 
+    ``bucket_mode`` picks the candidate-generation bucket — the exact same
+    portable/fast split as dedup.py's md5/xxhash64 minhash twins:
+
+    - ``"hyperplane"`` (production default): random-hyperplane signatures
+      (:func:`hyperplane_signs`, shared with both ANN paths).  Each plane
+      mixes ALL dimensions with pseudo-random weights, so bucket occupancy
+      stays ~n/2^bits even when the embedding distribution concentrates
+      variance in a few leading dimensions (real embeddings do — PCA-like
+      spectra), where raw sign bits would collapse into a handful of
+      mega-buckets and blow up the per-bucket |a|×|b| verify cost.
+    - ``"signbits"`` (oracle twin): sign bits of the first ``sign_bits``
+      quantized elements — trivially portable to any SQL engine, used by
+      the DuckDB correctness oracle.  Same verify math, same output
+      contract; only candidate recall/skew differs.
+
     100 TB framing: the corpus is never self-crossed — the only join is an
-    equi-join on a ``sign_bits``-char key (bucket population ~ n/2^bits;
-    skewed sign patterns are AQE skew-join territory).  Verification runs
-    per colliding pair on the quantized integers, so the result is
-    bit-identical in any engine (oracle-checkable, like the md5 minhash
-    path)."""
+    equi-join on a ``sign_bits``-char key (bucket population ~ n/2^bits
+    under the hyperplane default; residual skew is AQE skew-join
+    territory).  Verification runs per colliding pair on the quantized
+    integers, so the result is bit-identical in any engine."""
     base = df.select(
-        F.col(id_col), quantize(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", sign_bucket(F.col("v"), sign_bits)) \
-     .withColumn("n2", _norm2(F.col("v")))
+        F.col(id_col), quantize(F.col(vec_col)).alias("v"),
+        F.col(vec_col).cast("array<double>").alias("_dv"),
+    )
+    if bucket_mode == "hyperplane":
+        bucket = hyperplane_signs(F.col("_dv"), n_planes=sign_bits, seed=seed)
+    elif bucket_mode == "signbits":
+        bucket = sign_bucket(F.col("v"), sign_bits)
+    else:
+        raise ValueError(f"unknown bucket_mode: {bucket_mode!r}")
+    base = base.withColumn("bucket", bucket) \
+        .withColumn("n2", _norm2(F.col("v"))).drop("_dv")
     a = base.select(F.col(id_col).alias("id_a"), F.col("bucket"),
                     F.col("v").alias("va"), F.col("n2").alias("na"))
     b = base.select(F.col(id_col).alias("id_b"), F.col("bucket"),

@@ -194,3 +194,63 @@ def test_cosine_neardup_pairs_plants_and_plan(spark):
     assert {(i, i + 1000) for i in range(40)} <= got
     # random distinct vectors in 16-d essentially never reach cosine 0.99
     assert got == {(i, i + 1000) for i in range(40)}
+
+
+def test_cosine_neardup_signbits_twin_matches_on_plants(spark):
+    """The DuckDB-portable signbits twin finds the same planted twins
+    (scale perturbation preserves raw element signs as well)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(30, 16)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(30)]
+    rows += [(i + 1000, [float(x) * 1.01 for x in vecs[i]]) for i in range(30)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.cosine_neardup_pairs(
+        df, threshold=0.99, sign_bits=8, bucket_mode="signbits")
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(i, i + 1000) for i in range(30)}
+
+
+def test_hyperplane_bucket_balanced_where_sign_bits_collapse(spark):
+    """Correlated embeddings (shared dominant principal component, like
+    real model embeddings): raw first-8-dim sign bits put nearly everything
+    in one mega-bucket (quadratic verify blowup at scale), while the
+    hyperplane bucket keeps occupancy near-uniform AND still catches the
+    planted near-duplicates."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(7)
+    n, dim = 400, 32
+    # leading 8 dims: consistently positive (a shared component, as in real
+    # embedding spectra) -> every vector's first-8 sign pattern is 1111….
+    # Angular diversity lives in the remaining 24 dims.
+    vecs = np.concatenate(
+        [1.0 + 0.1 * np.abs(rng.randn(n, 8)), 2.0 * rng.randn(n, dim - 8)],
+        axis=1)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    qv = similarity.quantize(F.col("embedding"))
+    sign_sizes = (
+        df.select(similarity.sign_bucket(qv, 8).alias("b"))
+        .groupBy("b").count().agg(F.max("count")).collect()[0][0]
+    )
+    hp_sizes = (
+        df.select(similarity.hyperplane_signs(
+            F.col("embedding").cast("array<double>"), 8).alias("b"))
+        .groupBy("b").count().agg(F.max("count")).collect()[0][0]
+    )
+    # signs of mu-dominated dims are all positive -> one mega-bucket
+    assert sign_sizes >= 0.9 * n
+    # hyperplanes mix all dims with +/- weights -> no mega-bucket
+    assert hp_sizes <= 0.25 * n, (hp_sizes, sign_sizes)
+
+    # recall on planted twins survives the hyperplane bucket
+    twins = [(i + 10000, [float(x) * 1.01 for x in vecs[i]]) for i in range(50)]
+    both = df.unionByName(
+        spark.createDataFrame(twins, ["vec_id", "embedding"]))
+    out = similarity.cosine_neardup_pairs(both, threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert {(i, i + 10000) for i in range(50)} <= got

@@ -26,9 +26,29 @@ def test_partitioned_write_prunes(spark):
         assert back.count() > 0
 
 
-def test_repartition_for_llm_bounds_parallelism(spark):
-    df = spark.range(1000).withColumn("doc_id", F.col("id"))
+def test_repartition_for_llm_bounds_parallelism(spark, monkeypatch):
+    from pyspark.sql import DataFrame
+
+    # the sizing must never launch an eager count() job
+    def _boom(self):
+        raise AssertionError("repartition_for_llm ran an eager count()")
+
+    monkeypatch.setattr(DataFrame, "count", _boom)
+
+    df = spark.range(1000)
+    # Range carries exact rowCount statistics -> plan-stats path
     out = io_layout.repartition_for_llm(df, rows_per_partition=100)
     assert out.rdd.getNumPartitions() == 10
     out2 = io_layout.repartition_for_llm(df, rows_per_partition=10000)
     assert out2.rdd.getNumPartitions() == 1
+
+
+def test_repartition_for_llm_caller_estimate(spark):
+    d = load_table(spark, SF, "documents")
+    out = io_layout.repartition_for_llm(d, rows_per_partition=50,
+                                        row_estimate=500)
+    assert out.rdd.getNumPartitions() == 10
+    # without stats or estimate, falls back to input partitioning (>=1)
+    assert io_layout.repartition_for_llm(
+        d.filter(F.length("text") >= 0), rows_per_partition=50
+    ).rdd.getNumPartitions() >= 1
