@@ -830,15 +830,61 @@ def q_rouge_lsum(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", rouge_lsum(pred, label).alias("rouge_lsum"))
 
 
+# The two iterative-LLM pipeline queries are hash-checked against
+# golden-transcript VALUES oracles (see oracle_sql).  The literal rows were
+# FROZEN AT sf0.01 — the driver's correctness scale — and depend on (a) the
+# doc texts feeding the papers (content_len etc.), (b) the survey mocks'
+# prompt-hash determinism, (c) the (survey, cycle, layer) seed scheme.  The
+# fingerprints below pin (a); the guard turns a stale-golden situation into
+# a loud pointed warning instead of a confusing hash mismatch.
+GOLDEN_SF = "sf0.01"
+GOLDEN_DOC_FP = {
+    "v2_survey_pipeline": ("doc_id < 8", "8d96794ca4851b688f60b4dd7ca8b355"),
+    "v2_block_cycle": ("doc_id < 6", "4bc6728b641cd4177a2834a0d6d1913b"),
+}
+
+
+def _warn_if_stale_golden(d, name: str) -> None:
+    """Compare the input docs' text fingerprint against the one the golden
+    transcript was frozen from (≤8 rows — negligible).  On mismatch, warn
+    with the exact cause: the hash gate for ``name`` is only valid at
+    GOLDEN_SF with the original testdata; elsewhere treat it as rows-only
+    or re-freeze the goldens."""
+    import sys
+
+    pred, frozen = GOLDEN_DOC_FP[name]
+    # order must match the frozen DuckDB STRING_AGG(… ORDER BY doc_id);
+    # sort_array over (doc_id, text) structs is order-stable regardless of
+    # partitioning, unlike collect_list after orderBy.
+    fp = (d.filter(pred)
+          .agg(F.md5(F.concat_ws("|", F.transform(
+              F.sort_array(F.collect_list(F.struct("doc_id", "text"))),
+              lambda s: s["text"]))).alias("fp"))
+          .collect()[0]["fp"])
+    if fp != frozen:
+        print(
+            f"WARNING [{name}]: golden-transcript oracle was frozen at "
+            f"{GOLDEN_SF} (input fp {frozen}); current input fp {fp} differs "
+            f"— the VALUES hash gate WILL mismatch at this scale factor. "
+            f"This is a stale-golden condition, not a pipeline bug: run the "
+            f"gate at {GOLDEN_SF} or re-freeze the golden rows.",
+            file=sys.stderr,
+        )
+
+
 def q_v2_survey_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """Full V2 survey pipeline (group→outline→digest→convolve→refine→decode)
     with the deterministic survey mock over documents-derived papers.
-    Genuinely non-SQL-expressible (iterative LLM dataflow) → rows-only check.
+    Iterative LLM dataflow — non-SQL-expressible — but the mock is
+    prompt-hash deterministic, so the scalar projection is HASH-CHECKED
+    against a frozen golden-transcript VALUES oracle (frozen at GOLDEN_SF;
+    see _warn_if_stale_golden).
     """
     from llmxmapreduce_spark.llm.survey_mock import MockSurveyClient
     from llmxmapreduce_spark.pipelines import v2_survey as v2
 
     d = load_table(spark, sf, "documents").filter("doc_id < 8")
+    _warn_if_stale_golden(d, "v2_survey_pipeline")
     papers = d.select(
         F.concat(F.lit("survey"), (F.col("doc_id") % 2).cast("string")).alias("survey_id"),
         F.struct(
@@ -913,13 +959,16 @@ def q_v2_block_cycle(spark: SparkSession, sf: str) -> DataFrame:
     the RestructuringSurveyClient's [MODIFY] inserts a new top-level section,
     shifting every preorder position; digests are regenerated against the
     refined outline, so the new section both exists in the decoded survey AND
-    carries digest-derived prose with citations.  Rows-only check (iterative
-    LLM dataflow).
+    carries digest-derived prose with citations.  Iterative LLM dataflow,
+    but deterministic under the restructuring mock — HASH-CHECKED against a
+    frozen golden-transcript VALUES oracle (frozen at GOLDEN_SF; see
+    _warn_if_stale_golden).
     """
     from llmxmapreduce_spark.llm.survey_mock import RestructuringSurveyClient
     from llmxmapreduce_spark.pipelines import v2_survey as v2
 
     d = load_table(spark, sf, "documents").filter("doc_id < 6")
+    _warn_if_stale_golden(d, "v2_block_cycle")
     papers = d.select(
         F.concat(F.lit("survey"), (F.col("doc_id") % 2).cast("string")).alias("survey_id"),
         F.struct(

@@ -54,8 +54,12 @@ def load_table(spark, sf_dir, name):
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
+        elif ts_type in ("timestamp_ntz", "timestamp"):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        else:
+            raise ValueError(
+                f"unexpected dtype {ts_type!r} for events.ts — expected "
+                "bigint (nanosAsLong), timestamp_ntz, or timestamp")
     return df
 
 

@@ -13,6 +13,7 @@ Reference parity:
 from __future__ import annotations
 
 import hashlib
+import random
 import re
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -21,15 +22,68 @@ from dataclasses import dataclass
 
 @dataclass
 class RetryPolicy:
-    """D13 retry policy (reference: request/openai.py:22-26)."""
+    """D13 retry policy.
+
+    The reference ships one envelope per provider, all with
+    ``wait_random_exponential(multiplier=2, max=60)`` but different attempt
+    budgets and retryable-exception sets — mirrored by the classmethod
+    presets below (request/openai.py:22-26, request/google.py:31-35,
+    request/local.py:24-28):
+
+    ============  ========  =========================================
+    preset        attempts  retries on
+    ============  ========  =========================================
+    ``openai()``  100       RateLimitError, InternalServerError, APIError
+    ``google()``  10        any Exception
+    ``local()``   30        JSONDecodeError, HTTPError
+    ============  ========  =========================================
+
+    ``retry_on`` holds exception *class names* (matched against the raised
+    exception's MRO), so the presets work without the provider SDKs
+    installed; ``None`` retries everything.  A non-retryable error falls
+    through to the D8 sentinel immediately instead of burning the attempt
+    budget.  ``jitter`` samples uniform(0, cap) per wait like tenacity's
+    wait_random_exponential; off by default for deterministic tests."""
 
     max_attempts: int = 3
     base_delay: float = 0.0      # seconds; 0 for deterministic tests
     max_delay: float = 60.0
     backoff: float = 2.0
+    retry_on: tuple[str, ...] | None = None
+    jitter: bool = False
 
     def delay(self, attempt: int) -> float:
-        return min(self.max_delay, self.base_delay * (self.backoff ** attempt))
+        cap = min(self.max_delay, self.base_delay * (self.backoff ** attempt))
+        if self.jitter and cap > 0:
+            return random.uniform(0, cap)
+        return cap
+
+    def should_retry(self, exc: BaseException) -> bool:
+        if self.retry_on is None:
+            return True
+        mro_names = {c.__name__ for c in type(exc).__mro__}
+        return bool(mro_names & set(self.retry_on))
+
+    @classmethod
+    def openai(cls) -> "RetryPolicy":
+        """request/openai.py:22-26."""
+        return cls(max_attempts=100, base_delay=2.0, max_delay=60.0,
+                   backoff=2.0, jitter=True,
+                   retry_on=("RateLimitError", "InternalServerError",
+                             "APIError"))
+
+    @classmethod
+    def google(cls) -> "RetryPolicy":
+        """request/google.py:31-35 (retries any Exception)."""
+        return cls(max_attempts=10, base_delay=2.0, max_delay=60.0,
+                   backoff=2.0, jitter=True, retry_on=None)
+
+    @classmethod
+    def local(cls) -> "RetryPolicy":
+        """request/local.py:24-28."""
+        return cls(max_attempts=30, base_delay=2.0, max_delay=60.0,
+                   backoff=2.0, jitter=True,
+                   retry_on=("JSONDecodeError", "HTTPError"))
 
 
 class LLMClient:
@@ -177,13 +231,18 @@ class OpenAICompatClient(LLMClient):
     """Production client for any OpenAI-compatible endpoint (vLLM, etc.).
 
     Import-gated: the ``openai`` package is optional in this environment.
-    Retries are handled by the operator layer's RetryPolicy, mirroring the
-    reference's tenacity wrapper (request/openai.py:22-26).
+    Retries are handled by the operator layer's RetryPolicy; ``provider``
+    selects the reference envelope (``"openai"`` → 100 attempts on
+    rate-limit/5xx, ``"google"`` → 10 on anything, ``"local"`` → 30 on
+    decode/HTTP errors — vLLM and Gemini-behind-OpenAI-compat endpoints
+    surface the same OpenAI exception types, so pick by BACKEND behavior).
+    Operators that receive no explicit policy use ``self.retry_policy``.
     """
 
     def __init__(self, model: str, base_url: str | None = None,
                  api_key: str | None = None, max_tokens: int = 300,
-                 temperature: float = 0.0, timeout: float = 120.0):
+                 temperature: float = 0.0, timeout: float = 120.0,
+                 provider: str = "openai"):
         try:
             from openai import OpenAI  # type: ignore
         except ImportError as e:  # pragma: no cover
@@ -195,6 +254,11 @@ class OpenAICompatClient(LLMClient):
         self.model = model
         self.max_tokens = max_tokens
         self.temperature = temperature
+        presets = {"openai": RetryPolicy.openai, "google": RetryPolicy.google,
+                   "local": RetryPolicy.local}
+        if provider not in presets:
+            raise ValueError(f"unknown provider preset: {provider!r}")
+        self.retry_policy = presets[provider]()
 
     def complete(self, prompt: str) -> str:  # pragma: no cover - needs network
         resp = self._client.chat.completions.create(
@@ -217,6 +281,9 @@ def call_with_retry(client: LLMClient, prompt: str,
             return client.complete(prompt), None, attempt + 1
         except Exception as e:  # noqa: BLE001 - sentinel semantics
             err = f"{type(e).__name__}: {e}"
-            if policy.delay(attempt):
-                time.sleep(policy.delay(attempt))
+            if not policy.should_retry(e):
+                return None, err, attempt + 1
+            d = policy.delay(attempt)
+            if d:
+                time.sleep(d)
     return None, err, policy.max_attempts

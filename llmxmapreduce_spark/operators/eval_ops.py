@@ -231,6 +231,19 @@ def qa_f1_py(prediction: str, ground_truth: str) -> float:
 
 def qa_f1(df: DataFrame, pred_col: str = "prediction",
           gt_col: str = "ground_truth", out_col: str = "f1") -> DataFrame:
+    """Token F1; when ``gt_col`` is ``array<string>`` the score is the MAX
+    over all ground-truth labels (compute_scores.py:66-101 iterates the
+    label list and keeps the best F1)."""
+    if dict(df.dtypes).get(gt_col, "string").startswith("array"):
+        @F.pandas_udf(T.DoubleType())
+        def f1_max_udf(pred: pd.Series, gts: pd.Series) -> pd.Series:
+            return pd.Series([
+                max((qa_f1_py(p or "", g or "")
+                     for g in (gt if gt is not None else [])), default=0.0)
+                for p, gt in zip(pred, gts)])
+
+        return df.withColumn(out_col, f1_max_udf(F.col(pred_col), F.col(gt_col)))
+
     @F.pandas_udf(T.DoubleType())
     def f1_udf(pred: pd.Series, gt: pd.Series) -> pd.Series:
         return pd.Series([qa_f1_py(p or "", g or "") for p, g in zip(pred, gt)])
@@ -256,6 +269,18 @@ def qa_f1_zh_py(prediction: str, ground_truth: str) -> float:
 
 def qa_f1_zh(df: DataFrame, pred_col: str = "prediction",
              gt_col: str = "ground_truth", out_col: str = "f1") -> DataFrame:
+    """zh char F1; array ``gt_col`` maxes over labels like :func:`qa_f1`."""
+    if dict(df.dtypes).get(gt_col, "string").startswith("array"):
+        @F.pandas_udf(T.DoubleType())
+        def f1_zh_max_udf(pred: pd.Series, gts: pd.Series) -> pd.Series:
+            return pd.Series([
+                max((qa_f1_zh_py(p or "", g or "")
+                     for g in (gt if gt is not None else [])), default=0.0)
+                for p, gt in zip(pred, gts)])
+
+        return df.withColumn(out_col,
+                             f1_zh_max_udf(F.col(pred_col), F.col(gt_col)))
+
     @F.pandas_udf(T.DoubleType())
     def f1_zh_udf(pred: pd.Series, gt: pd.Series) -> pd.Series:
         return pd.Series([qa_f1_zh_py(p or "", g or "") for p, g in zip(pred, gt)])

@@ -137,12 +137,17 @@ def llm_group_papers(papers, client_factory, batch_size: int,
         T.StructField("gid", T.IntegerType(), False),
     ]))
 
-    @F.udf(assign_type)
+    @F.pandas_udf(assign_type)
     def assign(reply, bibkeys):
-        groups, rest = parse_group_result_py(reply, list(bibkeys))
-        repaired = regroup_result_py(groups, rest, batch_size)
-        return [{"bibkey": b, "gid": gid}
-                for gid, group in enumerate(repaired) for b in group]
+        import pandas as pd
+
+        def one(rep, keys):
+            groups, rest = parse_group_result_py(rep, list(keys))
+            repaired = regroup_result_py(groups, rest, batch_size)
+            return [{"bibkey": b, "gid": gid}
+                    for gid, group in enumerate(repaired) for b in group]
+
+        return pd.Series([one(r, k) for r, k in zip(reply, bibkeys)])
 
     assignments = out.select(
         "survey_id", F.explode(assign(F.col("reply"), F.col("bibkeys"))).alias("a")

@@ -77,8 +77,14 @@ def llm_stage(
       process_str.py:8-29).
     - ``payload_fields`` — schema of what ``parse`` returns.
     - ``keep_cols`` — input columns carried through (ids, ordering keys).
+
+    When ``retry`` is omitted, the policy comes from the client's own
+    ``retry_policy`` (the per-provider preset on OpenAICompatClient),
+    falling back to the test default.  The probe instantiates one client on
+    the driver; per-partition clients are created inside ``run``.
     """
-    retry = retry or RetryPolicy()
+    if retry is None:
+        retry = getattr(client_factory(), "retry_policy", None) or RetryPolicy()
     keep_fields = [df.schema[c] for c in keep_cols]
     out_schema = T.StructType(keep_fields + payload_fields + LLM_COLS)
     payload_names = [f.name for f in payload_fields]

@@ -80,18 +80,32 @@ def score_predictions(preds: DataFrame, task_col: str = "task",
     """One score column per row, scorer chosen by task
     (compute_scores.py:358-388).
 
-    ``ground_truth`` is a string column; list-labelled tasks
-    (longdialogue/choice) treat it as a single-element label list, and
-    math_calc parses it as a separator-delimited number list.  code_debug's
-    function-name fallback label comes from ``fn_name_col`` when provided
-    (the reference's ``label[0]``).
+    ``ground_truth`` may be a ``string`` OR an ``array<string>`` column.
+    InfiniteBench ships multi-element label lists for
+    longdialogue_qa_eng / longbook_choice_eng (and list-wrapped singles
+    elsewhere); the reference scores against ALL of them — containment of
+    ANY label (compute_scores.py:252-258), choice membership over the list
+    (:260-310), and max token-F1 over labels (:66-101).  With an array
+    column the full list reaches those scorers and single-label scorers
+    take ``label[0]`` (the reference's own convention); a plain string is
+    treated as a one-element list.  math_calc parses the (first) label as a
+    separator-delimited number list.  code_debug's function-name fallback
+    label comes from ``fn_name_col`` when provided (the reference's
+    ``label[0]``).
 
     Catalyst extracts Python UDFs out of CASE WHEN arms (one ArrowEvalPython
     node evaluates them ALL per row), so each pandas scorer's inputs are
     gated to empty values on rows of other tasks — the UDF still runs per
     row but does O(1) work (e.g. the ROUGE LCS DP never sees a non-sum
     prediction)."""
-    task, p, gt = F.col(task_col), F.col(pred_col), F.col(gt_col)
+    task, p = F.col(task_col), F.col(pred_col)
+    multi_label = dict(preds.dtypes).get(gt_col, "string").startswith("array")
+    if multi_label:
+        gt_list = F.col(gt_col)
+        gt = F.element_at(gt_list, 1)          # reference's label[0]
+    else:
+        gt = F.col(gt_col)
+        gt_list = F.array(gt)
     fn = F.col(fn_name_col) if fn_name_col else F.lit(None).cast("string")
 
     def gated(cond, col, empty=""):
@@ -104,7 +118,6 @@ def score_predictions(preds: DataFrame, task_col: str = "task",
     )
     with_f1 = qa_f1(with_f1, "__p_f1", gt_col, out_col="__f1")
     with_f1 = qa_f1_zh(with_f1, "__p_f1_zh", gt_col, out_col="__f1_zh")
-    gt_list = F.array(gt)
     empty_arr = F.array().cast("array<string>")
     gt_nums = gated(
         task == "math_calc",

@@ -42,7 +42,19 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     probe = dict(
         spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts")
-    ts_type = T.LongType() if probe == "bigint" else T.TimestampNTZType()
+    # match the probed dtype EXPLICITLY — a build that surfaces the nanos
+    # column some third way must fail loudly here, not as a downstream
+    # stream-schema mismatch.
+    if probe == "bigint":
+        ts_type: T.DataType = T.LongType()
+    elif probe == "timestamp_ntz":
+        ts_type = T.TimestampNTZType()
+    elif probe == "timestamp":
+        ts_type = T.TimestampType()
+    else:
+        raise ValueError(
+            f"unexpected dtype {probe!r} for events.ts — expected bigint "
+            "(nanosAsLong), timestamp_ntz (native nanos read), or timestamp")
     raw = (
         spark.readStream.schema(_events_schema(ts_type))
         .option("pathGlobFilter", "events.parquet")

@@ -46,6 +46,47 @@ def test_scorer_routing(spark):
         assert got[i] == expected, (i, rows[i], got[i])
 
 
+def test_multi_label_ground_truth(spark):
+    """InfiniteBench multi-element label lists (compute_scores.py:66-101,
+    252-310): longdialogue scores 1.0 when the prediction matches ANY
+    label (here the second), choice checks membership over the list, and
+    token-F1 tasks take the MAX over labels; single-label scorers use
+    label[0]."""
+    rows = [
+        # matches the SECOND label only
+        (0, "longdialogue_qa_eng", "it was JANE DOE speaking",
+         ["John Smith", "Jane Doe"], 1.0),
+        (1, "longdialogue_qa_eng", "someone else entirely",
+         ["John Smith", "Jane Doe"], 0.0),
+        # choice: list is (correct, correct_with_letter) style — any hit
+        (2, "longbook_choice_eng", "thinking... answer is C", ["C"], 1.0),
+        # qa f1: max over two references (second is the exact match)
+        (3, "longbook_qa_eng", "Answer: the Eiffel Tower",
+         ["Louvre", "eiffel tower"], 1.0),
+        (4, "longbook_qa_eng", "Answer: nothing relevant",
+         ["Louvre", "eiffel tower"], 0.0),
+        # single-label scorer paths use label[0]
+        (5, "passkey", "the code is 71432 maybe", ["71432"], 1.0),
+        (6, "math_find", "The largest is 17", ["17", "99"], 1.0),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, p, g) for (i, t, p, g, _) in rows],
+        ["doc_id", "task", "prediction", "ground_truth"],
+    )
+    scored = v1_eval.score_predictions(v1_eval.postprocess_predictions(df))
+    got = {r["doc_id"]: r["score"] for r in scored.collect()}
+    for i, _, _, _, expected in rows:
+        assert got[i] == expected, (i, rows[i], got[i])
+
+
+def test_multi_label_zh_f1_max(spark):
+    df = spark.createDataFrame(
+        [(0, "longbook_qa_chn", "北京", ["上海好", "北京"])],
+        ["doc_id", "task", "prediction", "ground_truth"])
+    scored = v1_eval.score_predictions(v1_eval.postprocess_predictions(df))
+    assert scored.collect()[0]["score"] == 1.0
+
+
 def test_postprocess_prefix_semantics(spark):
     rows = [
         # no prefix at all → choice tasks left untouched (no 'answer: ' added)

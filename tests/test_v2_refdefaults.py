@@ -53,14 +53,30 @@ def test_reference_defaults_converge_with_mode_transition(spark):
         assert r["eval_score"] is not None
 
 
-def test_reference_defaults_flat_latency(spark):
-    """4× the surveys must NOT cost 4× the wall-clock: per-survey work rides
-    independent applyInPandas groups over local[32], so fixed job overhead
-    dominates.  Generous 2.5× bound — shared-box timing noise."""
-    _, t2 = _run(spark, 2)
-    out8, t8 = _run(spark, 8)
-    assert len(out8) == 8
-    assert t8 < 2.5 * t2, f"8 surveys {t8:.1f}s vs 2 surveys {t2:.1f}s"
+def test_reference_defaults_flat_scaling_structure(spark):
+    """4× the surveys must NOT cost 4× the work — structurally, not by
+    wall-clock (timing ratios flake on shared boxes): the driver-side job
+    graph is independent of survey count because per-survey work rides
+    independent applyInPandas groups inside each stage.  Assert the Spark
+    JOB COUNT for 8 surveys equals the count for 2 — any per-survey driver
+    loop would multiply it."""
+    sc = spark.sparkContext
+
+    def run_counted(group, n):
+        sc.setJobGroup(group, f"refdefaults {n} surveys")
+        try:
+            out, _ = _run(spark, n)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return out, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    out2, jobs2 = run_counted("refdefaults-2", 2)
+    out8, jobs8 = run_counted("refdefaults-8", 8)
+    assert len(out2) == 2 and len(out8) == 8
+    assert jobs2 > 0
+    assert jobs8 == jobs2, (
+        f"job count scaled with surveys: {jobs8} (8 surveys) vs {jobs2} (2) "
+        "— per-survey work leaked into a driver loop")
 
 
 def test_layer_seeds_are_diverse(spark):
