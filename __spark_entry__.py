@@ -915,6 +915,45 @@ def q_v2_survey_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_v2_survey_refdefaults(spark: SparkSession, sf: str) -> DataFrame:
+    """The V2 pipeline at the REFERENCE's shipped knob settings
+    (LLMxMapReduce_V2/src/args.py:18-30: conv_layer 6, kernel 3,
+    result_num 10, top_k 6, self-refine 3 rounds × 3 chains;
+    pipeline_start.sh:13: block_count 1) over 8 surveys × 32
+    documents-derived papers — the bench line that prices the
+    reference-default convolution depth, not just the reduced test knobs.
+    Iterative LLM dataflow → rows-only check (no SQL oracle)."""
+    from llmxmapreduce_spark.llm.survey_mock import MockSurveyClient
+    from llmxmapreduce_spark.pipelines import v2_survey as v2
+
+    d = load_table(spark, sf, "documents").filter("doc_id < 256")
+    papers = d.select(
+        F.concat(F.lit("survey"), (F.col("doc_id") % 8).cast("string")).alias("survey_id"),
+        F.struct(
+            F.concat(F.lit("paper_"), F.col("doc_id").cast("string")).alias("bibkey"),
+            F.concat(F.lit("Paper "), F.col("doc_id").cast("string")).alias("title"),
+            F.substring("text", 1, 200).alias("abstract"),
+            F.col("text").alias("txt"),
+            F.concat(F.lit("https://example.org/"), F.col("doc_id").cast("string")).alias("url"),
+            F.lit(None).cast("long").alias("txt_token"),
+        ).alias("p"),
+    )
+    surveys = papers.groupBy("survey_id").agg(
+        F.concat(F.lit("Survey of "), F.col("survey_id")).alias("title"),
+        F.array_sort(F.collect_list("p")).alias("papers"),
+    )
+    cfg = v2.V2Config(conv_layers=6, receptive_field=3, result_num=10,
+                      top_k=6, refine_rounds=3, best_of=3, polish=False,
+                      block_count=1, digest_batch=1, llm_threads=8,
+                      shuffle_partitions=8)
+    out = v2.run_v2_survey(surveys, MockSurveyClient, cfg)
+    return out.select(
+        "survey_id", "n_sections", "n_papers", "cite_ratio",
+        F.length("content_md").alias("content_len"),
+        "block_cycle_count",
+    )
+
+
 def q_v2_decode_tail(spark: SparkSession, sf: str) -> DataFrame:
     """The V2 decode pipeline's deterministic suffix (v2_survey.decode_tail:
     P12 renumber → A7 cite_ratio → references block → markdown assembly,
@@ -1090,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rouge_lsum": q_rouge_lsum,
         "v1_qa_secret_key": q_v1_qa_secret_key,
         "v2_survey_pipeline": q_v2_survey_pipeline,
+        "v2_survey_refdefaults": q_v2_survey_refdefaults,
         "v2_block_cycle": q_v2_block_cycle,
         "v2_decode_tail": q_v2_decode_tail,
     }

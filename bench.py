@@ -8,12 +8,20 @@ JSON line:
 
 Each query executes to completion with a noop sink (no driver-side row
 transfer), so the timing measures the engine, not collect().
+
+Variance protocol: every query runs $SPARK_GRAFT_BENCH_RUNS times
+(default 3) and "queries"/"value" report per-query MEDIANS — a single run
+on a shared box swings ±30-50% (BASELINE.md) and can eat an entire
+regression budget.  The raw per-run timings and the per-query spread
+(max−min) ship alongside under "runs" / "spread_sec" so a noisy box is
+visible in the record itself.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -23,7 +31,8 @@ import __spark_entry__ as entrymod  # noqa: E402
 from llmxmapreduce_spark.session import get_spark  # noqa: E402
 
 # Headline set: relational core, windows/streaming twins, dedup/similarity
-# scale extensions, both LLM pipelines (mock client).
+# scale extensions, both LLM pipelines (mock client) — including the V2 run
+# at the reference's shipped knobs (conv 6 layers, kernel 3, refine 3×3).
 HEADLINE = [
     "q1_pricing_summary",
     "j3_star_join_agg",
@@ -44,27 +53,40 @@ HEADLINE = [
     "a9_claim_metrics",
     "v1_qa_secret_key",
     "v2_survey_pipeline",
+    "v2_survey_refdefaults",
 ]
 
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     spark = get_spark("bench")
 
     queries = entrymod.queries()
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
-        t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as e:  # noqa: BLE001 - bench must always report
-            print(f"# bench error in {name}: {e}", file=sys.stderr)
+        samples: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                samples.append(round(time.time() - t0, 3))
+            except Exception as e:  # noqa: BLE001 - bench must always report
+                print(f"# bench error in {name}: {e}", file=sys.stderr)
+                samples = []
+                break
+        if samples:
+            timings[name] = round(statistics.median(samples), 3)
+            runs[name] = samples
+            spread[name] = round(max(samples) - min(samples), 3)
+        else:
             timings[name] = -1.0
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(json.dumps({
@@ -73,6 +95,9 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "protocol": {"runs_per_query": n_runs, "stat": "median"},
+        "runs": runs,
+        "spread_sec": spread,
     }))
     return 0
 

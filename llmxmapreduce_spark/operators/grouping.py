@@ -98,7 +98,8 @@ def parse_group_result_py(raw_result: str, bibkeys: list[str]
 
 
 def llm_group_papers(papers, client_factory, batch_size: int,
-                     retry=None, group_col: str = "digest_id"):
+                     retry=None, group_col: str = "digest_id",
+                     full_prompts: bool = False, prompt_lang: str = "en"):
     """C7 'llm' mode (L4 GroupNeuron + repair, group_module.py:62-133):
     one LLM call per survey proposes semantic groups over (title, bibkey)
     pairs; ``regroup_result_py`` repairs sizes; output = papers with a
@@ -106,20 +107,36 @@ def llm_group_papers(papers, client_factory, batch_size: int,
 
     The per-survey title list is small (collect_list per survey inside the
     stage's Arrow batch) — the papers themselves never round-trip through
-    the prompt.
+    the prompt.  ``full_prompts`` swaps in the reference's verbatim
+    GROUP_PROMPT (group_module.py:160-173: papers listed as
+    ``Title: "…" Bibkey: '…'``).
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     from llmxmapreduce_spark.operators.llm_op import llm_stage
 
+    group_tmpl = None
+    if full_prompts:
+        from llmxmapreduce_spark import prompts as P
+
+        group_tmpl = P.template("GROUP_PROMPT", prompt_lang)
+
     per_survey = papers.groupBy("survey_id", "survey_title").agg(
-        F.array_sort(F.collect_list("bibkey")).alias("bibkeys")
+        F.array_sort(F.collect_list("bibkey")).alias("bibkeys"),
+        F.array_sort(F.collect_list(
+            F.struct(F.col("bibkey").alias("k"), F.col("title").alias("t"))
+        )).alias("paper_infos"),
     )
 
     out = llm_stage(
         per_survey,
         build_prompt=lambda r: (
+            group_tmpl.format(
+                survey_title=r["survey_title"],
+                titles="\n".join(f"Title: \"{p['t']}\" Bibkey: '{p['k']}'"
+                                 for p in r["paper_infos"]))
+            if group_tmpl else
             f"[GROUP] Survey title: {r['survey_title']}\n"
             "Cluster these papers into research-direction groups; reply with "
             "bracketed bibkey lists.\n"

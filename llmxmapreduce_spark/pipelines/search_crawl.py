@@ -23,6 +23,23 @@ from llmxmapreduce_spark.sources import crawl as crawl_src
 
 _STR = T.StringType()
 
+_SC_PROMPT_NAMES = ("QUERY_EXPAND_PROMPT_WITH_ABSTRACT",
+                    "QUERY_EXPAND_PROMPT_WITHOUT_ABSTRACT",
+                    "SNIPPET_FILTER_PROMPT", "PAGE_REFINE_PROMPT",
+                    "SIMILARITY_PROMPT")
+
+
+def _sc_templates(full_prompts: bool, lang: str = "en") -> dict[str, str] | None:
+    """Resolved verbatim reference templates for the search/crawl LLM steps
+    (LLM_search.py / async_crawl.py prompt imports) — None keeps the
+    condensed deterministic test prompts.  Resolved on the driver, captured
+    by value into the stage closures."""
+    if not full_prompts:
+        return None
+    from llmxmapreduce_spark import prompts as P
+
+    return {n: P.template(n, lang) for n in _SC_PROMPT_NAMES}
+
 
 def _parse_query_block(reply: str) -> dict:
     """LLM_search.py:111-120: fenced block, ';'-separated, quotes stripped."""
@@ -94,16 +111,32 @@ def generate_abstracts(pages: DataFrame, client_factory,
     return pages.join(out.select("topic", "url", "abstract"), ["topic", "url"], "left")
 
 
-def expand_queries(topics: DataFrame, client_factory, retry=None) -> DataFrame:
+def expand_queries(topics: DataFrame, client_factory, retry=None,
+                   full_prompts: bool = False,
+                   prompt_lang: str = "en") -> DataFrame:
     """L17 (+L18 refinement folded into one validated call): topic →
-    exploded (topic, query) rows."""
+    exploded (topic, query) rows.  Full mode picks the reference's
+    with/without-abstract template by whether a description is present
+    (LLM_search.py query expansion)."""
+    tp = _sc_templates(full_prompts, prompt_lang)
+
+    def build(r):
+        desc = r.get("description") or ""
+        if tp:
+            if desc:
+                return tp["QUERY_EXPAND_PROMPT_WITH_ABSTRACT"].format(
+                    topic=r["topic"], abstract=desc)
+            return tp["QUERY_EXPAND_PROMPT_WITHOUT_ABSTRACT"].format(
+                topic=r["topic"])
+        return (
+            f"[QUERY_EXPAND] Survey title: {r['topic']}\n"
+            f"Description: {desc}\n"
+            "Propose search queries, ';'-separated, in a fenced ```markdown block."
+        )
+
     out = llm_stage(
         topics,
-        build_prompt=lambda r: (
-            f"[QUERY_EXPAND] Survey title: {r['topic']}\n"
-            f"Description: {r.get('description') or ''}\n"
-            "Propose search queries, ';'-separated, in a fenced ```markdown block."
-        ),
+        build_prompt=build,
         parse=_parse_query_block,
         client_factory=client_factory,
         payload_fields=[T.StructField("queries", T.ArrayType(_STR), True)],
@@ -113,11 +146,17 @@ def expand_queries(topics: DataFrame, client_factory, retry=None) -> DataFrame:
     return out.select("topic", F.explode("queries").alias("query"))
 
 
-def score_snippets(hits: DataFrame, client_factory, retry=None) -> DataFrame:
+def score_snippets(hits: DataFrame, client_factory, retry=None,
+                   full_prompts: bool = False,
+                   prompt_lang: str = "en") -> DataFrame:
     """L19: topic × snippet relevance 0-100."""
+    tp = _sc_templates(full_prompts, prompt_lang)
     out = llm_stage(
         hits,
         build_prompt=lambda r: (
+            tp["SNIPPET_FILTER_PROMPT"].format(
+                topic=r["topic"], snippet=r["snippet"])
+            if tp else
             f"[SNIPPET_SCORE] Survey title: {r['topic']}\n"
             f"Snippet:\n{r['snippet']}\nScore 0-100 as <SCORE>n</SCORE>."
         ),
@@ -130,11 +169,17 @@ def score_snippets(hits: DataFrame, client_factory, retry=None) -> DataFrame:
     return out.withColumnRenamed("score", "snippet_score")
 
 
-def refine_pages(pages: DataFrame, client_factory, retry=None) -> DataFrame:
+def refine_pages(pages: DataFrame, client_factory, retry=None,
+                 full_prompts: bool = False,
+                 prompt_lang: str = "en") -> DataFrame:
     """L20: raw page → <TITLE>/<CONTENT> boilerplate removal."""
+    tp = _sc_templates(full_prompts, prompt_lang)
     return llm_stage(
         pages.filter(~F.col("error")),
         build_prompt=lambda r: (
+            tp["PAGE_REFINE_PROMPT"].format(
+                topic=r["topic"], raw_content=r["raw_content"] or "")
+            if tp else
             f"[PAGE_REFINE] Survey title: {r['topic']}\n"
             f"Page:\n{(r['raw_content'] or '')[:4000]}\n"
             "Reply with <TITLE>…</TITLE> and <CONTENT>…</CONTENT>."
@@ -148,11 +193,17 @@ def refine_pages(pages: DataFrame, client_factory, retry=None) -> DataFrame:
     ).filter("llm_ok")
 
 
-def score_pages(refined: DataFrame, client_factory, retry=None) -> DataFrame:
+def score_pages(refined: DataFrame, client_factory, retry=None,
+                full_prompts: bool = False,
+                prompt_lang: str = "en") -> DataFrame:
     """L21: topic × cleaned page similarity 0-100."""
+    tp = _sc_templates(full_prompts, prompt_lang)
     out = llm_stage(
         refined,
         build_prompt=lambda r: (
+            tp["SIMILARITY_PROMPT"].format(
+                topic=r["topic"], content=r["filtered"] or "")
+            if tp else
             f"[SIMILARITY] Survey title: {r['topic']}\n"
             f"Content:\n{(r['filtered'] or '')[:4000]}\n"
             "Score 0-100 as <SCORE>n</SCORE>."
@@ -179,31 +230,39 @@ def run_search_crawl(
     expand_topics: bool = False,
     with_abstracts: bool = False,
     retry=None,
+    full_prompts: bool = False,
+    prompt_lang: str = "en",
 ) -> DataFrame:
     """Full front-end → one row per topic with its filtered papers
     (the S6 ``{"title": topic, "papers": [...]}`` shape).  ``expand_topics``
     enables the V3 L22 framing step; ``with_abstracts`` the V3 L23 per-URL
-    abstracts."""
+    abstracts.  ``full_prompts`` swaps the L17/L19/L20/L21 prompts for the
+    reference's verbatim texts (the V3-only L22/L23 steps have no
+    prompts_en.py counterpart and keep the condensed templates)."""
     if expand_topics:
         topics = expand_topic(topics, client_factory, retry)
     from pyspark.sql import Window
 
-    queries = expand_queries(topics, client_factory, retry)
+    queries = expand_queries(topics, client_factory, retry,
+                             full_prompts=full_prompts, prompt_lang=prompt_lang)
     hits = crawl_src.batch_web_search(queries, search_fn_factory, top_n=top_n)
     # L19 gate, then T3: keep the over-fetched top urls per topic by score
     # (LLM_search.py:441-443) before paying for the crawl.
     w = Window.partitionBy("topic").orderBy(
         F.col("snippet_score").desc(), F.col("url").asc())
     scored_hits = (
-        score_snippets(hits, client_factory, retry)
+        score_snippets(hits, client_factory, retry,
+                       full_prompts=full_prompts, prompt_lang=prompt_lang)
         .filter(F.col("snippet_score") >= snippet_threshold)
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= over_fetch(top_n))
         .drop("__rn")
     )
     pages = crawl_src.crawl_urls(scored_hits, fetch_fn_factory)
-    refined = refine_pages(pages, client_factory, retry)
-    scored = score_pages(refined, client_factory, retry) \
+    refined = refine_pages(pages, client_factory, retry,
+                           full_prompts=full_prompts, prompt_lang=prompt_lang)
+    scored = score_pages(refined, client_factory, retry,
+                         full_prompts=full_prompts, prompt_lang=prompt_lang) \
         .withColumnRenamed("filtered", "txt")
     paper_cols = ["title", "url", "txt", "similarity"]
     if with_abstracts:

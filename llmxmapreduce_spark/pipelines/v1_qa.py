@@ -89,16 +89,27 @@ def run_v1_qa(
     length_fn: chunker.LengthFn = chunker.bpe_ish_len,
     max_collapse_rounds: int = 8,
     retry: RetryPolicy | None = None,
+    prompts: dict[str, str] | None = None,
 ) -> DataFrame:
     """``docs``: (doc_id, context, question) → (doc_id, answer, raw_reply).
 
     ``chunk_size`` is the model context budget in tokens (reference default
     4096); the map budget subtracts the prompt, the question, and
     MAX_NEW_TOKENS exactly as Generator.py:236-240 does.
+
+    ``prompts``: optional ``{"map": …, "collapse": …, "reduce": …}``
+    templates with ``{context}``/``{question}`` slots — pass
+    ``llmxmapreduce_spark.prompts.v1_prompts("qa")`` (or any of the six
+    reference task configs) for verbatim reference prompt texts; the
+    condensed defaults remain the deterministic mock contract.  The budget
+    arithmetic automatically reflects the chosen prompt lengths.
     """
     spark = docs.sparkSession
-    map_prompt_len = length_fn(MAP_PROMPT)
-    collapse_prompt_len = length_fn(COLLAPSE_PROMPT)
+    map_tmpl = (prompts or {}).get("map", MAP_PROMPT)
+    collapse_tmpl = (prompts or {}).get("collapse", COLLAPSE_PROMPT)
+    reduce_tmpl = (prompts or {}).get("reduce", REDUCE_PROMPT)
+    map_prompt_len = length_fn(map_tmpl)
+    collapse_prompt_len = length_fn(collapse_tmpl)
 
     # --- C1/C2 chunk -------------------------------------------------------
     budget = (
@@ -114,7 +125,7 @@ def run_v1_qa(
     # --- L1 map ------------------------------------------------------------
     mapped = llm_stage(
         chunks,
-        build_prompt=lambda r: MAP_PROMPT.format(context=r["text"], question=r["question"]),
+        build_prompt=lambda r: map_tmpl.format(context=r["text"], question=r["question"]),
         parse=lambda reply: {"text": reply},
         client_factory=client_factory,
         payload_fields=_TEXT_PAYLOAD,
@@ -175,7 +186,7 @@ def run_v1_qa(
             .groupBy("doc_id").applyInPandas(pack, schema=pack_schema)
         merged = llm_stage(
             packed,
-            build_prompt=lambda r: COLLAPSE_PROMPT.format(
+            build_prompt=lambda r: collapse_tmpl.format(
                 context=r["context"], question=r["question"]),
             parse=lambda reply: {"text": reply},
             client_factory=client_factory,
@@ -208,7 +219,7 @@ def run_v1_qa(
     )
     reduced = llm_stage(
         per_doc,
-        build_prompt=lambda r: REDUCE_PROMPT.format(
+        build_prompt=lambda r: reduce_tmpl.format(
             context=r["context"], question=r["question"]),
         parse=lambda reply: {"raw_reply": reply},
         client_factory=client_factory,

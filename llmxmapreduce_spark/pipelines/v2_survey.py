@@ -68,6 +68,10 @@ class V2Config:
     group_mode: str = "random"   # C7: 'random' (hash) | 'llm' (L4 + repair)
     llm_threads: int = 1         # intra-survey LLM fan-out inside the fused
                                  # stages (reference worker pool, node.py:48)
+    full_prompts: bool = False   # use the reference's verbatim prompt texts
+                                 # (prompts/prompts_{lang}.py) instead of the
+                                 # condensed deterministic test templates
+    prompt_lang: str = "en"      # reference PROMPT_LANGUAGE: 'en' | 'zh'
     shuffle_partitions: int | None = None
     # ^ control-plane shuffle sizing: the refine/assembly stages move a few
     # KB per survey, so shuffles should be sized to the survey count, not the
@@ -137,11 +141,41 @@ def _parse_score(reply: str) -> dict:
 
 # ---------------------------------------------------------------------------
 # prompt templates — shared by the row-parallel llm_stage operators and the
-# fused per-survey stages, so both paths drive the mock identically
+# fused per-survey stages, so both paths drive the mock identically.
+#
+# Two prompt modes (SURVEY.md §2 prompt parity):
+# - condensed (default): the short deterministic templates below — the
+#   test/mock contract every correctness golden hashes against.
+# - full: the reference's verbatim texts (prompts/prompts_{lang}.py,
+#   reference prompts_en.py:1-782), selected via
+#   ``V2Config(full_prompts=True, prompt_lang=…)``.  ``_prompt_set``
+#   resolves the template STRINGS on the driver; they ride into the stage
+#   closures by value, so executors never consult driver-mutated globals.
 # ---------------------------------------------------------------------------
 
+_REF_PROMPT_NAMES = (
+    "INIT_OUTLINE_PROMPT", "CONCAT_OUTLINE_PROMPT", "SINGLE_DIGEST_PROMPT",
+    "DIGEST_BASE_PROMPT", "DIGEST_FREE_PROMPT", "OUTLINE_CONVOLUTION_PROMPT",
+    "MODIFY_OUTLINE_PROMPT", "OUTLINE_ENTROPY_PROMPT", "ORCHESTRA_PROMPT",
+    "SUMMARY_PROMPT", "POLISH_PROMPT",
+)
 
-def _modify_prompt(title: str, outline_md: str, content: str) -> str:
+
+def _prompt_set(cfg: "V2Config") -> dict[str, str] | None:
+    """None for condensed mode; else name → verbatim reference template."""
+    if not getattr(cfg, "full_prompts", False):
+        return None
+    from llmxmapreduce_spark import prompts as P
+
+    return {n: P.template(n, cfg.prompt_lang) for n in _REF_PROMPT_NAMES}
+
+
+def _modify_prompt(title: str, outline_md: str, content: str,
+                   ps: dict[str, str] | None = None) -> str:
+    if ps:
+        # neurons.py:137-142 (bibkeys ride inside the digests/outline text)
+        return ps["MODIFY_OUTLINE_PROMPT"].format(
+            title=title, old_outline=outline_md, outlines=content)
     return (
         f"[MODIFY] Survey title: {title}\n"
         f"Outline:\n```markdown\n{outline_md}\n```\n"
@@ -150,7 +184,11 @@ def _modify_prompt(title: str, outline_md: str, content: str) -> str:
     )
 
 
-def _eval_prompt(title: str, outline_md: str) -> str:
+def _eval_prompt(title: str, outline_md: str,
+                 ps: dict[str, str] | None = None) -> str:
+    if ps:
+        return ps["OUTLINE_ENTROPY_PROMPT"].format(
+            title=title, outline=outline_md)     # neurons.py:237-240
     return (
         f"[EVAL_OUTLINE] Survey title: {title}\n"
         f"Outline:\n```markdown\n{outline_md}\n```\n"
@@ -158,7 +196,13 @@ def _eval_prompt(title: str, outline_md: str) -> str:
     )
 
 
-def _kernel_prompt(title: str, joined: str) -> str:
+def _kernel_prompt(title: str, joined: str,
+                   ps: dict[str, str] | None = None,
+                   outline_md: str = "") -> str:
+    if ps:
+        return ps["OUTLINE_CONVOLUTION_PROMPT"].format(
+            title=title, outline=outline_md,
+            suggestions=joined)                  # neurons.py:130-136
     return (
         f"[KERNEL] Survey title: {title}\n"
         f"Merge these suggestions into one:\n{joined}\n"
@@ -166,7 +210,15 @@ def _kernel_prompt(title: str, joined: str) -> str:
     )
 
 
-def _refine_prompt(chain_id: int, rnd: int, title: str, outline_md: str) -> str:
+def _refine_prompt(chain_id: int, rnd: int, title: str, outline_md: str,
+                   ps: dict[str, str] | None = None,
+                   eval_detail: str = "") -> str:
+    if ps:
+        # neurons.py:267-272: the free-refine suggestion prompt takes the
+        # incumbent outline + its eval detail; chain/round diversity comes
+        # from model sampling, not the prompt text.
+        return ps["DIGEST_FREE_PROMPT"].format(
+            title=title, outline=outline_md, eval_detail=eval_detail)
     return (
         f"[SELF_REFINE] chain {chain_id} round {rnd}\n"
         f"Survey title: {title}\n"
@@ -175,7 +227,13 @@ def _refine_prompt(chain_id: int, rnd: int, title: str, outline_md: str) -> str:
     )
 
 
-def _summary_prompt(title: str, section: str, subcontents: str) -> str:
+def _summary_prompt(title: str, section: str, subcontents: str,
+                    ps: dict[str, str] | None = None,
+                    outline: str = "", digest: str = "") -> str:
+    if ps:
+        return ps["SUMMARY_PROMPT"].format(
+            title=title, section_title=section, subcontents=subcontents,
+            outline=outline, digest=digest)      # orchestra_module.py:70-78
     return (
         f"[SUMMARY] Survey title: {title}\n"
         f"Section title: {section}\n"
@@ -184,7 +242,10 @@ def _summary_prompt(title: str, section: str, subcontents: str) -> str:
     )
 
 
-def _polish_prompt(section: str, content: str) -> str:
+def _polish_prompt(section: str, content: str,
+                   ps: dict[str, str] | None = None) -> str:
+    if ps:
+        return ps["POLISH_PROMPT"].format(content=content)  # orchestra:171
     return f"[POLISH] Section title: {section}\nDraft:\n{content}"
 
 
@@ -194,19 +255,20 @@ def _call(client, prompt: str, retry: RetryPolicy) -> str | None:
 
 
 def _modify_eval_py(client, retry: RetryPolicy, title: str, outline_md: str,
-                    sugg_id: str, content: str) -> dict | None:
+                    sugg_id: str, content: str,
+                    ps: dict[str, str] | None = None) -> dict | None:
     """One L11 modify → L12 eval chain for a candidate suggestion; None on
     any LLM failure or parse error (the candidate drops, matching the staged
     ``filter(llm_ok)`` semantics).  Shared by the conv block and
     self-refine fused stages."""
-    reply = _call(client, _modify_prompt(title, outline_md, content), retry)
+    reply = _call(client, _modify_prompt(title, outline_md, content, ps), retry)
     if reply is None:
         return None
     try:
         new_md = _parse_fenced(reply)["md"]
     except ValueError:
         return None
-    reply2 = _call(client, _eval_prompt(title, new_md), retry)
+    reply2 = _call(client, _eval_prompt(title, new_md, ps), retry)
     if reply2 is None:
         return None
     try:
@@ -214,7 +276,8 @@ def _modify_eval_py(client, retry: RetryPolicy, title: str, outline_md: str,
     except ValueError:
         return None
     return {"sugg_id": sugg_id, "content": content,
-            "new_outline_md": new_md, "score": score}
+            "new_outline_md": new_md, "score": score,
+            "eval_detail": reply2}
 
 
 def _pmap(fn, items, threads: int):
@@ -272,7 +335,9 @@ def group_papers(papers: DataFrame, cfg: V2Config,
         if client_factory is None:
             raise ValueError("group_mode='llm' needs a client_factory")
         return grouping.llm_group_papers(papers, client_factory,
-                                         cfg.digest_batch, retry)
+                                         cfg.digest_batch, retry,
+                                         full_prompts=cfg.full_prompts,
+                                         prompt_lang=cfg.prompt_lang)
     return grouping.hash_shuffled_batches(
         papers, "bibkey", cfg.digest_batch, seed=cfg.seed,
         partition_cols=["survey_id"], group_col="digest_id",
@@ -306,9 +371,13 @@ def init_outlines(papers_grouped: DataFrame, client_factory, cfg: V2Config,
             F.transform(F.array_sort(F.collect_list("__a")), lambda s: s["v"]),
         ).alias("abstracts"))
     )
+    ps = _prompt_set(cfg)
     single = llm_stage(
         per_batch,
         build_prompt=lambda r: (
+            ps["INIT_OUTLINE_PROMPT"].format(
+                title=r["survey_title"], abstracts=r["abstracts"])
+            if ps else
             f"[INIT_OUTLINE] Survey title: {r['survey_title']}\n"
             f"Propose a markdown outline (## sections with Digest "
             f"Construction/Analysis) for these papers.\nAbstracts:\n{r['abstracts']}\n"
@@ -335,6 +404,9 @@ def init_outlines(papers_grouped: DataFrame, client_factory, cfg: V2Config,
     return llm_stage(
         per_survey,
         build_prompt=lambda r: (
+            ps["CONCAT_OUTLINE_PROMPT"].format(
+                title=r["survey_title"], outlines=r["outlines"])
+            if ps else
             f"[CONCAT_OUTLINE] Survey title: {r['survey_title']}\n"
             f"Merge these partial outlines into one.\n{r['outlines']}\n"
             "Reply with a fenced ```markdown block."
@@ -370,9 +442,16 @@ def make_digests(papers_grouped: DataFrame, outlines: DataFrame, client_factory,
         skeleton.placeholder_udf("survey_title", "outline_md").alias("placeholder_md"),
     )
     per_paper = papers_grouped.drop("survey_title").join(F.broadcast(o), "survey_id")
+    ps = _prompt_set(cfg)
     raw = llm_stage(
         per_paper,
         build_prompt=lambda r: (
+            ps["SINGLE_DIGEST_PROMPT"].format(
+                survey_title=r["survey_title"], paper_bibkey=r["bibkey"],
+                paper_content=(r["content"] or "").replace("#", ""),
+                survey_outline=r["outline_md"],
+                outline_example=r["placeholder_md"])  # digest_module.py:99-105
+            if ps else
             f"[DIGEST] Paper bibkey: {r['bibkey']}\n"
             f"Extract a digest aligned to this outline.\n"
             f"Paper:\n{(r['content'] or '')[:2000]}\n"
@@ -422,7 +501,9 @@ def make_digests(papers_grouped: DataFrame, outlines: DataFrame, client_factory,
 
 
 def feedback_suggestions(digests: DataFrame, outlines: DataFrame, client_factory,
-                         retry: RetryPolicy | None = None) -> DataFrame:
+                         retry: RetryPolicy | None = None,
+                         cfg: V2Config | None = None) -> DataFrame:
+    ps = _prompt_set(cfg) if cfg is not None else None
     per_group = (
         digests.withColumn("__d", F.struct(F.col("pos").alias("k"),
                                            F.col("description").alias("v")))
@@ -435,6 +516,10 @@ def feedback_suggestions(digests: DataFrame, outlines: DataFrame, client_factory
     out = llm_stage(
         per_group,
         build_prompt=lambda r: (
+            ps["DIGEST_BASE_PROMPT"].format(
+                title=r["survey_title"], outline=r["outline_md"],
+                digests=r["digest_content"])         # neurons.py:55-67
+            if ps else
             f"[FEEDBACK] Survey title: {r['survey_title']}\n"
             f"Outline:\n```markdown\n{r['outline_md']}\n```\n"
             f"Digest group:\n{r['digest_content'][:3000]}\n"
@@ -504,6 +589,7 @@ def convolution_block(outlines: DataFrame, suggestions: DataFrame, client_factor
     )
     conv_layers, receptive_field = cfg.conv_layers, cfg.receptive_field
     result_num, top_k, seed, threads = cfg.result_num, cfg.top_k, cfg.seed, cfg.llm_threads
+    ps = _prompt_set(cfg)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         client = client_factory()
@@ -512,7 +598,8 @@ def convolution_block(outlines: DataFrame, suggestions: DataFrame, client_factor
         outline_md = pdf["outline_md"].iloc[0]
 
         def modify_eval(item: tuple[str, str]) -> dict | None:
-            return _modify_eval_py(client, retry, title, outline_md, *item)
+            return _modify_eval_py(client, retry, title, outline_md, *item,
+                                   ps=ps)
 
         init = sorted(zip(pdf["sugg_id"], pdf["content"]))
         state = [r for r in _pmap(modify_eval, init, threads) if r]
@@ -541,7 +628,8 @@ def convolution_block(outlines: DataFrame, suggestions: DataFrame, client_factor
                 if len(members) > 1:
                     joined = "\n---\n".join(
                         by_id[m]["content"] for m in sorted(members))
-                    reply = _call(client, _kernel_prompt(title, joined), retry)
+                    reply = _call(client, _kernel_prompt(
+                        title, joined, ps, outline_md), retry)
                     if reply is None:
                         return None
                     try:
@@ -599,19 +687,23 @@ def self_refine(best: DataFrame, client_factory, cfg: V2Config,
     low-scoring round must not destroy a survey's accumulated outline."""
     retry = retry or RetryPolicy()
     refine_rounds, best_of, threads = cfg.refine_rounds, cfg.best_of, cfg.llm_threads
+    ps = _prompt_set(cfg)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         client = client_factory()
         row = pdf.iloc[0]
         sid, title = row["survey_id"], row["survey_title"]
         state_md, state_score = row["outline_md"], float(row["eval_score"])
+        state_detail = ""          # incumbent's eval text (DIGEST_FREE slot)
         cycle_scores: list[list[float]] = []
         for rnd in range(refine_rounds):
             outline_now = state_md
+            detail_now = state_detail
 
             def chain(chain_id: int) -> tuple[str, str] | None:
                 reply = _call(
-                    client, _refine_prompt(chain_id, rnd, title, outline_now), retry)
+                    client, _refine_prompt(chain_id, rnd, title, outline_now,
+                                           ps, detail_now), retry)
                 if reply is None:
                     return None
                 try:
@@ -621,16 +713,19 @@ def self_refine(best: DataFrame, client_factory, cfg: V2Config,
                 return (f"r{rnd}c{chain_id}", content)
 
             def modify_eval(item: tuple[str, str]) -> dict | None:
-                return _modify_eval_py(client, retry, title, outline_now, *item)
+                return _modify_eval_py(client, retry, title, outline_now, *item,
+                                       ps=ps)
 
             cands = [c for c in _pmap(chain, range(best_of), threads) if c]
             results = [r for r in _pmap(modify_eval, cands, threads) if r]
             cycle_scores.append(
                 sorted((r["score"] for r in results), reverse=True))
             pool = results + [{"sugg_id": "keep", "new_outline_md": state_md,
-                               "score": state_score}]
+                               "score": state_score,
+                               "eval_detail": state_detail}]
             top = _prune_py(pool, 1)[0]
             state_md, state_score = top["new_outline_md"], top["score"]
+            state_detail = top.get("eval_detail") or ""
         out = {
             "survey_id": sid, "survey_title": title,
             "outline_md": state_md, "eval_score": state_score,
@@ -668,7 +763,9 @@ def decode_survey(final_outline: DataFrame, digests: DataFrame, papers: DataFram
     (content.py:139-146 ready-queue semantics, without the level-synchronous
     global barrier: each survey proceeds independently)."""
     retry = retry or RetryPolicy()
-    outline_meta = final_outline.select("survey_id", "survey_title")
+    ps = _prompt_set(cfg)
+    outline_meta = final_outline.select("survey_id", "survey_title",
+                                        "outline_md")
     nodes = skeleton.parse_outlines(
         final_outline, title_col="survey_title", md_col="outline_md"
     )
@@ -689,6 +786,11 @@ def decode_survey(final_outline: DataFrame, digests: DataFrame, papers: DataFram
     contents = llm_stage(
         leaf_in.withColumn("material", F.coalesce("material", F.lit(""))),
         build_prompt=lambda r: (
+            ps["ORCHESTRA_PROMPT"].format(
+                title=r["survey_title"], outline=r["outline_md"],
+                digest=r["material"],
+                section_title=r["title"])            # orchestra_module.py:70-78
+            if ps else
             f"[ORCHESTRA] Survey title: {r['survey_title']}\n"
             f"Section title: {r['title']}\n"
             f"Digests:\n{r['material'][:3000]}\n"
@@ -733,7 +835,8 @@ def decode_survey(final_outline: DataFrame, digests: DataFrame, papers: DataFram
                 continue
             reply = _call(
                 client,
-                _summary_prompt(survey_title, r["title"], "\n\n".join(kids)),
+                _summary_prompt(survey_title, r["title"], "\n\n".join(kids),
+                                ps, outline=rows[0].get("outline_md") or ""),
                 retry)
             if reply is not None:
                 content[r["pos"]] = reply
@@ -744,7 +847,8 @@ def decode_survey(final_outline: DataFrame, digests: DataFrame, papers: DataFram
         ]
         if polish:
             replies = _pmap(
-                lambda r: _call(client, _polish_prompt(r["title"], r["content"]),
+                lambda r: _call(client, _polish_prompt(r["title"], r["content"],
+                                                       ps),
                                 retry),
                 out_rows, threads)
             out_rows = [
@@ -857,7 +961,8 @@ def run_v2_survey(surveys: DataFrame, client_factory,
         )
         for _cycle in range(cfg.block_count):
             digests = digests.localCheckpoint(eager=True)
-            suggestions = feedback_suggestions(digests, cur, client_factory, retry)
+            suggestions = feedback_suggestions(digests, cur, client_factory,
+                                               retry, cfg=cfg)
             best = convolution_block(cur, suggestions, client_factory, cfg, retry)
             cur = self_refine(best, client_factory, cfg, retry) \
                 .localCheckpoint(eager=True)
