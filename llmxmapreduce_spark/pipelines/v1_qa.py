@@ -90,6 +90,7 @@ def run_v1_qa(
     max_collapse_rounds: int = 8,
     retry: RetryPolicy | None = None,
     prompts: dict[str, str] | None = None,
+    stage_metrics=None,
 ) -> DataFrame:
     """``docs``: (doc_id, context, question) → (doc_id, answer, raw_reply).
 
@@ -103,6 +104,11 @@ def run_v1_qa(
     reference task configs) for verbatim reference prompt texts; the
     condensed defaults remain the deterministic mock contract.  The budget
     arithmetic automatically reflects the chosen prompt lengths.
+
+    ``stage_metrics``: optional
+    :class:`~llmxmapreduce_spark.operators.stage_metrics.StageMetrics` —
+    attaches zero-job rows-out observations and per-stage LLM accumulators
+    for the chunk/map/collapse/reduce stages (D10 report parity).
     """
     spark = docs.sparkSession
     map_tmpl = (prompts or {}).get("map", MAP_PROMPT)
@@ -121,6 +127,8 @@ def run_v1_qa(
         id_col="doc_id", text_col="context", budget_col="budget",
         length_fn=length_fn,
     ).drop("budget")
+    if stage_metrics is not None:
+        chunks = stage_metrics.observe("chunk", chunks)
 
     # --- L1 map ------------------------------------------------------------
     mapped = llm_stage(
@@ -131,10 +139,13 @@ def run_v1_qa(
         payload_fields=_TEXT_PAYLOAD,
         keep_cols=["doc_id", "chunk_id", "question"],
         retry=retry,
+        metrics=stage_metrics.llm("map") if stage_metrics is not None else None,
     )
     state = _keep_informative(mapped.filter("llm_ok")).select(
         "doc_id", "chunk_id", "question", "text"
     )
+    if stage_metrics is not None:
+        state = stage_metrics.observe("map", state)
 
     # --- A1/L2 collapse loop ------------------------------------------------
     # token budget per merged group (Generator.py:347-350)
@@ -193,6 +204,8 @@ def run_v1_qa(
             payload_fields=_TEXT_PAYLOAD,
             keep_cols=["doc_id", "group_id", "question"],
             retry=retry,
+            metrics=(stage_metrics.llm("collapse")
+                     if stage_metrics is not None else None),
         )
         new_chunks = _keep_informative(merged.filter("llm_ok")).select(
             "doc_id", F.col("group_id").alias("chunk_id"), "question", "text"
@@ -200,6 +213,8 @@ def run_v1_qa(
         # localCheckpoint: cut the per-round lineage so the loop's plan
         # doesn't grow superlinearly (bounded driver loop, SURVEY.md §7).
         state = ok_chunks.unionByName(new_chunks).localCheckpoint(eager=True)
+        if stage_metrics is not None:
+            stage_metrics.materialized("collapse")
 
     # --- A2/L3 reduce --------------------------------------------------------
     w = Window.partitionBy("doc_id").orderBy("chunk_id")
@@ -226,12 +241,16 @@ def run_v1_qa(
         payload_fields=[T.StructField("raw_reply", T.StringType(), True)],
         keep_cols=["doc_id"],
         retry=retry,
+        metrics=(stage_metrics.llm("reduce")
+                 if stage_metrics is not None else None),
     )
     answers = reduced.select(
         "doc_id",
         X.extract_answer(F.col("raw_reply")).alias("answer"),
         "raw_reply",
     )
+    if stage_metrics is not None:
+        answers = stage_metrics.observe("reduce", answers)
     # Documents whose every map/collapse output was filtered (all
     # [NO INFORMATION] or all llm_ok=false) must still produce a row — the
     # reference runs mr_reduce regardless and the answer scores 0; dropping
