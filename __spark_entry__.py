@@ -1129,9 +1129,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rouge_lsum": q_rouge_lsum,
         "v1_qa_secret_key": q_v1_qa_secret_key,
         "v2_survey_pipeline": q_v2_survey_pipeline,
-        "v2_survey_refdefaults": q_v2_survey_refdefaults,
         "v2_block_cycle": q_v2_block_cycle,
         "v2_decode_tail": q_v2_decode_tail,
+        # v2_survey_refdefaults is deliberately NOT on this board: the
+        # driver's correctness gate runs the first 50 entries, every one of
+        # which has an oracle.  The reference-knob run is a THROUGHPUT line
+        # (bench.py HEADLINE) and is hash-gated by its golden-transcript
+        # pytest (tests/test_v2_refdefaults.py::test_reference_defaults_golden
+        # _transcript) instead of occupying a board slot with no SQL oracle —
+        # in round 5 its insertion silently pushed the oracle-green
+        # v2_decode_tail past the 50-entry cap.
     }
 
 

@@ -96,3 +96,51 @@ def test_layer_seeds_are_diverse(spark):
         ids, scores, 3, 10,
         np.random.RandomState(sampling.survey_seed("survey0:0:1", 42)))
     assert g0 != g1
+
+
+# ---------------------------------------------------------------------------
+# Golden-transcript hash gate.  v2_survey_refdefaults is bench-only (not on
+# the driver's 50-entry oracle board — see __spark_entry__.queries()), so THIS
+# test is its correctness gate: the survey mock is prompt-hash deterministic,
+# making the scalar projection reproducible bit-for-bit at a fixed input.
+# Frozen at sf0.01 (doc_id < 256) — the same freeze discipline as the
+# GOLDEN_DOC_FP oracles for its two board siblings.
+# ---------------------------------------------------------------------------
+REFDEFAULTS_GOLDEN_SF = "/root/testdata/sf0.01"
+REFDEFAULTS_DOC_FP = "55b52699500e24061a28539377553858"
+REFDEFAULTS_GOLDEN = [
+    ("survey0", 33, 32, 0.09375, 2556, 1),
+    ("survey1", 33, 32, 0.09375, 2556, 1),
+    ("survey2", 33, 32, 0.09375, 2558, 1),
+    ("survey3", 33, 32, 0.09375, 2558, 1),
+    ("survey4", 33, 32, 0.09375, 2560, 1),
+    ("survey5", 33, 32, 0.09375, 2560, 1),
+    ("survey6", 33, 32, 0.09375, 2560, 1),
+    ("survey7", 33, 32, 0.09375, 2560, 1),
+]
+
+
+def test_reference_defaults_golden_transcript(spark):
+    import os
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+
+    if not os.path.isdir(REFDEFAULTS_GOLDEN_SF):
+        import pytest
+
+        pytest.skip("sf0.01 testdata not present")
+    d = em.load_table(spark, REFDEFAULTS_GOLDEN_SF, "documents").filter(
+        "doc_id < 256")
+    fp = (d.agg(F.md5(F.concat_ws("|", F.transform(
+        F.sort_array(F.collect_list(F.struct("doc_id", "text"))),
+        lambda s: s["text"]))).alias("fp")).collect()[0]["fp"])
+    if fp != REFDEFAULTS_DOC_FP:
+        import pytest
+
+        pytest.skip(f"sf0.01 documents regenerated (fp {fp}); re-freeze "
+                    "REFDEFAULTS_GOLDEN before trusting this gate")
+    rows = (em.q_v2_survey_refdefaults(spark, REFDEFAULTS_GOLDEN_SF)
+            .orderBy("survey_id").collect())
+    assert [tuple(r) for r in rows] == REFDEFAULTS_GOLDEN
