@@ -185,6 +185,20 @@ class MockQAClient(LLMClient):
         return HashEchoClient().complete(prompt)
 
 
+class ChattyQAClient(MockQAClient):
+    """MockQAClient with padded map replies (~100 extra tokens each — small
+    enough that one reply still fits the collapse budget), so several
+    surviving chunks together overflow it and the V1 A1 loop actually runs —
+    the terse mock's outputs never trip it.  Test-only: exercises the
+    collapse path (and its StageMetrics accumulation) e2e."""
+
+    def complete(self, prompt: str) -> str:
+        out = super().complete(prompt)
+        if "Extract Relevant Information" in prompt and "[NO INFORMATION]" not in out:
+            return out + "\nContext recap:" + " pad" * 100
+        return out
+
+
 class MockDedupClient(LLMClient):
     """Cooperative A10 fact-dedup mock (atomic_facts.py get_deduplication
     prompt contract): given a numbered fact list, replies with the 1-based

@@ -15,6 +15,8 @@ these helpers encode the layout decisions the engine expects:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -50,7 +52,15 @@ def repartition_for_llm(df: DataFrame, rows_per_partition: int = 512,
     e.g. carried from an upstream stage or a catalog statistic).  When
     omitted, the count is read from Catalyst's plan statistics, falling
     back to the input's current partition count — never an eager
-    ``df.count()`` job (an extra full scan before any LLM work)."""
+    ``df.count()`` job (an extra full scan before any LLM work).
+
+    NOTE the fallback is a weaker contract: plan statistics carry a
+    rowCount only for plans Catalyst can size (e.g. CBO-analyzed tables,
+    LocalRelations); a filtered parquet scan without CBO has none, and the
+    partition-count fallback then no longer bounds cluster-wide concurrency
+    at ``n_partitions × pool_size``.  Callers on non-trivial plans that
+    need a hard rate-limit bound must pass ``row_estimate``; the fallback
+    warns so the unbounded case is visible in logs."""
     if row_estimate is None:
         stats_rows = (
             df._jdf.queryExecution().optimizedPlan().stats().rowCount()
@@ -61,6 +71,13 @@ def repartition_for_llm(df: DataFrame, rows_per_partition: int = 512,
         n = max(1, -(-row_estimate // rows_per_partition))
     else:
         n = max(1, df.rdd.getNumPartitions())
+        warnings.warn(
+            "repartition_for_llm: no row_estimate and Catalyst plan stats "
+            f"have no rowCount — falling back to the input partition count "
+            f"({n}); the n_partitions × pool_size concurrency bound is NOT "
+            "enforced. Pass row_estimate to bound LLM parallelism.",
+            stacklevel=2,
+        )
     if key_col:
         return df.repartition(n, key_col)
     return df.repartition(n)

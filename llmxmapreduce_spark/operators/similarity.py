@@ -85,7 +85,15 @@ def cosine_topk(
 def cosine_topk_double(corpus: DataFrame, queries: DataFrame, k: int = 5,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        query_id_col: str = "qid") -> DataFrame:
-    """Production variant: double math end to end (no quantization)."""
+    """Production variant: double math end to end (no quantization).
+
+    The ``crossJoin`` here is the BROADCAST-side exact scorer: every corpus
+    partition scores the broadcast query set, so cost is
+    ``|corpus| × |queries|`` dot products with no shuffle.  Intended bound:
+    a query side small enough to broadcast (≲10 MB / low thousands of
+    vectors — spark.sql.autoBroadcastJoinThreshold territory).  For
+    corpus-vs-corpus or large query sets use :func:`lsh_bucket_topk` /
+    :func:`lsh_bucket_topk_large` (LSH-bucketed equi-join, no cartesian)."""
     q = queries.select(F.col(id_col).alias(query_id_col),
                        F.col(vec_col).cast("array<double>").alias("qv"))
     c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("cv"))

@@ -25,8 +25,8 @@ Usage::
     df = sm.observe("map", df)                 # rows_out via CollectMetrics
     mapped = llm_stage(..., metrics=sm.llm("map"))
     ...run actions...
-    sm.report()        # list of per-stage dicts
-    sm.report_df(spark)  # same as a DataFrame (S8-style sink-able)
+    sm.report()      # list of per-stage dicts
+    sm.report_df()   # same as a DataFrame (S8-style sink-able)
 """
 
 from __future__ import annotations
@@ -54,6 +54,7 @@ class StageMetrics:
         self._llm_base: dict[str, dict] = {}
         self._wall: dict[str, float] = {}
         self._t0: dict[str, float] = {}
+        self._layers: list[dict[str, Any]] = []
 
     def _ensure(self, name: str) -> None:
         if name not in self._order:
@@ -85,6 +86,39 @@ class StageMetrics:
         self._ensure(name)
         self._wall[name] = time.time() - self._t0.get(name, time.time())
 
+    @staticmethod
+    def _probe_rows(obs: Observation) -> int | None:
+        """Best-effort NON-blocking read of an observation's ``rows_out``.
+
+        The public ``Observation.get`` blocks until the first action on the
+        observed plan finishes — unusable for a mid-run report — so this
+        probes the JVM handle.  Two Spark 4.1 facts the naive probe trips
+        over (both pinned by tests/test_stage_metrics.py):
+
+        - before any action, ``getOrEmpty`` itself raises (the backing row
+          is an empty ``Row`` with a null schema) → treated as
+          not-yet-materialized;
+        - after the action, the Scala ``Map.get`` returns a py4j-wrapped
+          ``scala.Option`` which must be unwrapped via
+          ``isDefined``/``get`` — ``int()`` on the bare Option raises
+          TypeError.
+        """
+        jo = getattr(obs, "_jo", None)
+        if jo is None:          # observe() never attached to a DataFrame
+            return None
+        try:
+            vals = jo.getOrEmpty()
+            if vals.isEmpty():
+                return None
+            opt = vals.get("rows_out")
+            if hasattr(opt, "isDefined"):
+                opt = opt.get() if opt.isDefined() else None
+            return None if opt is None else int(opt)
+        except Exception:
+            # pre-action NPE (above) or private-API drift in a future
+            # Spark: degrade to "not materialized", never crash the report.
+            return None
+
     def report(self) -> list[dict[str, Any]]:
         """One dict per tracked stage, in attachment order.  ``rows_out``
         is None until an action has consumed the observed plan."""
@@ -93,11 +127,14 @@ class StageMetrics:
             obs = self._obs.get(name)
             rows = None
             if obs is not None:
-                # Observation.get blocks until the action finishes; probe
-                # the underlying future non-blockingly via getOrEmpty
-                vals = obs._jo.getOrEmpty()
-                if not vals.isEmpty():
-                    rows = vals.get("rows_out")
+                if name in self._wall:
+                    # materialized() was called → the action is done, so the
+                    # PUBLIC blocking accessor returns immediately; prefer it
+                    # over the private probe.
+                    rows = obs.get.get("rows_out")
+                    rows = None if rows is None else int(rows)
+                else:
+                    rows = self._probe_rows(obs)
             llm = self._llm[name].snapshot() if name in self._llm else {}
             out.append({
                 "stage": name,
@@ -117,6 +154,24 @@ class StageMetrics:
             rows, "stage string, rows_out long, wall_s double, "
                   "llm_calls long, llm_failures long, "
                   "est_prompt_tokens long, est_reply_tokens long")
+
+    def record_v2_layers(self, out_rows: list[dict]) -> list[dict[str, Any]]:
+        """Fold collected V2 output rows (:func:`v2_stage_report`) into this
+        collector; returns and retains the per-(survey, cycle, layer) rows —
+        the reference analyser's per-node detail next to the per-stage
+        totals (``report()``)."""
+        self._layers = v2_stage_report(out_rows)
+        return self._layers
+
+    def layer_report_df(self) -> DataFrame:
+        """The ``record_v2_layers`` detail as a DataFrame (empty until
+        ``record_v2_layers`` has been called)."""
+        rows = [(r["survey_id"], r["block_cycle"], r["conv_layer"],
+                 r["pool_size"], r["avg_score"])
+                for r in self._layers]
+        return self._spark.createDataFrame(
+            rows, "survey_id string, block_cycle int, conv_layer int, "
+                  "pool_size int, avg_score double")
 
     def pretty(self) -> str:
         """The reference's analyser-table shape (pipeline_analyser.py:64-124),
@@ -139,7 +194,17 @@ def v2_stage_report(out_rows: list[dict]) -> list[dict[str, Any]]:
     (``conv_pool_sizes`` pool trajectories + ``block_avg_score`` layer
     averages — v2_survey.py) into per-stage rows: one row per
     (survey, block cycle, conv layer) with pool size and average score —
-    the convolution analog of the reference's per-node table."""
+    the convolution analog of the reference's per-node table.
+
+    ``conv_layer`` is the layer whose OUTPUT the pool size describes, so it
+    runs from ``-1`` (the initial suggestion pool, before any layer) to
+    ``conv_layers - 1``.  Example: ``conv_pool_sizes=[[32, 11, 6]]`` (one
+    block cycle, two layers) folds to::
+
+        {"block_cycle": 0, "conv_layer": -1, "pool_size": 32, ...}  # initial
+        {"block_cycle": 0, "conv_layer":  0, "pool_size": 11, ...}  # layer 0
+        {"block_cycle": 0, "conv_layer":  1, "pool_size":  6, ...}  # layer 1
+    """
     report = []
     for r in out_rows:
         sizes_cycles = r.get("conv_pool_sizes") or []

@@ -350,7 +350,8 @@ def group_papers(papers: DataFrame, cfg: V2Config,
 
 
 def init_outlines(papers_grouped: DataFrame, client_factory, cfg: V2Config,
-                  retry: RetryPolicy | None = None) -> DataFrame:
+                  retry: RetryPolicy | None = None,
+                  metrics=None) -> DataFrame:
     """→ (survey_id, survey_title, outline_md)."""
     batches = grouping.hash_shuffled_batches(
         papers_grouped.select("survey_id", "digest_id").distinct(),
@@ -388,6 +389,7 @@ def init_outlines(papers_grouped: DataFrame, client_factory, cfg: V2Config,
         payload_fields=_payload("md"),
         keep_cols=["survey_id", "survey_title", "batch_id"],
         retry=retry,
+        metrics=metrics,
     ).filter("llm_ok")
     per_survey = (
         single.withColumn("__o", F.struct(F.col("batch_id").alias("k"),
@@ -416,6 +418,7 @@ def init_outlines(papers_grouped: DataFrame, client_factory, cfg: V2Config,
         payload_fields=_payload("md"),
         keep_cols=["survey_id", "survey_title"],
         retry=retry,
+        metrics=metrics,
     ).filter("llm_ok").select("survey_id", "survey_title",
                               F.col("md").alias("outline_md"))
 
@@ -426,8 +429,8 @@ def init_outlines(papers_grouped: DataFrame, client_factory, cfg: V2Config,
 
 
 def make_digests(papers_grouped: DataFrame, outlines: DataFrame, client_factory,
-                 cfg: V2Config, retry: RetryPolicy | None = None
-                 ) -> tuple[DataFrame, DataFrame]:
+                 cfg: V2Config, retry: RetryPolicy | None = None,
+                 metrics=None) -> tuple[DataFrame, DataFrame]:
     """→ (digests (survey_id, digest_id, pos, description), dead_letters).
 
     One row-parallel llm_stage over papers (the big fan-out), with the
@@ -464,6 +467,7 @@ def make_digests(papers_grouped: DataFrame, outlines: DataFrame, client_factory,
         payload_fields=_payload("md", "suggestion"),
         keep_cols=["survey_id", "survey_title", "outline_md", "digest_id", "bibkey"],
         retry=retry,
+        metrics=metrics,
     )
     # J1 per-paper structural correspondence; misaligned papers quarantine
     # like D8 dead letters (the reference raises + retries per paper).
@@ -502,7 +506,8 @@ def make_digests(papers_grouped: DataFrame, outlines: DataFrame, client_factory,
 
 def feedback_suggestions(digests: DataFrame, outlines: DataFrame, client_factory,
                          retry: RetryPolicy | None = None,
-                         cfg: V2Config | None = None) -> DataFrame:
+                         cfg: V2Config | None = None,
+                         metrics=None) -> DataFrame:
     ps = _prompt_set(cfg) if cfg is not None else None
     per_group = (
         digests.withColumn("__d", F.struct(F.col("pos").alias("k"),
@@ -530,6 +535,7 @@ def feedback_suggestions(digests: DataFrame, outlines: DataFrame, client_factory
         payload_fields=_payload("suggestion"),
         keep_cols=["survey_id", "digest_id"],
         retry=retry,
+        metrics=metrics,
     ).filter("llm_ok")
     return out.select(
         "survey_id",
@@ -755,7 +761,8 @@ _DONE_SCHEMA = T.StructType([
 
 def decode_survey(final_outline: DataFrame, digests: DataFrame, papers: DataFrame,
                   client_factory, cfg: V2Config,
-                  retry: RetryPolicy | None = None) -> DataFrame:
+                  retry: RetryPolicy | None = None,
+                  metrics=None) -> DataFrame:
     """content.py:108-146 decode: leaf sections get prose from their digest
     material (L14 orchestra — the per-section fan-out stays a row-parallel
     llm_stage), then ONE per-survey ``applyInPandas`` walks the tree
@@ -801,12 +808,17 @@ def decode_survey(final_outline: DataFrame, digests: DataFrame, papers: DataFram
         payload_fields=_payload("content"),
         keep_cols=["survey_id", "pos"],
         retry=retry,
+        metrics=metrics,
     ).filter("llm_ok").select("survey_id", "pos", "content")
 
-    # A6 bottom-up assembly + L15 polish, fused per survey
+    # A6 bottom-up assembly + L15 polish, fused per survey.  Parent sections
+    # carry their own digest material too: the reference orchestra module
+    # fills the SUMMARY_PROMPT {digest} slot with the section's digest
+    # content (orchestra_module.py:70-78), not an empty string.
     asm_in = (
         nodes.select("survey_id", "pos", "node_path", "depth", "title", "n_children")
         .join(contents, ["survey_id", "pos"], "left")
+        .join(section_digests, ["survey_id", "pos"], "left")
         .join(F.broadcast(outline_meta), "survey_id")
     )
     polish, threads = cfg.polish, cfg.llm_threads
@@ -836,7 +848,8 @@ def decode_survey(final_outline: DataFrame, digests: DataFrame, papers: DataFram
             reply = _call(
                 client,
                 _summary_prompt(survey_title, r["title"], "\n\n".join(kids),
-                                ps, outline=rows[0].get("outline_md") or ""),
+                                ps, outline=rows[0].get("outline_md") or "",
+                                digest=r.get("material") or ""),
                 retry)
             if reply is not None:
                 content[r["pos"]] = reply
@@ -929,7 +942,8 @@ def decode_tail(done: DataFrame, papers: DataFrame) -> DataFrame:
 
 def run_v2_survey(surveys: DataFrame, client_factory,
                   cfg: V2Config | None = None,
-                  retry: RetryPolicy | None = None) -> DataFrame:
+                  retry: RetryPolicy | None = None,
+                  stage_metrics=None) -> DataFrame:
     """SURVEYS_INPUT rows → one output row per survey (S5 shape).
 
     Implements the reference's block cycle (hidden_pipeline.py:73-85): while
@@ -939,19 +953,42 @@ def run_v2_survey(surveys: DataFrame, client_factory,
     in :func:`decode_survey` cannot misalign when refinement restructures the
     outline.  ``block_count=0`` decodes the unrefined outline (args.py:21
     default); the shipped script uses 1 (scripts/pipeline_start.sh:13).
+
+    ``stage_metrics``: optional
+    :class:`~llmxmapreduce_spark.operators.stage_metrics.StageMetrics` —
+    per-stage rows-out (``observe``), wall time at the checkpoint
+    boundaries, and LLM accumulators for the four row-parallel llm stages
+    (outline / digest / suggest / decode); the reference analyser's
+    per-node table (pipeline_analyser.py:64-124).  After collecting the
+    result, fold the per-layer convolution detail in with
+    ``stage_metrics.record_v2_layers(rows)``.
     """
     cfg = cfg or V2Config()
+    sm = stage_metrics
     spark = surveys.sparkSession
     prev_parts = None
     if cfg.shuffle_partitions is not None:
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
     try:
-        papers = build_papers(surveys).localCheckpoint(eager=True)
+        papers = build_papers(surveys)
+        if sm is not None:
+            papers = sm.observe("papers", papers)
+        papers = papers.localCheckpoint(eager=True)
+        if sm is not None:
+            sm.materialized("papers")
         grouped = group_papers(papers, cfg, client_factory, retry)
-        outlines = init_outlines(grouped, client_factory, cfg, retry) \
-            .localCheckpoint(eager=True)
-        digests, _dead = make_digests(grouped, outlines, client_factory, cfg, retry)
+        outlines = init_outlines(
+            grouped, client_factory, cfg, retry,
+            metrics=sm.llm("outline") if sm is not None else None)
+        if sm is not None:
+            outlines = sm.observe("outline", outlines)
+        outlines = outlines.localCheckpoint(eager=True)
+        if sm is not None:
+            sm.materialized("outline")
+        digests, _dead = make_digests(
+            grouped, outlines, client_factory, cfg, retry,
+            metrics=sm.llm("digest") if sm is not None else None)
         cur = outlines.select(
             "survey_id", "survey_title", "outline_md",
             F.lit(None).cast("double").alias("eval_score"),
@@ -961,14 +998,27 @@ def run_v2_survey(surveys: DataFrame, client_factory,
         )
         for _cycle in range(cfg.block_count):
             digests = digests.localCheckpoint(eager=True)
-            suggestions = feedback_suggestions(digests, cur, client_factory,
-                                               retry, cfg=cfg)
+            if sm is not None:
+                sm.materialized("digest")
+            suggestions = feedback_suggestions(
+                digests, cur, client_factory, retry, cfg=cfg,
+                metrics=sm.llm("suggest") if sm is not None else None)
             best = convolution_block(cur, suggestions, client_factory, cfg, retry)
             cur = self_refine(best, client_factory, cfg, retry) \
                 .localCheckpoint(eager=True)
+            if sm is not None:
+                sm.materialized("refine")
             # re-digest against the refined outline (digest_node re-entry)
-            digests, _dead = make_digests(grouped, cur, client_factory, cfg, retry)
+            digests, _dead = make_digests(
+                grouped, cur, client_factory, cfg, retry,
+                metrics=sm.llm("digest") if sm is not None else None)
+        if sm is not None:
+            # rows-out of the FINAL digest pass (re-attached each loop exit;
+            # the per-cycle llm("digest") counters accumulate across passes)
+            digests = sm.observe("digest", digests)
         digests = digests.localCheckpoint(eager=True)
+        if sm is not None:
+            sm.materialized("digest")
         # lift the JSON score bookkeeping back into typed nested arrays now
         # that no pandas boundary remains (see _CONV_SCHEMA note)
         cur = cur.withColumn(
@@ -978,12 +1028,18 @@ def run_v2_survey(surveys: DataFrame, client_factory,
         ).withColumn(
             "conv_pool_sizes", F.from_json("conv_pool_sizes", _POOL_SIZES)
         )
-        out = decode_survey(cur, digests, papers, client_factory, cfg, retry) \
-            .withColumn("block_cycle_count", F.lit(cfg.block_count))
+        out = decode_survey(
+            cur, digests, papers, client_factory, cfg, retry,
+            metrics=sm.llm("decode") if sm is not None else None,
+        ).withColumn("block_cycle_count", F.lit(cfg.block_count))
+        if sm is not None:
+            out = sm.observe("decode", out)
         if cfg.shuffle_partitions is not None:
             # materialize before the session conf is restored, so the decode
             # shuffles actually run at the pipeline's sizing
             out = out.localCheckpoint(eager=True)
+            if sm is not None:
+                sm.materialized("decode")
         return out
     finally:
         if prev_parts is not None:
