@@ -954,6 +954,44 @@ def q_v2_survey_refdefaults(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_v2_survey_fullprompts(spark: SparkSession, sf: str) -> DataFrame:
+    """q_v2_survey_refdefaults with ``full_prompts=True``: the V2 pipeline
+    formatting the reference's VERBATIM prompt templates (prompts_en.py —
+    roughly 5-10× the token volume of the condensed mock prompts) at the
+    reference's shipped knobs.  Bench-only: the delta vs
+    ``v2_survey_refdefaults`` is the realistic prompt-formatting cost, the
+    number that prices prompt-text parity."""
+    from llmxmapreduce_spark.llm.survey_mock import MockSurveyClient
+    from llmxmapreduce_spark.pipelines import v2_survey as v2
+
+    d = load_table(spark, sf, "documents").filter("doc_id < 256")
+    papers = d.select(
+        F.concat(F.lit("survey"), (F.col("doc_id") % 8).cast("string")).alias("survey_id"),
+        F.struct(
+            F.concat(F.lit("paper_"), F.col("doc_id").cast("string")).alias("bibkey"),
+            F.concat(F.lit("Paper "), F.col("doc_id").cast("string")).alias("title"),
+            F.substring("text", 1, 200).alias("abstract"),
+            F.col("text").alias("txt"),
+            F.concat(F.lit("https://example.org/"), F.col("doc_id").cast("string")).alias("url"),
+            F.lit(None).cast("long").alias("txt_token"),
+        ).alias("p"),
+    )
+    surveys = papers.groupBy("survey_id").agg(
+        F.concat(F.lit("Survey of "), F.col("survey_id")).alias("title"),
+        F.array_sort(F.collect_list("p")).alias("papers"),
+    )
+    cfg = v2.V2Config(conv_layers=6, receptive_field=3, result_num=10,
+                      top_k=6, refine_rounds=3, best_of=3, polish=False,
+                      block_count=1, digest_batch=1, llm_threads=8,
+                      shuffle_partitions=8, full_prompts=True)
+    out = v2.run_v2_survey(surveys, MockSurveyClient, cfg)
+    return out.select(
+        "survey_id", "n_sections", "n_papers", "cite_ratio",
+        F.length("content_md").alias("content_len"),
+        "block_cycle_count",
+    )
+
+
 def q_v2_decode_tail(spark: SparkSession, sf: str) -> DataFrame:
     """The V2 decode pipeline's deterministic suffix (v2_survey.decode_tail:
     P12 renumber → A7 cite_ratio → references block → markdown assembly,

@@ -54,7 +54,16 @@ HEADLINE = [
     "v1_qa_secret_key",
     "v2_survey_pipeline",
     "v2_survey_refdefaults",
+    "v2_survey_fullprompts",
 ]
+
+# Bench-only queries: priced every round but deliberately OFF the driver's
+# 50-entry oracle board (their correctness gate is a golden-transcript
+# pytest — tests/test_v2_refdefaults.py — not a SQL oracle).
+BENCH_ONLY = {
+    "v2_survey_refdefaults": entrymod.q_v2_survey_refdefaults,
+    "v2_survey_fullprompts": entrymod.q_v2_survey_fullprompts,
+}
 
 
 def main() -> int:
@@ -68,7 +77,7 @@ def main() -> int:
     runs: dict[str, list[float]] = {}
     spread: dict[str, float] = {}
     for name in HEADLINE:
-        fn = queries.get(name)
+        fn = queries.get(name) or BENCH_ONLY.get(name)
         if fn is None:
             continue
         samples: list[float] = []

@@ -144,3 +144,44 @@ def test_reference_defaults_golden_transcript(spark):
     rows = (em.q_v2_survey_refdefaults(spark, REFDEFAULTS_GOLDEN_SF)
             .orderBy("survey_id").collect())
     assert [tuple(r) for r in rows] == REFDEFAULTS_GOLDEN
+
+
+FULLPROMPTS_GOLDEN = [
+    ("survey0", 36, 32, 0.09375, 2727, 1),
+    ("survey1", 36, 32, 0.09375, 2727, 1),
+    ("survey2", 36, 32, 0.09375, 2729, 1),
+    ("survey3", 36, 32, 0.09375, 2729, 1),
+    ("survey4", 36, 32, 0.09375, 2731, 1),
+    ("survey5", 36, 32, 0.09375, 2731, 1),
+    ("survey6", 36, 32, 0.09375, 2731, 1),
+    ("survey7", 36, 32, 0.09375, 2731, 1),
+]
+
+
+def test_fullprompts_golden_transcript(spark):
+    """Same gate for the verbatim-reference-prompts bench line
+    (full_prompts=True at refdefaults knobs): prompt-hash determinism holds
+    across the 5-10× larger prompt texts too."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+
+    if not os.path.isdir(REFDEFAULTS_GOLDEN_SF):
+        import pytest
+
+        pytest.skip("sf0.01 testdata not present")
+    d = em.load_table(spark, REFDEFAULTS_GOLDEN_SF, "documents").filter(
+        "doc_id < 256")
+    fp = (d.agg(F.md5(F.concat_ws("|", F.transform(
+        F.sort_array(F.collect_list(F.struct("doc_id", "text"))),
+        lambda s: s["text"]))).alias("fp")).collect()[0]["fp"])
+    if fp != REFDEFAULTS_DOC_FP:
+        import pytest
+
+        pytest.skip(f"sf0.01 documents regenerated (fp {fp}); re-freeze "
+                    "FULLPROMPTS_GOLDEN before trusting this gate")
+    rows = (em.q_v2_survey_fullprompts(spark, REFDEFAULTS_GOLDEN_SF)
+            .orderBy("survey_id").collect())
+    assert [tuple(r) for r in rows] == FULLPROMPTS_GOLDEN
