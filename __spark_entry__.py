@@ -992,6 +992,24 @@ def q_v2_survey_fullprompts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_neardup_dedup_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end near-dup DEDUP (not just pair listing): minhash pairs →
+    connected components (alternating large-star/small-star) → keep the
+    min-id canonical per cluster.  This is the shape a 100 TB training-data
+    pipeline actually runs — pairs alone aren't transitively closed, so
+    naive "drop id_b" over- or under-deletes on chains A≈A'≈A''.
+    Bench-only: the component labels are gate-checked against an exact
+    union-find in tests/test_components.py (the 50-entry oracle board is
+    full); this entry prices the full pipeline."""
+    from llmxmapreduce_spark.operators import components, dedup
+
+    corpus = _corpus_with_mutants(spark, sf)
+    pairs = dedup.minhash_dedup_pairs(
+        corpus, n=3, num_hashes=8, bands=4, threshold=0.5
+    )
+    return components.dedup_by_components(corpus, pairs)
+
+
 def q_v2_decode_tail(spark: SparkSession, sf: str) -> DataFrame:
     """The V2 decode pipeline's deterministic suffix (v2_survey.decode_tail:
     P12 renumber → A7 cite_ratio → references block → markdown assembly,

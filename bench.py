@@ -55,6 +55,7 @@ HEADLINE = [
     "v2_survey_pipeline",
     "v2_survey_refdefaults",
     "v2_survey_fullprompts",
+    "neardup_dedup_e2e",
 ]
 
 # Bench-only queries: priced every round but deliberately OFF the driver's
@@ -63,6 +64,7 @@ HEADLINE = [
 BENCH_ONLY = {
     "v2_survey_refdefaults": entrymod.q_v2_survey_refdefaults,
     "v2_survey_fullprompts": entrymod.q_v2_survey_fullprompts,
+    "neardup_dedup_e2e": entrymod.q_neardup_dedup_e2e,
 }
 
 

@@ -1,0 +1,141 @@
+"""Connected components + cluster-level dedup (scale extension).
+
+Turns near-duplicate PAIRS (from ``minhash_dedup_pairs``, the cosine
+near-dup operator, or simhash collisions) into CLUSTERS and a canonical
+representative per cluster — the step a training-data pipeline actually
+needs after candidate generation: "keep ONE copy per near-dup group".
+Pairs are not transitively closed (A~B and B~C does not list A~C), so
+dropping ``id_b`` of every pair over-deletes and dropping nothing
+under-deletes; the component root is the principled keep-set.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14).  Converges in
+O(log n) rounds on ANY graph shape — including the long near-dup chains
+that defeat naive label propagation (whose round count is the graph
+diameter).  Each round is two aggregate+join passes keyed on node id:
+no driver-side graph state, no vertex broadcast, so the edge set may be
+arbitrarily larger than one machine.  GraphFrames implements the same
+scheme on RDDs; this is a dependency-free DataFrame formulation.
+
+Scale notes (100 TB case):
+- Shuffles carry (id, id) pairs only — never document text.
+- Lineage is cut with an eager ``localCheckpoint`` per round; iterative
+  self-referential plans otherwise grow exponentially.
+- Convergence is detected with an O(|E|) aggregate fingerprint
+  (count + sum of xxhash64), not a driver-side collect of edges.
+
+Correctness gate: pytest ground truth vs an exact union-find
+(tests/test_components.py) on fixed + randomized graphs; off the
+50-entry oracle board by design (the board is capped), priced in
+bench.py via the BENCH_ONLY registry.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(e: DataFrame) -> DataFrame:
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u})."""
+    b = _symmetrize(e)
+    mn = b.groupBy("u").agg(F.min("v").alias("mn"))
+    return (
+        b.join(mn, "u")
+        .withColumn("m", F.least(F.col("u"), F.col("mn")))
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges (big→small); connect u and its ≤-neighbors to the min."""
+    b = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    mn = b.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        b.join(mn, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mn.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_out: str = "id",
+    comp_out: str = "component",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Component label (= min node id in the component) for every node that
+    appears in ``edges``.  Returns (id_out, comp_out); roots label
+    themselves.  Nodes with no edges don't appear (their component is
+    trivially themselves — callers that need singleton rows can union them
+    in, see ``dedup_by_components`` which doesn't need to).
+
+    Ids may be any orderable type (long, string); they are never hashed or
+    re-keyed, so labels are directly joinable back to the source table.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = None
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e.unpersist()
+        e = e2
+        # fingerprint sum in decimal(38,0): a long sum of 64-bit hashes
+        # overflows under ANSI mode.
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        fp = (row["n"], row["h"])
+        if fp == prev:
+            break
+        prev = fp
+    else:
+        print(
+            f"WARNING connected_components: no convergence in {max_iter} "
+            f"rounds — labels may be incomplete on adversarial graphs; "
+            f"raise max_iter.",
+            file=sys.stderr,
+        )
+    # At the fixed point every component is a star rooted at its min node:
+    # a child's only neighbor is the root (min(child, root) = root), the
+    # root's neighbors are all larger (min = itself).
+    return (
+        _symmetrize(e)
+        .groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(F.col("u").alias(id_out), F.least("u", "mn").alias(comp_out))
+    )
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Keep the canonical (min-id) member of every near-dup cluster; rows
+    never named in ``pairs`` survive untouched.  The anti-join key is the
+    id column only — corpus text never enters the shuffle."""
+    comp = connected_components(pairs, src, dst)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
