@@ -275,7 +275,9 @@ def _corpus_with_mutants(spark: SparkSession, sf: str) -> DataFrame:
     near-dup operators known positives with exactly checkable pairs."""
     d = load_table(spark, sf, "documents").select("doc_id", "text")
     mutants = d.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        # offset must clear the id space at every generated scale factor
+        # (sf5 has 250k docs — +100000 would collide with real ids)
+        (F.col("doc_id") + 10000000).alias("doc_id"),
         F.expr("concat('zzz ', substring(text, instr(text, ' ') + 1))").alias("text"),
     )
     return d.unionByName(mutants)
@@ -285,7 +287,7 @@ _MUTANT_SQL = """
             corpus AS (
                 SELECT doc_id, text FROM documents
                 UNION ALL
-                SELECT doc_id + 100000 AS doc_id,
+                SELECT doc_id + 10000000 AS doc_id,
                        'zzz ' || substr(text, instr(text, ' ') + 1) AS text
                 FROM documents)
 """
@@ -1008,6 +1010,28 @@ def q_neardup_dedup_e2e(spark: SparkSession, sf: str) -> DataFrame:
         corpus, n=3, num_hashes=8, bands=4, threshold=0.5
     )
     return components.dedup_by_components(corpus, pairs)
+
+
+def q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition quality signals over the documents table
+    (dup-line fractions + repeated n-gram fractions).  Bench-only: the
+    values gate is a DuckDB-twin pytest (tests/test_repetition.py) — the
+    50-entry oracle board is full."""
+    from llmxmapreduce_spark.operators.text_stats import repetition_stats
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    return repetition_stats(d)
+
+
+def q_cosine_topk_np(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow/numpy production twin of the board's `embedding_cosine_topk`
+    (one BLAS matmul per batch + local top-k; 7.7× the interpreted
+    expression dot at sf5).  Bench-only: result equivalence is pinned by
+    tests/test_dedup_similarity.py::test_cosine_topk_np_matches_double."""
+    from llmxmapreduce_spark.operators import similarity
+
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.cosine_topk_np(emb, emb.filter("vec_id < 20"), k=5)
 
 
 def q_v2_decode_tail(spark: SparkSession, sf: str) -> DataFrame:

@@ -56,6 +56,8 @@ HEADLINE = [
     "v2_survey_refdefaults",
     "v2_survey_fullprompts",
     "neardup_dedup_e2e",
+    "repetition_stats",
+    "cosine_topk_np",
 ]
 
 # Bench-only queries: priced every round but deliberately OFF the driver's
@@ -65,6 +67,8 @@ BENCH_ONLY = {
     "v2_survey_refdefaults": entrymod.q_v2_survey_refdefaults,
     "v2_survey_fullprompts": entrymod.q_v2_survey_fullprompts,
     "neardup_dedup_e2e": entrymod.q_neardup_dedup_e2e,
+    "repetition_stats": entrymod.q_repetition_stats,
+    "cosine_topk_np": entrymod.q_cosine_topk_np,
 }
 
 

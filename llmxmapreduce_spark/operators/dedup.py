@@ -161,6 +161,39 @@ def jaccard_verify(
     )
 
 
+def signature_jaccard(
+    pairs: DataFrame,
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "signature",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash ESTIMATE of Jaccard on candidate pairs: fraction of equal
+    signature components (an unbiased estimator of the true Jaccard).
+
+    This is the 100 TB verify path: the join ships ``num_hashes`` hash
+    values per side (~100 bytes) instead of the full shingle array
+    (kilobytes).  At sf5 the exact verify's shuffle is ~40× heavier —
+    candidate-pair count × shingle-array width — and becomes THE bottleneck
+    of the whole dedup; the estimate keeps the shuffle proportional to
+    pairs × signature width.  Estimator std-dev is
+    sqrt(j(1-j)/num_hashes) — raise ``num_hashes`` for tighter thresholds.
+    """
+    a = sig_df.select(F.col(id_col).alias("id_a"), F.col(sig_col).alias("sg_a"))
+    b = sig_df.select(F.col(id_col).alias("id_b"), F.col(sig_col).alias("sg_b"))
+    est = (
+        F.size(F.filter(F.zip_with("sg_a", "sg_b", lambda x, y: x == y),
+                        lambda t: t))
+        / F.size(F.col("sg_a"))
+    )
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .withColumn("jaccard", est)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -171,9 +204,23 @@ def minhash_dedup_pairs(
     threshold: float = 0.7,
     fast: bool = False,
     materialize: bool = True,
+    verify: str = "exact",
 ) -> DataFrame:
     """End-to-end near-dup pair detection: shingle → minhash → LSH buckets →
-    exact Jaccard verify.  Returns (id_a, id_b, jaccard >= threshold).
+    Jaccard verify.  Returns (id_a, id_b, jaccard >= threshold).
+
+    ``verify`` picks the confirmation pass over bucket-collision candidates:
+
+    - ``"exact"`` (default, oracle-checkable) — true n-gram Jaccard via the
+      shingle arrays.  Shuffle cost: pairs × shingle-array width, fine up
+      to ~1M pairs; it dominates the job once bucket collisions explode
+      (sf5's planted 50-copy clusters → ~28M pairs → hundreds of GB).
+    - ``"estimate"`` — signature-agreement estimate
+      (:func:`signature_jaccard`); shuffle carries only the num_hashes-long
+      signatures.  The production choice at scale.
+    - ``"none"`` — trust the bands (the common large-corpus practice:
+      tune bands/rows so a bucket collision IS the decision); returns
+      candidates with jaccard = null.
 
     ``materialize=True`` (default) computes the pairs eagerly and releases
     the signature cache; pass False to get the lazy plan (the signature
@@ -189,7 +236,14 @@ def minhash_dedup_pairs(
         F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
     ).withColumn("signature", sig_fn(F.col("shingles"), num_hashes)).persist()
     cands = lsh_candidate_pairs(base, id_col, "signature", bands, rows_per_band)
-    pairs = jaccard_verify(cands, base, id_col, "shingles", threshold)
+    if verify == "exact":
+        pairs = jaccard_verify(cands, base, id_col, "shingles", threshold)
+    elif verify == "estimate":
+        pairs = signature_jaccard(cands, base, id_col, "signature", threshold)
+    elif verify == "none":
+        pairs = cands.withColumn("jaccard", F.lit(None).cast("double"))
+    else:
+        raise ValueError(f"unknown verify mode: {verify!r}")
     if not materialize:
         return pairs
     try:

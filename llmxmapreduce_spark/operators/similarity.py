@@ -101,6 +101,74 @@ def cosine_topk_double(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return _bucket_rank_topk(joined, k, id_col, query_id_col)
 
 
+def cosine_topk_np(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   query_id_col: str = "qid") -> DataFrame:
+    """Arrow/numpy production scorer: same result as
+    :func:`cosine_topk_double`, ~10-100× the throughput.
+
+    The Catalyst higher-order-function dot (``aggregate(zip_with(...))``)
+    is evaluated interpreted, per element — at sf5 (100k × 64d corpus,
+    20 queries) it costs ~31 s.  This variant does one BLAS matmul per
+    Arrow batch instead:
+
+    - the query side (the *bounded broadcast side* by the same contract as
+      ``cosine_topk_double`` — ≲ low thousands of vectors) is collected
+      once and shipped in the task closure as a normalized d × n_q matrix;
+    - each corpus batch computes a (batch × n_q) score matrix and keeps its
+      LOCAL top-k per query via ``argpartition`` — the shuffle then carries
+      only n_batches × n_q × k candidate rows, not |corpus| × n_q scores;
+    - a final window over the tiny candidate set yields global ranks.
+
+    For corpus-vs-corpus or unbounded query sets use the LSH-bucketed
+    variants (no cartesian work at any scale)."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    qids = np.array([r[0] for r in qrows])
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    qn[qn == 0] = 1.0
+    Qt = (Q / qn[:, None]).T  # d × n_q, normalized
+
+    qid_t = dict(queries.dtypes)[id_col]
+    id_t = dict(corpus.dtypes)[id_col]
+    schema = f"{query_id_col} {qid_t}, {id_col} {id_t}, cosine double"
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cn = np.sqrt((C * C).sum(axis=1))
+            cn[cn == 0] = 1.0
+            S = (C / cn[:, None]) @ Qt  # batch × n_q
+            ids = pdf[id_col].to_numpy()
+            m = min(k + 1, S.shape[0])  # k+1: the self-match may be local
+            top = np.argpartition(-S, m - 1, axis=0)[:m]
+            out_q, out_i, out_s = [], [], []
+            for j in range(S.shape[1]):
+                for i in top[:, j]:
+                    if ids[i] != qids[j]:
+                        out_q.append(qids[j])
+                        out_i.append(ids[i])
+                        out_s.append(S[i, j])
+            yield pd.DataFrame(
+                {query_id_col: out_q, id_col: out_i, "cosine": out_s}
+            )
+
+    cand = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(score, schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "cosine")
+    )
+
+
 def sign_bucket(vec: Column, bits: int = 8) -> Column:
     """Engine-portable coarse LSH bucket: the sign bits of the first
     ``bits`` elements (of the QUANTIZED vector, so Spark and any oracle

@@ -88,6 +88,79 @@ def ngram_shingles(text: Column, n: int = 3) -> Column:
     return F.slice(g, 1, F.greatest(F.size(words) - (n - 1), F.lit(1)))
 
 
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_gram_n: int = 2,
+    dup_gram_n: int = 5,
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1):
+    documents dominated by repeated lines or n-grams are low-value training
+    data.  Adds four columns per document (0.0 when the document is empty):
+
+    - ``dup_line_frac``       — repeated-line occurrences beyond the first /
+      total non-empty lines (what a perfect per-doc line-dedup would delete)
+    - ``dup_line_char_frac``  — same, weighted by line length in chars
+    - ``top_{k}gram_frac``    — occurrences of the single most frequent word
+      k-gram / total k-grams (k = ``top_gram_n``)
+    - ``dup_{m}gram_frac``    — occurrences of m-grams appearing more than
+      once / total m-grams (m = ``dup_gram_n``)
+
+    Plan: explode → count aggregate (partial+final, map-side combine) per
+    (doc, line) / (doc, gram) → per-doc rollup → joined back on id.  Each
+    signal is one shuffle keyed on (id, token); no per-document quadratic
+    expression work, so a pathological 1M-line document costs the same per
+    line as a normal one.  Tokenization matches ``ngram_shingles``
+    (lowercase, whitespace split), so the numbers line up with the
+    MinHash/Jaccard dedup family."""
+    t = F.col(text_col)
+    top_col = f"top_{top_gram_n}gram_frac"
+    dup_col = f"dup_{dup_gram_n}gram_frac"
+
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    lc = (
+        df.select(F.col(id_col), F.explode(lines).alias("ln"))
+        .groupBy(id_col, "ln")
+        .agg(F.count("*").alias("c"))
+    )
+    line_stats = lc.groupBy(id_col).agg(
+        ((F.sum("c") - F.count("*")) / F.sum("c")).alias("dup_line_frac"),
+        (
+            F.sum(F.when(F.col("c") > 1, (F.col("c") - 1) * F.length("ln")).otherwise(0))
+            / F.sum(F.col("c") * F.length("ln"))
+        ).alias("dup_line_char_frac"),
+    )
+
+    def gram_counts(n: int) -> DataFrame:
+        # empty/whitespace-only text shingles to [""] — drop it so empty
+        # docs report 0.0 instead of a degenerate top-gram fraction of 1.0
+        grams = F.filter(ngram_shingles(t, n), lambda g: F.length(g) > 0)
+        return (
+            df.select(F.col(id_col), F.explode(grams).alias("g"))
+            .groupBy(id_col, "g")
+            .agg(F.count("*").alias("c"))
+        )
+
+    top_stats = gram_counts(top_gram_n).groupBy(id_col).agg(
+        (F.max("c") / F.sum("c")).alias(top_col)
+    )
+    dup_stats = gram_counts(dup_gram_n).groupBy(id_col).agg(
+        (F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / F.sum("c")).alias(dup_col)
+    )
+    out = (
+        df.join(line_stats, id_col, "left")
+        .join(top_stats, id_col, "left")
+        .join(dup_stats, id_col, "left")
+    )
+    return out.fillna(
+        0.0, subset=["dup_line_frac", "dup_line_char_frac", top_col, dup_col]
+    )
+
+
 def fingerprint(text: Column, n: int = 3, algo: str = "xxhash64") -> Column:
     """Document fingerprint: minimum hash over word n-gram shingles — the
     min-sampling step of a winnowing scheme, stable under small edits away

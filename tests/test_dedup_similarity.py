@@ -254,3 +254,77 @@ def test_hyperplane_bucket_balanced_where_sign_bits_collapse(spark):
     out = similarity.cosine_neardup_pairs(both, threshold=0.999)
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert {(i, i + 10000) for i in range(50)} <= got
+
+
+def test_cosine_topk_np_matches_double(spark):
+    """The Arrow/numpy production scorer returns the same neighbors and
+    ranks as the Catalyst-expression double variant, with cosines equal to
+    float tolerance."""
+    rows = _unit_vecs()
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+        .withColumn("embedding", F.col("embedding").cast("array<float>")) \
+        .repartition(4)  # force several Arrow batches → local+global top-k
+    queries = df.filter("vec_id < 3")
+    ref = similarity.cosine_topk_double(df, queries, k=5).collect()
+    got = similarity.cosine_topk_np(df, queries, k=5).collect()
+    assert len(got) == len(ref) == 15
+    ref_m = {(r["qid"], r["rank"]): r for r in ref}
+    for r in got:
+        e = ref_m[(r["qid"], r["rank"])]
+        assert r["vec_id"] == e["vec_id"]
+        assert abs(r["cosine"] - e["cosine"]) < 1e-9
+
+
+def test_cosine_topk_np_excludes_self_and_small_batches(spark):
+    """Self-matches dropped even when the self vector is the local top; a
+    corpus smaller than k returns everything it can."""
+    rows = _unit_vecs()[:4]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+        .withColumn("embedding", F.col("embedding").cast("array<float>"))
+    out = similarity.cosine_topk_np(df, df, k=10).collect()
+    assert all(r["qid"] != r["vec_id"] for r in out)
+    assert len(out) == 4 * 3
+
+
+def test_minhash_verify_modes(spark):
+    """estimate/none verify modes return supersets consistent with exact on
+    planted dups: estimate keeps the same planted positives (signature
+    agreement ≈ 1 for near-identical docs) and candidates ⊇ estimate ⊇
+    exact-positives."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [(0, base), (1, base + " extraword"),
+            (2, "totally different content with no overlapping grams here "
+                "about catalyst physical plans and shuffle exchanges")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from llmxmapreduce_spark.operators.dedup import minhash_dedup_pairs
+
+    exact = {(r["id_a"], r["id_b"])
+             for r in minhash_dedup_pairs(df, threshold=0.5).collect()}
+    est_rows = minhash_dedup_pairs(df, threshold=0.5,
+                                   verify="estimate").collect()
+    est = {(r["id_a"], r["id_b"]) for r in est_rows}
+    cand_rows = minhash_dedup_pairs(df, threshold=0.5, verify="none").collect()
+    cands = {(r["id_a"], r["id_b"]) for r in cand_rows}
+    assert (0, 1) in exact and (0, 1) in est
+    assert est <= cands and exact <= cands
+    assert all(r["jaccard"] is None for r in cand_rows)
+    assert all(0.0 <= r["jaccard"] <= 1.0 for r in est_rows)
+
+
+def test_signature_jaccard_estimator_value(spark):
+    """Identical docs estimate 1.0; disjoint docs estimate 0.0."""
+    rows = [(0, "w1 w2 w3 w4 w5 w6"), (1, "w1 w2 w3 w4 w5 w6"),
+            (2, "z1 z2 z3 z4 z5 z6")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from llmxmapreduce_spark.operators import dedup
+
+    base = df.select(
+        "doc_id", dedup.word_shingles(F.col("text"), 3).alias("shingles")
+    ).withColumn("signature",
+                 dedup.minhash_signature(F.col("shingles"), 8))
+    pairs = spark.createDataFrame([(0, 1), (0, 2)], "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.signature_jaccard(pairs, base, threshold=0.0).collect()}
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 2)] == 0.0

@@ -1,0 +1,100 @@
+"""repetition_stats: hand-computed fixtures + DuckDB twin over testdata."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from llmxmapreduce_spark.operators.text_stats import repetition_stats
+
+SF = "/root/testdata/sf0.001"
+
+
+def _stats(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repetition_stats(df)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_hand_computed(spark):
+    got = _stats(spark, [(0, "a b\na b\nc")])
+    r = got[0]
+    # lines: ["a b", "a b", "c"] — one repeat occurrence of "a b"
+    assert r["dup_line_frac"] == pytest.approx(1 / 3)
+    assert r["dup_line_char_frac"] == pytest.approx(3 / 7)
+    # 2-grams over tokens [a b a b c]: "a b"×2, "b a", "b c" → top 2/4
+    assert r["top_2gram_frac"] == pytest.approx(0.5)
+    # exactly one 5-gram → no duplicates
+    assert r["dup_5gram_frac"] == 0.0
+
+
+def test_pathological_repeat(spark):
+    got = _stats(spark, [(1, "spam ham\n" * 100)])
+    r = got[1]
+    assert r["dup_line_frac"] == pytest.approx(99 / 100)
+    assert r["dup_line_char_frac"] == pytest.approx(99 / 100)
+    assert r["top_2gram_frac"] > 0.4  # "ham spam" / "spam ham" alternate
+    assert r["dup_5gram_frac"] > 0.9
+
+
+def test_edge_cases(spark):
+    got = _stats(spark, [(2, ""), (3, "word"), (4, "unique lines\nonly here")])
+    assert all(v == 0.0 for k, v in got[2].items() if k.endswith("frac"))
+    r3 = got[3]  # single token: one partial gram each, no repeats
+    assert r3["dup_line_frac"] == 0.0 and r3["top_2gram_frac"] == 1.0
+    assert got[4]["dup_line_frac"] == 0.0
+
+
+_TWIN_SQL = r"""
+WITH src AS (SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')),
+lines AS (
+  SELECT doc_id, trim(l) AS ln
+  FROM src, UNNEST(string_split(text, chr(10))) AS t(l)
+  WHERE length(trim(l)) > 0),
+lc AS (SELECT doc_id, ln, COUNT(*) AS c FROM lines GROUP BY 1, 2),
+line_stats AS (
+  SELECT doc_id,
+         CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c) AS dup_line_frac,
+         CAST(SUM(CASE WHEN c > 1 THEN (c - 1) * length(ln) ELSE 0 END)
+              AS DOUBLE) / SUM(c * length(ln)) AS dup_line_char_frac
+  FROM lc GROUP BY 1),
+toks AS (SELECT doc_id,
+                string_split_regex(trim(lower(text)), '\s+') AS ws FROM src),
+g2 AS (SELECT doc_id, UNNEST(CASE WHEN len(ws) >= 2
+         THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+         ELSE [array_to_string(ws, ' ')] END) AS g FROM toks),
+g2c AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+top2 AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_2gram_frac
+         FROM g2c GROUP BY 1),
+g5 AS (SELECT doc_id, UNNEST(CASE WHEN len(ws) >= 5
+         THEN [ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]
+               for i in range(1, len(ws) - 3)]
+         ELSE [array_to_string(ws, ' ')] END) AS g FROM toks),
+g5c AS (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY 1, 2),
+dup5 AS (SELECT doc_id,
+                CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c)
+                AS dup_5gram_frac FROM g5c GROUP BY 1)
+SELECT s.doc_id, dup_line_frac, dup_line_char_frac, top_2gram_frac,
+       dup_5gram_frac
+FROM src s JOIN line_stats USING (doc_id) JOIN top2 USING (doc_id)
+JOIN dup5 USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
+def test_duckdb_twin_on_testdata(spark):
+    """Values-match vs an independent DuckDB formulation over real docs —
+    same rigor as the board oracles (the 50-entry board is full)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_stats(docs).collect()
+    }
+    want = duckdb.sql(_TWIN_SQL.format(sf=SF)).fetchall()
+    assert len(want) == len(got) > 0
+    for doc_id, dlf, dlcf, t2, d5 in want:
+        r = got[doc_id]
+        assert r["dup_line_frac"] == pytest.approx(dlf), doc_id
+        assert r["dup_line_char_frac"] == pytest.approx(dlcf), doc_id
+        assert r["top_2gram_frac"] == pytest.approx(t2), doc_id
+        assert r["dup_5gram_frac"] == pytest.approx(d5), doc_id
