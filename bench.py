@@ -60,6 +60,20 @@ HEADLINE = [
     "cosine_topk_np",
 ]
 
+# The round-2..5 comparable set: "suite19_sec" in the output JSON is the
+# sum over these, so cross-round regression tracking is immune to queries
+# being ADDED to HEADLINE (round 5's 19-query total: 21.8 s; baseline
+# 52.1 s).
+SUITE19 = [
+    "q1_pricing_summary", "j3_star_join_agg", "t1_topk_per_group",
+    "p6_crawl_filter_backfill", "a8_nonzero_avg", "events_tumbling_window",
+    "events_sliding_window", "events_session_windows", "exact_dedup",
+    "simhash16", "minhash_lsh_neardup", "embedding_cosine_topk",
+    "text_quality", "doc_fingerprint", "skeleton_roundtrip",
+    "a3_digest_merge", "a9_claim_metrics", "v1_qa_secret_key",
+    "v2_survey_pipeline",
+]
+
 # Bench-only queries: priced every round but deliberately OFF the driver's
 # 50-entry oracle board (their correctness gate is a golden-transcript
 # pytest — tests/test_v2_refdefaults.py — not a SQL oracle).
@@ -104,6 +118,9 @@ def main() -> int:
         else:
             timings[name] = -1.0
     total = round(sum(v for v in timings.values() if v >= 0), 3)
+    suite19 = round(
+        sum(v for k, v in timings.items() if k in SUITE19 and v >= 0), 3
+    )
     print(json.dumps({
         "metric": "total_sec",
         "value": total,
@@ -111,6 +128,7 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
         "protocol": {"runs_per_query": n_runs, "stat": "median"},
+        "suite19_sec": suite19,
         "runs": runs,
         "spread_sec": spread,
     }))
