@@ -1023,6 +1023,17 @@ def q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     return repetition_stats(d)
 
 
+def q_repetition_stats_fast(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow/Counter production twin of `repetition_stats` — per-document
+    stats computed in one mapInPandas pass (no explode shuffle).  Bench-only;
+    equivalence pinned by tests/test_repetition.py::test_fast_twin_matches
+    _portable."""
+    from llmxmapreduce_spark.operators.text_stats import repetition_stats_fast
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    return repetition_stats_fast(d)
+
+
 def q_cosine_topk_np(spark: SparkSession, sf: str) -> DataFrame:
     """Arrow/numpy production twin of the board's `embedding_cosine_topk`
     (one BLAS matmul per batch + local top-k; 7.7× the interpreted

@@ -59,7 +59,8 @@ line_stats AS (
               AS DOUBLE) / SUM(c * length(ln)) AS dup_line_char_frac
   FROM lc GROUP BY 1),
 toks AS (SELECT doc_id,
-                string_split_regex(trim(lower(text)), '\s+') AS ws FROM src),
+                string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                             ' ') AS ws FROM src),
 g2 AS (SELECT doc_id, UNNEST(CASE WHEN len(ws) >= 2
          THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
          ELSE [array_to_string(ws, ' ')] END) AS g FROM toks),
@@ -98,3 +99,26 @@ def test_duckdb_twin_on_testdata(spark):
         assert r["dup_line_char_frac"] == pytest.approx(dlcf), doc_id
         assert r["top_2gram_frac"] == pytest.approx(t2), doc_id
         assert r["dup_5gram_frac"] == pytest.approx(d5), doc_id
+
+
+def test_fast_twin_matches_portable(spark):
+    """repetition_stats_fast ≡ repetition_stats on fixtures AND real docs
+    (including whitespace edge cases)."""
+    from llmxmapreduce_spark.operators.text_stats import repetition_stats_fast
+
+    rows = [
+        (0, "a b\na b\nc"), (1, "spam ham\n" * 50), (2, ""), (3, "word"),
+        (4, "  padded line  \n  padded line  \nx"), (5, "tab\there\ntab\there"),
+    ]
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text").limit(200)
+    fixture = spark.createDataFrame(rows, "doc_id long, text string")
+    for df in (fixture, docs):
+        slow = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+        fast = {r["doc_id"]: r.asDict()
+                for r in repetition_stats_fast(df).collect()}
+        assert slow.keys() == fast.keys()
+        for k in slow:
+            for col in ("dup_line_frac", "dup_line_char_frac",
+                        "top_2gram_frac", "dup_5gram_frac"):
+                assert fast[k][col] == pytest.approx(slow[k][col]), (k, col)
