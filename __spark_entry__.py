@@ -1023,6 +1023,20 @@ def q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     return repetition_stats(d)
 
 
+def q_minhash_neardup_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """The board's `minhash_lsh_neardup` with verify='estimate' — the
+    100 TB verify path (signature-agreement Jaccard, shuffle ∝ pairs ×
+    num_hashes instead of pairs × shingle width).  Bench-only; estimator
+    consistency with exact verify is test-pinned
+    (tests/test_dedup_similarity.py::test_minhash_verify_modes)."""
+    from llmxmapreduce_spark.operators import dedup
+
+    corpus = _corpus_with_mutants(spark, sf)
+    return dedup.minhash_dedup_pairs(
+        corpus, n=3, num_hashes=8, bands=4, threshold=0.5, verify="estimate"
+    )
+
+
 def q_repetition_stats_fast(spark: SparkSession, sf: str) -> DataFrame:
     """Arrow/Counter production twin of `repetition_stats` — per-document
     stats computed in one mapInPandas pass (no explode shuffle).  Bench-only;

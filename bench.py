@@ -56,6 +56,7 @@ HEADLINE = [
     "v2_survey_refdefaults",
     "v2_survey_fullprompts",
     "neardup_dedup_e2e",
+    "minhash_neardup_estimate",
     "repetition_stats",
     "repetition_stats_fast",
     "cosine_topk_np",
@@ -82,6 +83,7 @@ BENCH_ONLY = {
     "v2_survey_refdefaults": entrymod.q_v2_survey_refdefaults,
     "v2_survey_fullprompts": entrymod.q_v2_survey_fullprompts,
     "neardup_dedup_e2e": entrymod.q_neardup_dedup_e2e,
+    "minhash_neardup_estimate": entrymod.q_minhash_neardup_estimate,
     "repetition_stats": entrymod.q_repetition_stats,
     "repetition_stats_fast": entrymod.q_repetition_stats_fast,
     "cosine_topk_np": entrymod.q_cosine_topk_np,

@@ -96,17 +96,14 @@ def minhash_signature_fast(shingles: Column, num_hashes: int = 12) -> Column:
     ])
 
 
-def lsh_candidate_pairs(
+def lsh_buckets(
     df: DataFrame,
     id_col: str = "doc_id",
     sig_col: str = "signature",
     bands: int = 4,
     rows_per_band: int = 3,
 ) -> DataFrame:
-    """Banded LSH: hash each band of the signature; docs sharing any band
-    hash become a candidate pair.  Plan: explode to (band_id, band_hash,
-    id) → self-join on the band key (equi-join, shuffle on band_hash) →
-    distinct (a, b) with a < b.  No cartesian product at any scale."""
+    """(id, band_id, band_hash) bucket entries — one row per band per doc."""
     band_entries = F.explode(
         F.array(*[
             F.struct(
@@ -120,8 +117,22 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ])
     )
-    buckets = df.select(F.col(id_col).alias("id"), band_entries.alias("b")) \
-                .select("id", "b.band_id", "b.band_hash")
+    return df.select(F.col(id_col).alias("id"), band_entries.alias("b")) \
+             .select("id", "b.band_id", "b.band_hash")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "signature",
+    bands: int = 4,
+    rows_per_band: int = 3,
+) -> DataFrame:
+    """Banded LSH: hash each band of the signature; docs sharing any band
+    hash become a candidate pair.  Plan: explode to (band_id, band_hash,
+    id) → self-join on the band key (equi-join, shuffle on band_hash) →
+    distinct (a, b) with a < b.  No cartesian product at any scale."""
+    buckets = lsh_buckets(df, id_col, sig_col, bands, rows_per_band)
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (
@@ -142,15 +153,18 @@ def jaccard_verify(
     id_col: str = "doc_id",
     shingles_col: str = "shingles",
     threshold: float = 0.7,
+    shingle_df_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs only (id_a, id_b, jaccard).
 
     Join is on ids (narrow compared to the corpus); the set operations run
-    on the two shingle arrays JVM-side."""
+    on the two shingle arrays JVM-side.  ``shingle_df_b`` resolves the
+    ``id_b`` side when the pair sides come from different tables
+    (incremental new-batch × corpus); defaults to ``shingle_df``."""
     a = shingle_df.select(F.col(id_col).alias("id_a"),
                           F.col(shingles_col).alias("sh_a"))
-    b = shingle_df.select(F.col(id_col).alias("id_b"),
-                          F.col(shingles_col).alias("sh_b"))
+    b = (shingle_df_b if shingle_df_b is not None else shingle_df).select(
+        F.col(id_col).alias("id_b"), F.col(shingles_col).alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
@@ -167,6 +181,7 @@ def signature_jaccard(
     id_col: str = "doc_id",
     sig_col: str = "signature",
     threshold: float = 0.7,
+    sig_df_b: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash ESTIMATE of Jaccard on candidate pairs: fraction of equal
     signature components (an unbiased estimator of the true Jaccard).
@@ -180,7 +195,8 @@ def signature_jaccard(
     sqrt(j(1-j)/num_hashes) — raise ``num_hashes`` for tighter thresholds.
     """
     a = sig_df.select(F.col(id_col).alias("id_a"), F.col(sig_col).alias("sg_a"))
-    b = sig_df.select(F.col(id_col).alias("id_b"), F.col(sig_col).alias("sg_b"))
+    b = (sig_df_b if sig_df_b is not None else sig_df).select(
+        F.col(id_col).alias("id_b"), F.col(sig_col).alias("sg_b"))
     est = (
         F.size(F.filter(F.zip_with("sg_a", "sg_b", lambda x, y: x == y),
                         lambda t: t))
@@ -304,3 +320,90 @@ def simhash64_fast(df: DataFrame, text_col: str = "text",
         for j in range(64)
     )
     return votes.select(F.col(id_col), fingerprint.cast("long").alias(out_col))
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup (new shard vs kept corpus)
+# ---------------------------------------------------------------------------
+
+
+def minhash_dedup_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.7,
+    fast: bool = False,
+    verify: str = "estimate",
+) -> DataFrame:
+    """The production ingestion pattern: dedup a NEW shard against the
+    already-kept corpus AND within itself, returning the surviving new
+    rows (schema of ``new_df``).
+
+    A 100 TB pipeline never re-self-joins the full corpus per shard — the
+    corpus contributes only its LSH bucket entries (plus signatures for
+    the verify join), so the candidate join is new-buckets × corpus-buckets
+    on the band key: cost scales with the SHARD, not the corpus².  A new
+    doc is dropped if it near-matches any corpus doc, or loses its
+    within-shard cluster (connected components, min-id canonical — the
+    same transitivity the batch path uses).
+
+    ``verify`` as in :func:`minhash_dedup_pairs`; default ``"estimate"``
+    (the scale path).  In a real deployment the corpus signatures/buckets
+    would be persisted as incremental state alongside the kept corpus
+    (computed once per doc at admission, the same bookkeeping as the crawl
+    state in sources/crawl.py) — here they are derived on the fly and the
+    corpus side is scanned twice (buckets + verify).
+    """
+    from llmxmapreduce_spark.operators.components import connected_components
+
+    sig_fn = minhash_signature_fast if fast else minhash_signature
+    rows_per_band = num_hashes // bands
+
+    def base_of(d: DataFrame) -> DataFrame:
+        return d.select(
+            F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
+        ).withColumn("signature", sig_fn(F.col("shingles"), num_hashes))
+
+    new_base = base_of(new_df).persist()
+    corpus_base = base_of(corpus_df).persist()
+    try:
+        nb = lsh_buckets(new_base, id_col, "signature", bands, rows_per_band)
+        cb = lsh_buckets(corpus_base, id_col, "signature", bands, rows_per_band)
+        cross = (
+            nb.alias("l").join(
+                cb.alias("r"),
+                (F.col("l.band_id") == F.col("r.band_id"))
+                & (F.col("l.band_hash") == F.col("r.band_hash")),
+            )
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .distinct()
+        )
+        if verify == "exact":
+            matched = jaccard_verify(cross, new_base, id_col, "shingles",
+                                     threshold, shingle_df_b=corpus_base)
+        elif verify == "estimate":
+            matched = signature_jaccard(cross, new_base, id_col, "signature",
+                                        threshold, sig_df_b=corpus_base)
+        elif verify == "none":
+            matched = cross
+        else:
+            raise ValueError(f"unknown verify mode: {verify!r}")
+        vs_corpus = matched.select(F.col("id_a").alias(id_col)).distinct()
+
+        within = minhash_dedup_pairs(
+            new_df, text_col, id_col, n, num_hashes, bands, threshold,
+            fast=fast, materialize=False, verify=verify,
+        )
+        comp = connected_components(within)
+        losers = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+        drop = vs_corpus.unionByName(losers).distinct().localCheckpoint(eager=True)
+    finally:
+        new_base.unpersist()
+        corpus_base.unpersist()
+    return new_df.join(drop, id_col, "left_anti")

@@ -328,3 +328,51 @@ def test_signature_jaccard_estimator_value(spark):
            for r in dedup.signature_jaccard(pairs, base, threshold=0.0).collect()}
     assert got[(0, 1)] == 1.0
     assert got[(0, 2)] == 0.0
+
+
+def test_minhash_dedup_incremental(spark):
+    """New-shard vs corpus: drops new docs near-matching the corpus, keeps
+    the canonical of within-shard clusters, keeps fresh docs — and corpus
+    ids never leak into the result even when they numerically collide with
+    new-shard ids."""
+    from llmxmapreduce_spark.operators.dedup import minhash_dedup_incremental
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "to the deep green forest near the old stone bridge tonight")
+    other = ("completely different text about spark dataframe shuffles and "
+             "catalyst optimizer plans at terabyte scale with many joins")
+    corpus = spark.createDataFrame(
+        [(0, base), (1, other)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [
+            (0, base + " v1"),        # near-dup of corpus doc 0 (id collides)
+            (10, "fresh unrelated content regarding streaming watermarks "
+                 "and stateful session window operators in structured land"),
+            (11, "fresh unrelated content regarding streaming watermarks "
+                 "and stateful session window operators in structured "
+                 "land extra"),       # within-shard near-dup of 10
+            (12, "entirely novel subject matter on parquet row groups and "
+                 "column statistics for predicate pushdown at exabyte size"),
+        ],
+        "doc_id long, text string",
+    )
+    for mode in ("exact", "estimate"):
+        out = minhash_dedup_incremental(
+            new, corpus, threshold=0.5, verify=mode)
+        kept = sorted(r["doc_id"] for r in out.collect())
+        assert kept == [10, 12], (mode, kept)
+
+
+def test_minhash_dedup_incremental_empty_corpus(spark):
+    """Empty corpus degenerates to within-shard dedup."""
+    from llmxmapreduce_spark.operators.dedup import minhash_dedup_incremental
+
+    t = ("alpha beta gamma delta epsilon zeta eta theta iota kappa lambda "
+         "mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega end")
+    new = spark.createDataFrame(
+        [(5, t), (6, t + " tail"), (7, "other words entirely " * 8)],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame([], "doc_id long, text string")
+    out = minhash_dedup_incremental(new, corpus, threshold=0.5)
+    assert sorted(r["doc_id"] for r in out.collect()) == [5, 7]
