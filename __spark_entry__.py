@@ -1059,6 +1059,30 @@ def q_cosine_topk_np(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_topk_np(emb, emb.filter("vec_id < 20"), k=5)
 
 
+def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN search (operators/ivf.py): sample-trained spherical k-means
+    coarse quantizer → BLAS cell assignment → probe-cell-only scoring.
+    The data-adaptive scale path next to the LSH family (faiss
+    IndexIVFFlat layout).  Bench-only: recall/determinism/path-agreement
+    gates live in tests/test_ivf.py."""
+    from llmxmapreduce_spark.operators import ivf
+
+    emb = load_table(spark, sf, "embeddings")
+    return ivf.ivf_topk(emb, emb.filter("vec_id < 20"), k=5,
+                        n_cells=16, nprobe=4)
+
+
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540) over the embeddings
+    table: k-means cells → within-cell pairwise cosine → connected
+    components → one representative per semantic-duplicate group.
+    Bench-only: planted-group recovery is test-gated in tests/test_ivf.py."""
+    from llmxmapreduce_spark.operators import ivf
+
+    emb = load_table(spark, sf, "embeddings")
+    return ivf.semantic_dedup(emb, threshold=0.95, n_cells=16)
+
+
 def q_v2_decode_tail(spark: SparkSession, sf: str) -> DataFrame:
     """The V2 decode pipeline's deterministic suffix (v2_survey.decode_tail:
     P12 renumber → A7 cite_ratio → references block → markdown assembly,

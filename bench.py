@@ -60,6 +60,8 @@ HEADLINE = [
     "repetition_stats",
     "repetition_stats_fast",
     "cosine_topk_np",
+    "ivf_topk",
+    "semantic_dedup",
 ]
 
 # The round-2..5 comparable set: "suite19_sec" in the output JSON is the
@@ -87,6 +89,8 @@ BENCH_ONLY = {
     "repetition_stats": entrymod.q_repetition_stats,
     "repetition_stats_fast": entrymod.q_repetition_stats_fast,
     "cosine_topk_np": entrymod.q_cosine_topk_np,
+    "ivf_topk": entrymod.q_ivf_topk,
+    "semantic_dedup": entrymod.q_semantic_dedup,
 }
 
 

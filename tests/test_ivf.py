@@ -1,0 +1,156 @@
+"""IVF ANN + SemDeDup semantic dedup (operators/ivf.py).
+
+Correctness gates for the round-6 IVF scale path (off the capped 50-entry
+oracle board, like the other scale components):
+- quantizer determinism for a fixed (data, seed);
+- recall@k vs the exact scorer on clustered data (the setting IVF is
+  designed for — on uniform random vectors NO space-partitioning ANN has
+  meaningful recall, so blobs are the honest benchmark);
+- the small-query (mapInPandas) and large-query (equi-join) paths agree;
+- the on-disk inverted-list index round-trips and prunes;
+- SemDeDup recovers planted semantic duplicate groups, keeping exactly
+  one representative per group;
+- the max_cell guardrail fires instead of attempting an unbounded
+  in-memory matmul.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from llmxmapreduce_spark.operators import ivf
+from llmxmapreduce_spark.operators.similarity import cosine_topk_np
+
+DIM = 32
+
+
+def _blobs(n_clusters=12, per_cluster=60, dim=DIM, noise=0.15, seed=7):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        pts = centers[c] + noise * rng.normal(size=(per_cluster, dim))
+        for p in pts:
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    return rows
+
+
+@pytest.fixture(scope="module")
+def blobs_df(spark):
+    df = spark.createDataFrame(_blobs(), "vec_id bigint, embedding array<float>")
+    df = df.repartition(4).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_fit_centroids_deterministic_and_normalized(blobs_df):
+    c1 = ivf.fit_centroids(blobs_df, n_cells=8, seed=13)
+    c2 = ivf.fit_centroids(blobs_df, n_cells=8, seed=13)
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (8, DIM)
+    norms = np.linalg.norm(c1, axis=1)
+    assert np.allclose(norms, 1.0)
+    # a different seed must still produce 8 live (non-identical) cells
+    c3 = ivf.fit_centroids(blobs_df, n_cells=8, seed=14)
+    assert len({tuple(np.round(r, 9)) for r in c3}) == 8
+
+
+def test_ivf_topk_recall_vs_exact(spark, blobs_df):
+    queries = blobs_df.filter(F.col("vec_id") % 37 == 0)  # ~20 queries
+    exact = cosine_topk_np(blobs_df, queries, k=10)
+    approx = ivf.ivf_topk(blobs_df, queries, k=10, n_cells=12, nprobe=3,
+                          seed=3)
+    e = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["qid"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # blobs cluster-diameter << inter-cluster distance: probing the 3
+    # nearest of 12 cells must capture nearly all true neighbors
+    assert recall >= 0.9, f"recall@10 = {recall}"
+
+
+def test_ivf_join_path_agrees_with_small_path(spark, blobs_df):
+    queries = blobs_df.filter(F.col("vec_id") % 53 == 0)
+    cents = ivf.fit_centroids(blobs_df, n_cells=10, seed=5)
+    small = ivf.ivf_topk(blobs_df, queries, centroids=cents, k=5, nprobe=3)
+    joined = ivf.ivf_topk_join(blobs_df, queries, centroids=cents, k=5,
+                               nprobe=3)
+    s = {(r["qid"], r["vec_id"]) for r in small.collect()}
+    j = {(r["qid"], r["vec_id"]) for r in joined.collect()}
+    assert len(s) == len(j)
+    # identical probe cells + identical candidate sets; only float summation
+    # order differs (BLAS vs Catalyst fold), which can swap near-ties at the
+    # rank-k boundary — demand near-total agreement, not bit equality
+    overlap = len(s & j) / len(s)
+    assert overlap >= 0.95, f"path agreement = {overlap}"
+
+
+def test_ivf_index_roundtrip_and_pruning(spark, blobs_df, tmp_path):
+    cents = ivf.fit_centroids(blobs_df, n_cells=8, seed=11)
+    path = str(tmp_path / "ivf")
+    ivf.write_ivf_index(blobs_df, path, cents)
+    lists, cents2 = ivf.read_ivf_index(spark, path)
+    assert np.allclose(cents, cents2)
+    assert set(lists.columns) == {"vec_id", "embedding", "cell"}
+
+    queries = blobs_df.filter(F.col("vec_id") % 101 == 0)
+    mem = ivf.ivf_topk(blobs_df, queries, centroids=cents, k=5, nprobe=2)
+    disk = ivf.ivf_topk(lists, queries, centroids=cents, k=5, nprobe=2,
+                        cell_col="cell")
+    m = {(r["qid"], r["vec_id"]) for r in mem.collect()}
+    d = {(r["qid"], r["vec_id"]) for r in disk.collect()}
+    assert m == d
+    # the cell predicate must reach the scan as a partition filter
+    plan = disk._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan
+
+
+def _with_planted_dups(n_base=200, n_groups=10, copies=4, seed=21):
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n_base, DIM))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n_base)]
+    vid = n_base
+    groups = []
+    for g in range(n_groups):
+        members = [g]  # copy base vector g with tiny perturbations
+        for _ in range(copies):
+            p = base[g] + 1e-3 * rng.normal(size=DIM)
+            rows.append((vid, [float(x) for x in p]))
+            members.append(vid)
+            vid += 1
+        groups.append(members)
+    return rows, groups
+
+
+def test_semantic_dedup_recovers_planted_groups(spark):
+    rows, groups = _with_planted_dups()
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    survivors = ivf.semantic_dedup(df, threshold=0.999, n_cells=16, seed=9)
+    ids = {r["vec_id"] for r in survivors.select("vec_id").collect()}
+    n_base, n_groups, copies = 200, 10, 4
+    # every dup group collapses to exactly one member (the min id = the
+    # base vector), nothing else is deleted
+    assert ids == set(range(n_base))
+    for members in groups:
+        assert min(members) in ids
+        assert all(m not in ids for m in members[1:])
+
+
+def test_semantic_dedup_pairs_within_cell_only(spark):
+    rows, _ = _with_planted_dups()
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    pairs = ivf.semantic_dedup_pairs(df, threshold=0.999, n_cells=16, seed=9)
+    got = pairs.collect()
+    assert all(r["id_a"] < r["id_b"] and r["cosine"] >= 0.999 for r in got)
+    assert len(got) >= 10 * (5 * 4) // 2  # each 5-member group: C(5,2) pairs
+
+
+def test_semantic_dedup_max_cell_guard(spark):
+    rows, _ = _with_planted_dups()
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    with pytest.raises(Exception, match="max_cell"):
+        ivf.semantic_dedup_pairs(df, threshold=0.9, n_cells=1, max_cell=50,
+                                 seed=9).collect()
