@@ -1083,6 +1083,18 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return ivf.semantic_dedup(emb, threshold=0.95, n_cells=16)
 
 
+def q_quality_signals(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher (arXiv:2112.11446 A1.1) + C4 (arXiv:1910.10683 §2.2) quality
+    filter signals + verdicts over the documents table — one projected
+    scan, zero exchanges (plan pinned in tests/test_quality_filters.py).
+    Bench-only: the values gate is the exact DuckDB twin in the same test
+    file (every signal int or int/int double)."""
+    from llmxmapreduce_spark.operators import quality_filters as qf
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    return qf.c4_signals(qf.gopher_signals(d)).drop("text", "c4_clean_text")
+
+
 def q_v2_decode_tail(spark: SparkSession, sf: str) -> DataFrame:
     """The V2 decode pipeline's deterministic suffix (v2_survey.decode_tail:
     P12 renumber → A7 cite_ratio → references block → markdown assembly,

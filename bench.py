@@ -62,6 +62,7 @@ HEADLINE = [
     "cosine_topk_np",
     "ivf_topk",
     "semantic_dedup",
+    "quality_signals",
 ]
 
 # The round-2..5 comparable set: "suite19_sec" in the output JSON is the
@@ -91,6 +92,7 @@ BENCH_ONLY = {
     "cosine_topk_np": entrymod.q_cosine_topk_np,
     "ivf_topk": entrymod.q_ivf_topk,
     "semantic_dedup": entrymod.q_semantic_dedup,
+    "quality_signals": entrymod.q_quality_signals,
 }
 
 
