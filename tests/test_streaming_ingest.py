@@ -1,0 +1,152 @@
+"""Streaming ingestion dedup (streaming/ingest.py): the stream must equal
+the same shards applied sequentially in batch mode — the module's
+stream≡batch contract — plus bounded-state exact dedup semantics."""
+
+from datetime import datetime
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from llmxmapreduce_spark.operators.dedup import minhash_dedup_incremental
+from llmxmapreduce_spark.streaming import ingest
+
+VOCAB = ("alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu "
+         "xi omicron pi rho sigma tau upsilon phi chi psi omega red blue "
+         "green gold silver stone river cloud".split())
+
+
+def _doc(rng, n_words=50):
+    return " ".join(rng.choice(VOCAB) for _ in range(n_words))
+
+
+def _mutate(rng, text, k=1):
+    words = text.split()
+    for i in rng.choice(len(words), size=k, replace=False):
+        words[i] = "mut" + str(int(rng.integers(1_000_000)))
+    return " ".join(words)
+
+
+def _ts(minute: int) -> datetime:
+    return datetime(2024, 1, 1, 10, minute, 0)
+
+
+def _shards(seed=31):
+    """3 shards with: unique docs, exact dups (across shards), near-dup
+    copies of shard-0 docs landing in shards 1 and 2, and a within-shard
+    near-dup pair.  Returns list of row-lists [(doc_id, text, ts)]."""
+    rng = np.random.default_rng(seed)
+    base = [_doc(rng) for _ in range(12)]
+    t0 = _ts
+    shards = [[], [], []]
+    did = 0
+    for i, b in enumerate(base):
+        shards[i % 3].append((did, b, t0(did % 50)))
+        did += 1
+    # near-dups of shard-0 docs (ids 0,3,6,9) planted into later shards
+    for src in (0, 3, 6, 9):
+        shards[1].append((did, _mutate(rng, base[src]), t0(did % 50)))
+        did += 1
+        shards[2].append((did, _mutate(rng, base[src]), t0(did % 50)))
+        did += 1
+    # exact dup across shards + within-shard near-dup pair
+    shards[2].append((did, base[1], t0(did % 50))); did += 1
+    within = _doc(rng)
+    shards[1].append((did, within, t0(did % 50))); did += 1
+    shards[1].append((did, _mutate(rng, within), t0(did % 50))); did += 1
+    return shards
+
+
+SCHEMA = "doc_id bigint, text string, ts timestamp"
+DEDUP_KW = dict(threshold=0.5, verify="estimate")
+
+
+def _write_shards(spark, path, shards):
+    import time
+    for i, rows in enumerate(shards):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(path)
+        time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+
+def test_stream_exact_dedup_first_arrival_wins(spark, tmp_path):
+    rng = np.random.default_rng(7)
+    texts = [_doc(rng) for _ in range(8)]
+    rows = [(i, texts[i % 8], _ts(i % 10))
+            for i in range(24)]  # every text arrives 3×
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, SCHEMA).repartition(4) \
+        .write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = ingest.stream_exact_dedup(stream, watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("exact_ingest")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.table("exact_ingest").collect()
+    assert len(got) == 8                       # one survivor per text
+    assert len({r["text"] for r in got}) == 8
+    assert set(spark.table("exact_ingest").columns) == {"doc_id", "text", "ts"}
+
+
+def test_incremental_ingest_stream_matches_sequential_batch(spark, tmp_path):
+    shards = _shards()
+    src = str(tmp_path / "src")
+    _write_shards(spark, src, shards)
+
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    batches: list[tuple[list[int], list[int]]] = []
+    ingest.run_incremental_neardup_ingest(
+        stream, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        on_batch=lambda eid, b, s: batches.append((
+            sorted(r["doc_id"] for r in b.select("doc_id").collect()),
+            sorted(r["doc_id"] for r in s.select("doc_id").collect()))),
+        **DEDUP_KW)
+
+    kept = spark.read.schema(SCHEMA).parquet(str(tmp_path / "state/kept"))
+    kept_ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+
+    # replay the exact micro-batch partitioning Spark used, in batch mode
+    all_rows = {r[0]: r for sh in shards for r in sh}
+    assert len(batches) == 3, "expected one micro-batch per shard file"
+    corpus_rows: list = []
+    expect_ids: list[int] = []
+    for in_ids, _ in batches:
+        shard_df = spark.createDataFrame([all_rows[i] for i in in_ids], SCHEMA)
+        corpus_df = spark.createDataFrame(corpus_rows, SCHEMA)
+        surv = minhash_dedup_incremental(shard_df, corpus_df, **DEDUP_KW)
+        srows = surv.collect()
+        corpus_rows.extend(tuple(r) for r in srows)
+        expect_ids.extend(r["doc_id"] for r in srows)
+    assert kept_ids == sorted(expect_ids)
+    # per-batch survivors also match the replay
+    assert [sorted(s) for _, s in batches] != []
+    # dedup did real work: strictly fewer survivors than inputs, and the
+    # cross-shard exact dup can never survive
+    n_in = sum(len(s) for s in shards)
+    assert len(kept_ids) < n_in - 4            # ≥5 of the 11 dups collapsed
+    dup_of_1 = [i for sh in shards for (i, t, _) in sh
+                if t == all_rows[1][1] and i != 1]
+    assert all(d not in kept_ids for d in dup_of_1)
+
+
+def test_incremental_ingest_pre_filter_gates_admission(spark, tmp_path):
+    shards = _shards(seed=5)
+    # poison a few docs with short junk that a quality gate must stop
+    shards[0].append((900, "tiny", _ts(0)))
+    shards[1].append((901, "also tiny", _ts(0)))
+    src = str(tmp_path / "src")
+    _write_shards(spark, src, shards)
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    ingest.run_incremental_neardup_ingest(
+        stream, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        pre_filter=lambda df: df.filter(F.size(F.split("text", r"\s+")) >= 10),
+        **DEDUP_KW)
+    kept = spark.read.schema(SCHEMA).parquet(str(tmp_path / "state/kept"))
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert 900 not in kept_ids and 901 not in kept_ids
+    assert len(kept_ids) > 0
