@@ -1095,6 +1095,28 @@ def q_quality_signals(spark: SparkSession, sf: str) -> DataFrame:
     return qf.c4_signals(qf.gopher_signals(d)).drop("text", "c4_clean_text")
 
 
+def q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 three-sentence span dedup (arXiv:1910.10683 §2.2) over the
+    documents table — span-hash groupBy owner election + sentence
+    anti-join rebuild, shuffling only fixed-width keys.  Bench-only: the
+    values gate is the exact DuckDB twin in tests/test_span_dedup.py."""
+    from llmxmapreduce_spark.operators.span_dedup import span_dedup
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    return span_dedup(d)
+
+
+def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII detection + typed-token redaction (emails/phones/IPs/SSN/card
+    shapes) over the documents table — a regexp_count/replace fold inside
+    whole-stage codegen, no exchange.  Bench-only: the values gate is the
+    exact DuckDB twin in tests/test_pii.py."""
+    from llmxmapreduce_spark.operators import pii
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    return pii.redact_pii(pii.pii_signals(d), out_col="clean").drop("text")
+
+
 def q_v2_decode_tail(spark: SparkSession, sf: str) -> DataFrame:
     """The V2 decode pipeline's deterministic suffix (v2_survey.decode_tail:
     P12 renumber → A7 cite_ratio → references block → markdown assembly,

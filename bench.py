@@ -63,6 +63,8 @@ HEADLINE = [
     "ivf_topk",
     "semantic_dedup",
     "quality_signals",
+    "span_dedup",
+    "pii_redact",
 ]
 
 # The round-2..5 comparable set: "suite19_sec" in the output JSON is the
@@ -93,6 +95,8 @@ BENCH_ONLY = {
     "ivf_topk": entrymod.q_ivf_topk,
     "semantic_dedup": entrymod.q_semantic_dedup,
     "quality_signals": entrymod.q_quality_signals,
+    "span_dedup": entrymod.q_span_dedup,
+    "pii_redact": entrymod.q_pii_redact,
 }
 
 
