@@ -1117,6 +1117,32 @@ def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
     return pii.redact_pii(pii.pii_signals(d), out_col="clean").drop("text")
 
 
+def q_source_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-mix construction: stratified sample of the documents
+    table to a 50/30/20 source composition at half the corpus size, with
+    one source upsampled past a full epoch (operators/mixing.py).
+    Bench-only: composition/determinism/epoch math gated in
+    tests/test_mixing_packing.py."""
+    from llmxmapreduce_spark.operators import mixing
+
+    d = load_table(spark, sf, "documents")
+    sources = sorted(r[0] for r in d.select("source").distinct().collect())
+    w = {s: wt for s, wt in zip(sources, (0.5, 0.3, 0.2))}
+    n = d.count()
+    return mixing.mix_sources(d, w, target_rows=n // 2, allow_upsample=True)
+
+
+def q_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing: bucketed first-fit-decreasing of documents into
+    2048-token training sequences (operators/packing.py) — one exchange
+    on the bucket id; invariants + efficiency bound gated in
+    tests/test_mixing_packing.py."""
+    from llmxmapreduce_spark.operators import packing
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    return packing.pack_sequences(d, max_tokens=2048)
+
+
 def q_v2_decode_tail(spark: SparkSession, sf: str) -> DataFrame:
     """The V2 decode pipeline's deterministic suffix (v2_survey.decode_tail:
     P12 renumber → A7 cite_ratio → references block → markdown assembly,

@@ -65,6 +65,8 @@ HEADLINE = [
     "quality_signals",
     "span_dedup",
     "pii_redact",
+    "source_mixture",
+    "sequence_packing",
 ]
 
 # The round-2..5 comparable set: "suite19_sec" in the output JSON is the
@@ -97,6 +99,8 @@ BENCH_ONLY = {
     "quality_signals": entrymod.q_quality_signals,
     "span_dedup": entrymod.q_span_dedup,
     "pii_redact": entrymod.q_pii_redact,
+    "source_mixture": entrymod.q_source_mixture,
+    "sequence_packing": entrymod.q_sequence_packing,
 }
 
 

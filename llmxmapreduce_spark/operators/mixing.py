@@ -1,0 +1,113 @@
+"""Data mixing: stratified sampling to a target source composition
+(scale extension).
+
+Training corpora are MIXTURES — "x% web, y% code, z% books", with some
+sources repeated for multiple epochs (The Pile, LLaMA, GPT-3 all publish
+such tables).  This module turns a corpus with a strata column into that
+mixture natively:
+
+- :func:`stratified_sample` — per-stratum Bernoulli sampling
+  (``df.sampleBy``: narrow, one pass, deterministic per seed, no
+  shuffle);
+- :func:`mix_sources` — the planner on top: given target WEIGHTS and a
+  row budget, derive per-stratum fractions from per-stratum counts (one
+  aggregate), optionally UPSAMPLING a stratum past 1 epoch by exploding
+  whole copies + a fractional remainder — the "books ×2 epochs" case.
+
+100 TB framing: the only job before sampling is one groupBy(strata)
+count (partial-agg, tiny result); sampling itself is a narrow map with
+a per-row RNG draw — no shuffle, no skew sensitivity, trivially
+pipelined into the quality/dedup ingest pass.  Upsampled copies are
+produced by ``explode(sequence(...))`` at the EXECUTOR, so no driver
+loop and no repeated scans per epoch.
+
+Determinism: ``sampleBy``/``rand`` are seeded per partition — results
+are reproducible for a fixed (data, partitioning, seed), the same
+contract as ``sampling.py``'s score-weighted sampler.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sample.  ``fractions`` maps stratum value →
+    keep probability in [0, 1]; strata absent from the dict are DROPPED
+    (explicit composition, not pass-through)."""
+    bad = {k: v for k, v in fractions.items() if not 0.0 <= v <= 1.0}
+    if bad:
+        raise ValueError(f"stratified_sample: fractions outside [0,1]: {bad}")
+    return df.sampleBy(strata_col, fractions, seed=seed)
+
+
+def mixture_plan(
+    counts: dict,
+    weights: dict,
+    target_rows: int,
+    allow_upsample: bool = False,
+) -> dict:
+    """Pure planning arithmetic (driver-side, testable without Spark):
+    stratum → effective sampling RATE (may exceed 1.0 when upsampling).
+
+    rate_s = target_rows × w_s / n_s with weights normalized over the
+    strata present in ``counts``.  Without ``allow_upsample`` rates are
+    capped at 1.0 (the stratum contributes everything it has — the
+    composition then under-delivers that stratum rather than silently
+    repeating data)."""
+    present = {s: w for s, w in weights.items() if counts.get(s)}
+    if not present:
+        raise ValueError("mixture_plan: no overlap between weights and data")
+    wsum = sum(present.values())
+    plan = {}
+    for s, w in present.items():
+        rate = target_rows * (w / wsum) / counts[s]
+        plan[s] = rate if allow_upsample else min(rate, 1.0)
+    return plan
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: dict,
+    target_rows: int,
+    strata_col: str = "source",
+    allow_upsample: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """Sample ``df`` to approximately ``target_rows`` rows with the given
+    per-stratum composition.  With ``allow_upsample`` a stratum whose
+    rate exceeds 1.0 is repeated ``floor(rate)`` whole times (epochs)
+    plus a ``rate - floor(rate)`` fractional sample — every copy of a row
+    carries an ``epoch`` column (0-based) so downstream shuffles can
+    still distinguish them."""
+    counts = {r[0]: r[1] for r in
+              df.groupBy(strata_col).count().collect()}
+    plan = mixture_plan(counts, weights, target_rows, allow_upsample)
+
+    frac_part = {s: r - math.floor(r) for s, r in plan.items()}
+    sampled = stratified_sample(df, strata_col, frac_part, seed) \
+        .withColumn("epoch", F.lit(0))
+    if not allow_upsample or all(r <= 1.0 for r in plan.values()):
+        return sampled
+
+    # whole epochs: explode k copies executor-side (k = floor(rate) ≥ 1),
+    # epochs numbered 1..k so epoch 0 is always the fractional draw
+    epochs_map = F.create_map(*[
+        x for s, r in plan.items() if math.floor(r) >= 1
+        for x in (F.lit(s), F.lit(int(math.floor(r))))
+    ])
+    whole = (
+        df.withColumn("__k", F.try_element_at(epochs_map, F.col(strata_col)))
+        .filter(F.col("__k").isNotNull())
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("__k"))))
+        .drop("__k")
+    )
+    return sampled.unionByName(whole)

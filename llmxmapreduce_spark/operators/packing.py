@@ -1,0 +1,137 @@
+"""Sequence packing: fill fixed-token training sequences from variable-
+length documents (scale extension).
+
+Trainers consume fixed-length sequences; feeding one short document per
+sequence wastes the budget on padding.  Packing is bin-packing documents
+into sequences of at most ``max_tokens`` — the standard pre-tokenization
+step ("example packing" in T5/GPT data pipelines).
+
+Distributed design: global first-fit-decreasing is inherently sequential,
+but packing QUALITY doesn't need global order — documents are hashed into
+``n_buckets`` independent buckets and packed per bucket with first-fit-
+decreasing inside one ``applyInPandas`` group.  Waste stays within a few
+percent of the sequential packer as long as each bucket holds ≫ 1
+sequence worth of documents (law of large numbers on the length
+distribution), and every bucket packs in parallel.
+
+100 TB framing: one exchange on the 4-byte bucket id; per-bucket state is
+O(bucket rows) ids + lengths (text itself can stay behind — pack on
+(id, n_tokens) and join assignments back, which is what :func:`pack_assignments`
+returns).  Bucket count scales with the corpus (rows / ~50k), keeping
+groups executor-sized.
+
+Determinism: bucket id = ``xxhash64(id) % n_buckets``; within a bucket,
+documents are packed in (length desc, id) order — reproducible under any
+input partitioning.
+
+Gates: invariants (every doc assigned exactly once, no sequence over
+budget, oversized docs isolated + flagged), determinism, and a packing-
+efficiency bound vs the ideal — tests/test_packing.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_assignments(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    len_col: str = "n_tokens",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """→ (id_col, len_col, seq_id, truncated) — which training sequence
+    each document lands in.
+
+    ``seq_id`` is globally unique (``bucket * 2^40 + local index``).
+    A document longer than ``max_tokens`` gets a sequence of its own with
+    ``truncated = true`` (the caller decides whether to split or drop it
+    — packing never silently loses tokens)."""
+    import pandas as pd
+
+    if max_tokens <= 0:
+        raise ValueError("pack_assignments: max_tokens must be positive")
+    id_t = dict(df.dtypes)[id_col]
+    schema = (f"{id_col} {id_t}, {len_col} bigint, seq_id bigint, "
+              f"truncated boolean")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(pdf["__bucket"].iloc[0])
+        rows = sorted(
+            zip(pdf[id_col], pdf[len_col].astype(int)),
+            key=lambda r: (-r[1], r[0]),
+        )
+        # first-fit-decreasing over open bins
+        bins: list[int] = []       # remaining capacity per bin
+        out_seq, out_trunc = [], []
+        for _id, ln in rows:
+            if ln > max_tokens:
+                bins.append(0)     # oversized: dedicated, already full
+                out_seq.append(len(bins) - 1)
+                out_trunc.append(True)
+                continue
+            for b, cap in enumerate(bins):
+                if cap >= ln:
+                    bins[b] = cap - ln
+                    out_seq.append(b)
+                    out_trunc.append(False)
+                    break
+            else:
+                bins.append(max_tokens - ln)
+                out_seq.append(len(bins) - 1)
+                out_trunc.append(False)
+        ids = [r[0] for r in rows]
+        lens = [r[1] for r in rows]
+        return pd.DataFrame({
+            id_col: ids, len_col: lens,
+            "seq_id": [(bucket << 40) + s for s in out_seq],
+            "truncated": out_trunc,
+        })
+
+    bucketed = df.select(id_col, len_col).withColumn(
+        "__bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)))
+    return bucketed.groupBy("__bucket").applyInPandas(pack, schema)
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    len_col: str | None = None,
+    n_buckets: int = 32,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Materialized variant: → (seq_id, n_docs, total_tokens, truncated,
+    text) with documents concatenated per sequence in (length desc, id)
+    pack order.  When ``len_col`` is None, lengths default to the
+    whitespace token count computed on the fly.
+
+    The heavy text column joins the assignment table on ``id_col`` — an
+    equi-join — and is re-aggregated per ``seq_id``; at very large scale
+    prefer :func:`pack_assignments` + a writer that streams documents by
+    assignment instead of building sequence strings in the shuffle."""
+    src = df
+    if len_col is None:
+        len_col = "n_tokens"
+        src = df.withColumn(
+            len_col, F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+            .cast("long"))
+    asg = pack_assignments(src, max_tokens, id_col, len_col, n_buckets)
+    joined = asg.join(src.select(id_col, text_col), id_col)
+    return (
+        joined.withColumn("__s", F.struct(
+            (-F.col(len_col)).alias("k1"), F.col(id_col).alias("k2"),
+            F.col(text_col).alias("v")))
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(len_col).alias("total_tokens"),
+            F.max("truncated").alias("truncated"),
+            F.concat_ws(sep, F.transform(
+                F.array_sort(F.collect_list("__s")), lambda s: s["v"]))
+            .alias("text"),
+        )
+    )

@@ -1,0 +1,140 @@
+"""Data mixing (operators/mixing.py) + sequence packing
+(operators/packing.py): composition math, determinism, packing
+invariants and efficiency."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from llmxmapreduce_spark import load_table
+from llmxmapreduce_spark.operators import mixing, packing
+
+SF = "/root/testdata/sf0.01"
+
+
+# ---------------------------------------------------------------------------
+# mixing
+# ---------------------------------------------------------------------------
+
+def test_mixture_plan_math():
+    counts = {"web": 1000, "code": 100, "books": 50}
+    plan = mixing.mixture_plan(counts, {"web": 0.5, "code": 0.25,
+                                        "books": 0.25}, target_rows=200)
+    assert plan["web"] == pytest.approx(0.1)
+    assert plan["code"] == pytest.approx(0.5)
+    assert plan["books"] == pytest.approx(1.0)          # capped, 200*0.25/50=1.0
+    up = mixing.mixture_plan(counts, {"books": 1.0}, 150,
+                             allow_upsample=True)
+    assert up["books"] == pytest.approx(3.0)            # 3 epochs
+    # weights renormalize over strata present in the data
+    part = mixing.mixture_plan(counts, {"web": 1, "absent": 9}, 100)
+    assert part == {"web": pytest.approx(0.1)}
+    with pytest.raises(ValueError, match="no overlap"):
+        mixing.mixture_plan(counts, {"absent": 1.0}, 10)
+
+
+def test_stratified_sample_composition_and_determinism(spark):
+    docs = load_table(spark, SF, "documents")
+    sources = [r[0] for r in docs.select("source").distinct().collect()]
+    assert len(sources) >= 2
+    a, b = sorted(sources)[:2]
+    s1 = mixing.stratified_sample(docs, "source", {a: 0.5, b: 0.1}, seed=7)
+    s2 = mixing.stratified_sample(docs, "source", {a: 0.5, b: 0.1}, seed=7)
+    ids1 = sorted(r[0] for r in s1.select("doc_id").collect())
+    assert ids1 == sorted(r[0] for r in s2.select("doc_id").collect())
+    got = {r[0]: r[1] for r in s1.groupBy("source").count().collect()}
+    n = {r[0]: r[1] for r in docs.groupBy("source").count().collect()}
+    assert set(got) <= {a, b}                         # others dropped
+    assert got[a] / n[a] == pytest.approx(0.5, abs=0.15)
+    with pytest.raises(ValueError, match="outside"):
+        mixing.stratified_sample(docs, "source", {a: 1.5})
+
+
+def test_mix_sources_hits_target_composition(spark):
+    docs = load_table(spark, SF, "documents")
+    n = {r[0]: r[1] for r in docs.groupBy("source").count().collect()}
+    two = sorted(n)[:2]
+    target = sum(n[s] for s in two) // 2
+    out = mixing.mix_sources(docs, {two[0]: 0.5, two[1]: 0.5}, target)
+    got = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    for s in two:
+        expect = min(target * 0.5, n[s])
+        assert got.get(s, 0) == pytest.approx(expect, rel=0.25)
+    assert "epoch" in out.columns
+
+
+def test_mix_sources_upsample_epochs(spark):
+    docs = load_table(spark, SF, "documents")
+    n = {r[0]: r[1] for r in docs.groupBy("source").count().collect()}
+    s0 = sorted(n)[0]
+    # ask for 2.5 epochs of one source
+    out = mixing.mix_sources(docs, {s0: 1.0}, int(n[s0] * 2.5),
+                             allow_upsample=True)
+    got = out.groupBy("epoch").count().orderBy("epoch").collect()
+    epochs = {r["epoch"]: r["count"] for r in got}
+    assert epochs[1] == n[s0] and epochs[2] == n[s0]   # whole copies
+    assert epochs.get(0, 0) == pytest.approx(n[s0] * 0.5, rel=0.2)
+    # total ≈ 2.5 epochs
+    total = sum(epochs.values())
+    assert total == pytest.approx(2.5 * n[s0], rel=0.1)
+
+
+# ---------------------------------------------------------------------------
+# packing
+# ---------------------------------------------------------------------------
+
+def _len_df(spark, lengths):
+    return spark.createDataFrame(
+        [(i, int(l)) for i, l in enumerate(lengths)],
+        "doc_id bigint, n_tokens bigint")
+
+
+def test_packing_invariants(spark):
+    rng = np.random.default_rng(11)
+    lengths = list(rng.integers(10, 900, size=400)) + [3000, 2500]
+    df = _len_df(spark, lengths)
+    asg = packing.pack_assignments(df, max_tokens=2048).collect()
+    # every doc exactly once
+    assert sorted(r["doc_id"] for r in asg) == list(range(len(lengths)))
+    by_seq = {}
+    for r in asg:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    for seq, rows in by_seq.items():
+        if any(r["truncated"] for r in rows):
+            assert len(rows) == 1 and rows[0]["n_tokens"] > 2048
+        else:
+            assert sum(r["n_tokens"] for r in rows) <= 2048
+    # oversized docs flagged
+    trunc = [r for r in asg if r["truncated"]]
+    assert sorted(r["n_tokens"] for r in trunc) == [2500, 3000]
+
+
+def test_packing_deterministic_and_efficient(spark):
+    rng = np.random.default_rng(23)
+    lengths = list(rng.integers(50, 1500, size=2000))
+    df = _len_df(spark, lengths)
+    a1 = packing.pack_assignments(df.repartition(8), 2048).collect()
+    a2 = packing.pack_assignments(df.repartition(3), 2048).collect()
+    assert sorted(map(tuple, a1)) == sorted(map(tuple, a2))
+    n_seqs = len({r["seq_id"] for r in a1})
+    ideal = -(-sum(lengths) // 2048)      # ceil: perfect packing lower bound
+    assert n_seqs <= 1.15 * ideal, (n_seqs, ideal)
+
+
+def test_pack_sequences_materializes_text(spark):
+    docs = [(i, " ".join(["w"] * (10 + 7 * (i % 13)))) for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = packing.pack_sequences(df, max_tokens=128).collect()
+    assert sum(r["n_docs"] for r in out) == 60
+    for r in out:
+        if not r["truncated"]:
+            assert r["total_tokens"] <= 128
+            # concatenated text word count matches the token ledger
+            assert len(r["text"].split()) == r["total_tokens"]
+    assert not any(r["truncated"] for r in out)
+
+
+def test_pack_rejects_bad_budget(spark):
+    df = _len_df(spark, [10])
+    with pytest.raises(ValueError, match="positive"):
+        packing.pack_assignments(df, 0)
