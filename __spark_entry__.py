@@ -1143,6 +1143,27 @@ def q_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
     return packing.pack_sequences(d, max_tokens=2048)
 
 
+def q_corpus_prep_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end training-corpus preparation
+    (pipelines/corpus_prep.py): quality gate → PII redaction → exact
+    dedup → span dedup → MinHash near-dedup + components → 2048-token
+    sequence packing, over the documents table.  Bench-only: the glue is
+    gated by tests/test_corpus_prep.py (stage monotonicity + planted
+    artifact removal); each stage has its own oracle/twin."""
+    from llmxmapreduce_spark.pipelines.corpus_prep import (CorpusPrepConfig,
+                                                           run_corpus_prep)
+
+    d = load_table(spark, sf, "documents")
+    # the synthetic corpus is punctuation-free word bags: the published
+    # Gopher/C4 thresholds would (correctly) drop ALL of it and the span
+    # stage would see one-sentence docs — both stages disabled here so the
+    # bench prices the stages that do real work on this data (PII scan,
+    # exact dedup, MinHash near-dedup, components, packing); the full
+    # stack incl. quality/span is priced by its own tests on prose
+    cfg = CorpusPrepConfig(quality=False, span=0)
+    return run_corpus_prep(d, cfg)
+
+
 def q_v2_decode_tail(spark: SparkSession, sf: str) -> DataFrame:
     """The V2 decode pipeline's deterministic suffix (v2_survey.decode_tail:
     P12 renumber → A7 cite_ratio → references block → markdown assembly,

@@ -67,6 +67,7 @@ HEADLINE = [
     "pii_redact",
     "source_mixture",
     "sequence_packing",
+    "corpus_prep_e2e",
 ]
 
 # The round-2..5 comparable set: "suite19_sec" in the output JSON is the
@@ -101,6 +102,7 @@ BENCH_ONLY = {
     "pii_redact": entrymod.q_pii_redact,
     "source_mixture": entrymod.q_source_mixture,
     "sequence_packing": entrymod.q_sequence_packing,
+    "corpus_prep_e2e": entrymod.q_corpus_prep_e2e,
 }
 
 

@@ -72,10 +72,13 @@ def span_dedup(
     duplicate spans comes back with empty ``clean_text`` (and
     ``n_removed == n_sentences``), not a dropped row.
     """
-    # NB: lambda, not bare F.trim — transform() sees trim's optional
-    # second parameter and would pass the element INDEX as the trim string
+    # regexp trim, NOT F.trim: trim() strips only spaces, so a sentence
+    # that follows a newline would keep its leading "\n" and an identical
+    # span copied across documents would hash differently (found by the
+    # corpus_prep e2e test on multi-line documents)
+    ws_trim = lambda s: F.regexp_replace(s, r"^\s+|\s+$", "")  # noqa: E731
     sents = F.filter(
-        F.transform(sentence_split(F.col(text_col)), lambda s: F.trim(s)),
+        F.transform(sentence_split(F.col(text_col)), ws_trim),
         lambda s: s != F.lit(""),
     )
     base = df.select(F.col(id_col), sents.alias("sents"))

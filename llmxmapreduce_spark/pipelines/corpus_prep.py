@@ -1,0 +1,128 @@
+"""End-to-end training-corpus preparation pipeline (scale extension).
+
+Composes the round-6 training-data operator stack into the canonical
+"raw crawl → training sequences" flow a 100 TB pipeline actually runs:
+
+    raw documents
+      → Gopher + C4 quality gate         (quality_filters — narrow)
+      → PII redaction                    (pii — narrow)
+      → exact dedup                      (dedup.exact_dedup — hash keys)
+      → C4 3-sentence span dedup         (span_dedup — hash-key shuffles)
+      → MinHash near-dedup + components  (dedup + components — bucketed)
+      → source mixing (optional)         (mixing — narrow sample)
+      → sequence packing                 (packing — one bucket exchange)
+
+    Exact dedup runs BEFORE the span/near stages deliberately: it is the
+    cheapest reduction (one 32-byte-key exchange) and every row it drops
+    is a row the expensive span explode and MinHash signature passes
+    never see.  (It also keeps span dedup's owner election from being
+    the thing that happens to collapse full duplicates — span dedup
+    would empty the later copy anyway, but at explode cost.)
+
+Stage boundaries are ``localCheckpoint`` cuts: each wide stage's output
+materializes once and the next stage plans against the checkpointed
+blocks, so (a) the multi-use dedup inputs don't recompute, and (b) the
+per-stage rows/wall telemetry in :class:`StageMetrics` measures the
+stage, not its upstream lineage.  Telemetry rides the D10 machinery —
+``sm.observe`` (CollectMetrics, zero extra jobs) + ``materialized()``
+wall clocks — so the run produces the same per-stage table as the
+V1/V2 pipelines.
+
+Every stage is the already-gated operator — this module adds
+composition, not new semantics; its test asserts the glue (stage
+ordering, count monotonicity, report shape), not operator internals.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from llmxmapreduce_spark.operators import pii as pii_mod
+from llmxmapreduce_spark.operators import quality_filters
+from llmxmapreduce_spark.operators.dedup import (exact_dedup,
+                                                 minhash_dedup_pairs)
+from llmxmapreduce_spark.operators.components import dedup_by_components
+from llmxmapreduce_spark.operators.packing import pack_sequences
+from llmxmapreduce_spark.operators.span_dedup import span_dedup
+from llmxmapreduce_spark.operators.stage_metrics import StageMetrics
+
+
+@dataclass
+class CorpusPrepConfig:
+    quality: bool = True
+    quality_thresholds: dict = field(default_factory=dict)
+    redact: bool = True
+    span: int = 3                    # 0 disables span dedup
+    neardup_threshold: float = 0.7
+    neardup_verify: str = "estimate"
+    mix_weights: dict | None = None  # source → weight; None = keep all
+    mix_target: int | None = None
+    max_tokens: int = 2048
+    seed: int = 42
+
+
+def run_corpus_prep(
+    docs: DataFrame,
+    cfg: CorpusPrepConfig | None = None,
+    stage_metrics: StageMetrics | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ packed training sequences (seq_id, n_docs, total_tokens,
+    truncated, text).  Pass a :class:`StageMetrics` to get the per-stage
+    rows/wall report after the action runs."""
+    cfg = cfg or CorpusPrepConfig()
+    sm = stage_metrics
+
+    def cut(name: str, df: DataFrame) -> DataFrame:
+        if sm is not None:
+            df = sm.observe(name, df)
+        df = df.localCheckpoint(eager=True)
+        if sm is not None:
+            sm.materialized(name)
+        return df
+
+    d = docs
+    if cfg.quality:
+        d = quality_filters.quality_filter(
+            d, text_col, **cfg.quality_thresholds)
+    if cfg.redact:
+        d = pii_mod.redact_pii(d, text_col)
+    d = cut("quality_redact", d)
+
+    d = exact_dedup(d, text_col=text_col, id_col=id_col)
+    d = cut("exact_dedup", d)
+
+    if cfg.span:
+        spans = span_dedup(d, text_col, id_col, cfg.span)
+        d = (
+            d.drop(text_col)
+            .join(spans.filter(F.length("clean_text") > 0)
+                  .select(id_col, F.col("clean_text").alias(text_col)),
+                  id_col)
+        )
+        d = cut("span_dedup", d)
+
+    pairs = minhash_dedup_pairs(
+        d, text_col=text_col, id_col=id_col,
+        threshold=cfg.neardup_threshold, verify=cfg.neardup_verify)
+    d = dedup_by_components(d, pairs, id_col=id_col)
+    d = cut("near_dedup", d)
+
+    if cfg.mix_weights:
+        from llmxmapreduce_spark.operators.mixing import mix_sources
+
+        target = cfg.mix_target
+        if target is None:
+            target = d.count() // 2
+        d = mix_sources(d, cfg.mix_weights, target, seed=cfg.seed)
+        d = cut("mixing", d)
+
+    packed = pack_sequences(d.select(id_col, text_col), cfg.max_tokens,
+                            id_col=id_col, text_col=text_col)
+    if sm is not None:
+        packed = sm.observe("packing", packed)
+    return packed

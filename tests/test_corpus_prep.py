@@ -1,0 +1,111 @@
+"""End-to-end corpus preparation (pipelines/corpus_prep.py): the glue test
+— stage ordering + count monotonicity via StageMetrics, planted junk/PII/
+dup removal visible in the packed output, packing invariants."""
+
+import numpy as np
+import pytest
+
+from llmxmapreduce_spark.operators.stage_metrics import StageMetrics
+from llmxmapreduce_spark.pipelines.corpus_prep import (CorpusPrepConfig,
+                                                       run_corpus_prep)
+
+# vocabulary rich in Gopher's required stopwords so generated prose passes
+VOCAB = ("the of and that have with rain cloud river stone tree light "
+         "morning water animal forest shadow bird evening".split())
+
+
+def _sentence(rng, n=8):
+    return " ".join(rng.choice(VOCAB) for _ in range(n)) + "."
+
+
+def _doc(rng, n_sent=10):
+    return "\n".join(_sentence(rng) for _ in range(n_sent))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.default_rng(41)
+    rows = []
+    for i in range(30):
+        rows.append((i, _doc(rng), "web"))
+    base0 = rows[0][1]
+    # planted artifacts
+    rows.append((100, "lorem ipsum dolor sit amet. " + _doc(rng), "web"))
+    rows.append((101, "tiny junk", "web"))                       # fails quality
+    rows.append((102, _doc(rng) + "\nWrite to leak@example.com and the ssn "
+                 "123-45-6789 should not appear in the corpus today.", "web"))
+    rows.append((103, base0, "web"))                             # exact dup of 0
+    # near dup of doc 1: one word changed in every 3rd sentence, so NO
+    # 3-sentence span matches doc 1 (span dedup can't touch it) but the
+    # word-shingle Jaccard stays ≈0.75 — strictly the near-dup stage's job
+    near_sents = rows[1][1].split("\n")
+    for j in range(0, len(near_sents), 3):
+        near_sents[j] = "thy" + str(j) + near_sents[j][near_sents[j].find(" "):]
+    near = "\n".join(near_sents) + "\nUniqueMarkerNearDup " \
+        "sentence with the word of and that have with more words."
+    rows.append((104, near, "web"))                              # near dup of 1
+    # shared 3-sentence span: doc 105 embeds doc 2's first three sentences
+    span_src = rows[2][1].split("\n")[:3]
+    rows.append((105, _doc(rng) + "\n" + "\n".join(span_src) + "\n"
+                 + _sentence(rng), "web"))
+    return spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+
+def test_corpus_prep_end_to_end(spark, corpus):
+    sm = StageMetrics(spark)
+    cfg = CorpusPrepConfig(max_tokens=256, neardup_threshold=0.6)
+    packed = run_corpus_prep(corpus, cfg, stage_metrics=sm)
+    seqs = packed.collect()
+
+    rep = {r["stage"]: r for r in sm.report()}
+    order = [r["stage"] for r in sm.report()]
+    assert order == ["quality_redact", "exact_dedup", "span_dedup",
+                     "near_dedup", "packing"]
+    # stage counts through the dedup chain
+    assert rep["quality_redact"]["rows_out"] < corpus.count()   # junk dropped
+    assert rep["exact_dedup"]["rows_out"] < rep["quality_redact"]["rows_out"]
+    # span dedup rewrites text, it only drops rows emptied entirely
+    assert rep["span_dedup"]["rows_out"] <= rep["exact_dedup"]["rows_out"]
+    assert rep["near_dedup"]["rows_out"] < rep["span_dedup"]["rows_out"]
+    for s in order[:-1]:
+        assert rep[s]["wall_s"] is not None and rep[s]["wall_s"] >= 0
+
+    all_text = "\n".join(r["text"] for r in seqs)
+    assert "lorem ipsum" not in all_text                 # C4 page drop
+    assert "tiny junk" not in all_text                   # quality drop
+    assert "123-45-6789" not in all_text                 # PII redacted…
+    assert "<ssn>" in all_text and "<email>" in all_text  # …to typed tokens
+    assert "UniqueMarkerNearDup" not in all_text         # near-dup loser gone
+    # the shared 3-sentence span survives exactly once (doc 2 owns it;
+    # doc 105's copy was cut out of its rewritten text)
+    span_first = corpus.collect()
+    src_line = next(r["text"] for r in span_first if r["doc_id"] == 2
+                    ).split("\n")[0]
+    assert all_text.count(src_line) == 1
+    # packing invariants
+    assert sum(r["n_docs"] for r in seqs) == rep["near_dedup"]["rows_out"]
+    for r in seqs:
+        if not r["truncated"]:
+            assert r["total_tokens"] <= 256
+
+
+def test_corpus_prep_with_mixing(spark, corpus):
+    cfg = CorpusPrepConfig(max_tokens=256, neardup_threshold=0.6,
+                           mix_weights={"web": 1.0}, mix_target=10)
+    packed = run_corpus_prep(corpus, cfg)
+    n_docs = sum(r["n_docs"] for r in packed.collect())
+    assert 0 < n_docs <= 20                   # sampled well below survivors
+
+
+def test_corpus_prep_stages_can_disable(spark, corpus):
+    cfg = CorpusPrepConfig(quality=False, redact=False, span=0,
+                           max_tokens=512)
+    sm = StageMetrics(spark)
+    packed = run_corpus_prep(corpus, cfg, stage_metrics=sm)
+    packed.write.mode("overwrite").format("noop").save()
+    order = [r["stage"] for r in sm.report()]
+    assert order == ["quality_redact", "exact_dedup", "near_dedup", "packing"]
+    assert "span_dedup" not in order
+    # with quality off, the junk/lorem docs survive to the dedup stages
+    rep = {r["stage"]: r for r in sm.report()}
+    assert rep["quality_redact"]["rows_out"] == corpus.count()

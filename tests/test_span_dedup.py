@@ -50,7 +50,7 @@ WITH sents AS (
     list_filter(list_transform(
       string_split(regexp_replace(text, '([。！？；.?!;])', '\\1' || chr(1), 'g'),
                    chr(1)),
-      s -> trim(s)), s -> s <> '') AS sents
+      s -> regexp_replace(s, '^\\s+|\\s+$', '', 'g')), s -> s <> '') AS sents
   FROM pdf),
 sentences AS (
   SELECT doc_id, unnest([{{'pos': i-1, 'sentence': sents[i]}}
@@ -118,6 +118,17 @@ def test_duckdb_twin_on_planted_corpus(spark):
         assert srow["n_removed"] == duck["n_removed"][i], i
         total_removed += srow["n_removed"]
     assert total_removed > 0, "planted spans must actually collapse"
+
+
+def test_multiline_span_copies_collapse(spark):
+    """Regression: a span copied across documents must dedup even when one
+    copy sits after a newline (F.trim keeps '\\n'; the operator must
+    whitespace-trim sentences before hashing)."""
+    src = "Aa one.\nBb two!\nCc three?\nDd four.\nEe five."
+    embed = "Xx start.\n" + "\n".join(src.split("\n")[:3]) + "\nYy end."
+    rows = _run(spark, [src, embed])
+    assert rows[1]["n_removed"] == 3
+    assert rows[1]["clean_text"] == "Xx start. Yy end."
 
 
 def test_plan_has_no_cartesian(spark):
