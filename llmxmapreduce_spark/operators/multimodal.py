@@ -112,6 +112,70 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+RESIZED = T.StructType([
+    T.StructField("asset_id", T.StringType(), False),
+    T.StructField("media_type", T.StringType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("resize_ok", T.BooleanType(), False),
+    T.StructField("resize_error", T.StringType(), True),
+])
+
+
+def strided_byte_thumbnail(payload: bytes, target_w: int,
+                           target_h: int, src_w: int | None,
+                           src_h: int | None) -> bytes:
+    """Deterministic fake resizer: a strided byte sample of the payload
+    sized ``target_w × target_h`` — stands in for a real downscale with
+    the same output shape (bytes out, metadata updated)."""
+    n_out = target_w * target_h
+    if not payload:
+        return b"\x00" * n_out
+    if len(payload) <= n_out:
+        return (payload * (n_out // len(payload) + 1))[:n_out]
+    stride = len(payload) / n_out
+    return bytes(payload[int(i * stride)] for i in range(n_out))
+
+
+def resize_images(assets: DataFrame, target_w: int = 64, target_h: int = 64,
+                  decoder=decode_image) -> DataFrame:
+    """Image resize via ``mapInPandas`` — the decode→downscale→re-encode
+    body is the stubbed step (no codecs in this container; D8
+    error-sentinel rows, like ``extract_features``), the Spark plumbing is
+    real: binary in/binary out per Arrow batch, metadata (width/height)
+    rewritten to the target, payloads never shuffled beyond this stage's
+    own narrow map.  With a real decoder injected the fake thumbnail is
+    replaced by the decoded-and-resized bytes."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                payload = r["payload"] or b""
+                ok, err = True, None
+                try:
+                    decoder(payload)
+                except NotImplementedError as e:
+                    ok, err = False, f"decode stub: {e}"
+                except Exception as e:  # noqa: BLE001
+                    ok, err = False, f"{type(e).__name__}: {e}"
+                rows.append({
+                    "asset_id": r["asset_id"],
+                    "media_type": r["media_type"],
+                    "payload": strided_byte_thumbnail(
+                        payload, target_w, target_h,
+                        r.get("width"), r.get("height")),
+                    "width": target_w,
+                    "height": target_h,
+                    "resize_ok": ok,
+                    "resize_error": err,
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED.fields])
+
+    return assets.filter(F.col("media_type") == "image") \
+        .mapInPandas(run, schema=RESIZED)
+
+
 def media_stats(assets: DataFrame) -> DataFrame:
     """Typed-metadata rollup — pure column math over the struct columns."""
     return assets.groupBy("media_type").agg(

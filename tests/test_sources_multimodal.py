@@ -133,6 +133,25 @@ def test_multimodal_frame_plan_and_stats(spark):
     assert all(len(r["payload_md5"]) == 32 for r in ck)
 
 
+def test_multimodal_resize_plumbing(spark):
+    out = multimodal.resize_images(make_assets(spark), 8, 4).collect()
+    by_id = {r["asset_id"]: r for r in out}
+    assert set(by_id) == {"img1", "img2"}              # videos filtered out
+    for r in out:
+        assert not r["resize_ok"] and "stub" in r["resize_error"]
+        assert (r["width"], r["height"]) == (8, 4)
+        assert len(r["payload"]) == 32                 # 8×4 fake thumbnail
+    # deterministic strided sample: first byte survives, output reproducible
+    assert by_id["img1"]["payload"][0] == 0
+    again = multimodal.resize_images(make_assets(spark), 8, 4).collect()
+    assert {r["asset_id"]: bytes(r["payload"]) for r in again} \
+        == {r["asset_id"]: bytes(r["payload"]) for r in out}
+    # injected real decoder flips the sentinel
+    ok = multimodal.resize_images(make_assets(spark), 8, 4,
+                                  decoder=lambda p: object()).collect()
+    assert all(r["resize_ok"] for r in ok)
+
+
 def test_html_extract_drops_boilerplate(spark):
     html = ("<html><script>var bad = 1;</script><body>"
             "<nav>home about contact</nav>"
