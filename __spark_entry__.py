@@ -1164,6 +1164,20 @@ def q_corpus_prep_e2e(spark: SparkSession, sf: str) -> DataFrame:
     return run_corpus_prep(d, cfg)
 
 
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 App. C n-gram overlap): flag
+    corpus documents sharing any 13-gram with a (here: sampled-from-
+    corpus) benchmark set — broadcast semi-join on 8-byte gram hashes,
+    corpus text never shuffles.  Bench-only: exact DuckDB twin +
+    planted-overlap fixtures in tests/test_decontamination.py."""
+    from llmxmapreduce_spark.operators.decontamination import contamination_flags
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 97 == 0)   # ~1% as the "eval set"
+    return contamination_flags(d.filter(F.col("doc_id") % 97 != 0), bench,
+                               n=13)
+
+
 def q_v2_decode_tail(spark: SparkSession, sf: str) -> DataFrame:
     """The V2 decode pipeline's deterministic suffix (v2_survey.decode_tail:
     P12 renumber → A7 cite_ratio → references block → markdown assembly,

@@ -68,6 +68,7 @@ HEADLINE = [
     "source_mixture",
     "sequence_packing",
     "corpus_prep_e2e",
+    "decontaminate",
 ]
 
 # The round-2..5 comparable set: "suite19_sec" in the output JSON is the
@@ -103,6 +104,7 @@ BENCH_ONLY = {
     "source_mixture": entrymod.q_source_mixture,
     "sequence_packing": entrymod.q_sequence_packing,
     "corpus_prep_e2e": entrymod.q_corpus_prep_e2e,
+    "decontaminate": entrymod.q_decontaminate,
 }
 
 

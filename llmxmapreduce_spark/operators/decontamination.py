@@ -1,0 +1,98 @@
+"""Benchmark decontamination: flag training documents that overlap an
+evaluation set (scale extension).
+
+Standard practice since GPT-3 (Brown et al., arXiv:2005.14165, App. C;
+same scheme in PaLM/Llama): a training document is CONTAMINATED if it
+shares any n-gram (n≈13 words) with a benchmark example; contaminated
+docs are dropped or the overlapping spans are masked before training.
+
+Spark formulation:
+
+- benchmark side: explode to n-gram **hashes** once — this side is small
+  (eval sets are thousands of examples) and broadcast;
+- corpus side: explode each document to its n-gram hashes (``zip_with``
+  shifted-slice construction, same as ``ngram_shingles``) and
+  **broadcast-semi-join** against the benchmark set — no shuffle of the
+  corpus at all: the only wide op is the final per-doc aggregation of
+  matched-gram counts, keyed by doc id;
+- output keeps the EVIDENCE (n matched grams, example ids hit), so the
+  drop-vs-mask decision is tunable without re-scanning.
+
+100 TB framing: corpus text never shuffles (grams are hashed to 8 bytes
+before any join; the semi-join is broadcast); benchmark n-gram sets of
+even 10M grams are ~80 MB broadcast — within executor budgets, and the
+docstring contract says to raise ``n`` or split the benchmark into
+passes beyond that.
+
+Values gate: exact DuckDB twin + planted-overlap fixtures in
+tests/test_decontamination.py; priced in bench.py (`decontaminate`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from llmxmapreduce_spark.operators.text_stats import ngram_shingles
+
+
+def _gram_hashes(text: Column, n: int) -> Column:
+    """Distinct xxhash64 of lowercase word n-grams; shorter texts yield
+    their single partial gram (same edge case as ngram_shingles)."""
+    return F.array_distinct(
+        F.transform(ngram_shingles(text, n), lambda g: F.xxhash64(g)))
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """→ (id_col, n_matched_grams, n_bench_examples, bench_ids) for every
+    CONTAMINATED corpus document (clean docs are absent — join the result
+    back or use :func:`decontaminate` for the filtered corpus).
+
+    ``bench_ids`` holds up to 20 offending benchmark example ids — enough
+    evidence to audit a hit without carrying unbounded arrays."""
+    bench = (
+        benchmark.select(
+            F.col(bench_id_col).alias("bench_id"),
+            F.explode(_gram_hashes(F.col(bench_text_col), n)).alias("g"))
+        .distinct()
+    )
+    grams = corpus.select(
+        F.col(id_col),
+        F.explode(_gram_hashes(F.col(text_col), n)).alias("g"))
+    hits = grams.join(F.broadcast(bench), "g")
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.countDistinct("g").alias("n_matched_grams"),
+            F.countDistinct("bench_id").alias("n_bench_examples"),
+            F.slice(F.array_sort(F.collect_set("bench_id")), 1, 20)
+            .alias("bench_ids"),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    min_matched_grams: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Drop contaminated documents (≥ ``min_matched_grams`` shared
+    n-grams); returns the surviving corpus rows with original schema.
+    The anti-join key is the id column only — text stays put."""
+    flagged = contamination_flags(corpus, benchmark, n, id_col, text_col,
+                                  **kwargs) \
+        .filter(F.col("n_matched_grams") >= min_matched_grams) \
+        .select(id_col)
+    return corpus.join(flagged, id_col, "left_anti")

@@ -1,0 +1,115 @@
+"""Benchmark decontamination (operators/decontamination.py): planted
+overlap fixtures, the short-text partial-gram edge, an exact DuckDB twin
+(gram-text keyed — same classes as the hash), and the broadcast plan pin."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from llmxmapreduce_spark.operators import decontamination as dc
+
+N = 6  # test-sized n-gram (production default 13)
+
+BENCH = [
+    (0, "the quick brown fox jumps over the lazy dog tonight"),
+    (1, "pack my box with five dozen liquor jugs right now"),
+    (2, "tiny example"),                       # < N words: partial gram
+]
+
+
+def _bench(spark):
+    return spark.createDataFrame(BENCH, "doc_id bigint, text string")
+
+
+def test_contamination_flags_planted(spark):
+    corpus = spark.createDataFrame([
+        # embeds a 7-word run from bench 0 → two 6-gram hits
+        (10, "intro words then the quick brown fox jumps over the ending"),
+        (11, "completely unrelated text about rivers and mountains in spring"
+             " sunshine weather"),
+        # shares only 5 consecutive words with bench 1 → NO 6-gram hit
+        (12, "she did pack my box with five items yesterday evening"),
+        (13, "tiny example"),                  # exact short match via partial
+        (14, "the quick brown fox jumps over the lazy dog tonight and "
+             "pack my box with five dozen liquor jugs right now"),  # hits both
+    ], "doc_id bigint, text string")
+    flags = {r["doc_id"]: r for r in
+             dc.contamination_flags(corpus, _bench(spark), n=N).collect()}
+    assert set(flags) == {10, 13, 14}
+    assert flags[10]["n_matched_grams"] == 2       # two overlapping 6-grams
+    assert flags[10]["bench_ids"] == [0]
+    assert flags[13]["bench_ids"] == [2]
+    assert flags[14]["n_bench_examples"] == 2
+    assert sorted(flags[14]["bench_ids"]) == [0, 1]
+
+    survivors = dc.decontaminate(corpus, _bench(spark), n=N)
+    assert sorted(r["doc_id"] for r in survivors.collect()) == [11, 12]
+    assert survivors.columns == corpus.columns
+    # a stricter threshold lets single-gram hits through
+    loose = dc.decontaminate(corpus, _bench(spark), n=N,
+                             min_matched_grams=3)
+    assert sorted(r["doc_id"] for r in loose.collect()) == [10, 11, 12, 13]
+
+
+_TWIN = """
+WITH cg AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(ws) >= {n}
+         THEN [array_to_string(ws[i:i+{n_m1}], ' ')
+               for i in range(1, len(ws) - {n} + 2)]
+         ELSE [array_to_string(ws, ' ')] END)) AS g
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+        FROM corpus_pdf)),
+bg AS (
+  SELECT DISTINCT bench_id, g FROM (
+    SELECT doc_id AS bench_id, unnest(list_distinct(
+      CASE WHEN len(ws) >= {n}
+           THEN [array_to_string(ws[i:i+{n_m1}], ' ')
+                 for i in range(1, len(ws) - {n} + 2)]
+           ELSE [array_to_string(ws, ' ')] END)) AS g
+    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+          FROM bench_pdf)))
+SELECT doc_id, count(DISTINCT g) AS n_matched_grams,
+       count(DISTINCT bench_id) AS n_bench_examples
+FROM cg JOIN bg USING (g) GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def test_duckdb_twin_on_planted_corpus(spark):
+    rng = np.random.default_rng(29)
+    vocab = "sun rain tree rock bird fish wind snow leaf star".split()
+
+    def doc(k=20):
+        return " ".join(rng.choice(vocab) for _ in range(k))
+
+    bench_rows = [(i, doc(15)) for i in range(5)]
+    corpus_rows = [(i, doc(25)) for i in range(40)]
+    # plant: copy an N+2-word window from each bench doc into 10 corpus docs
+    for j in range(10):
+        src = bench_rows[j % 5][1].split()
+        window = " ".join(src[2:2 + N + 2])
+        corpus_rows.append((100 + j, doc(8) + " " + window + " " + doc(8)))
+
+    corpus = spark.createDataFrame(corpus_rows, "doc_id bigint, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id bigint, text string")
+    got = sorted(
+        dc.contamination_flags(corpus, bench, n=N).collect(),
+        key=lambda r: r["doc_id"])
+
+    corpus_pdf = pd.DataFrame(corpus_rows, columns=["doc_id", "text"])  # noqa: F841
+    bench_pdf = pd.DataFrame(bench_rows, columns=["doc_id", "text"])    # noqa: F841
+    duck = duckdb.sql(_TWIN.format(n=N, n_m1=N - 1)).fetchall()
+    assert [(r["doc_id"], r["n_matched_grams"], r["n_bench_examples"])
+            for r in got] == duck
+    assert len(got) >= 10                       # every planted doc flagged
+
+
+def test_plan_broadcasts_benchmark(spark):
+    corpus = spark.createDataFrame([(1, "a b c d e f g")],
+                                   "doc_id bigint, text string")
+    plan = dc.contamination_flags(corpus, _bench(spark), n=N) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
