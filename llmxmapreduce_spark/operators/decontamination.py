@@ -79,6 +79,68 @@ def contamination_flags(
     )
 
 
+def mask_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """GPT-3's actual remedy (App. C): don't drop the document, REMOVE the
+    overlapping windows.  → (id_col, clean_text, n_words, n_masked_words)
+    for EVERY corpus row (clean docs pass through with 0 masked).
+
+    A word is masked iff some matched n-gram covers it — the word-level
+    analogue of span_dedup's sentence rule.  ``clean_text`` re-joins the
+    surviving words with single spaces (original inter-word whitespace is
+    not preserved — token content is what training cares about).  Mechanics: ``posexplode`` the
+    corpus gram array (gram i covers words i..i+n-1), broadcast-join the
+    benchmark gram hashes, aggregate matched positions per doc, and
+    rebuild the text with a ``filter`` over word positions — the only wide
+    ops are the broadcast join and a per-doc collect of matched INTEGER
+    positions (never text)."""
+    bench_grams = benchmark.select(
+        F.explode(_gram_hashes(F.col(bench_text_col), n)).alias("g")
+    ).distinct()
+
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = corpus.withColumn("__grams",
+                             F.transform(ngram_shingles(F.col(text_col), n),
+                                         lambda g: F.xxhash64(g)))
+    pos = base.select(
+        F.col(id_col),
+        F.posexplode("__grams").alias("gpos", "g"))
+    matched = (
+        pos.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.collect_set("gpos").alias("mpos"))
+    )
+    # original-case words for the rebuild; gram matching was lowercased
+    orig_words = F.split(F.trim(F.col(text_col)), r"\s+")
+    out = (
+        base.drop("__grams")
+        .join(matched, id_col, "left")
+        .withColumn("__mpos", F.coalesce(F.col("mpos"),
+                                         F.array().cast("array<int>")))
+        .withColumn("__w", orig_words)
+        .withColumn("__keep", F.filter(
+            F.col("__w"),
+            lambda w, i: ~F.exists(
+                F.col("__mpos"),
+                lambda p: (i >= p) & (i < p + n)),
+        ))
+    )
+    return out.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.col("__keep")).alias("clean_text"),
+        F.size("__w").cast("long").alias("n_words"),
+        (F.size("__w") - F.size("__keep")).cast("long")
+        .alias("n_masked_words"),
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -106,6 +106,29 @@ def test_duckdb_twin_on_planted_corpus(spark):
     assert len(got) >= 10                       # every planted doc flagged
 
 
+def test_mask_contamination(spark):
+    corpus = spark.createDataFrame([
+        (10, "intro words here then the quick brown fox jumps over the "
+             "ending part stays"),
+        (11, "totally clean text with  odd   spacing preserved as tokens"),
+        (13, "tiny example"),                  # fully covered by partial gram
+    ], "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           dc.mask_contamination(corpus, _bench(spark), n=N).collect()}
+    # doc 10: grams at word-positions 4 and 5 match bench 0 → words 4..10
+    # masked, prefix (0..3) and suffix (11..) survive
+    assert out[10]["clean_text"] == "intro words here then ending part stays"
+    assert out[10]["n_masked_words"] == 7
+    # clean doc: untouched content, whitespace normalized to single spaces
+    assert out[11]["n_masked_words"] == 0
+    assert out[11]["clean_text"] == \
+        "totally clean text with odd spacing preserved as tokens"
+    # short doc fully covered by its partial gram
+    assert out[13]["clean_text"] == "" and out[13]["n_masked_words"] == 2
+    # every input row returns
+    assert set(out) == {10, 11, 13}
+
+
 def test_plan_broadcasts_benchmark(spark):
     corpus = spark.createDataFrame([(1, "a b c d e f g")],
                                    "doc_id bigint, text string")
