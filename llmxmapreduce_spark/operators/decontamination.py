@@ -141,6 +141,97 @@ def mask_contamination(
     )
 
 
+def build_gram_bloom(
+    benchmark: DataFrame,
+    n: int = 13,
+    bits_per_key: int = 10,
+    n_hashes: int = 7,
+    text_col: str = "text",
+) -> tuple[bytes, int, int]:
+    """Distributed Bloom-filter build over the benchmark's n-gram hashes —
+    the scale path for benchmark sets too large to broadcast exactly
+    (~10 bits/key ≈ 1% false positives vs 64 bits/key for exact hashes).
+
+    Each Arrow batch sets its bits in a LOCAL bit array and emits one
+    packed-bytes row; the driver ORs the (one-per-batch) rows — no
+    per-gram collect.  Returns ``(packed_bits, m_bits, n_hashes)`` for
+    :func:`contamination_flags_bloom`.
+
+    Bit positions use Kirsch-Mitzelmacher double hashing over the two
+    32-bit halves of the xxhash64 gram hash: pos_i = (h1 + i·h2) mod m —
+    one 64-bit hash per gram, k derived probes."""
+    import numpy as np
+    import pandas as pd
+
+    n_keys = benchmark.select(
+        F.explode(_gram_hashes(F.col(text_col), n)).alias("g")
+    ).distinct().count()
+    m = max(64, n_keys * bits_per_key)
+    m -= m % 8
+
+    def set_bits(batches):
+        for pdf in batches:
+            bits = np.zeros(m, dtype=bool)
+            for _, grams in pdf.iterrows():
+                h = np.array(grams.iloc[0], dtype=np.int64).view(np.uint64)
+                h1, h2 = h >> np.uint64(32), h & np.uint64(0xFFFFFFFF)
+                for i in range(n_hashes):
+                    bits[((h1 + np.uint64(i) * h2) % np.uint64(m))
+                         .astype(np.int64)] = True
+            yield pd.DataFrame({"packed": [np.packbits(bits).tobytes()]})
+
+    rows = benchmark.select(
+        _gram_hashes(F.col(text_col), n).alias("gh")
+    ).mapInPandas(set_bits, "packed binary").collect()
+    acc = np.zeros(m // 8, dtype=np.uint8)
+    for r in rows:
+        acc |= np.frombuffer(r["packed"], dtype=np.uint8)
+    return acc.tobytes(), m, n_hashes
+
+
+def contamination_flags_bloom(
+    corpus: DataFrame,
+    bloom: tuple[bytes, int, int],
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (id_col, n_flagged_grams) for corpus docs with ≥1 gram whose k
+    Bloom probes all hit.  NO false negatives (every truly contaminated
+    doc is flagged — the Bloom guarantee); false positives at the
+    filter's fpp over-flag clean docs, which for decontamination means
+    conservatively dropping ~fpp extra data — the documented trade for
+    an exact set that will not broadcast."""
+    import numpy as np
+    import pandas as pd
+
+    packed, m, k = bloom
+    bits = np.unpackbits(np.frombuffer(packed, dtype=np.uint8)).astype(bool)
+    id_t = dict(corpus.dtypes)[id_col]
+    schema = f"{id_col} {id_t}, n_flagged_grams int"
+
+    def probe(batches):
+        for pdf in batches:
+            out_id, out_n = [], []
+            for _id, grams in zip(pdf[id_col], pdf["gh"]):
+                h = np.array(grams, dtype=np.int64).view(np.uint64)
+                h1, h2 = h >> np.uint64(32), h & np.uint64(0xFFFFFFFF)
+                hit = np.ones(len(h), dtype=bool)
+                for i in range(k):
+                    pos = ((h1 + np.uint64(i) * h2) % np.uint64(m)) \
+                        .astype(np.int64)
+                    hit &= bits[pos]
+                n_hit = int(hit.sum())
+                if n_hit:
+                    out_id.append(_id)
+                    out_n.append(n_hit)
+            yield pd.DataFrame({id_col: out_id, "n_flagged_grams": out_n})
+
+    return corpus.select(
+        F.col(id_col), _gram_hashes(F.col(text_col), n).alias("gh")
+    ).mapInPandas(probe, schema)
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

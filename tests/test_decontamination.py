@@ -129,6 +129,41 @@ def test_mask_contamination(spark):
     assert set(out) == {10, 11, 13}
 
 
+def test_bloom_path_no_false_negatives(spark):
+    """Bloom flags ⊇ exact flags (the no-false-negative guarantee), and on
+    a clean corpus the over-flag rate stays near the filter's fpp."""
+    rng = np.random.default_rng(37)
+    vocab = "aa bb cc dd ee ff gg hh ii jj kk ll mm nn".split()
+
+    def doc(k=30):
+        return " ".join(rng.choice(vocab) for _ in range(k))
+
+    bench_rows = [(i, doc(20)) for i in range(8)]
+    corpus_rows = [(i, doc()) for i in range(120)]
+    for j in range(15):   # plant overlaps
+        src = bench_rows[j % 8][1].split()
+        corpus_rows.append((200 + j,
+                            doc(6) + " " + " ".join(src[3:3 + N + 3])
+                            + " " + doc(6)))
+    corpus = spark.createDataFrame(corpus_rows, "doc_id bigint, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id bigint, text string")
+
+    exact = {r["doc_id"]: r["n_matched_grams"] for r in
+             dc.contamination_flags(corpus, bench, n=N).collect()}
+    bloom = dc.build_gram_bloom(bench, n=N, bits_per_key=12)
+    flagged = {r["doc_id"]: r["n_flagged_grams"] for r in
+               dc.contamination_flags_bloom(corpus, bloom, n=N).collect()}
+    # every exact hit flagged, with at least as many grams
+    for d, cnt in exact.items():
+        assert flagged.get(d, 0) >= cnt, d
+    # the random corpus shares vocab → exact hits happen; bloom extras
+    # must stay a small minority (fpp ~1% per gram, docs have ~25 grams)
+    extras = set(flagged) - set(exact)
+    assert len(extras) <= 0.2 * len(corpus_rows), extras
+    # deterministic build
+    assert dc.build_gram_bloom(bench, n=N, bits_per_key=12)[0] == bloom[0]
+
+
 def test_plan_broadcasts_benchmark(spark):
     corpus = spark.createDataFrame([(1, "a b c d e f g")],
                                    "doc_id bigint, text string")
