@@ -35,6 +35,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def ffd_pack(rows, max_tokens: int):
+    """Pure first-fit-decreasing core (property-tested directly):
+    ``rows`` = iterable of (id, length) → list of (id, length, bin_index,
+    truncated), packed in (length desc, id) order.  Oversized rows get a
+    dedicated, already-full bin with ``truncated=True``."""
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    # remaining capacity per bin; -1 marks a truncated (oversized) bin so
+    # not even zero-length rows can join it
+    bins: list[int] = []
+    out = []
+    for _id, ln in ordered:
+        if ln > max_tokens:
+            bins.append(-1)
+            out.append((_id, ln, len(bins) - 1, True))
+            continue
+        for b, cap in enumerate(bins):
+            if cap >= ln:
+                bins[b] = cap - ln
+                out.append((_id, ln, b, False))
+                break
+        else:
+            bins.append(max_tokens - ln)
+            out.append((_id, ln, len(bins) - 1, False))
+    return out
+
+
 def pack_assignments(
     df: DataFrame,
     max_tokens: int,
@@ -59,35 +85,13 @@ def pack_assignments(
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         bucket = int(pdf["__bucket"].iloc[0])
-        rows = sorted(
-            zip(pdf[id_col], pdf[len_col].astype(int)),
-            key=lambda r: (-r[1], r[0]),
-        )
-        # first-fit-decreasing over open bins
-        bins: list[int] = []       # remaining capacity per bin
-        out_seq, out_trunc = [], []
-        for _id, ln in rows:
-            if ln > max_tokens:
-                bins.append(0)     # oversized: dedicated, already full
-                out_seq.append(len(bins) - 1)
-                out_trunc.append(True)
-                continue
-            for b, cap in enumerate(bins):
-                if cap >= ln:
-                    bins[b] = cap - ln
-                    out_seq.append(b)
-                    out_trunc.append(False)
-                    break
-            else:
-                bins.append(max_tokens - ln)
-                out_seq.append(len(bins) - 1)
-                out_trunc.append(False)
-        ids = [r[0] for r in rows]
-        lens = [r[1] for r in rows]
+        packed = ffd_pack(zip(pdf[id_col], pdf[len_col].astype(int)),
+                          max_tokens)
         return pd.DataFrame({
-            id_col: ids, len_col: lens,
-            "seq_id": [(bucket << 40) + s for s in out_seq],
-            "truncated": out_trunc,
+            id_col: [p[0] for p in packed],
+            len_col: [p[1] for p in packed],
+            "seq_id": [(bucket << 40) + p[2] for p in packed],
+            "truncated": [p[3] for p in packed],
         })
 
     bucketed = df.select(id_col, len_col).withColumn(

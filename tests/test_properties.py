@@ -1,5 +1,6 @@
 """Property-based tests (hypothesis) for the pure operator cores."""
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -178,3 +179,55 @@ def test_complete_batch_fans_out_in_order(spark):
     got = SlowEcho().complete_batch(prompts)
     assert got == [f"r:p{i}" for i in range(32)]
     assert len(seen_threads) > 1        # genuinely concurrent
+
+
+# ---------------------------------------------------------------------------
+# round-6 pure cores: FFD packing + mixture planning
+# ---------------------------------------------------------------------------
+
+@given(st.lists(st.tuples(st.integers(0, 10_000), st.integers(0, 5_000)),
+                max_size=200, unique_by=lambda t: t[0]),
+       st.integers(min_value=1, max_value=2_048))
+def test_ffd_pack_invariants(rows, max_tokens):
+    from llmxmapreduce_spark.operators.packing import ffd_pack
+
+    out = ffd_pack(rows, max_tokens)
+    assert sorted(r[0] for r in out) == sorted(r[0] for r in rows)  # once each
+    by_bin = {}
+    for _id, ln, b, trunc in out:
+        by_bin.setdefault(b, []).append((_id, ln, trunc))
+    for members in by_bin.values():
+        if any(t for _, _, t in members):
+            assert len(members) == 1 and members[0][1] > max_tokens
+        else:
+            assert sum(ln for _, ln, _ in members) <= max_tokens
+    # FFD bound: never worse than 2× the fractional optimum (loose classic
+    # bound — catches any gross regression in the packer)
+    total = sum(min(ln, max_tokens) for _, ln in rows)
+    n_real_bins = len([m for m in by_bin.values()
+                       if not any(t for _, _, t in m)])
+    assert n_real_bins <= max(1, 2 * -(-total // max_tokens)) or total == 0
+
+
+@given(st.dictionaries(st.sampled_from("abcdef"), st.integers(1, 10_000),
+                       min_size=1),
+       st.dictionaries(st.sampled_from("abcdef"),
+                       st.floats(0.01, 10.0, allow_nan=False), min_size=1),
+       st.integers(1, 1_000_000))
+def test_mixture_plan_invariants(counts, weights, target):
+    from llmxmapreduce_spark.operators.mixing import mixture_plan
+
+    present = {s for s in weights if counts.get(s)}
+    if not present:
+        with pytest.raises(ValueError):
+            mixture_plan(counts, weights, target)
+        return
+    capped = mixture_plan(counts, weights, target)
+    assert set(capped) == present
+    assert all(0.0 <= r <= 1.0 for r in capped.values())
+    free = mixture_plan(counts, weights, target, allow_upsample=True)
+    # uncapped rates deliver the target exactly (expected rows = rate×count)
+    delivered = sum(free[s] * counts[s] for s in free)
+    assert abs(delivered - target) < 1e-6 * max(1, target)
+    # capping only ever lowers a stratum's rate
+    assert all(capped[s] <= free[s] + 1e-12 for s in capped)
