@@ -66,7 +66,7 @@ def pack_assignments(
     max_tokens: int,
     id_col: str = "doc_id",
     len_col: str = "n_tokens",
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """→ (id_col, len_col, seq_id, truncated) — which training sequence
     each document lands in.
@@ -74,11 +74,20 @@ def pack_assignments(
     ``seq_id`` is globally unique (``bucket * 2^40 + local index``).
     A document longer than ``max_tokens`` gets a sequence of its own with
     ``truncated = true`` (the caller decides whether to split or drop it
-    — packing never silently loses tokens)."""
+    — packing never silently loses tokens).
+
+    ``n_buckets=None`` sizes buckets from a count (one cheap job):
+    ~2 000 docs per bucket, so small corpora pack in ONE bucket (bucketed
+    FFD ≈ sequential FFD) while large corpora fan out — a bucket holding
+    ≪ 1 sequence worth of docs would waste nearly its whole budget.
+    Callers that know their row count pass it explicitly to skip the
+    count job."""
     import pandas as pd
 
     if max_tokens <= 0:
         raise ValueError("pack_assignments: max_tokens must be positive")
+    if n_buckets is None:
+        n_buckets = max(1, min(1024, df.count() // 2_000))
     id_t = dict(df.dtypes)[id_col]
     schema = (f"{id_col} {id_t}, {len_col} bigint, seq_id bigint, "
               f"truncated boolean")
@@ -105,7 +114,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     len_col: str | None = None,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
     sep: str = "\n\n",
 ) -> DataFrame:
     """Materialized variant: → (seq_id, n_docs, total_tokens, truncated,

@@ -134,6 +134,22 @@ def test_pack_sequences_materializes_text(spark):
     assert not any(r["truncated"] for r in out)
 
 
+def test_auto_bucket_sizing(spark):
+    # tiny corpus → ONE bucket (near-sequential FFD); explicit n_buckets
+    # still honored and remains deterministic
+    rng = np.random.default_rng(5)
+    lengths = list(rng.integers(100, 900, size=60))
+    df = _len_df(spark, lengths)
+    auto = packing.pack_assignments(df, 2048)
+    assert auto.select((F.col("seq_id") / (1 << 40)).cast("int")
+                       .alias("b")).distinct().count() == 1
+    ideal = -(-sum(lengths) // 2048)
+    n_auto = auto.select("seq_id").distinct().count()
+    assert n_auto <= 1.15 * ideal
+    spread = packing.pack_assignments(df, 2048, n_buckets=16)
+    assert spread.select("doc_id").distinct().count() == 60
+
+
 def test_pack_rejects_bad_budget(spark):
     df = _len_df(spark, [10])
     with pytest.raises(ValueError, match="positive"):
