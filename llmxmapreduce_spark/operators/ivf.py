@@ -58,9 +58,16 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / n[:, None]
 
 
+def auto_n_cells(n_rows: int) -> int:
+    """The √n quantizer-size rule (faiss guidance, SemDeDup practice):
+    per-cell population ~√n keeps within-cell O(n_c²) work flat as the
+    corpus grows.  Clamped to [8, 65 536]."""
+    return max(8, min(65_536, int(n_rows ** 0.5)))
+
+
 def fit_centroids(
     df: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     vec_col: str = "embedding",
     max_sample: int = 65_536,
     iters: int = 10,
@@ -93,6 +100,10 @@ def fit_centroids(
         frac = min(1.0, (1.2 * max_sample) / max(total, 1))
         sample_df = sample_df.sample(withReplacement=False, fraction=frac,
                                      seed=seed)
+    else:
+        total = est
+    if n_cells is None:                    # √n rule — see auto_n_cells
+        n_cells = auto_n_cells(total)
     rows = sample_df.limit(max_sample).collect()
     X = _normalize_rows(np.array([r[0] for r in rows], dtype=np.float64))
     n = X.shape[0]
@@ -206,7 +217,7 @@ def ivf_topk(
     centroids: np.ndarray | None = None,
     k: int = 5,
     nprobe: int = 4,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "qid",
@@ -305,7 +316,7 @@ def ivf_topk_join(
     centroids: np.ndarray | None = None,
     k: int = 5,
     nprobe: int = 4,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "qid",
@@ -373,7 +384,7 @@ def semantic_dedup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
     centroids: np.ndarray | None = None,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cell: int = 20_000,
@@ -425,7 +436,7 @@ def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.95,
     centroids: np.ndarray | None = None,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,

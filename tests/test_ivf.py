@@ -59,6 +59,15 @@ def test_fit_centroids_deterministic_and_normalized(blobs_df):
     assert len({tuple(np.round(r, 9)) for r in c3}) == 8
 
 
+def test_auto_n_cells_rule(blobs_df):
+    assert ivf.auto_n_cells(100) == 10
+    assert ivf.auto_n_cells(4) == 8            # clamp floor
+    assert ivf.auto_n_cells(10**10) == 65_536  # clamp ceiling
+    # n_cells=None → √n quantizer (720 blobs → 26 cells)
+    c = ivf.fit_centroids(blobs_df, seed=2)
+    assert c.shape[0] == ivf.auto_n_cells(720) == 26
+
+
 def test_ivf_topk_recall_vs_exact(spark, blobs_df):
     queries = blobs_df.filter(F.col("vec_id") % 37 == 0)  # ~20 queries
     exact = cosine_topk_np(blobs_df, queries, k=10)
