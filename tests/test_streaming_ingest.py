@@ -133,6 +133,46 @@ def test_incremental_ingest_stream_matches_sequential_batch(spark, tmp_path):
     assert all(d not in kept_ids for d in dup_of_1)
 
 
+def test_incremental_ingest_resumes_from_checkpoint(spark, tmp_path):
+    """Restart semantics: a second availableNow run over the SAME
+    checkpoint processes only files that arrived after the first drain —
+    already-admitted shards are not re-deduped or re-appended."""
+    shards = _shards(seed=11)
+    src = str(tmp_path / "src")
+    _write_shards(spark, src, shards[:2])
+
+    def drain():
+        stream = (spark.readStream.schema(SCHEMA)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        seen = []
+        ingest.run_incremental_neardup_ingest(
+            stream, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+            on_batch=lambda eid, b, s: seen.append(
+                sorted(r["doc_id"] for r in b.select("doc_id").collect())),
+            **DEDUP_KW)
+        return seen
+
+    first = drain()
+    kept1 = sorted(r["doc_id"] for r in spark.read.schema(SCHEMA)
+                   .parquet(str(tmp_path / "state/kept")).collect())
+    assert len(first) == 2
+
+    import time
+    time.sleep(1.1)
+    spark.createDataFrame(shards[2], SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    second = drain()
+    kept2 = sorted(r["doc_id"] for r in spark.read.schema(SCHEMA)
+                   .parquet(str(tmp_path / "state/kept")).collect())
+    # only the NEW shard was processed; prior admissions unchanged, no dups
+    assert len(second) == 1
+    assert set(second[0]) == {r[0] for r in shards[2]}
+    assert set(kept1) <= set(kept2)
+    assert len(kept2) == len(set(kept2))
+    shard2_ids = {r[0] for r in shards[2]}
+    assert set(kept2) - set(kept1) <= shard2_ids
+
+
 def test_incremental_ingest_pre_filter_gates_admission(spark, tmp_path):
     shards = _shards(seed=5)
     # poison a few docs with short junk that a quality gate must stop
