@@ -13,4 +13,17 @@ Modules:
 - ``skeleton``   — markdown ⇄ tree parse/serialize, J1 alignment
 - ``digest_ops`` — A3 digest merge, digest build
 - ``eval_ops``   — A8 averaging, A9 claim metrics, token-F1 scorers
+
+Training-data pipeline stack (round 6):
+
+- ``ivf``             — IVF ANN (coarse quantizer, inverted lists) + SemDeDup
+- ``components``      — connected components, canonical-copy dedup
+- ``quality_filters`` — Gopher + C4 filter rulesets
+- ``span_dedup``      — C4 three-sentence span dedup
+- ``pii``             — PII detection / typed-token redaction
+- ``decontamination`` — benchmark n-gram overlap flag/drop/mask (+Bloom)
+- ``mixing``          — stratified sampling, epoch upsampling
+- ``packing``         — fixed-token sequence packing (bucketed FFD)
+- ``multimodal``      — binary media columns (decode stubbed)
+- ``stage_metrics``   — per-stage telemetry (D10)
 """

@@ -92,10 +92,16 @@ def mix_sources(
               df.groupBy(strata_col).count().collect()}
     plan = mixture_plan(counts, weights, target_rows, allow_upsample)
 
+    if not allow_upsample:
+        # rates are already capped at 1.0 — a full-epoch stratum keeps
+        # everything (NOT rate − floor(rate), which would zero it out)
+        return stratified_sample(df, strata_col, plan, seed) \
+            .withColumn("epoch", F.lit(0))
+
     frac_part = {s: r - math.floor(r) for s, r in plan.items()}
     sampled = stratified_sample(df, strata_col, frac_part, seed) \
         .withColumn("epoch", F.lit(0))
-    if not allow_upsample or all(r <= 1.0 for r in plan.values()):
+    if all(r < 1.0 for r in plan.values()):
         return sampled
 
     # whole epochs: explode k copies executor-side (k = floor(rate) ≥ 1),

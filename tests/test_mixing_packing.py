@@ -63,6 +63,20 @@ def test_mix_sources_hits_target_composition(spark):
     assert "epoch" in out.columns
 
 
+def test_mix_sources_capped_stratum_keeps_everything(spark):
+    """Regression: a stratum whose rate caps at 1.0 (target demands more
+    than it has, upsampling off) must contribute ALL its rows — the old
+    fractional-part sampling silently emptied it."""
+    docs = load_table(spark, SF, "documents")
+    n = {r[0]: r[1] for r in docs.groupBy("source").count().collect()}
+    two = sorted(n)[:2]
+    # ask for 5× what the two strata hold → both cap at 1.0
+    out = mixing.mix_sources(docs, {s: 0.5 for s in two},
+                             5 * sum(n[s] for s in two))
+    got = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    assert got == {s: n[s] for s in two}
+
+
 def test_mix_sources_upsample_epochs(spark):
     docs = load_table(spark, SF, "documents")
     n = {r[0]: r[1] for r in docs.groupBy("source").count().collect()}
