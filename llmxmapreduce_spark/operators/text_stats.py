@@ -251,3 +251,47 @@ def fingerprint(text: Column, n: int = 3, algo: str = "xxhash64") -> Column:
     if algo == "md5":
         return F.array_min(F.transform(grams, lambda g: F.md5(g)))
     raise ValueError(f"unknown fingerprint algo: {algo}")
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    nfc: bool = True,
+) -> DataFrame:
+    """Canonical text normalization — the step every dedup/hash operator
+    assumes has already happened (CCNet/C4 preprocessing): strip control
+    and zero-width characters, collapse whitespace runs to single spaces,
+    trim, and (optionally) Unicode NFC-compose.
+
+    The control/zero-width strip and whitespace collapse are Catalyst
+    ``regexp_replace`` (whole-stage codegen); NFC composition has no
+    Spark builtin, so it runs as one Arrow batch pass
+    (``unicodedata.normalize`` — the same normal form as DuckDB's
+    ``nfc_normalize``, which the twin test pins).  With ``nfc=False``
+    the operator is pure Catalyst, zero Python.
+    """
+    out = out_col or text_col
+    # C0/C1 controls (minus \t\n\r, which the whitespace pass handles)
+    # + zero-width space/joiners + BOM
+    cleaned = F.regexp_replace(
+        F.col(text_col),
+        "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f​‌‍﻿]",
+        "")
+    cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    res = df.withColumn(out, cleaned)
+    if not nfc:
+        return res
+
+    import pandas as pd
+
+    def compose(batches):
+        import unicodedata
+
+        for pdf in batches:
+            pdf[out] = pdf[out].map(
+                lambda s: unicodedata.normalize("NFC", s)
+                if isinstance(s, str) else s)
+            yield pdf
+
+    return res.mapInPandas(compose, res.schema)

@@ -122,3 +122,34 @@ def test_fast_twin_matches_portable(spark):
             for col in ("dup_line_frac", "dup_line_char_frac",
                         "top_2gram_frac", "dup_5gram_frac"):
                 assert fast[k][col] == pytest.approx(slow[k][col]), (k, col)
+
+
+# ---------------------------------------------------------------------------
+# normalize_text (text_stats.normalize_text)
+# ---------------------------------------------------------------------------
+
+def test_normalize_text_rules_and_duckdb_nfc_twin(spark):
+    import duckdb
+    from llmxmapreduce_spark.operators.text_stats import normalize_text
+
+    decomposed = "café résumé"        # é as e+combining vs composed
+    rows = [
+        (0, "  hello \t\n world  "),                  # whitespace collapse+trim
+        (1, "a\x00b\x1fc\x7fd​e﻿f"),        # controls + zero-width
+        (2, decomposed),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in normalize_text(df).orderBy("doc_id").collect()}
+    assert out[0] == "hello world"
+    assert out[1] == "abcdef"
+    assert out[3] is None
+    # NFC composition matches DuckDB's nfc_normalize byte for byte
+    duck = duckdb.sql(
+        f"SELECT nfc_normalize('{decomposed}')").fetchone()[0]
+    assert out[2] == duck and len(out[2]) < len(decomposed)
+    # nfc=False stays pure Catalyst: no Python nodes in the plan
+    plan = normalize_text(df, nfc=False)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "MapInPandas" not in plan and "Exchange" not in plan
