@@ -43,6 +43,35 @@ def _gram_hashes(text: Column, n: int) -> Column:
         F.transform(ngram_shingles(text, n), lambda g: F.xxhash64(g)))
 
 
+def _short_lengths(benchmark: DataFrame, n: int, text_col: str) -> list[int]:
+    """Distinct word counts of benchmark examples SHORTER than ``n`` —
+    GPT-3 App. C matches on min(13, example length) grams, so a 7-word
+    eval answer must be matchable as a 7-gram inside a long training doc.
+    The corpus side therefore also generates ℓ-grams for each such ℓ
+    (a bounded set: at most n−1 extra lengths, usually zero or one).
+    One tiny aggregate over the (small) benchmark side."""
+    rows = (
+        benchmark.select(
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("wc"))
+        .filter((F.col("wc") > 0) & (F.col("wc") < n))
+        .distinct().collect()
+    )
+    return sorted(r["wc"] for r in rows)
+
+
+def _corpus_gram_hashes(text: Column, n: int,
+                        short_lengths: list[int]) -> Column:
+    """Corpus-side gram hash set: full n-grams plus ℓ-grams for each short
+    benchmark length, so no benchmark example is unmatchable (the false-
+    negative class a plain n-only gram set silently has)."""
+    arrs = [_gram_hashes(text, n)]
+    arrs += [_gram_hashes(text, l) for l in short_lengths]
+    out = arrs[0]
+    for a in arrs[1:]:
+        out = F.array_union(out, a)
+    return out
+
+
 def contamination_flags(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -57,16 +86,23 @@ def contamination_flags(
     back or use :func:`decontaminate` for the filtered corpus).
 
     ``bench_ids`` holds up to 20 offending benchmark example ids — enough
-    evidence to audit a hit without carrying unbounded arrays."""
+    evidence to audit a hit without carrying unbounded arrays.
+
+    Benchmark examples shorter than ``n`` words match on their FULL text
+    (GPT-3's min(n, example length) rule): the corpus side generates
+    ℓ-grams for each distinct short example length, so short eval answers
+    embedded in long documents are still caught."""
     bench = (
         benchmark.select(
             F.col(bench_id_col).alias("bench_id"),
             F.explode(_gram_hashes(F.col(bench_text_col), n)).alias("g"))
         .distinct()
     )
+    shorts = _short_lengths(benchmark, n, bench_text_col)
     grams = corpus.select(
         F.col(id_col),
-        F.explode(_gram_hashes(F.col(text_col), n)).alias("g"))
+        F.explode(_corpus_gram_hashes(F.col(text_col), n, shorts))
+        .alias("g"))
     hits = grams.join(F.broadcast(bench), "g")
     return (
         hits.groupBy(id_col)
@@ -105,31 +141,37 @@ def mask_contamination(
         F.explode(_gram_hashes(F.col(bench_text_col), n)).alias("g")
     ).distinct()
 
-    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    base = corpus.withColumn("__grams",
-                             F.transform(ngram_shingles(F.col(text_col), n),
-                                         lambda g: F.xxhash64(g)))
-    pos = base.select(
-        F.col(id_col),
-        F.posexplode("__grams").alias("gpos", "g"))
+    # one position stream per gram length (n + each short bench length,
+    # GPT-3's min(n, example length) rule); a match at (pos, glen) masks
+    # words pos..pos+glen-1
+    shorts = _short_lengths(benchmark, n, bench_text_col)
+    pos = None
+    for length in [n] + shorts:
+        p = corpus.select(
+            F.col(id_col),
+            F.posexplode(F.transform(
+                ngram_shingles(F.col(text_col), length),
+                lambda g: F.xxhash64(g))).alias("gpos", "g"),
+        ).withColumn("glen", F.lit(length))
+        pos = p if pos is None else pos.unionByName(p)
     matched = (
         pos.join(F.broadcast(bench_grams), "g")
         .groupBy(id_col)
-        .agg(F.collect_set("gpos").alias("mpos"))
+        .agg(F.collect_set(F.struct("gpos", "glen")).alias("mpos"))
     )
     # original-case words for the rebuild; gram matching was lowercased
     orig_words = F.split(F.trim(F.col(text_col)), r"\s+")
     out = (
-        base.drop("__grams")
-        .join(matched, id_col, "left")
-        .withColumn("__mpos", F.coalesce(F.col("mpos"),
-                                         F.array().cast("array<int>")))
+        corpus.join(matched, id_col, "left")
+        .withColumn("__mpos", F.coalesce(
+            F.col("mpos"),
+            F.array().cast("array<struct<gpos:int,glen:int>>")))
         .withColumn("__w", orig_words)
         .withColumn("__keep", F.filter(
             F.col("__w"),
             lambda w, i: ~F.exists(
                 F.col("__mpos"),
-                lambda p: (i >= p) & (i < p + n)),
+                lambda p: (i >= p["gpos"]) & (i < p["gpos"] + p["glen"])),
         ))
     )
     return out.select(
@@ -147,7 +189,7 @@ def build_gram_bloom(
     bits_per_key: int = 10,
     n_hashes: int = 7,
     text_col: str = "text",
-) -> tuple[bytes, int, int]:
+) -> tuple[bytes, int, int, list[int]]:
     """Distributed Bloom-filter build over the benchmark's n-gram hashes —
     the scale path for benchmark sets too large to broadcast exactly
     (~10 bits/key ≈ 1% false positives vs 64 bits/key for exact hashes).
@@ -159,7 +201,9 @@ def build_gram_bloom(
 
     Bit positions use Kirsch-Mitzelmacher double hashing over the two
     32-bit halves of the xxhash64 gram hash: pos_i = (h1 + i·h2) mod m —
-    one 64-bit hash per gram, k derived probes."""
+    one 64-bit hash per gram, k derived probes.  The returned tuple also
+    carries the benchmark's short example lengths so the probe side can
+    generate matching ℓ-grams (min(n, example length) rule)."""
     import numpy as np
     import pandas as pd
 
@@ -186,12 +230,12 @@ def build_gram_bloom(
     acc = np.zeros(m // 8, dtype=np.uint8)
     for r in rows:
         acc |= np.frombuffer(r["packed"], dtype=np.uint8)
-    return acc.tobytes(), m, n_hashes
+    return acc.tobytes(), m, n_hashes, _short_lengths(benchmark, n, text_col)
 
 
 def contamination_flags_bloom(
     corpus: DataFrame,
-    bloom: tuple[bytes, int, int],
+    bloom: tuple[bytes, int, int, list[int]],
     n: int = 13,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -205,8 +249,12 @@ def contamination_flags_bloom(
     import numpy as np
     import pandas as pd
 
-    packed, m, k = bloom
-    bits = np.unpackbits(np.frombuffer(packed, dtype=np.uint8)).astype(bool)
+    packed, m, k, *rest = bloom
+    shorts = rest[0] if rest else []
+    # probe the PACKED array (bits[pos>>3] >> (7-(pos&7))) — unpacking to a
+    # bool per bit would ship 8× the bytes in the task closure, i.e. MORE
+    # than the exact hash set this filter exists to undercut
+    bits = np.frombuffer(packed, dtype=np.uint8)
     id_t = dict(corpus.dtypes)[id_col]
     schema = f"{id_col} {id_t}, n_flagged_grams int"
 
@@ -220,7 +268,9 @@ def contamination_flags_bloom(
                 for i in range(k):
                     pos = ((h1 + np.uint64(i) * h2) % np.uint64(m)) \
                         .astype(np.int64)
-                    hit &= bits[pos]
+                    # np.packbits is big-endian within a byte: bit 0 → MSB
+                    hit &= ((bits[pos >> 3] >> (7 - (pos & 7))) & 1) \
+                        .astype(bool)
                 n_hit = int(hit.sum())
                 if n_hit:
                     out_id.append(_id)
@@ -228,7 +278,8 @@ def contamination_flags_bloom(
             yield pd.DataFrame({id_col: out_id, "n_flagged_grams": out_n})
 
     return corpus.select(
-        F.col(id_col), _gram_hashes(F.col(text_col), n).alias("gh")
+        F.col(id_col),
+        _corpus_gram_hashes(F.col(text_col), n, shorts).alias("gh")
     ).mapInPandas(probe, schema)
 
 

@@ -86,10 +86,12 @@ def fit_centroids(
     far below driver memory, and this matches faiss, which also trains
     its coarse quantizer on a driver/host sample.
 
-    Deterministic for a fixed (data, seed): k-means++-style seeding from
-    ``np.random.default_rng(seed)`` and argmax ties broken by lowest
-    index.  Empty cells are re-seeded to the point farthest from its
-    centroid, so all n_cells survive.
+    Deterministic for a fixed (data, partitioning, seed) — the same
+    contract as ``mixing.py``: ``df.sample`` draws and the collect order
+    that k-means++ indexes into both depend on the input partitioning,
+    so re-partitioned data can train different (equally valid) centroids.
+    Empty cells are re-seeded to the farthest-from-assignment points
+    (each empty cell a DIFFERENT point), so all n_cells survive distinct.
     """
     sample_df = df.select(vec_col)
     # Avoid collecting an unbounded corpus: sample down when the plan's
@@ -126,13 +128,16 @@ def fit_centroids(
         S = X @ C.T                        # n × k similarities
         assign = np.argmax(S, axis=1)      # ties → lowest index (np argmax)
         newC = np.zeros_like(C)
+        # dead cells re-seed to the worst-assigned points, one DISTINCT
+        # point per dead cell — a shared "farthest point" would duplicate
+        # centroids and the duplicate cell would stay dead forever
+        worst_order = iter(np.argsort(S[np.arange(n), assign]))
         for j in range(k):
             members = X[assign == j]
             if len(members):
                 newC[j] = members.mean(axis=0)
-            else:                          # re-seed dead cell: farthest point
-                worst = int(np.argmin(S[np.arange(n), assign]))
-                newC[j] = X[worst]
+            else:
+                newC[j] = X[int(next(worst_order))]
         newC = _normalize_rows(newC)
         if np.allclose(newC, C, atol=1e-9):
             C = newC

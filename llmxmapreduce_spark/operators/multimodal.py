@@ -138,15 +138,27 @@ def strided_byte_thumbnail(payload: bytes, target_w: int,
     return bytes(payload[int(i * stride)] for i in range(n_out))
 
 
+def resize_stub(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """REAL resize would decode (PIL/libvips), downscale, re-encode — not
+    available in this container.  STUB: raises; ``resize_images`` catches
+    and falls back to the deterministic fake thumbnail with a D8 sentinel,
+    exactly like ``extract_features``'s decode handling."""
+    raise NotImplementedError(
+        "image codecs are not installed in this environment; "
+        "inject a resizer(payload, w, h) -> bytes"
+    )
+
+
 def resize_images(assets: DataFrame, target_w: int = 64, target_h: int = 64,
-                  decoder=decode_image) -> DataFrame:
+                  resizer=resize_stub) -> DataFrame:
     """Image resize via ``mapInPandas`` — the decode→downscale→re-encode
     body is the stubbed step (no codecs in this container; D8
     error-sentinel rows, like ``extract_features``), the Spark plumbing is
     real: binary in/binary out per Arrow batch, metadata (width/height)
     rewritten to the target, payloads never shuffled beyond this stage's
-    own narrow map.  With a real decoder injected the fake thumbnail is
-    replaced by the decoded-and-resized bytes."""
+    own narrow map.  An injected ``resizer(payload, w, h) -> bytes``
+    supplies the real output bytes; on stub/failure the row carries the
+    deterministic fake thumbnail with ``resize_ok=false``."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -154,17 +166,19 @@ def resize_images(assets: DataFrame, target_w: int = 64, target_h: int = 64,
                 payload = r["payload"] or b""
                 ok, err = True, None
                 try:
-                    decoder(payload)
+                    out_bytes = resizer(payload, target_w, target_h)
                 except NotImplementedError as e:
-                    ok, err = False, f"decode stub: {e}"
+                    ok, err = False, f"resize stub: {e}"
                 except Exception as e:  # noqa: BLE001
                     ok, err = False, f"{type(e).__name__}: {e}"
+                if not ok:
+                    out_bytes = strided_byte_thumbnail(
+                        payload, target_w, target_h,
+                        r.get("width"), r.get("height"))
                 rows.append({
                     "asset_id": r["asset_id"],
                     "media_type": r["media_type"],
-                    "payload": strided_byte_thumbnail(
-                        payload, target_w, target_h,
-                        r.get("width"), r.get("height")),
+                    "payload": out_bytes,
                     "width": target_w,
                     "height": target_h,
                     "resize_ok": ok,

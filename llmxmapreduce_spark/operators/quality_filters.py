@@ -64,8 +64,9 @@ def gopher_signals(
     """Append the Gopher A1.1 signal columns + ``gopher_pass`` verdict.
 
     Thresholds default to the paper's published values (50–100k words,
-    mean word length 3–10, ≤10% '#'/'…' symbols per word, <90% bullet
-    lines, ≤30% ellipsis lines, ≥80% words with an alphabetic char, ≥2 of
+    mean word length 3–10, ≤10% '#'/'…' symbols per word, ≤90% bullet
+    lines (the paper removes docs with MORE than 90%), ≤30% ellipsis
+    lines, ≥80% words with an alphabetic char, ≥2 of
     the 8 required stopwords).  All ratios are exact int/int doubles.
     """
     t = F.col(text_col)
@@ -99,7 +100,7 @@ def gopher_signals(
         & (mean_word_len >= min_mean_word_len)
         & (mean_word_len <= max_mean_word_len)
         & (symbol_word_ratio <= max_symbol_word_ratio)
-        & (bullet_line_ratio < max_bullet_line_ratio)
+        & (bullet_line_ratio <= max_bullet_line_ratio)
         & (ellipsis_line_ratio <= max_ellipsis_line_ratio)
         & (alpha_word_ratio >= min_alpha_word_ratio)
         & (n_required >= min_required_stopwords)

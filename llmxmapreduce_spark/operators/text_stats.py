@@ -283,8 +283,6 @@ def normalize_text(
     if not nfc:
         return res
 
-    import pandas as pd
-
     def compose(batches):
         import unicodedata
 

@@ -35,6 +35,7 @@ from __future__ import annotations
 import os
 from typing import Callable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -101,7 +102,12 @@ def run_incremental_neardup_ingest(
         batch_df = batch_df.localCheckpoint(eager=True)  # used 3×: sig/bucket/verify
         try:
             corpus = spark.read.schema(schema).parquet(kept_path)
-        except Exception:  # first batch: no kept corpus yet
+        except AnalysisException as e:
+            # ONLY "no kept corpus yet" may fall back to empty — a real
+            # read failure (permissions, corrupt footer) must not silently
+            # dedup against nothing and re-admit duplicates forever
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
             corpus = spark.createDataFrame([], schema)
         survivors = minhash_dedup_incremental(batch_df, corpus,
                                               **dedup_kwargs)

@@ -34,10 +34,15 @@ def test_contamination_flags_planted(spark):
         (13, "tiny example"),                  # exact short match via partial
         (14, "the quick brown fox jumps over the lazy dog tonight and "
              "pack my box with five dozen liquor jugs right now"),  # hits both
+        # a LONG doc embedding the SHORT (2-word) bench example — the
+        # min(n, example length) rule must catch it via 2-grams
+        (15, "a long document which quotes the tiny example answer deep "
+             "inside its running text somewhere"),
     ], "doc_id bigint, text string")
     flags = {r["doc_id"]: r for r in
              dc.contamination_flags(corpus, _bench(spark), n=N).collect()}
-    assert set(flags) == {10, 13, 14}
+    assert set(flags) == {10, 13, 14, 15}
+    assert flags[15]["bench_ids"] == [2]
     assert flags[10]["n_matched_grams"] == 2       # two overlapping 6-grams
     assert flags[10]["bench_ids"] == [0]
     assert flags[13]["bench_ids"] == [2]
@@ -47,10 +52,11 @@ def test_contamination_flags_planted(spark):
     survivors = dc.decontaminate(corpus, _bench(spark), n=N)
     assert sorted(r["doc_id"] for r in survivors.collect()) == [11, 12]
     assert survivors.columns == corpus.columns
+    assert survivors.columns == corpus.columns
     # a stricter threshold lets single-gram hits through
     loose = dc.decontaminate(corpus, _bench(spark), n=N,
                              min_matched_grams=3)
-    assert sorted(r["doc_id"] for r in loose.collect()) == [10, 11, 12, 13]
+    assert sorted(r["doc_id"] for r in loose.collect()) == [10, 11, 12, 13, 15]
 
 
 _TWIN = """
@@ -113,6 +119,9 @@ def test_mask_contamination(spark):
         (11, "totally clean text with  odd   spacing preserved as tokens"),
         (13, "tiny example"),                  # fully covered by partial gram
     ], "doc_id bigint, text string")
+    corpus = corpus.union(spark.createDataFrame(
+        [(15, "quoting the tiny example here verbatim works")],
+        corpus.schema))
     out = {r["doc_id"]: r for r in
            dc.mask_contamination(corpus, _bench(spark), n=N).collect()}
     # doc 10: grams at word-positions 4 and 5 match bench 0 → words 4..10
@@ -125,8 +134,12 @@ def test_mask_contamination(spark):
         "totally clean text with odd spacing preserved as tokens"
     # short doc fully covered by its partial gram
     assert out[13]["clean_text"] == "" and out[13]["n_masked_words"] == 2
+    # the short bench example quoted INSIDE a long doc masks exactly its
+    # 2-word window (min(n, example length) rule)
+    assert out[15]["clean_text"] == "quoting the here verbatim works"
+    assert out[15]["n_masked_words"] == 2
     # every input row returns
-    assert set(out) == {10, 11, 13}
+    assert set(out) == {10, 11, 13, 15}
 
 
 def test_bloom_path_no_false_negatives(spark):

@@ -146,10 +146,13 @@ def test_multimodal_resize_plumbing(spark):
     again = multimodal.resize_images(make_assets(spark), 8, 4).collect()
     assert {r["asset_id"]: bytes(r["payload"]) for r in again} \
         == {r["asset_id"]: bytes(r["payload"]) for r in out}
-    # injected real decoder flips the sentinel
-    ok = multimodal.resize_images(make_assets(spark), 8, 4,
-                                  decoder=lambda p: object()).collect()
+    # an injected real resizer's OUTPUT BYTES land in the payload column
+    ok = multimodal.resize_images(
+        make_assets(spark), 8, 4,
+        resizer=lambda p, w, h: bytes([len(p) % 251]) * (w * h)).collect()
     assert all(r["resize_ok"] for r in ok)
+    assert all(bytes(r["payload"]) == bytes([100 if r["asset_id"] == "img1"
+                                             else 0]) * 32 for r in ok)
 
 
 def test_html_extract_drops_boilerplate(spark):
