@@ -94,6 +94,16 @@ def pack_assignments(
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         bucket = int(pdf["__bucket"].iloc[0])
+        # duplicate ids always hash to the SAME bucket, so this per-bucket
+        # check is a complete guard: with dup ids the text join in
+        # pack_sequences would cross-product and silently overfill bins
+        # (e.g. mix_sources epoch-upsampled output packed on doc_id alone)
+        if not pdf[id_col].is_unique:
+            dup = pdf[id_col][pdf[id_col].duplicated()].iloc[0]
+            raise ValueError(
+                f"pack_assignments: duplicate {id_col}={dup!r} — ids must "
+                f"be unique; for epoch-upsampled rows derive a composite "
+                f"key first (e.g. xxhash64({id_col}, epoch))")
         packed = ffd_pack(zip(pdf[id_col], pdf[len_col].astype(int)),
                           max_tokens)
         return pd.DataFrame({

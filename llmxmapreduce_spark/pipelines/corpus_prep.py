@@ -60,6 +60,7 @@ class CorpusPrepConfig:
     neardup_verify: str = "estimate"
     mix_weights: dict | None = None  # source → weight; None = keep all
     mix_target: int | None = None
+    mix_upsample: bool = False       # allow epochs > 1 per stratum
     max_tokens: int = 2048
     seed: int = 42
 
@@ -118,10 +119,18 @@ def run_corpus_prep(
         target = cfg.mix_target
         if target is None:
             target = d.count() // 2
-        d = mix_sources(d, cfg.mix_weights, target, seed=cfg.seed)
+        d = mix_sources(d, cfg.mix_weights, target,
+                        allow_upsample=cfg.mix_upsample, seed=cfg.seed)
         d = cut("mixing", d)
 
-    packed = pack_sequences(d.select(id_col, text_col), cfg.max_tokens,
+    pack_src = d.select(id_col, text_col)
+    if "epoch" in d.columns:
+        # epoch upsampling repeats doc ids; packing requires unique keys
+        # (pack_assignments raises on dups) — derive a composite uid
+        pack_src = d.select(
+            F.xxhash64(F.col(id_col), F.col("epoch")).alias(id_col),
+            text_col)
+    packed = pack_sequences(pack_src, cfg.max_tokens,
                             id_col=id_col, text_col=text_col)
     if sm is not None:
         packed = sm.observe("packing", packed)

@@ -168,3 +168,37 @@ def test_pack_rejects_bad_budget(spark):
     df = _len_df(spark, [10])
     with pytest.raises(ValueError, match="positive"):
         packing.pack_assignments(df, 0)
+
+
+def test_pack_rejects_duplicate_ids(spark):
+    """Regression: duplicate doc ids (what epoch upsampling emits) would
+    cross-product in pack_sequences' text join and overfill bins — the
+    per-bucket guard is complete because dup ids share a bucket."""
+    df = spark.createDataFrame([(1, 10), (1, 10), (2, 5)],
+                               "doc_id bigint, n_tokens bigint")
+    with pytest.raises(Exception, match="duplicate"):
+        packing.pack_assignments(df, 100).collect()
+
+
+def test_corpus_prep_packs_upsampled_mix(spark):
+    """mix(epochs>1) → pack composition: every (doc, epoch) copy packs
+    exactly once via the composite uid, no sequence over budget."""
+    from llmxmapreduce_spark.pipelines.corpus_prep import (CorpusPrepConfig,
+                                                           run_corpus_prep)
+
+    docs = load_table(spark, SF, "documents").limit(100) \
+        .localCheckpoint(eager=True)
+    src0 = docs.select("source").first()[0]
+    n0 = docs.filter(F.col("source") == src0).count()
+    out = run_corpus_prep(
+        docs,
+        CorpusPrepConfig(quality=False, span=0, max_tokens=2048,
+                         neardup_threshold=1.01,   # keep every copy
+                         mix_weights={src0: 1.0}, mix_target=3 * n0,
+                         mix_upsample=True))
+    rows = out.collect()
+    # ~3 epochs of the stratum packed (exact count shifts slightly with
+    # upstream dedup + the fractional draw)
+    assert sum(r["n_docs"] for r in rows) >= 2.5 * n0
+    assert all(r["total_tokens"] <= 2048 for r in rows
+               if not r["truncated"])
