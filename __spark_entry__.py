@@ -1178,6 +1178,21 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
                                n=13)
 
 
+def q_decontaminate_fast(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow/numpy twin of `decontaminate`: vectorized polynomial gram
+    hashing instead of Catalyst chained-concat gram strings (whose cost
+    multiplies per gram length under the min(n, example length) short
+    rule).  Equivalence is test-pinned
+    (tests/test_decontamination.py::test_fast_twin_matches_exact)."""
+    from llmxmapreduce_spark.operators.decontamination import (
+        contamination_flags_fast)
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return contamination_flags_fast(d.filter(F.col("doc_id") % 97 != 0),
+                                    bench, n=13)
+
+
 def q_v2_decode_tail(spark: SparkSession, sf: str) -> DataFrame:
     """The V2 decode pipeline's deterministic suffix (v2_survey.decode_tail:
     P12 renumber → A7 cite_ratio → references block → markdown assembly,

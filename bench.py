@@ -69,6 +69,7 @@ HEADLINE = [
     "sequence_packing",
     "corpus_prep_e2e",
     "decontaminate",
+    "decontaminate_fast",
 ]
 
 # The round-2..5 comparable set: "suite19_sec" in the output JSON is the
@@ -105,6 +106,7 @@ BENCH_ONLY = {
     "sequence_packing": entrymod.q_sequence_packing,
     "corpus_prep_e2e": entrymod.q_corpus_prep_e2e,
     "decontaminate": entrymod.q_decontaminate,
+    "decontaminate_fast": entrymod.q_decontaminate_fast,
 }
 
 

@@ -177,6 +177,34 @@ def test_bloom_path_no_false_negatives(spark):
     assert dc.build_gram_bloom(bench, n=N, bits_per_key=12)[0] == bloom[0]
 
 
+def test_fast_twin_matches_exact(spark):
+    """contamination_flags_fast must flag the same docs with the same
+    distinct-gram counts as the exact Catalyst path (different hash
+    family, same matching semantics — incl. the short-example rule)."""
+    rng = np.random.default_rng(43)
+    vocab = "qq ww ee rr tt yy uu oo pp aa".split()
+
+    def doc(k=25):
+        return " ".join(rng.choice(vocab) for _ in range(k))
+
+    bench_rows = [(i, doc(15)) for i in range(4)] + [(9, "ss short answer")]
+    corpus_rows = [(i, doc()) for i in range(60)]
+    for j in range(8):
+        src = bench_rows[j % 4][1].split()
+        corpus_rows.append((100 + j, doc(5) + " "
+                            + " ".join(src[1:1 + N + 2]) + " " + doc(5)))
+    corpus_rows.append((200, doc(10) + " ss short answer " + doc(10)))
+    corpus = spark.createDataFrame(corpus_rows, "doc_id bigint, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id bigint, text string")
+
+    exact = {r["doc_id"]: r["n_matched_grams"] for r in
+             dc.contamination_flags(corpus, bench, n=N).collect()}
+    fast = {r["doc_id"]: r["n_matched_grams"] for r in
+            dc.contamination_flags_fast(corpus, bench, n=N).collect()}
+    assert fast == exact
+    assert 200 in fast                      # short-rule hit via fast path
+
+
 def test_plan_broadcasts_benchmark(spark):
     corpus = spark.createDataFrame([(1, "a b c d e f g")],
                                    "doc_id bigint, text string")
