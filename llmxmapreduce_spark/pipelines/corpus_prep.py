@@ -62,6 +62,8 @@ class CorpusPrepConfig:
     mix_target: int | None = None
     mix_upsample: bool = False       # allow epochs > 1 per stratum
     max_tokens: int = 2048
+    split_oversized: bool = True     # split > max_tokens docs (C1 chunker)
+                                     # instead of emitting truncated bins
     seed: int = 42
 
 
@@ -130,6 +132,23 @@ def run_corpus_prep(
         pack_src = d.select(
             F.xxhash64(F.col(id_col), F.col("epoch")).alias(id_col),
             text_col)
+    if cfg.split_oversized:
+        # reuse the V1 token-budget chunker (C1) at word granularity so a
+        # > max_tokens document becomes several packable parts instead of
+        # a dedicated truncated bin the trainer then has to cut anyway
+        from llmxmapreduce_spark.operators.chunker import chunk_documents, ws_len
+
+        n_words = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        fits = pack_src.filter(n_words <= cfg.max_tokens)
+        parts = chunk_documents(
+            pack_src.filter(n_words > cfg.max_tokens),
+            id_col=id_col, text_col=text_col,
+            budget_col=F.lit(cfg.max_tokens), length_fn=ws_len,
+            separator=" ",
+        ).select(
+            F.xxhash64(F.col(id_col), F.col("chunk_id")).alias(id_col),
+            F.col("text").alias(text_col))
+        pack_src = fits.unionByName(parts)
     packed = pack_sequences(pack_src, cfg.max_tokens,
                             id_col=id_col, text_col=text_col)
     if sm is not None:

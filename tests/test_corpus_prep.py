@@ -97,6 +97,30 @@ def test_corpus_prep_with_mixing(spark, corpus):
     assert 0 < n_docs <= 20                   # sampled well below survivors
 
 
+def test_corpus_prep_splits_oversized_docs(spark):
+    """split_oversized: a 600-word doc at max_tokens=128 becomes several
+    packable parts — zero truncated sequences, no words lost."""
+    rng = np.random.default_rng(3)
+    vocab = "the of and have with river stone light".split()
+    big = " ".join(rng.choice(vocab) for _ in range(600))
+    small = " ".join(rng.choice(vocab) for _ in range(50))
+    df = spark.createDataFrame(
+        [(0, big, "web"), (1, small, "web")],
+        "doc_id bigint, text string, source string")
+    cfg = CorpusPrepConfig(quality=False, redact=False, span=0,
+                           neardup_threshold=1.01, max_tokens=128)
+    rows = run_corpus_prep(df, cfg).collect()
+    assert not any(r["truncated"] for r in rows)
+    assert all(r["total_tokens"] <= 128 for r in rows)
+    assert sum(r["total_tokens"] for r in rows) == 650   # nothing lost
+    # with splitting off, the big doc lands in one flagged oversized bin
+    cfg_off = CorpusPrepConfig(quality=False, redact=False, span=0,
+                               neardup_threshold=1.01, max_tokens=128,
+                               split_oversized=False)
+    rows_off = run_corpus_prep(df, cfg_off).collect()
+    assert sum(r["truncated"] for r in rows_off) == 1
+
+
 def test_corpus_prep_stages_can_disable(spark, corpus):
     cfg = CorpusPrepConfig(quality=False, redact=False, span=0,
                            max_tokens=512)
