@@ -1189,8 +1189,10 @@ def q_decontaminate_fast(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load_table(spark, sf, "documents").select("doc_id", "text")
     bench = d.filter(F.col("doc_id") % 97 == 0)
+    # min_parallelism: the local test parquet is a handful of files, which
+    # would cap the Python scan at that width (4.8× at sf5 from this knob)
     return contamination_flags_fast(d.filter(F.col("doc_id") % 97 != 0),
-                                    bench, n=13)
+                                    bench, n=13, min_parallelism=64)
 
 
 def q_v2_decode_tail(spark: SparkSession, sf: str) -> DataFrame:

@@ -174,9 +174,17 @@ def contamination_flags_fast(
     id_col: str = "doc_id",
     text_col: str = "text",
     bench_text_col: str = "text",
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Arrow/numpy production twin of :func:`contamination_flags` →
-    (id_col, n_matched_grams).  Same matching semantics (n-grams +
+    (id_col, n_matched_grams).
+
+    ``min_parallelism``: Python scan throughput is bound by the INPUT
+    partition count (mapInPandas gets no intra-partition parallelism) —
+    a corpus read from few large files idles most cores.  Setting this
+    repartitions up to the given width first, trading one text shuffle
+    for full-width scanning; at real scale the file count already
+    exceeds the cluster width and the default (no repartition) is right.  Same matching semantics (n-grams +
     min(n, example length) short rule); the gram hash is a vectorized
     polynomial over per-word hashes instead of Catalyst's chained
     ``zip_with`` string concatenation — the concat is interpreted per
@@ -221,7 +229,10 @@ def contamination_flags_fast(
                     out_n.append(n_hit)
             yield pd.DataFrame({id_col: out_id, "n_matched_grams": out_n})
 
-    return corpus.select(id_col, text_col).mapInPandas(scan, schema)
+    src = corpus.select(id_col, text_col)
+    if min_parallelism and src.rdd.getNumPartitions() < min_parallelism:
+        src = src.repartition(min_parallelism)
+    return src.mapInPandas(scan, schema)
 
 
 def mask_contamination(

@@ -203,6 +203,11 @@ def test_fast_twin_matches_exact(spark):
             dc.contamination_flags_fast(corpus, bench, n=N).collect()}
     assert fast == exact
     assert 200 in fast                      # short-rule hit via fast path
+    # repartitioned scan (min_parallelism) returns identical results
+    wide = {r["doc_id"]: r["n_matched_grams"] for r in
+            dc.contamination_flags_fast(corpus, bench, n=N,
+                                        min_parallelism=8).collect()}
+    assert wide == exact
 
 
 def test_plan_broadcasts_benchmark(spark):
