@@ -140,6 +140,24 @@ def _poly_gram_hashes(word_hashes, length):
     return out
 
 
+_JAVA_WS = None  # compiled lazily: Java/Catalyst \s+, ASCII-only
+
+
+def _split_words(text: str) -> list[str]:
+    """Tokenize EXACTLY like the Catalyst path's
+    ``split(trim(lower(text)), '\\s+')``: Java ``\\s`` is ASCII-only
+    ([ \\t\\n\\x0b\\f\\r]) and ``trim`` strips spaces only — Python's
+    ``str.split()`` splits on Unicode whitespace (NBSP, thin space, …)
+    and would make the fast twin disagree with the exact path on
+    web-scraped text (found by review repro)."""
+    import re
+
+    global _JAVA_WS
+    if _JAVA_WS is None:
+        _JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+    return _JAVA_WS.split(text.lower().strip(" "))
+
+
 def _word_hashes(text: str, cache: dict | None = None):
     """Per-word 64-bit hashes (blake2b-8) for the fast gram path — Python
     hash() is process-seeded and unusable; blake2b is stable.  ``cache``
@@ -150,7 +168,7 @@ def _word_hashes(text: str, cache: dict | None = None):
 
     import numpy as np
 
-    ws = text.strip().lower().split()
+    ws = _split_words(text)
     if not ws:
         ws = [""]
     if cache is None:
@@ -316,7 +334,8 @@ def build_gram_bloom(
 
     Each Arrow batch sets its bits in a LOCAL bit array and emits one
     packed-bytes row; the driver ORs the (one-per-batch) rows — no
-    per-gram collect.  Returns ``(packed_bits, m_bits, n_hashes)`` for
+    per-gram collect.  Returns ``(packed_bits, m_bits, n_hashes,
+    short_lengths)`` for
     :func:`contamination_flags_bloom`.
 
     Bit positions use Kirsch-Mitzelmacher double hashing over the two

@@ -17,7 +17,8 @@ distribution), and every bucket packs in parallel.
 100 TB framing: one exchange on the 4-byte bucket id; per-bucket state is
 O(bucket rows) ids + lengths (text itself can stay behind — pack on
 (id, n_tokens) and join assignments back, which is what :func:`pack_assignments`
-returns).  Bucket count scales with the corpus (rows / ~50k), keeping
+returns).  Bucket count scales with the corpus (rows / ~5k by default,
+capped at 65 536 — pass n_buckets beyond ~330 M rows), keeping
 groups executor-sized.
 
 Determinism: bucket id = ``xxhash64(id) % n_buckets``; within a bucket,
@@ -77,9 +78,12 @@ def pack_assignments(
     — packing never silently loses tokens).
 
     ``n_buckets=None`` sizes buckets from a count (one cheap job):
-    ~2 000 docs per bucket, so small corpora pack in ONE bucket (bucketed
+    ~5 000 docs per bucket, so small corpora pack in ONE bucket (bucketed
     FFD ≈ sequential FFD) while large corpora fan out — a bucket holding
-    ≪ 1 sequence worth of docs would waste nearly its whole budget.
+    ≪ 1 sequence worth of docs would waste nearly its whole budget, and a
+    bucket holding too many makes the per-group Python FFD (O(docs×bins))
+    the bottleneck.  The 65 536-bucket cap covers ~330 M docs; past that,
+    pass ``n_buckets`` explicitly (the guidance in the module docstring).
     Callers that know their row count pass it explicitly to skip the
     count job."""
     import pandas as pd
@@ -87,7 +91,7 @@ def pack_assignments(
     if max_tokens <= 0:
         raise ValueError("pack_assignments: max_tokens must be positive")
     if n_buckets is None:
-        n_buckets = max(1, min(1024, df.count() // 2_000))
+        n_buckets = max(1, min(65_536, df.count() // 5_000))
     id_t = dict(df.dtypes)[id_col]
     schema = (f"{id_col} {id_t}, {len_col} bigint, seq_id bigint, "
               f"truncated boolean")

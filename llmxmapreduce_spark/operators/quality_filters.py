@@ -31,6 +31,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# same tokenization as the dedup/hash family — ONE definition repo-wide
+from llmxmapreduce_spark.operators.text_stats import ws_tokens as _words
+
 # Gopher A1.1's required-word screen: a document must contain at least
 # ``min_required_stopwords`` of these.
 REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
@@ -42,10 +45,6 @@ _TERMINAL_RE = r'[.!?"]\s*$'            # C4: line ends in terminal punct
 
 def _lines(text: Column) -> Column:
     return F.split(text, r"\n")
-
-
-def _words(text: Column) -> Column:
-    return F.split(F.trim(text), r"\s+")
 
 
 def gopher_signals(
@@ -177,6 +176,17 @@ def quality_filter(
     unknown = set(thresholds) - g_keys - c_keys
     if unknown:
         raise TypeError(f"quality_filter: unknown thresholds {sorted(unknown)}")
+    # a threshold for a ruleset that is NOT running would be silently
+    # ignored — the caller believes a filter applies when nothing does
+    orphaned = set()
+    if "gopher" not in rules:
+        orphaned |= set(thresholds) & g_keys
+    if "c4" not in rules:
+        orphaned |= set(thresholds) & c_keys
+    if orphaned:
+        raise TypeError(
+            f"quality_filter: thresholds {sorted(orphaned)} target a "
+            f"ruleset not in rules={rules!r}")
     if "gopher" in rules:
         g_kw = {k: v for k, v in thresholds.items() if k in g_keys}
         out = gopher_signals(out, text_col, **g_kw).filter("gopher_pass")

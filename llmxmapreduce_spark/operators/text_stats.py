@@ -258,11 +258,18 @@ def normalize_text(
     text_col: str = "text",
     out_col: str | None = None,
     nfc: bool = True,
+    collapse_whitespace: bool = True,
 ) -> DataFrame:
-    """Canonical text normalization — the step every dedup/hash operator
-    assumes has already happened (CCNet/C4 preprocessing): strip control
-    and zero-width characters, collapse whitespace runs to single spaces,
-    trim, and (optionally) Unicode NFC-compose.
+    """Canonical text normalization for the HASH-KEYED operators (exact
+    dedup, fingerprints, MinHash, decontamination — CCNet/C4-style): strip
+    control and zero-width characters, collapse whitespace runs to single
+    spaces, trim, and (optionally) Unicode NFC-compose.
+
+    ORDERING CAVEAT: whitespace collapse destroys LINE structure, so run
+    the line-based operators (Gopher/C4 ``quality_filters``,
+    ``span_dedup``'s sentence split across lines) on the RAW text first —
+    or pass ``collapse_whitespace=False`` to get only the control-strip +
+    NFC passes, which are line-safe.
 
     The control/zero-width strip and whitespace collapse are Catalyst
     ``regexp_replace`` (whole-stage codegen); NFC composition has no
@@ -278,7 +285,8 @@ def normalize_text(
         F.col(text_col),
         "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f​‌‍﻿]",
         "")
-    cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    if collapse_whitespace:
+        cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
     res = df.withColumn(out, cleaned)
     if not nfc:
         return res

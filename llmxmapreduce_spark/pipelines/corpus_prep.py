@@ -140,8 +140,16 @@ def run_corpus_prep(
 
         n_words = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
         fits = pack_src.filter(n_words <= cfg.max_tokens)
+        # normalize ALL whitespace to single spaces before the space-
+        # separated chunk split: a newline-separated word run would
+        # otherwise ride through as one giant "split" that the chunker's
+        # space-guard DROPS (silent token loss — found by review repro);
+        # parts are therefore whitespace-normalized, which packing's
+        # word-join output format already is
+        over = pack_src.filter(n_words > cfg.max_tokens).withColumn(
+            text_col, F.regexp_replace(F.col(text_col), r"\s+", " "))
         parts = chunk_documents(
-            pack_src.filter(n_words > cfg.max_tokens),
+            over,
             id_col=id_col, text_col=text_col,
             budget_col=F.lit(cfg.max_tokens), length_fn=ws_len,
             separator=" ",

@@ -121,6 +121,22 @@ def test_corpus_prep_splits_oversized_docs(spark):
     assert sum(r["truncated"] for r in rows_off) == 1
 
 
+def test_split_oversized_newline_separated_words(spark):
+    """Regression (review repro): an oversized doc whose words are
+    NEWLINE-separated must still split losslessly — the space-separated
+    chunker previously dropped the whole doc."""
+    rng = np.random.default_rng(9)
+    vocab = "the of and have with river stone light".split()
+    big_nl = "\n".join(rng.choice(vocab) for _ in range(600))
+    df = spark.createDataFrame([(0, big_nl, "web")],
+                               "doc_id bigint, text string, source string")
+    cfg = CorpusPrepConfig(quality=False, redact=False, span=0,
+                           neardup_threshold=1.01, max_tokens=128)
+    rows = run_corpus_prep(df, cfg).collect()
+    assert sum(r["total_tokens"] for r in rows) == 600   # nothing lost
+    assert not any(r["truncated"] for r in rows)
+
+
 def test_corpus_prep_stages_can_disable(spark, corpus):
     cfg = CorpusPrepConfig(quality=False, redact=False, span=0,
                            max_tokens=512)

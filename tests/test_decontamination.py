@@ -210,6 +210,24 @@ def test_fast_twin_matches_exact(spark):
     assert wide == exact
 
 
+def test_fast_twin_unicode_whitespace_parity(spark):
+    """Regression (review repro): Java \\s is ASCII-only, Python
+    str.split() is Unicode — an NBSP inside web text must tokenize the
+    same on both paths or the twin contract breaks."""
+    nbsp_text = "alpha beta gamma delta"     # NBSP joins alpha+beta
+    bench = spark.createDataFrame([(0, nbsp_text)],
+                                  "doc_id bigint, text string")
+    corpus = spark.createDataFrame(
+        [(1, "prefix words " + nbsp_text + " suffix words"),
+         (2, "alpha beta gamma delta plain spaces here")],
+        "doc_id bigint, text string")
+    exact = {r["doc_id"]: r["n_matched_grams"] for r in
+             dc.contamination_flags(corpus, bench, n=3).collect()}
+    fast = {r["doc_id"]: r["n_matched_grams"] for r in
+            dc.contamination_flags_fast(corpus, bench, n=3).collect()}
+    assert fast == exact
+
+
 def test_plan_broadcasts_benchmark(spark):
     corpus = spark.createDataFrame([(1, "a b c d e f g")],
                                    "doc_id bigint, text string")

@@ -155,10 +155,14 @@ def test_quality_filter_composition_and_plan(spark):
     assert both.columns == mixed.columns
     # custom thresholds reach the right ruleset; unknown ones raise
     loose = qf.quality_filter(docs, min_required_stopwords=0,
-                              min_sentences=0, rules=("gopher",))
+                              rules=("gopher",))
     assert loose.count() > 0
     with pytest.raises(TypeError, match="unknown"):
         qf.quality_filter(docs, bogus_threshold=1)
+    # a threshold aimed at a ruleset that is NOT running must raise, not
+    # silently no-op (review finding)
+    with pytest.raises(TypeError, match="target a ruleset"):
+        qf.quality_filter(docs, min_sentences=0, rules=("gopher",))
     # one projected scan, zero exchanges — this must fuse into ingest
     plan = qf.quality_filter(docs)._jdf.queryExecution() \
         .executedPlan().toString()
