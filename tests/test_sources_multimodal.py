@@ -197,3 +197,31 @@ def test_trace_sink_lineage_rows(spark):
             for r in got} == {(1, "in-a", "out-a", "map_stage"),
                               (2, "in-b", "out-b", "map_stage")}
     assert all(r["ts"] is not None for r in got)
+
+
+def test_write_training_shards(spark, tmp_path):
+    from llmxmapreduce_spark.sources.shards import write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, 100 + i % 7, f"seq text {i}") for i in range(1000)],
+        "seq_id bigint, total_tokens bigint, text string")
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(df, path, rows_per_shard=150)
+    assert manifest["n_rows"] == 1000
+    assert manifest["n_tokens"] == sum(100 + i % 7 for i in range(1000))
+    assert manifest["n_files"] >= 7                  # ceil(1000/150)
+    assert all(f["n_rows"] <= 150 for f in manifest["files"])
+    # manifest reflects what is on disk, and the data round-trips
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    import json, os
+    disk = json.load(open(os.path.join(path, "_manifest.json")))
+    assert disk == manifest
+    # range partitioning: each shard FILE holds a contiguous seq_id span
+    from pyspark.sql import functions as SF
+    spans = (back.groupBy(SF.input_file_name().alias("f"))
+             .agg(SF.min("seq_id").alias("lo"), SF.max("seq_id").alias("hi"))
+             .collect())
+    spans = sorted([(r["lo"], r["hi"]) for r in spans])
+    for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
+        assert h1 < l2
