@@ -69,9 +69,9 @@ def _corpus_gram_hashes(text: Column, n: int,
     if len(arrs) == 1:
         return arrs[0]
     # concat, not array_union: cross-length duplicates are only the
-    # degenerate partial-gram case and every consumer already aggregates
-    # with countDistinct/collect_set — union's sort-dedup would cost more
-    # than the duplicates it removes
+    # degenerate partial-gram case and every consumer dedups (agg paths
+    # via countDistinct/collect_set, the Bloom probe via np.unique) —
+    # union's sort-dedup would cost more than the duplicates it removes
     return F.concat(*arrs)
 
 
@@ -221,7 +221,9 @@ def contamination_flags_fast(
     shorts_set: set[int] = set()
     bench_lists = []
     for r in brows:
-        wh = _word_hashes(r[0] or "")
+        if r[0] is None:        # exact path: explode(null grams) emits nothing
+            continue
+        wh = _word_hashes(r[0])
         if 0 < len(wh) < n:
             shorts_set.add(len(wh))
         bench_lists.append(_poly_gram_hashes(wh, n))
@@ -230,18 +232,29 @@ def contamination_flags_fast(
     lengths = [n] + sorted(shorts_set)
 
     id_t = dict(corpus.dtypes)[id_col]
-    schema = f"{id_col} {id_t}, n_matched_grams int"
+    schema = f"{id_col} {id_t}, n_matched_grams bigint"
 
     def scan(batches):
         cache: dict = {}
         for pdf in batches:
+            if len(cache) > 2_000_000:   # heavy distinct-token tail
+                cache.clear()            # (typos/urls/ids): bound memory
             out_id, out_n = [], []
             for _id, text in zip(pdf[id_col], pdf[text_col]):
-                wh = _word_hashes(text or "", cache)
+                if text is None:   # exact path: null text has no grams
+                    continue
+                wh = _word_hashes(text, cache)
                 gs = np.unique(np.concatenate(
                     [_poly_gram_hashes(wh, l) for l in lengths]))
-                n_hit = int(np.isin(gs, bench_arr,
-                                    assume_unique=True).sum())
+                # searchsorted on the pre-sorted bench array: O(|gs| log
+                # |bench|) per doc — np.isin would re-sort BOTH arrays
+                # on every call
+                if len(bench_arr):
+                    idx = np.searchsorted(bench_arr, gs)
+                    idx[idx == len(bench_arr)] = len(bench_arr) - 1
+                    n_hit = int((bench_arr[idx] == gs).sum())
+                else:
+                    n_hit = 0
                 if n_hit:
                     out_id.append(_id)
                     out_n.append(n_hit)
@@ -395,13 +408,17 @@ def contamination_flags_bloom(
     # than the exact hash set this filter exists to undercut
     bits = np.frombuffer(packed, dtype=np.uint8)
     id_t = dict(corpus.dtypes)[id_col]
-    schema = f"{id_col} {id_t}, n_flagged_grams int"
+    schema = f"{id_col} {id_t}, n_flagged_grams bigint"
 
     def probe(batches):
         for pdf in batches:
             out_id, out_n = [], []
             for _id, grams in zip(pdf[id_col], pdf["gh"]):
-                h = np.array(grams, dtype=np.int64).view(np.uint64)
+                # dedup: _corpus_gram_hashes concats per-length arrays
+                # (cross-length partial-gram dupes possible) and this
+                # count is RAW, unlike the agg paths' countDistinct
+                h = np.unique(np.array(grams, dtype=np.int64)
+                              .view(np.uint64))
                 h1, h2 = h >> np.uint64(32), h & np.uint64(0xFFFFFFFF)
                 hit = np.ones(len(h), dtype=bool)
                 for i in range(k):

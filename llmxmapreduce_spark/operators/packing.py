@@ -42,6 +42,12 @@ def ffd_pack(rows, max_tokens: int):
     truncated), packed in (length desc, id) order.  Oversized rows get a
     dedicated, already-full bin with ``truncated=True``."""
     ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    if ordered and ordered[-1][1] < 0:
+        bad = next(r for r in ordered if r[1] < 0)
+        raise ValueError(
+            f"ffd_pack: negative length {bad[1]} for id {bad[0]!r} — a "
+            f"negative ln would INCREASE bin capacity and overfill the "
+            f"budget (null text upstream? size(split(null)) is -1)")
     # remaining capacity per bin; -1 marks a truncated (oversized) bin so
     # not even zero-length rows can join it
     bins: list[int] = []
@@ -143,9 +149,12 @@ def pack_sequences(
     src = df
     if len_col is None:
         len_col = "n_tokens"
+        # null text → 0 tokens (size(split(null)) is -1, which would
+        # corrupt bin capacities — ffd_pack also hard-raises on negatives)
         src = df.withColumn(
-            len_col, F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-            .cast("long"))
+            len_col, F.greatest(
+                F.size(F.split(F.trim(F.col(text_col)), r"\s+")),
+                F.lit(0)).cast("long"))
     asg = pack_assignments(src, max_tokens, id_col, len_col, n_buckets)
     joined = asg.join(src.select(id_col, text_col), id_col)
     return (

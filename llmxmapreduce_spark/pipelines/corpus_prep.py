@@ -137,8 +137,9 @@ def run_corpus_prep(
         # > max_tokens document becomes several packable parts instead of
         # a dedicated truncated bin the trainer then has to cut anyway
         from llmxmapreduce_spark.operators.chunker import chunk_documents, ws_len
+        from llmxmapreduce_spark.operators.text_stats import ws_tokens
 
-        n_words = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        n_words = F.size(ws_tokens(F.col(text_col)))
         fits = pack_src.filter(n_words <= cfg.max_tokens)
         # normalize ALL whitespace to single spaces before the space-
         # separated chunk split: a newline-separated word run would
@@ -146,8 +147,12 @@ def run_corpus_prep(
         # space-guard DROPS (silent token loss — found by review repro);
         # parts are therefore whitespace-normalized, which packing's
         # word-join output format already is
+        # (?U): Unicode \s — an NBSP-joined word run must also collapse,
+        # or the Python-side ws_len (unicode split) disagrees with the
+        # space-separated chunk split and the run can vanish in the
+        # chunker's space-guard (second review round)
         over = pack_src.filter(n_words > cfg.max_tokens).withColumn(
-            text_col, F.regexp_replace(F.col(text_col), r"\s+", " "))
+            text_col, F.regexp_replace(F.col(text_col), r"(?U)\s+", " "))
         parts = chunk_documents(
             over,
             id_col=id_col, text_col=text_col,

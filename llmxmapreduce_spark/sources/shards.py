@@ -11,13 +11,17 @@ and resumability.  This sink turns the packed-sequence output of
   without a global sort);
 - ``maxRecordsPerFile`` caps file size inside each task, so one skewed
   partition cannot produce an over-sized shard;
-- the manifest is derived from the WRITTEN files (one cheap read-back of
-  parquet footers — row counts come from metadata, not a data scan), so
-  it reflects what is actually on disk, not what the plan intended.
+- the manifest is derived from the WRITTEN files, so it reflects what is
+  actually on disk, not what the plan intended.
 
-100 TB framing: the write is the only full-data pass; the manifest pass
-reads footers only.  Writing ``partition_cols`` (e.g. source/epoch)
-gives the loader partition-pruned access to sub-corpora.
+100 TB framing: the manifest pass is one PROJECTED read-back of the
+written shards — row counts per file plus the token column only (a
+single bigint column scan; skip it with ``token_col=None`` if even that
+is too much, in which case counts come from footer metadata alone).
+The manifest itself is written through the Hadoop FileSystem API, so
+``hdfs://``/``s3a://`` destinations work the same as local paths.
+Writing ``partition_cols`` (e.g. source/epoch) gives the loader
+partition-pruned access to sub-corpora.
 """
 
 from __future__ import annotations
@@ -58,23 +62,21 @@ def write_training_shards(
 
     spark = df.sparkSession
     written = spark.read.parquet(path)
+    with_tokens = token_col is not None and token_col in written.columns
     per_file = (
         written.select(
             F.input_file_name().alias("file"),
-            *( [F.col(token_col)] if token_col in written.columns else [] ))
+            *([F.col(token_col)] if with_tokens else []))
         .groupBy("file")
         .agg(F.count(F.lit(1)).alias("n_rows"),
-             *( [F.sum(token_col).alias("n_tokens")]
-                if token_col in written.columns else [] ))
+             *([F.sum(token_col).alias("n_tokens")] if with_tokens else []))
         .orderBy("file")
         .collect()
     )
     files = []
     for r in per_file:
-        entry = {"file": os.path.relpath(r["file"].replace("file://", ""),
-                                         path),
-                 "n_rows": r["n_rows"]}
-        if "n_tokens" in r.asDict():
+        entry = {"file": _rel_file(r["file"], path), "n_rows": r["n_rows"]}
+        if with_tokens:
             entry["n_tokens"] = r["n_tokens"]
         files.append(entry)
     manifest = {
@@ -84,8 +86,33 @@ def write_training_shards(
         "sort_col": sort_col,
         "files": files,
     }
-    if token_col in written.columns:
+    if with_tokens:
         manifest["n_tokens"] = sum(f.get("n_tokens", 0) for f in files)
-    with open(os.path.join(path, "_manifest.json"), "w") as fh:
-        json.dump(manifest, fh, indent=1)
+    _write_text(spark, path.rstrip("/") + "/_manifest.json",
+                json.dumps(manifest, indent=1))
     return manifest
+
+
+def _rel_file(file_uri: str, base: str) -> str:
+    """input_file_name() returns a percent-encoded URI; decode it and
+    strip the base so manifest entries are clean relative paths on any
+    filesystem scheme."""
+    from urllib.parse import unquote, urlparse
+
+    p = unquote(urlparse(file_uri).path)
+    b = unquote(urlparse(base).path) or base
+    return os.path.relpath(p, b)
+
+
+def _write_text(spark, uri: str, text: str) -> None:
+    """Write a small text file through the Hadoop FileSystem API —
+    works for file://, hdfs://, s3a://, … (a local ``open()`` would fail
+    on any remote destination AFTER the expensive data write)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()

@@ -52,7 +52,6 @@ def test_contamination_flags_planted(spark):
     survivors = dc.decontaminate(corpus, _bench(spark), n=N)
     assert sorted(r["doc_id"] for r in survivors.collect()) == [11, 12]
     assert survivors.columns == corpus.columns
-    assert survivors.columns == corpus.columns
     # a stricter threshold lets single-gram hits through
     loose = dc.decontaminate(corpus, _bench(spark), n=N,
                              min_matched_grams=3)
@@ -235,3 +234,20 @@ def test_plan_broadcasts_benchmark(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_null_texts_ignored_like_exact_path(spark):
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog tonight"),
+         (1, None)], "doc_id bigint, text string")
+    corpus = spark.createDataFrame(
+        [(10, "x the quick brown fox jumps over the lazy dog tonight y"),
+         (11, None),
+         (12, "clean words only in here today with nothing shared at all")],
+        "doc_id bigint, text string")
+    exact = {r["doc_id"]: r["n_matched_grams"] for r in
+             dc.contamination_flags(corpus, bench, n=N).collect()}
+    fast = {r["doc_id"]: r["n_matched_grams"] for r in
+            dc.contamination_flags_fast(corpus, bench, n=N).collect()}
+    assert fast == exact
+    assert 11 not in fast                  # null corpus text never flagged

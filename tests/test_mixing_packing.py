@@ -202,3 +202,17 @@ def test_corpus_prep_packs_upsampled_mix(spark):
     assert sum(r["n_docs"] for r in rows) >= 2.5 * n0
     assert all(r["total_tokens"] <= 2048 for r in rows
                if not r["truncated"])
+
+
+def test_pack_sequences_null_text_counts_zero(spark):
+    """Regression: null text must become 0 tokens, not -1 (which would
+    INCREASE a bin's remaining capacity and overfill the budget)."""
+    df = spark.createDataFrame(
+        [(1, "five words right here now"), (2, None), (3, "tiny text")],
+        "doc_id bigint, text string")
+    rows = packing.pack_sequences(df, max_tokens=8).collect()
+    assert sum(r["n_docs"] for r in rows) == 3
+    assert all(r["total_tokens"] <= 8 and r["total_tokens"] >= 0
+               for r in rows)
+    with pytest.raises(Exception, match="negative"):
+        packing.ffd_pack([(1, -1)], 10)
