@@ -195,25 +195,27 @@ def contamination_flags_fast(
     min_parallelism: int | None = None,
 ) -> DataFrame:
     """Arrow/numpy production twin of :func:`contamination_flags` →
-    (id_col, n_matched_grams).
+    (id_col, n_matched_grams).  Same matching semantics (n-grams +
+    min(n, example length) short rule, null texts ignored); the gram
+    hash is a vectorized polynomial over memoized per-word hashes
+    instead of Catalyst's chained ``zip_with`` string concatenation —
+    the concat is interpreted per element and its cost multiplies by the
+    number of gram LENGTHS the short rule requires (6.7× at sf0.1 with
+    two short lengths, test-pinned equivalent on planted corpora).
+
+    The benchmark side is collected (the same small-side contract as the
+    broadcast join) into one SORTED uint64 array — membership via
+    ``np.searchsorted`` per document (O(|doc grams| log |bench|)); a
+    10M-gram set is 80 MB in the closure, the same budget as the exact
+    broadcast.
 
     ``min_parallelism``: Python scan throughput is bound by the INPUT
     partition count (mapInPandas gets no intra-partition parallelism) —
     a corpus read from few large files idles most cores.  Setting this
     repartitions up to the given width first, trading one text shuffle
-    for full-width scanning; at real scale the file count already
-    exceeds the cluster width and the default (no repartition) is right.  Same matching semantics (n-grams +
-    min(n, example length) short rule); the gram hash is a vectorized
-    polynomial over per-word hashes instead of Catalyst's chained
-    ``zip_with`` string concatenation — the concat is interpreted per
-    element and its cost multiplies by the number of gram LENGTHS the
-    short rule requires (scale lesson: 2.4× at sf0.1 with two short
-    lengths, test-pinned equivalent on planted corpora).
-
-    The benchmark side is collected (the same small-side contract as the
-    broadcast join) into one sorted uint64 array — membership via
-    ``np.isin``; a 10M-gram set is 80 MB in the closure, the same budget
-    as the exact broadcast."""
+    for full-width scanning (4.8× at sf5 locally); at real scale the
+    file count already exceeds the cluster width and the default (no
+    repartition) is right."""
     import numpy as np
     import pandas as pd
 
