@@ -13,8 +13,12 @@ reduce (V1 long-doc QA), plus a multi-stage survey-generation pipeline
 - bounded driver loops for the iterative stages (collapse, convolution,
   self-refine, content assembly)
 - deterministic seeding everywhere the reference shuffles
-- scale extensions: dedup, similarity search, text analysis, multimodal
-  columns, streaming windows
+- scale extensions: dedup (exact/MinHash/SimHash/cosine/SemDeDup/span +
+  connected components), similarity search (LSH + IVF), text analysis
+  (quality rulesets, PII, repetition, normalization, decontamination),
+  data mixing + sequence packing + shard sink, multimodal columns,
+  streaming windows + streaming ingestion dedup, and the end-to-end
+  corpus-prep pipeline (``pipelines.corpus_prep``)
 """
 
 __version__ = "0.1.0"
