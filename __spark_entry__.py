@@ -1072,6 +1072,19 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
                         n_cells=16, nprobe=4)
 
 
+def q_ivf_topk_join(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF large-query path (ivf.ivf_topk_join): BOTH sides cell-assigned,
+    queries exploded to nprobe probe cells, plain shuffled equi-join on
+    the cell id — the path for query sides too big to collect/broadcast
+    (here ~5% of the embeddings table).  Bench-only: recall + equivalence
+    gates in tests/test_ivf.py; sf1 recall record in BASELINE.md."""
+    from llmxmapreduce_spark.operators import ivf
+
+    emb = load_table(spark, sf, "embeddings")
+    return ivf.ivf_topk_join(emb, emb.filter("vec_id % 20 = 0"), k=5,
+                             n_cells=16, nprobe=4)
+
+
 def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540) over the embeddings
     table: k-means cells → within-cell pairwise cosine → connected
@@ -1193,6 +1206,22 @@ def q_decontaminate_fast(spark: SparkSession, sf: str) -> DataFrame:
     # would cap the Python scan at that width (4.8× at sf5 from this knob)
     return contamination_flags_fast(d.filter(F.col("doc_id") % 97 != 0),
                                     bench, n=13, min_parallelism=64)
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom scale path of `decontaminate`: distributed bit-array build
+    over the benchmark grams (for eval sets too big to broadcast
+    exactly), then a packed-bits probe sharing the fast twin's
+    vectorized polynomial gram hashes — equivalence pinned by
+    tests/test_decontamination.py::test_bloom_matches_fast_hash_family."""
+    from llmxmapreduce_spark.operators.decontamination import (
+        build_gram_bloom, contamination_flags_bloom)
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    bloom = build_gram_bloom(bench, n=13)
+    return contamination_flags_bloom(d.filter(F.col("doc_id") % 97 != 0),
+                                     bloom, n=13, min_parallelism=64)
 
 
 def q_v2_decode_tail(spark: SparkSession, sf: str) -> DataFrame:

@@ -69,9 +69,9 @@ def _corpus_gram_hashes(text: Column, n: int,
     if len(arrs) == 1:
         return arrs[0]
     # concat, not array_union: cross-length duplicates are only the
-    # degenerate partial-gram case and every consumer dedups (agg paths
-    # via countDistinct/collect_set, the Bloom probe via np.unique) —
-    # union's sort-dedup would cost more than the duplicates it removes
+    # degenerate partial-gram case and every consumer dedups (the agg
+    # paths via countDistinct/collect_set) — union's sort-dedup would
+    # cost more than the duplicates it removes
     return F.concat(*arrs)
 
 
@@ -294,26 +294,38 @@ def mask_contamination(
         F.explode(_gram_hashes(F.col(bench_text_col), n)).alias("g")
     ).distinct()
 
-    # one position stream per gram length (n + each short bench length,
-    # GPT-3's min(n, example length) rule); a match at (pos, glen) masks
-    # words pos..pos+glen-1
+    # ONE corpus scan for all gram lengths (n + each short bench length,
+    # GPT-3's min(n, example length) rule): per length, a projected array
+    # of (gpos, glen, g) structs, concatenated and exploded once — the
+    # per-length posexplode+union formulation re-scanned the corpus text
+    # k+1 times for k short lengths.  A match at (gpos, glen) masks words
+    # gpos..gpos+glen-1.
     shorts = _short_lengths(benchmark, n, bench_text_col)
-    pos = None
-    for length in [n] + shorts:
-        p = corpus.select(
-            F.col(id_col),
-            F.posexplode(F.transform(
-                ngram_shingles(F.col(text_col), length),
-                lambda g: F.xxhash64(g))).alias("gpos", "g"),
-        ).withColumn("glen", F.lit(length))
-        pos = p if pos is None else pos.unionByName(p)
+
+    def gram_structs(length: int) -> Column:
+        return F.transform(
+            F.transform(ngram_shingles(F.col(text_col), length),
+                        lambda g: F.xxhash64(g)),
+            lambda g, i: F.struct(i.alias("gpos"),
+                                  F.lit(length).alias("glen"),
+                                  g.alias("g")))
+
+    arrs = [gram_structs(length) for length in [n] + shorts]
+    all_grams = arrs[0] if len(arrs) == 1 else F.concat(*arrs)
+    pos = corpus.select(
+        F.col(id_col), F.explode(all_grams).alias("s")
+    ).select(id_col, "s.gpos", "s.glen", "s.g")
     matched = (
         pos.join(F.broadcast(bench_grams), "g")
         .groupBy(id_col)
         .agg(F.collect_set(F.struct("gpos", "glen")).alias("mpos"))
     )
-    # original-case words for the rebuild; gram matching was lowercased
-    orig_words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # original-case words for the rebuild; gram matching was lowercased.
+    # Null text coalesces to an EMPTY word array (n_words 0, clean_text
+    # ""), matching the flag paths' ignore-null contract — bare
+    # size(split(null)) is -1.
+    orig_words = F.coalesce(F.split(F.trim(F.col(text_col)), r"\s+"),
+                            F.array().cast("array<string>"))
     out = (
         corpus.join(matched, id_col, "left")
         .withColumn("__mpos", F.coalesce(
@@ -336,6 +348,18 @@ def mask_contamination(
     )
 
 
+def _bloom_positions(h, m: int, k: int):
+    """Kirsch-Mitzelmacher double hashing over the two 32-bit halves of a
+    uint64 hash array: yields k int64 position arrays pos_i = (h1 + i·h2)
+    mod m — one 64-bit hash per gram, k derived probes.  Shared by the
+    Bloom build and probe so the bit positions cannot drift apart."""
+    import numpy as np
+
+    h1, h2 = h >> np.uint64(32), h & np.uint64(0xFFFFFFFF)
+    for i in range(k):
+        yield ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+
+
 def build_gram_bloom(
     benchmark: DataFrame,
     n: int = 13,
@@ -347,40 +371,45 @@ def build_gram_bloom(
     the scale path for benchmark sets too large to broadcast exactly
     (~10 bits/key ≈ 1% false positives vs 64 bits/key for exact hashes).
 
+    Gram hashes are the fast twin's vectorized polynomial hashes over
+    memoized per-word blake2b hashes (:func:`_poly_gram_hashes`) — the
+    SAME hash family :func:`contamination_flags_bloom` probes with, so
+    build and probe agree by construction.  Null benchmark texts are
+    skipped (the ignore-null contract all three paths share).
+
     Each Arrow batch sets its bits in a LOCAL bit array and emits one
     packed-bytes row; the driver ORs the (one-per-batch) rows — no
-    per-gram collect.  Returns ``(packed_bits, m_bits, n_hashes,
-    short_lengths)`` for
-    :func:`contamination_flags_bloom`.
+    per-gram collect.  ``m`` is sized from a one-aggregate UPPER BOUND on
+    the gram count (a doc's gram count never exceeds its word count), so
+    sizing costs one cheap Catalyst agg instead of a full distinct-gram
+    generation pass; oversizing only pushes fpp below nominal.
 
-    Bit positions use Kirsch-Mitzelmacher double hashing over the two
-    32-bit halves of the xxhash64 gram hash: pos_i = (h1 + i·h2) mod m —
-    one 64-bit hash per gram, k derived probes.  The returned tuple also
-    carries the benchmark's short example lengths so the probe side can
-    generate matching ℓ-grams (min(n, example length) rule)."""
+    Returns ``(packed_bits, m_bits, n_hashes, short_lengths)`` for
+    :func:`contamination_flags_bloom` — the short example lengths let the
+    probe side generate matching ℓ-grams (min(n, example length) rule)."""
     import numpy as np
     import pandas as pd
 
+    wc = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
     n_keys = benchmark.select(
-        F.explode(_gram_hashes(F.col(text_col), n)).alias("g")
-    ).distinct().count()
-    m = max(64, n_keys * bits_per_key)
+        F.coalesce(F.sum(F.when(wc > 0, wc)), F.lit(0))).collect()[0][0] or 1
+    m = max(64, int(n_keys) * bits_per_key)
     m -= m % 8
 
     def set_bits(batches):
+        cache: dict = {}
         for pdf in batches:
             bits = np.zeros(m, dtype=bool)
-            for _, grams in pdf.iterrows():
-                h = np.array(grams.iloc[0], dtype=np.int64).view(np.uint64)
-                h1, h2 = h >> np.uint64(32), h & np.uint64(0xFFFFFFFF)
-                for i in range(n_hashes):
-                    bits[((h1 + np.uint64(i) * h2) % np.uint64(m))
-                         .astype(np.int64)] = True
+            for text in pdf[text_col]:
+                if text is None:       # null text has no grams (exact parity)
+                    continue
+                h = np.unique(_poly_gram_hashes(_word_hashes(text, cache), n))
+                for pos in _bloom_positions(h, m, n_hashes):
+                    bits[pos] = True
             yield pd.DataFrame({"packed": [np.packbits(bits).tobytes()]})
 
-    rows = benchmark.select(
-        _gram_hashes(F.col(text_col), n).alias("gh")
-    ).mapInPandas(set_bits, "packed binary").collect()
+    rows = benchmark.select(text_col) \
+        .mapInPandas(set_bits, "packed binary").collect()
     acc = np.zeros(m // 8, dtype=np.uint8)
     for r in rows:
         acc |= np.frombuffer(r["packed"], dtype=np.uint8)
@@ -393,39 +422,47 @@ def contamination_flags_bloom(
     n: int = 13,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """→ (id_col, n_flagged_grams) for corpus docs with ≥1 gram whose k
     Bloom probes all hit.  NO false negatives (every truly contaminated
     doc is flagged — the Bloom guarantee); false positives at the
     filter's fpp over-flag clean docs, which for decontamination means
     conservatively dropping ~fpp extra data — the documented trade for
-    an exact set that will not broadcast."""
+    an exact set that will not broadcast.
+
+    The probe reuses :func:`contamination_flags_fast`'s mechanics —
+    memoized word hashes, vectorized polynomial grams per length, one
+    np.unique — then tests membership against the PACKED bit array
+    (bits[pos>>3] >> (7-(pos&7))): unpacking to a bool per bit would ship
+    8× the bytes in the task closure, i.e. MORE than the exact hash set
+    this filter exists to undercut.  Null corpus texts are skipped.
+    ``min_parallelism`` has the same input-partition-width contract as
+    the fast twin."""
     import numpy as np
     import pandas as pd
 
     packed, m, k, *rest = bloom
     shorts = rest[0] if rest else []
-    # probe the PACKED array (bits[pos>>3] >> (7-(pos&7))) — unpacking to a
-    # bool per bit would ship 8× the bytes in the task closure, i.e. MORE
-    # than the exact hash set this filter exists to undercut
+    lengths = [n] + list(shorts)
     bits = np.frombuffer(packed, dtype=np.uint8)
     id_t = dict(corpus.dtypes)[id_col]
     schema = f"{id_col} {id_t}, n_flagged_grams bigint"
 
     def probe(batches):
+        cache: dict = {}
         for pdf in batches:
+            if len(cache) > 2_000_000:   # bound the distinct-token memo
+                cache.clear()
             out_id, out_n = [], []
-            for _id, grams in zip(pdf[id_col], pdf["gh"]):
-                # dedup: _corpus_gram_hashes concats per-length arrays
-                # (cross-length partial-gram dupes possible) and this
-                # count is RAW, unlike the agg paths' countDistinct
-                h = np.unique(np.array(grams, dtype=np.int64)
-                              .view(np.uint64))
-                h1, h2 = h >> np.uint64(32), h & np.uint64(0xFFFFFFFF)
-                hit = np.ones(len(h), dtype=bool)
-                for i in range(k):
-                    pos = ((h1 + np.uint64(i) * h2) % np.uint64(m)) \
-                        .astype(np.int64)
+            for _id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:   # null text has no grams (exact parity)
+                    continue
+                wh = _word_hashes(text, cache)
+                gs = np.unique(np.concatenate(
+                    [_poly_gram_hashes(wh, l) for l in lengths]))
+                hit = np.ones(len(gs), dtype=bool)
+                for pos in _bloom_positions(gs, m, k):
                     # np.packbits is big-endian within a byte: bit 0 → MSB
                     hit &= ((bits[pos >> 3] >> (7 - (pos & 7))) & 1) \
                         .astype(bool)
@@ -435,10 +472,10 @@ def contamination_flags_bloom(
                     out_n.append(n_hit)
             yield pd.DataFrame({id_col: out_id, "n_flagged_grams": out_n})
 
-    return corpus.select(
-        F.col(id_col),
-        _corpus_gram_hashes(F.col(text_col), n, shorts).alias("gh")
-    ).mapInPandas(probe, schema)
+    src = corpus.select(id_col, text_col)
+    if min_parallelism and src.rdd.getNumPartitions() < min_parallelism:
+        src = src.repartition(min_parallelism)
+    return src.mapInPandas(probe, schema)
 
 
 def decontaminate(

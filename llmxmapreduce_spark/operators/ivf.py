@@ -94,16 +94,24 @@ def fit_centroids(
     (each empty cell a DIFFERENT point), so all n_cells survive distinct.
     """
     sample_df = df.select(vec_col)
-    # Avoid collecting an unbounded corpus: sample down when the plan's
-    # row estimate (or a cheap upper-bound probe) exceeds max_sample.
-    est = sample_df.limit(max_sample + 1).count()
-    if est > max_sample:
-        total = df.count()
+    # Avoid collecting an unbounded corpus: read the optimizer's row-count
+    # statistic FIRST (free — no job at all when the relation carries
+    # stats); only when the plan doesn't know do we fall back to one
+    # bounded limit-probe and, for genuinely large inputs, one count job.
+    total = None
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if rc.isDefined():
+            total = int(str(rc.get()))        # scala BigInt → str → int
+    except Exception:                          # py4j surface varies
+        total = None
+    if total is None:
+        probe = sample_df.limit(max_sample + 1).count()
+        total = df.count() if probe > max_sample else probe
+    if total > max_sample:
         frac = min(1.0, (1.2 * max_sample) / max(total, 1))
         sample_df = sample_df.sample(withReplacement=False, fraction=frac,
                                      seed=seed)
-    else:
-        total = est
     if n_cells is None:                    # √n rule — see auto_n_cells
         n_cells = auto_n_cells(total)
     rows = sample_df.limit(max_sample).collect()

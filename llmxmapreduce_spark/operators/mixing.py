@@ -77,7 +77,7 @@ def mixture_plan(
 def mix_sources(
     df: DataFrame,
     weights: dict,
-    target_rows: int,
+    target_rows: int | None,
     strata_col: str = "source",
     allow_upsample: bool = False,
     seed: int = 42,
@@ -87,9 +87,16 @@ def mix_sources(
     rate exceeds 1.0 is repeated ``floor(rate)`` whole times (epochs)
     plus a ``rate - floor(rate)`` fractional sample — every copy of a row
     carries an ``epoch`` column (0-based) so downstream shuffles can
-    still distinguish them."""
+    still distinguish them.
+
+    ``target_rows=None`` defaults to HALF the input rows, derived from
+    the stratum-count aggregate this function already runs — no extra
+    count job (callers like corpus_prep used to pay a full-scan
+    ``df.count()`` for the same default)."""
     counts = {r[0]: r[1] for r in
               df.groupBy(strata_col).count().collect()}
+    if target_rows is None:
+        target_rows = sum(counts.values()) // 2
     plan = mixture_plan(counts, weights, target_rows, allow_upsample)
 
     if not allow_upsample:

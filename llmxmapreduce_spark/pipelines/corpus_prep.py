@@ -118,10 +118,9 @@ def run_corpus_prep(
     if cfg.mix_weights:
         from llmxmapreduce_spark.operators.mixing import mix_sources
 
-        target = cfg.mix_target
-        if target is None:
-            target = d.count() // 2
-        d = mix_sources(d, cfg.mix_weights, target,
+        # mix_target=None is derived INSIDE mix_sources from the stratum-
+        # count aggregate it already runs — no extra full-scan count job
+        d = mix_sources(d, cfg.mix_weights, cfg.mix_target,
                         allow_upsample=cfg.mix_upsample, seed=cfg.seed)
         d = cut("mixing", d)
 

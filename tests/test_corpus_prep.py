@@ -97,6 +97,31 @@ def test_corpus_prep_with_mixing(spark, corpus):
     assert 0 < n_docs <= 20                   # sampled well below survivors
 
 
+def test_corpus_prep_default_mix_target_no_extra_job(spark, corpus):
+    """mix_target=None is now derived inside mix_sources from the stratum-
+    count aggregate it already runs: the e2e pipeline fires the SAME
+    number of Spark jobs as with an explicit target (the old default paid
+    a full-scan d.count() job mid-pipeline), and still samples to ~half
+    the surviving rows."""
+    base = dict(max_tokens=256, neardup_threshold=0.6,
+                mix_weights={"web": 1.0})
+
+    def n_jobs(cfg_kw):
+        st = spark.sparkContext.statusTracker()
+        before = len(st.getJobIdsForGroup())
+        run_corpus_prep(corpus, CorpusPrepConfig(**cfg_kw)) \
+            .write.mode("overwrite").format("noop").save()
+        return len(st.getJobIdsForGroup()) - before
+
+    explicit = n_jobs(dict(base, mix_target=10))
+    default = n_jobs(dict(base, mix_target=None))
+    assert default == explicit
+    out = run_corpus_prep(corpus, CorpusPrepConfig(**dict(base,
+                                                          mix_target=None)))
+    n_docs = sum(r["n_docs"] for r in out.collect())
+    assert 0 < n_docs <= 20          # ~half of the ~26 dedup survivors
+
+
 def test_corpus_prep_splits_oversized_docs(spark):
     """split_oversized: a 600-word doc at max_tokens=128 becomes several
     packable parts — zero truncated sequences, no words lost."""

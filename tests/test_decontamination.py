@@ -150,8 +150,8 @@ def test_bloom_path_no_false_negatives(spark):
     def doc(k=30):
         return " ".join(rng.choice(vocab) for _ in range(k))
 
-    bench_rows = [(i, doc(20)) for i in range(8)]
-    corpus_rows = [(i, doc()) for i in range(120)]
+    bench_rows = [(i, doc(20)) for i in range(8)] + [(98, None)]
+    corpus_rows = [(i, doc()) for i in range(120)] + [(99, None)]
     for j in range(15):   # plant overlaps
         src = bench_rows[j % 8][1].split()
         corpus_rows.append((200 + j,
@@ -172,8 +172,70 @@ def test_bloom_path_no_false_negatives(spark):
     # must stay a small minority (fpp ~1% per gram, docs have ~25 grams)
     extras = set(flagged) - set(exact)
     assert len(extras) <= 0.2 * len(corpus_rows), extras
+    # null rows never crash or flag (ADVICE repro: np.array(None) killed
+    # the old build/probe)
+    assert 99 not in flagged
     # deterministic build
     assert dc.build_gram_bloom(bench, n=N, bits_per_key=12)[0] == bloom[0]
+
+
+def test_bloom_matches_fast_hash_family(spark):
+    """Build and probe now share the fast twin's polynomial hash family:
+    at generous bits_per_key the Bloom flags equal the fast twin's
+    EXACTLY (ids and per-doc gram counts) — deterministic, so a false
+    positive would be a permanent, visible failure, not flake."""
+    rng = np.random.default_rng(53)
+    vocab = "red blue green gold pink teal grey cyan plum sage".split()
+
+    def doc(k=28):
+        return " ".join(rng.choice(vocab) for _ in range(k))
+
+    bench_rows = [(i, doc(18)) for i in range(6)] + [(9, "zz short answer")]
+    corpus_rows = [(i, doc()) for i in range(80)]
+    for j in range(10):
+        src = bench_rows[j % 6][1].split()
+        corpus_rows.append((300 + j, doc(5) + " "
+                            + " ".join(src[2:2 + N + 2]) + " " + doc(5)))
+    corpus_rows.append((400, doc(9) + " zz short answer " + doc(9)))
+    corpus = spark.createDataFrame(corpus_rows, "doc_id bigint, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id bigint, text string")
+
+    fast = {r["doc_id"]: r["n_matched_grams"] for r in
+            dc.contamination_flags_fast(corpus, bench, n=N).collect()}
+    bloom = dc.build_gram_bloom(bench, n=N, bits_per_key=32)
+    flagged = {r["doc_id"]: r["n_flagged_grams"] for r in
+               dc.contamination_flags_bloom(corpus, bloom, n=N).collect()}
+    assert flagged == fast
+    assert 400 in flagged                # short-rule hit via the Bloom path
+    # min_parallelism repartitioned probe is identical
+    wide = {r["doc_id"]: r["n_flagged_grams"] for r in
+            dc.contamination_flags_bloom(corpus, bloom, n=N,
+                                         min_parallelism=8).collect()}
+    assert wide == fast
+
+
+def test_mask_contamination_null_text(spark):
+    """Null-text corpus rows report 0 words / 0 masked / empty clean_text
+    (ADVICE repro: size(split(null)) = -1 leaked through as n_words)."""
+    corpus = spark.createDataFrame(
+        [(1, None), (2, "tiny example")], "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           dc.mask_contamination(corpus, _bench(spark), n=N).collect()}
+    assert out[1]["n_words"] == 0
+    assert out[1]["n_masked_words"] == 0
+    assert out[1]["clean_text"] == ""
+    assert out[2]["n_masked_words"] == 2   # fused single-scan path intact
+
+
+def test_mask_contamination_single_scan(spark):
+    """The fused gram-struct formulation reads the corpus ONCE even when
+    short benchmark lengths add extra gram lengths — no per-length Union
+    of corpus scans in the plan."""
+    corpus = spark.createDataFrame([(1, "a b c d e f g h")],
+                                   "doc_id bigint, text string")
+    plan = dc.mask_contamination(corpus, _bench(spark), n=N) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan
 
 
 def test_fast_twin_matches_exact(spark):
