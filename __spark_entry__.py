@@ -1156,6 +1156,21 @@ def q_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
     return packing.pack_sequences(d, max_tokens=2048)
 
 
+def q_sequence_packing_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing budgeted on the BPE-ish JVM tokenizer
+    (functions/text.token_count_bpe_ish) instead of whitespace words —
+    the pluggable-tokenizer path (packing.resolve_token_counter; real
+    trainers pack BPE tokens, which exceed word counts by the
+    subword-split factor).  Pluggability gated in
+    tests/test_mixing_packing.py::test_pack_sequences_pluggable_tokenizer."""
+    from llmxmapreduce_spark.functions.text import token_count_bpe_ish
+    from llmxmapreduce_spark.operators import packing
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    return packing.pack_sequences(d, max_tokens=2048,
+                                  tokenizer=token_count_bpe_ish)
+
+
 def q_corpus_prep_e2e(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end training-corpus preparation
     (pipelines/corpus_prep.py): quality gate → PII redaction → exact

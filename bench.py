@@ -67,6 +67,7 @@ HEADLINE = [
     "pii_redact",
     "source_mixture",
     "sequence_packing",
+    "sequence_packing_bpe",
     "corpus_prep_e2e",
     "decontaminate",
     "decontaminate_fast",
@@ -106,6 +107,7 @@ BENCH_ONLY = {
     "pii_redact": entrymod.q_pii_redact,
     "source_mixture": entrymod.q_source_mixture,
     "sequence_packing": entrymod.q_sequence_packing,
+    "sequence_packing_bpe": entrymod.q_sequence_packing_bpe,
     "corpus_prep_e2e": entrymod.q_corpus_prep_e2e,
     "decontaminate": entrymod.q_decontaminate,
     "decontaminate_fast": entrymod.q_decontaminate_fast,

@@ -32,8 +32,100 @@ efficiency bound vs the ideal — tests/test_packing.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Callable
+
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs
+                     # pd.Series in module globals under postponed annotations
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# per-executor encoder cache for string tokenizer specs — the encoder is
+# built lazily at first batch on each worker (BPE tables are MBs; they
+# must not travel in the task closure, and the driver may not even have
+# the library installed when only executors do the counting)
+_ENCODER_CACHE: dict = {}
+
+
+def _encoder_for(spec: str) -> Callable[[str], list]:
+    enc = _ENCODER_CACHE.get(spec)
+    if enc is None:
+        kind, _, name = spec.partition(":")
+        if kind == "tiktoken":
+            import tiktoken  # gated: raises ImportError where absent
+
+            enc = tiktoken.get_encoding(name).encode
+        elif kind == "hf":
+            from transformers import AutoTokenizer
+
+            tok = AutoTokenizer.from_pretrained(name)
+            enc = lambda s: tok(s)["input_ids"]  # noqa: E731
+        else:
+            raise ValueError(
+                f"unknown tokenizer spec {spec!r} — expected "
+                f"'tiktoken:<encoding>' or 'hf:<model>'")
+        _ENCODER_CACHE[spec] = enc
+    return enc
+
+
+def resolve_token_counter(tokenizer) -> Callable[[Column], Column]:
+    """Resolve a tokenizer spec to a ``Column -> Column`` token-count
+    function, so packing's ``n_tokens`` can be BPE-accurate instead of
+    whitespace-approximate (the reference's V1 chunker budgets are
+    tokenizer-accurate for the same reason — Generator.py:301-318).
+
+    Accepted specs, fastest first:
+
+    - ``None`` — whitespace word count (the historical default; pure
+      Catalyst, zero Python);
+    - a ``Column -> Column`` callable (e.g. ``functions.text.
+      token_count_bpe_ish`` / ``token_count_estimate``) — used as-is,
+      stays JVM-side;
+    - ``"tiktoken:<encoding>"`` / ``"hf:<model>"`` — an Arrow-batched
+      pandas UDF whose encoder is built lazily PER EXECUTOR and cached
+      (import-gated: the error surfaces at first batch if the library
+      isn't installed);
+    - any other Python callable ``str -> int`` — wrapped in a pandas
+      UDF, null → 0.  Must be cloudpickle-shippable to workers: locally
+      defined functions serialize by value; a function at the top level
+      of a module serializes by REFERENCE and the module must then be
+      importable on every executor.
+
+    Every path is null-safe (null text counts 0 tokens — a negative
+    count would inflate bin capacities, which ``ffd_pack`` hard-rejects).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if tokenizer is None:
+        return lambda c: F.greatest(
+            F.size(F.split(F.trim(c), r"\s+")), F.lit(0)).cast("long")
+
+    if isinstance(tokenizer, str):
+        spec = tokenizer
+
+        @pandas_udf("long")
+        def count_spec(s: pd.Series) -> pd.Series:
+            enc = _encoder_for(spec)
+            return s.map(lambda t: 0 if t is None else len(enc(t)))
+
+        return lambda c: count_spec(c)
+
+    if callable(tokenizer):
+        try:  # Column-fn? (duck test — e.g. token_count_bpe_ish)
+            probe = tokenizer(F.lit("probe"))
+            if isinstance(probe, Column):
+                return lambda c: F.greatest(
+                    tokenizer(c).cast("long"), F.lit(0))
+        except Exception:
+            pass
+        py_fn = tokenizer
+
+        @pandas_udf("long")
+        def count_py(s: pd.Series) -> pd.Series:
+            return s.map(lambda t: 0 if t is None else int(py_fn(t)))
+
+        return lambda c: count_py(c)
+
+    raise TypeError(f"unsupported tokenizer: {tokenizer!r}")
 
 
 def ffd_pack(rows, max_tokens: int):
@@ -136,11 +228,17 @@ def pack_sequences(
     len_col: str | None = None,
     n_buckets: int | None = None,
     sep: str = "\n\n",
+    tokenizer=None,
 ) -> DataFrame:
     """Materialized variant: → (seq_id, n_docs, total_tokens, truncated,
     text) with documents concatenated per sequence in (length desc, id)
-    pack order.  When ``len_col`` is None, lengths default to the
-    whitespace token count computed on the fly.
+    pack order.  When ``len_col`` is None, lengths are computed on the
+    fly by ``tokenizer`` (see :func:`resolve_token_counter`: None =
+    whitespace words; a Column-fn, ``"tiktoken:<enc>"``/``"hf:<model>"``,
+    or a picklable ``str -> int`` = BPE-accurate counts — real trainers
+    pack BPE tokens, and whitespace counts understate them by the
+    subword-split factor).  ``tokenizer`` is ignored when ``len_col``
+    provides precomputed lengths.
 
     The heavy text column joins the assignment table on ``id_col`` — an
     equi-join — and is re-aggregated per ``seq_id``; at very large scale
@@ -149,12 +247,11 @@ def pack_sequences(
     src = df
     if len_col is None:
         len_col = "n_tokens"
-        # null text → 0 tokens (size(split(null)) is -1, which would
-        # corrupt bin capacities — ffd_pack also hard-raises on negatives)
+        # every counter path is null-safe → ≥ 0 (size(split(null)) is -1,
+        # which would corrupt bin capacities — ffd_pack also hard-raises
+        # on negatives)
         src = df.withColumn(
-            len_col, F.greatest(
-                F.size(F.split(F.trim(F.col(text_col)), r"\s+")),
-                F.lit(0)).cast("long"))
+            len_col, resolve_token_counter(tokenizer)(F.col(text_col)))
     asg = pack_assignments(src, max_tokens, id_col, len_col, n_buckets)
     joined = asg.join(src.select(id_col, text_col), id_col)
     return (

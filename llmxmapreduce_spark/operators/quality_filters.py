@@ -162,13 +162,24 @@ def quality_filter(
     df: DataFrame,
     text_col: str = "text",
     rules: tuple[str, ...] = ("gopher", "c4"),
+    keep_clean_text: bool = False,
     **thresholds,
 ) -> DataFrame:
     """Apply the selected rulesets and keep only passing documents, with
     the original schema (signals are internal here; use the ``*_signals``
-    functions directly to keep them for threshold tuning)."""
+    functions directly to keep them for threshold tuning).
+
+    ``keep_clean_text`` (requires the ``"c4"`` ruleset): replace
+    ``text_col`` in the output with ``c4_clean_text`` — C4 §2.2 REMOVES
+    offending lines (no terminal punctuation, < 5 words, "javascript",
+    …) rather than only gating whole pages; without this flag the line
+    rule acts as a document gate and the bad lines survive into
+    downstream stages."""
     import inspect
 
+    if keep_clean_text and "c4" not in rules:
+        raise TypeError("quality_filter: keep_clean_text requires the "
+                        "'c4' ruleset (it IS C4's line removal)")
     out = df
     orig_cols = df.columns
     g_keys = set(inspect.signature(gopher_signals).parameters) - {"df", "text_col"}
@@ -193,4 +204,6 @@ def quality_filter(
     if "c4" in rules:
         c_kw = {k: v for k, v in thresholds.items() if k in c_keys}
         out = c4_signals(out, text_col, **c_kw).filter("c4_pass")
+        if keep_clean_text:
+            out = out.withColumn(text_col, F.col("c4_clean_text"))
     return out.select(*orig_cols)

@@ -54,6 +54,10 @@ from llmxmapreduce_spark.operators.stage_metrics import StageMetrics
 class CorpusPrepConfig:
     quality: bool = True
     quality_thresholds: dict = field(default_factory=dict)
+    c4_line_filter: bool = False     # True: C4 §2.2 line REMOVAL feeds
+                                     # forward (c4_clean_text becomes the
+                                     # text column) instead of acting only
+                                     # as a whole-document gate
     redact: bool = True
     span: int = 3                    # 0 disables span dedup
     neardup_threshold: float = 0.7
@@ -91,7 +95,8 @@ def run_corpus_prep(
     d = docs
     if cfg.quality:
         d = quality_filters.quality_filter(
-            d, text_col, **cfg.quality_thresholds)
+            d, text_col, keep_clean_text=cfg.c4_line_filter,
+            **cfg.quality_thresholds)
     if cfg.redact:
         d = pii_mod.redact_pii(d, text_col)
     d = cut("quality_redact", d)

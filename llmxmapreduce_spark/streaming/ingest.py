@@ -18,12 +18,19 @@ onto Spark's streaming primitives:
   scales with the BATCH, never corpus² (dedup.py:330 has the full
   scale argument).
 
-Exactly-once note: the kept-corpus append inside ``foreachBatch`` is
-at-least-once under restarts (Spark replays an unacknowledged batch; a
-plain parquet append would double-write it).  Production deployments put
-an ACID table format (Delta/Iceberg/Hudi — txn-id = batch epoch) or an
-idempotent MERGE behind this; the harness documents the seam and tests
-the single-run semantics.
+Exactly-once admission WITHOUT an ACID dependency: ``foreachBatch``
+replays an unacknowledged micro-batch with the SAME epoch id, so the
+kept corpus is laid out epoch-keyed — each batch's survivors land at
+``kept/epoch=<epoch_id>/`` with ``mode("overwrite")`` scoped to that one
+directory.  A crash after the write but before the checkpoint commit
+replays the batch, recomputes the same survivors (the corpus read
+EXCLUDES the in-flight epoch's directory, so a partial prior write can
+never dedup the batch against itself), and overwrites the directory —
+replay is a no-op.  This is the batch-id-as-transaction-id pattern the
+Structured Streaming guide describes for idempotent foreachBatch sinks;
+Delta/Iceberg buy the same property via txn ids, not more.  Restart-
+replay gated by tests/test_streaming_ingest.py (commit marker deleted →
+batch replayed → no duplicate admission).
 
 Correctness gate: stream ≡ the same shards applied sequentially in batch
 mode (tests/test_streaming_ingest.py), the same stream-equals-batch
@@ -35,7 +42,6 @@ from __future__ import annotations
 import os
 from typing import Callable
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -68,6 +74,37 @@ def stream_exact_dedup(
     )
 
 
+def _epoch_dirs(spark, kept_path: str) -> list[str]:
+    """Committed epoch directories under the kept corpus, via the Hadoop
+    FileSystem API — an explicit existence/listing check, not a parse of
+    one Spark version's AnalysisException text (the old PATH_NOT_FOUND
+    string-match broke on versions that phrase the error differently,
+    and a real read failure must never silently bootstrap-to-empty)."""
+    jvm = spark._jvm
+    base = jvm.org.apache.hadoop.fs.Path(kept_path)
+    fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(base):
+        return []
+    glob = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(kept_path, "epoch=*"))
+    stats = fs.globStatus(glob)
+    if stats is None:
+        return []
+    return sorted(str(s.getPath()) for s in stats if s.isDirectory())
+
+
+def read_kept(spark, state_dir: str, schema) -> DataFrame:
+    """The admitted corpus written by :func:`run_incremental_neardup_ingest`
+    — the union of its epoch directories (empty DataFrame before the
+    first admission).  Reading the epoch dirs as explicit roots keeps the
+    caller's schema exact; reading ``{state_dir}/kept`` directly also
+    works (partition discovery adds an ``epoch`` column)."""
+    paths = _epoch_dirs(spark, os.path.join(state_dir, "kept"))
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
+
+
 def run_incremental_neardup_ingest(
     stream: DataFrame,
     state_dir: str,
@@ -80,12 +117,13 @@ def run_incremental_neardup_ingest(
     currently available stream input (Trigger.AvailableNow).
 
     Per micro-batch: ``pre_filter`` (e.g. a ``quality_filter``) → shard
-    vs kept-corpus ``minhash_dedup_incremental`` → survivors appended to
-    the kept corpus at ``{state_dir}/kept``.  ``on_batch(epoch_id,
-    batch_df, survivors_df)`` is a test/observability hook called after
-    each append.
+    vs kept-corpus ``minhash_dedup_incremental`` → survivors written to
+    ``{state_dir}/kept/epoch=<epoch_id>/`` (overwrite-scoped to that
+    directory — the idempotent-replay contract in the module docstring).
+    ``on_batch(epoch_id, batch_df, survivors_df)`` is a
+    test/observability hook called after each write.
 
-    Returns after the stream drains; read ``{state_dir}/kept`` for the
+    Returns after the stream drains; use :func:`read_kept` for the
     admitted corpus.  ``dedup_kwargs`` pass through to
     :func:`llmxmapreduce_spark.operators.dedup.minhash_dedup_incremental`
     (threshold, verify mode, band layout …).
@@ -100,19 +138,21 @@ def run_incremental_neardup_ingest(
         if pre_filter is not None:
             batch_df = pre_filter(batch_df)
         batch_df = batch_df.localCheckpoint(eager=True)  # used 3×: sig/bucket/verify
-        try:
-            corpus = spark.read.schema(schema).parquet(kept_path)
-        except AnalysisException as e:
-            # ONLY "no kept corpus yet" may fall back to empty — a real
-            # read failure (permissions, corrupt footer) must not silently
-            # dedup against nothing and re-admit duplicates forever
-            if "PATH_NOT_FOUND" not in str(e):
-                raise
+        own = os.path.join(kept_path, f"epoch={epoch_id}")
+        # corpus = every epoch EXCEPT the in-flight one: on replay a
+        # partial prior write of THIS epoch would otherwise dedup the
+        # batch against itself and under-admit (the mirror image of the
+        # old append path's double-admission)
+        prior = [p for p in _epoch_dirs(spark, kept_path) if p != own
+                 and not p.endswith(f"/epoch={epoch_id}")]
+        if prior:
+            corpus = spark.read.schema(schema).parquet(*prior)
+        else:
             corpus = spark.createDataFrame([], schema)
         survivors = minhash_dedup_incremental(batch_df, corpus,
                                               **dedup_kwargs)
         survivors = survivors.localCheckpoint(eager=True)
-        survivors.write.mode("append").parquet(kept_path)
+        survivors.write.mode("overwrite").parquet(own)
         if on_batch is not None:
             on_batch(epoch_id, batch_df, survivors)
 

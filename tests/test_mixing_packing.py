@@ -164,6 +164,59 @@ def test_auto_bucket_sizing(spark):
     assert spread.select("doc_id").distinct().count() == 60
 
 
+def test_pack_sequences_pluggable_tokenizer(spark):
+    """pack_sequences(tokenizer=...) re-budgets on the given counter:
+    a JVM Column-fn (BPE-ish regex) and a Python str→int callable both
+    produce ledgers in THEIR unit, with budgets still respected."""
+    from llmxmapreduce_spark.functions.text import token_count_bpe_ish
+
+    docs = [(i, "word-" + " x.y ".join(["tok"] * (5 + 3 * (i % 7))))
+            for i in range(40)] + [(99, None)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    # Column-fn path (stays JVM-side): totals equal the regexp counts
+    out = packing.pack_sequences(df, max_tokens=64,
+                                 tokenizer=token_count_bpe_ish).collect()
+    want = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", F.coalesce(token_count_bpe_ish(F.col("text")),
+                             F.lit(0)).alias("n")).collect()}
+    assert sum(r["total_tokens"] for r in out) == sum(want.values())
+    assert sum(r["n_docs"] for r in out) == 41
+    for r in out:
+        if not r["truncated"]:
+            assert r["total_tokens"] <= 64
+    # BPE-ish counts exceed whitespace counts on punctuated text — the
+    # delta is exactly why the tokenizer must be pluggable
+    ws_out = packing.pack_sequences(df, max_tokens=64).collect()
+    assert sum(r["total_tokens"] for r in out) > \
+        sum(r["total_tokens"] for r in ws_out)
+
+    # Python-callable path (pandas UDF; null text → 0) — a LOCAL def, so
+    # cloudpickle ships it by value (a test-module-level fn would pickle
+    # by reference to a module the workers can't import)
+    def four_chars_per_token(t: str) -> int:
+        return (len(t) + 3) // 4
+
+    out_py = packing.pack_sequences(df, max_tokens=64,
+                                    tokenizer=four_chars_per_token).collect()
+    want_py = {i: 0 if t is None else four_chars_per_token(t)
+               for i, t in docs}
+    assert sum(r["total_tokens"] for r in out_py) == sum(want_py.values())
+
+
+def test_pack_sequences_tokenizer_spec_gated(spark):
+    """String specs resolve lazily per executor; an uninstalled library
+    surfaces as an ImportError at first batch, and an unknown scheme is
+    rejected with the spec in the message."""
+    df = spark.createDataFrame([(1, "hello world")],
+                               "doc_id bigint, text string")
+    with pytest.raises(Exception, match="tiktoken"):
+        packing.pack_sequences(df, 64,
+                               tokenizer="tiktoken:cl100k_base").collect()
+    with pytest.raises(Exception, match="unknown tokenizer spec"):
+        packing.pack_sequences(df, 64, tokenizer="nope:thing").collect()
+
+
 def test_pack_rejects_bad_budget(spark):
     df = _len_df(spark, [10])
     with pytest.raises(ValueError, match="positive"):

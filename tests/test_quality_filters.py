@@ -167,3 +167,24 @@ def test_quality_filter_composition_and_plan(spark):
     plan = qf.quality_filter(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_quality_filter_keep_clean_text(spark):
+    """keep_clean_text feeds C4's LINE REMOVAL forward (ADVICE repro: a
+    surviving page previously kept its 'javascript' / short / no-period
+    lines because only the page gate applied)."""
+    page = (GOOD.replace(". ", ".\n")
+            + "\nenable javascript to view this page."
+            + "\nshort line no period")
+    out = qf.quality_filter(_df(spark, [page]), keep_clean_text=True) \
+        .collect()
+    assert len(out) == 1
+    cleaned = out[0]["text"]
+    assert "javascript" not in cleaned
+    assert "short line no period" not in cleaned
+    assert cleaned.startswith(GOOD.split(". ")[0])
+    # schema unchanged; flag without the c4 ruleset is an error, not a
+    # silent no-op
+    with pytest.raises(TypeError, match="keep_clean_text"):
+        qf.quality_filter(_df(spark, [page]), rules=("gopher",),
+                          keep_clean_text=True)

@@ -106,8 +106,12 @@ def test_incremental_ingest_stream_matches_sequential_batch(spark, tmp_path):
             sorted(r["doc_id"] for r in s.select("doc_id").collect()))),
         **DEDUP_KW)
 
-    kept = spark.read.schema(SCHEMA).parquet(str(tmp_path / "state/kept"))
+    kept = ingest.read_kept(spark, str(tmp_path / "state"), SCHEMA)
     kept_ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    # the epoch-keyed layout also reads directly via partition discovery
+    direct = spark.read.parquet(str(tmp_path / "state/kept"))
+    assert "epoch" in direct.columns
+    assert direct.count() == len(kept_ids)
 
     # replay the exact micro-batch partitioning Spark used, in batch mode
     all_rows = {r[0]: r for sh in shards for r in sh}
@@ -153,8 +157,8 @@ def test_incremental_ingest_resumes_from_checkpoint(spark, tmp_path):
         return seen
 
     first = drain()
-    kept1 = sorted(r["doc_id"] for r in spark.read.schema(SCHEMA)
-                   .parquet(str(tmp_path / "state/kept")).collect())
+    kept1 = sorted(r["doc_id"] for r in ingest.read_kept(
+        spark, str(tmp_path / "state"), SCHEMA).collect())
     assert len(first) == 2
 
     import time
@@ -162,8 +166,8 @@ def test_incremental_ingest_resumes_from_checkpoint(spark, tmp_path):
     spark.createDataFrame(shards[2], SCHEMA).coalesce(1) \
         .write.mode("append").parquet(src)
     second = drain()
-    kept2 = sorted(r["doc_id"] for r in spark.read.schema(SCHEMA)
-                   .parquet(str(tmp_path / "state/kept")).collect())
+    kept2 = sorted(r["doc_id"] for r in ingest.read_kept(
+        spark, str(tmp_path / "state"), SCHEMA).collect())
     # only the NEW shard was processed; prior admissions unchanged, no dups
     assert len(second) == 1
     assert set(second[0]) == {r[0] for r in shards[2]}
@@ -186,7 +190,56 @@ def test_incremental_ingest_pre_filter_gates_admission(spark, tmp_path):
         stream, str(tmp_path / "state"), str(tmp_path / "ckpt"),
         pre_filter=lambda df: df.filter(F.size(F.split("text", r"\s+")) >= 10),
         **DEDUP_KW)
-    kept = spark.read.schema(SCHEMA).parquet(str(tmp_path / "state/kept"))
+    kept = ingest.read_kept(spark, str(tmp_path / "state"), SCHEMA)
     kept_ids = {r["doc_id"] for r in kept.collect()}
     assert 900 not in kept_ids and 901 not in kept_ids
     assert len(kept_ids) > 0
+
+
+def test_incremental_ingest_replay_after_crash_is_idempotent(spark, tmp_path):
+    """The exactly-once seam, closed: simulate a crash AFTER the epoch
+    write but BEFORE the checkpoint commit by deleting the last commit
+    marker — the restart replays that micro-batch with the same epoch id,
+    overwrites its epoch directory, and the admitted corpus is unchanged
+    (the old append-mode sink double-admitted the batch here)."""
+    import shutil
+
+    shards = _shards(seed=17)
+    src = str(tmp_path / "src")
+    _write_shards(spark, src, shards)
+
+    def drain(ckpt):
+        stream = (spark.readStream.schema(SCHEMA)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        seen = []
+        ingest.run_incremental_neardup_ingest(
+            stream, str(tmp_path / "state"), str(ckpt),
+            on_batch=lambda eid, b, s: seen.append(eid),
+            **DEDUP_KW)
+        return seen
+
+    first = drain(tmp_path / "ckpt")
+    assert len(first) == 3
+    kept1 = sorted(r["doc_id"] for r in ingest.read_kept(
+        spark, str(tmp_path / "state"), SCHEMA).collect())
+    assert len(kept1) == len(set(kept1))
+
+    # crash-restore simulation: a checkpoint image where the last batch's
+    # epoch dir IS written but its commit marker is NOT (a copied dir,
+    # because the driver's same-session metadata-log cache flags in-place
+    # edits of a live checkpoint as a concurrent query)
+    ckpt2 = tmp_path / "ckpt2"
+    shutil.copytree(tmp_path / "ckpt", ckpt2)
+    commits = ckpt2 / "commits"
+    last = max((f for f in commits.iterdir() if f.name.isdigit()),
+               key=lambda f: int(f.name))
+    last.unlink()
+    crc = commits / f".{last.name}.crc"     # Hadoop checksum sidecar: a
+    if crc.exists():                        # stale .crc makes the commit
+        crc.unlink()                        # rewrite look concurrent
+
+    second = drain(ckpt2)                  # replays exactly that batch
+    assert second == [int(last.name)]
+    kept2 = sorted(r["doc_id"] for r in ingest.read_kept(
+        spark, str(tmp_path / "state"), SCHEMA).collect())
+    assert kept2 == kept1                  # no duplicate admission, no loss
