@@ -1234,7 +1234,9 @@ def q_decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load_table(spark, sf, "documents").select("doc_id", "text")
     bench = d.filter(F.col("doc_id") % 97 == 0)
-    bloom = build_gram_bloom(bench, n=13)
+    # bits_per_key=24: sized for the DOC-level fp rate (per-gram fpp
+    # compounds over ~300 grams/doc — see contamination_flags_bloom)
+    bloom = build_gram_bloom(bench, n=13, bits_per_key=24)
     return contamination_flags_bloom(d.filter(F.col("doc_id") % 97 != 0),
                                      bloom, n=13, min_parallelism=64)
 

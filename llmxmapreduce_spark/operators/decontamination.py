@@ -369,7 +369,10 @@ def build_gram_bloom(
 ) -> tuple[bytes, int, int, list[int]]:
     """Distributed Bloom-filter build over the benchmark's n-gram hashes —
     the scale path for benchmark sets too large to broadcast exactly
-    (~10 bits/key ≈ 1% false positives vs 64 bits/key for exact hashes).
+    (~10 bits/key ≈ 1% false positives PER GRAM vs 64 bits/key for
+    exact hashes; see :func:`contamination_flags_bloom` for why the
+    DOC-level rate compounds by grams-per-doc and ``bits_per_key=24``
+    is the recommended production setting).
 
     Gram hashes are the fast twin's vectorized polynomial hashes over
     memoized per-word blake2b hashes (:func:`_poly_gram_hashes`) — the
@@ -426,10 +429,19 @@ def contamination_flags_bloom(
 ) -> DataFrame:
     """→ (id_col, n_flagged_grams) for corpus docs with ≥1 gram whose k
     Bloom probes all hit.  NO false negatives (every truly contaminated
-    doc is flagged — the Bloom guarantee); false positives at the
-    filter's fpp over-flag clean docs, which for decontamination means
-    conservatively dropping ~fpp extra data — the documented trade for
-    an exact set that will not broadcast.
+    doc is flagged — the Bloom guarantee); false positives over-flag
+    clean docs, i.e. conservatively over-drop — the trade for an exact
+    set that will not broadcast.
+
+    **Size for the DOC-level false-positive rate, not the per-gram
+    fpp**: a doc is over-flagged if ANY of its ~grams-per-doc probes
+    false-positives, so doc_fpp ≈ grams_per_doc × gram_fpp.  The
+    historical default ``bits_per_key=10`` (~0.8% per gram) over-flags
+    a quarter of a 300-gram/doc corpus (measured live at sf0.1);
+    ``bits_per_key=24`` puts gram_fpp ~1e-4 → sub-3% doc-level
+    over-drop at 300 grams/doc while still 2.7× smaller than the exact
+    8-byte hash set.  :func:`build_gram_bloom` docs carry the same
+    warning.
 
     The probe reuses :func:`contamination_flags_fast`'s mechanics —
     memoized word hashes, vectorized polynomial grams per length, one

@@ -335,16 +335,27 @@ def ivf_topk_join(
     query_id_col: str = "qid",
     seed: int = 42,
 ) -> DataFrame:
-    """Large-query IVF search: BOTH sides assigned to cells, queries
-    exploded to their ``nprobe`` probe cells, then a plain shuffled
-    EQUI-JOIN on the cell id (the IVF analogue of
-    ``lsh_bucket_topk_large`` — Catalyst/AQE picks the physical join; the
-    plan can never contain a cartesian).  Scoring inside the join is the
-    Catalyst double dot, ranking via window.
+    """Large-query IVF search: BOTH sides shuffle ONCE keyed by the
+    4-byte cell id — corpus rows to their single cell, queries exploded
+    to their ``nprobe`` probe cells — and each cell is scored by a
+    single BLAS matmul inside a cogrouped ``applyInPandas``, with local
+    top-(k+1) kept per (query, cell); the global window rank then picks
+    top-k across a query's probe cells (same output contract as
+    :func:`ivf_topk`, which this path agrees with, test-pinned ≥ 0.95
+    modulo float-summation tie swaps).
 
-    Shuffle volume: |corpus| + |queries| × nprobe rows keyed by a 4-byte
-    cell id; per-cell work is |cell_q| × |cell_c| — tuned by ``n_cells``,
-    residual hot cells handled by AQE skew join."""
+    Round-7 rewrite: the original formulation equi-joined the two sides
+    and scored every materialized PAIR row with Catalyst's interpreted
+    ``aggregate(zip_with)`` dot — measured at sf1 (20 k corpus × 1 k
+    queries): 25.8 s at nprobe=4 and LINEAR in nprobe (202 s at 32),
+    i.e. slower than the 7.2 s brute-force scorer it exists to beat,
+    because pair rows carry two vector payloads through the shuffle and
+    the per-element dot is interpreted (scale lesson 2, BASELINE.md).
+    The cogroup ships each vector through the shuffle exactly once and
+    scores cells at BLAS speed; per-cell work is one
+    |cell_c| × |cell_q| matmul — bounded by the data-adaptive quantizer,
+    residual hot cells being one task's matmul rather than a pair
+    explosion."""
     import pandas as pd
 
     if centroids is None:
@@ -353,10 +364,7 @@ def ivf_topk_join(
     nprobe = min(nprobe, C.shape[0])
     Ct = C.T
 
-    c_assigned = assign_cells(corpus, C, id_col, vec_col).select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("cv"),
-        F.col("cell"),
-    )
+    c_assigned = assign_cells(corpus, C, id_col, vec_col)
 
     qid_t = dict(queries.dtypes)[id_col]
     q_schema = f"{query_id_col} {qid_t}, qv array<double>, cell int"
@@ -383,10 +391,43 @@ def ivf_topk_join(
     q_assigned = queries.select(id_col, vec_col).mapInPandas(
         probe_cells, q_schema)
 
-    joined = c_assigned.join(q_assigned, "cell").filter(
-        F.col(query_id_col) != F.col(id_col))
-    from llmxmapreduce_spark.operators.similarity import _bucket_rank_topk
-    return _bucket_rank_topk(joined, k, id_col, query_id_col)
+    id_t = dict(corpus.dtypes)[id_col]
+    out_schema = f"{query_id_col} {qid_t}, {id_col} {id_t}, cosine double"
+
+    def score(cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cdf) or not len(qdf):
+            return pd.DataFrame({query_id_col: [], id_col: [],
+                                 "cosine": []})
+        X = _normalize_rows(np.array(cdf[vec_col].tolist(),
+                                     dtype=np.float64))
+        Q = _normalize_rows(np.array(qdf["qv"].tolist(), dtype=np.float64))
+        ids = cdf[id_col].to_numpy()
+        qids = qdf[query_id_col].to_numpy()
+        S = X @ Q.T                              # members × queries
+        m = min(k + 1, S.shape[0])               # +1 absorbs a self-match
+        top = np.argpartition(-S, m - 1, axis=0)[:m]
+        out_q, out_i, out_s = [], [], []
+        for col in range(S.shape[1]):
+            for i in top[:, col]:
+                if ids[i] != qids[col]:
+                    out_q.append(qids[col])
+                    out_i.append(ids[i])
+                    out_s.append(S[i, col])
+        return pd.DataFrame({query_id_col: out_q, id_col: out_i,
+                             "cosine": out_s})
+
+    cand = (
+        c_assigned.groupBy("cell")
+        .cogroup(q_assigned.groupBy("cell"))
+        .applyInPandas(score, out_schema)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(),
+                                                 F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "cosine")
+    )
 
 
 # ---------------------------------------------------------------------------
