@@ -231,6 +231,14 @@ def minhash_dedup_pairs(
       shingle arrays.  Shuffle cost: pairs × shingle-array width, fine up
       to ~1M pairs; it dominates the job once bucket collisions explode
       (sf5's planted 50-copy clusters → ~28M pairs → hundreds of GB).
+    - ``"exact_hashed"`` — the SAME exact Jaccard, but the verify join
+      ships ``xxhash64(shingle)`` arrays instead of the shingle strings:
+      set intersections/unions over 64-bit hashes have identical sizes
+      (hashing distinct strings is injective up to a ~n²/2⁶⁵ collision
+      chance), so the VALUES equal the exact mode's while the shuffle
+      drops to 8 bytes per shingle (~2.5×) and the array intersect runs
+      on longs, not strings.  The exact-verify-at-scale choice: measured
+      at sf5 where plain ``"exact"`` DNFs (BASELINE.md round-7 note).
     - ``"estimate"`` — signature-agreement estimate
       (:func:`signature_jaccard`); shuffle carries only the num_hashes-long
       signatures.  The production choice at scale.
@@ -250,10 +258,19 @@ def minhash_dedup_pairs(
     # repeated calls don't pin corpus-sized blocks for the session's life).
     base = df.select(
         F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
-    ).withColumn("signature", sig_fn(F.col("shingles"), num_hashes)).persist()
+    ).withColumn("signature", sig_fn(F.col("shingles"), num_hashes))
+    if verify == "exact_hashed":
+        # hash the shingles BEFORE the persist and drop the strings: the
+        # cache then holds 8-byte longs, and so does the verify shuffle
+        base = base.withColumn(
+            "sh_h", F.transform("shingles", lambda s: F.xxhash64(s))
+        ).drop("shingles")
+    base = base.persist()
     cands = lsh_candidate_pairs(base, id_col, "signature", bands, rows_per_band)
     if verify == "exact":
         pairs = jaccard_verify(cands, base, id_col, "shingles", threshold)
+    elif verify == "exact_hashed":
+        pairs = jaccard_verify(cands, base, id_col, "sh_h", threshold)
     elif verify == "estimate":
         pairs = signature_jaccard(cands, base, id_col, "signature", threshold)
     elif verify == "none":
@@ -364,9 +381,14 @@ def minhash_dedup_incremental(
     rows_per_band = num_hashes // bands
 
     def base_of(d: DataFrame) -> DataFrame:
-        return d.select(
+        out = d.select(
             F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
         ).withColumn("signature", sig_fn(F.col("shingles"), num_hashes))
+        if verify == "exact_hashed":
+            out = out.withColumn(
+                "sh_h", F.transform("shingles", lambda s: F.xxhash64(s))
+            ).drop("shingles")
+        return out
 
     new_base = base_of(new_df).persist()
     corpus_base = base_of(corpus_df).persist()
@@ -384,6 +406,9 @@ def minhash_dedup_incremental(
         )
         if verify == "exact":
             matched = jaccard_verify(cross, new_base, id_col, "shingles",
+                                     threshold, shingle_df_b=corpus_base)
+        elif verify == "exact_hashed":
+            matched = jaccard_verify(cross, new_base, id_col, "sh_h",
                                      threshold, shingle_df_b=corpus_base)
         elif verify == "estimate":
             matched = signature_jaccard(cross, new_base, id_col, "signature",

@@ -312,6 +312,38 @@ def test_minhash_verify_modes(spark):
     assert all(0.0 <= r["jaccard"] <= 1.0 for r in est_rows)
 
 
+def test_minhash_exact_hashed_matches_exact(spark):
+    """exact_hashed ships 8-byte shingle hashes instead of strings through
+    the verify join but must return IDENTICAL pairs and jaccard values
+    (set sizes are preserved under injective hashing) — the
+    exact-verify-at-scale mode."""
+    import numpy as np
+
+    from llmxmapreduce_spark.operators.dedup import minhash_dedup_pairs
+
+    rng = np.random.default_rng(61)
+    vocab = "sun rain tree rock bird fish wind snow leaf star moon".split()
+
+    def doc(k=30):
+        return " ".join(rng.choice(vocab) for _ in range(k))
+
+    rows = [(i, doc()) for i in range(40)]
+    for j in range(8):          # near-dups: one word changed
+        w = rows[j][1].split()
+        w[5] = "mutant" + str(j)
+        rows.append((100 + j, " ".join(w)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_dedup_pairs(df, threshold=0.5).collect()}
+    hashed = {(r["id_a"], r["id_b"]): r["jaccard"]
+              for r in minhash_dedup_pairs(df, threshold=0.5,
+                                           verify="exact_hashed").collect()}
+    assert set(hashed) == set(exact) and len(exact) >= 8
+    for k_, v in exact.items():
+        assert abs(hashed[k_] - v) < 1e-12
+
+
 def test_signature_jaccard_estimator_value(spark):
     """Identical docs estimate 1.0; disjoint docs estimate 0.0."""
     rows = [(0, "w1 w2 w3 w4 w5 w6"), (1, "w1 w2 w3 w4 w5 w6"),
@@ -356,7 +388,7 @@ def test_minhash_dedup_incremental(spark):
         ],
         "doc_id long, text string",
     )
-    for mode in ("exact", "estimate"):
+    for mode in ("exact", "exact_hashed", "estimate"):
         out = minhash_dedup_incremental(
             new, corpus, threshold=0.5, verify=mode)
         kept = sorted(r["doc_id"] for r in out.collect())
