@@ -1241,6 +1241,37 @@ def q_decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
                                      bloom, n=13, min_parallelism=64)
 
 
+def q_ccnet_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/lm_filter.py): stupid-
+    backoff bigram LM trained on a ~5% 'trusted' slice (two count
+    aggregations), then per-doc perplexity over the rest via one bigram
+    explode + two broadcast LM joins + a doc-id aggregation — corpus
+    text never shuffles.  Bench-only: hand-computed logprobs + exact
+    DuckDB twin in tests/test_lm_filter.py."""
+    from llmxmapreduce_spark.operators import lm_filter as lmf
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    lm = lmf.train_bigram_lm(d.filter(F.col("doc_id") % 19 == 0),
+                             min_count=2)
+    return lmf.doc_perplexity(d.filter(F.col("doc_id") % 19 != 0), lm)
+
+
+def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (operators/dsir.py, Xie et al.
+    arXiv:2302.03169): hashed uni+bi-gram bucket features, smoothed
+    target/raw bucket distributions (two aggregates), per-doc
+    log-weight via a broadcast join of the 10k-row log-ratio table —
+    text never shuffles.  Bench-only: planted domain-shift recovery +
+    exact DuckDB twin in tests/test_dsir.py."""
+    from llmxmapreduce_spark.operators import dsir
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    target = d.filter(F.col("doc_id") % 19 == 0)
+    raw = d.filter(F.col("doc_id") % 19 != 0)
+    lr = dsir.fit_bucket_logratio(target, raw)
+    return dsir.importance_weights(raw, lr)
+
+
 def q_v2_decode_tail(spark: SparkSession, sf: str) -> DataFrame:
     """The V2 decode pipeline's deterministic suffix (v2_survey.decode_tail:
     P12 renumber → A7 cite_ratio → references block → markdown assembly,

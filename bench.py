@@ -73,6 +73,8 @@ HEADLINE = [
     "decontaminate_fast",
     "decontaminate_bloom",
     "ivf_topk_join",
+    "ccnet_perplexity",
+    "dsir_weights",
 ]
 
 # The round-2..5 comparable set: "suite19_sec" in the output JSON is the
@@ -113,6 +115,8 @@ BENCH_ONLY = {
     "decontaminate_fast": entrymod.q_decontaminate_fast,
     "decontaminate_bloom": entrymod.q_decontaminate_bloom,
     "ivf_topk_join": entrymod.q_ivf_topk_join,
+    "ccnet_perplexity": entrymod.q_ccnet_perplexity,
+    "dsir_weights": entrymod.q_dsir_weights,
 }
 
 
