@@ -1256,6 +1256,23 @@ def q_ccnet_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     return lmf.doc_perplexity(d.filter(F.col("doc_id") % 19 != 0), lm)
 
 
+def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-3 App. A learned quality classifier
+    (operators/quality_classifier.py): driver-side LR fit on bounded
+    hashed-feature samples (trusted slice vs raw), then declarative
+    scoring — B-row weight table broadcast-joined to per-doc bucket
+    counts, sigmoid projection.  Bench-only: planted-domain separation
+    + exact DuckDB twin + Pareto keep-rule profile in
+    tests/test_quality_classifier.py."""
+    from llmxmapreduce_spark.operators import quality_classifier as qc
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    pos = d.filter(F.col("doc_id") % 19 == 0)
+    raw = d.filter(F.col("doc_id") % 19 != 0)
+    w = qc.train_quality_classifier(pos, raw, max_sample=4_000)
+    return qc.classifier_scores(raw, w)
+
+
 def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR importance weights (operators/dsir.py, Xie et al.
     arXiv:2302.03169): hashed uni+bi-gram bucket features, smoothed

@@ -75,6 +75,7 @@ HEADLINE = [
     "ivf_topk_join",
     "ccnet_perplexity",
     "dsir_weights",
+    "quality_classifier",
 ]
 
 # The round-2..5 comparable set: "suite19_sec" in the output JSON is the
@@ -117,6 +118,7 @@ BENCH_ONLY = {
     "ivf_topk_join": entrymod.q_ivf_topk_join,
     "ccnet_perplexity": entrymod.q_ccnet_perplexity,
     "dsir_weights": entrymod.q_dsir_weights,
+    "quality_classifier": entrymod.q_quality_classifier,
 }
 
 

@@ -1,0 +1,191 @@
+"""GPT-3-style learned quality classifier (scale extension).
+
+GPT-3 (Brown et al., arXiv:2005.14165, App. A) filtered CommonCrawl
+with a logistic-regression quality classifier: positives = a trusted
+corpus (WebText/Wikipedia/books), negatives = raw crawl, features =
+hashed n-gram bags; a document is KEPT when
+``score > 1 − np.random.pareto(9)`` — the Pareto rule that mostly keeps
+high-scoring documents but lets a heavy tail of low scorers through so
+the corpus is not homogenized.  The same recipe (with the same α = 9)
+is reported by PaLM and GLaM.
+
+Spark formulation, reusing :mod:`llmxmapreduce_spark.operators.dsir`'s
+hashed uni+bi-gram featurizer:
+
+- **Training is driver-side on a BOUNDED sample** (the fit_centroids
+  contract): per-doc bucket counts for ≤ ``max_sample`` docs per class
+  collect as sparse (doc, bucket, count) triples — n_docs × ~grams
+  rows, never text — and plain-numpy gradient descent fits w, b.
+  Features are per-doc term frequencies (counts / total grams).
+- **Scoring is declarative**: the B-row weight table broadcast-joins
+  the per-doc bucket counts; score = sigmoid(Σ tf·w + b) — one
+  projected scan + one broadcast join + one doc-id aggregation, the
+  decontaminate plan shape.  Oracle-able (exact DuckDB twin with the
+  portable md5 bucket variant).
+- **The Pareto keep-rule is deterministic per (id, seed)**:
+  u = xxhash64-uniform, draw = (1−u)^(−1/α) − 1 (the inverse-CDF of
+  numpy's Lomax/pareto), keep iff score > 1 − draw — reproducible
+  under any partitioning.
+
+Values gate: sklearn-free hand-checkable fixtures (separable planted
+domains), an exact DuckDB twin of the scoring pass, and determinism
+tests — tests/test_quality_classifier.py; priced in bench.py
+(`quality_classifier`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from llmxmapreduce_spark.operators.dsir import doc_bucket_counts
+
+
+def _collect_sparse(df: DataFrame, text_col: str, id_col: str,
+                    n_buckets: int, portable: bool, max_sample: int,
+                    seed: int):
+    """Bounded sparse feature collect: (row_index, bucket, count) for up
+    to ``max_sample`` docs.  The collect moves ~docs × distinct-buckets
+    integer triples — no text."""
+    ids = df.select(id_col).limit(max_sample + 1)
+    n = ids.count()
+    d = df
+    if n > max_sample:
+        frac = min(1.0, (1.1 * max_sample) / n)
+        d = df.sample(withReplacement=False, fraction=frac, seed=seed) \
+            .limit(max_sample)
+    rows = doc_bucket_counts(d, text_col, id_col, n_buckets,
+                             portable).collect()
+    index: dict = {}
+    tri = []
+    for r in rows:
+        j = index.setdefault(r[0], len(index))
+        tri.append((j, r[1], r[2]))
+    return len(index), np.array(tri, dtype=np.int64)
+
+
+def train_quality_classifier(
+    positive: DataFrame,
+    negative: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    max_sample: int = 20_000,
+    iters: int = 300,
+    lr: float = 50.0,   # tf features are O(1/doc_len): the loss surface's
+                        # curvature is tiny, so plain GD needs a large step
+    l2: float = 1e-6,
+    id_col: str = "doc_id",
+    portable: bool = False,
+    seed: int = 42,
+) -> tuple[np.ndarray, float]:
+    """Fit (w, b) by full-batch gradient descent on tf features of a
+    bounded sample per class.  Deterministic for fixed (data,
+    partitioning, seed).  Returns the weight vector (n_buckets floats —
+    80 KB at the default, closure/broadcast-sized) and the bias."""
+    np_, nt = _collect_sparse(positive, text_col, id_col, n_buckets,
+                              portable, max_sample, seed)
+    nn, tn = _collect_sparse(negative, text_col, id_col, n_buckets,
+                             portable, max_sample, seed + 1)
+    if np_ == 0 or nn == 0:
+        raise ValueError("train_quality_classifier: empty class sample")
+    rows = np.concatenate([nt[:, 0], tn[:, 0] + np_])
+    cols = np.concatenate([nt[:, 1], tn[:, 1]])
+    vals = np.concatenate([nt[:, 2], tn[:, 2]]).astype(np.float64)
+    n_docs = np_ + nn
+    y = np.zeros(n_docs)
+    y[:np_] = 1.0
+    # tf normalization per doc
+    totals = np.zeros(n_docs)
+    np.add.at(totals, rows, vals)
+    vals = vals / np.maximum(totals[rows], 1.0)
+
+    w = np.zeros(n_buckets)
+    b = 0.0
+    for _ in range(iters):
+        z = np.full(n_docs, b)
+        np.add.at(z, rows, vals * w[cols])
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y                       # dL/dz per doc
+        gw = np.zeros(n_buckets)
+        np.add.at(gw, cols, g[rows] * vals)
+        gw = gw / n_docs + l2 * w
+        gb = g.mean()
+        w -= lr * gw
+        b -= lr * gb
+    return w, float(b)
+
+
+def classifier_scores(
+    df: DataFrame,
+    weights: tuple[np.ndarray, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """→ (id_col, n_grams, score) with score = sigmoid(Σ tf·w + b).
+    The weight vector becomes a B-row DataFrame broadcast-joined to the
+    per-doc bucket counts; docs with no grams score sigmoid(b) (bias
+    only — no evidence)."""
+    w, b = weights
+    spark = df.sparkSession
+    n_buckets = len(w)
+    wdf = spark.createDataFrame(
+        [(int(i), float(x)) for i, x in enumerate(w) if x != 0.0],
+        "bucket int, w double")
+    counts = doc_bucket_counts(df, text_col, id_col, n_buckets, portable)
+    agg = (
+        counts.join(F.broadcast(wdf), "bucket", "left")
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_grams"),
+             F.sum(F.col("c") * F.coalesce("w", F.lit(0.0))).alias("dot"))
+    )
+    z = F.col("dot") / F.col("n_grams") + F.lit(b)
+    return (
+        df.select(id_col).join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.coalesce(z, F.lit(b)))))
+            .alias("score"),
+        )
+    )
+
+
+def pareto_filter(
+    scores: DataFrame,
+    alpha: float = 9.0,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    seed: int = 42,
+) -> DataFrame:
+    """GPT-3's keep rule: keep iff ``score > 1 − pareto(α) draw``.
+    The draw is the inverse-CDF of numpy's Pareto/Lomax,
+    (1−u)^(−1/α) − 1, over a deterministic per-(id, seed) uniform.
+    P(keep) = (1 + (1 − score))^−α — at α = 9 a 0.95-scorer is kept
+    with p ≈ 0.645 and a 0.05-scorer with p ≈ 0.0025: steep but
+    heavy-tailed, so low scorers are admitted rarely, not never (the
+    corpus-diversity point of the rule, App. A).  Returns the scored
+    rows that pass."""
+    u = (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 31))
+         + F.lit(0.5)) / F.lit(float(1 << 31))
+    draw = F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0)
+    return scores.filter(F.col(score_col) > F.lit(1.0) - draw)
+
+
+def quality_classifier_filter(
+    df: DataFrame,
+    weights: tuple[np.ndarray, float],
+    alpha: float = 9.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """Score + Pareto keep-rule, returning surviving rows of ``df`` with
+    the original schema (id-only semi join — text stays put)."""
+    kept = pareto_filter(
+        classifier_scores(df, weights, text_col, id_col, portable),
+        alpha, id_col, seed=seed,
+    ).select(id_col)
+    return df.join(kept, id_col, "left_semi")

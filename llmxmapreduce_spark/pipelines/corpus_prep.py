@@ -59,6 +59,10 @@ class CorpusPrepConfig:
                                      # text column) instead of acting only
                                      # as a whole-document gate
     redact: bool = True
+    lm: tuple | None = None          # (bigrams, unigrams, log10_oov) from
+                                     # lm_filter.train_bigram_lm — a CCNet
+                                     # perplexity gate after the rulesets
+    max_perplexity: float | None = None
     span: int = 3                    # 0 disables span dedup
     neardup_threshold: float = 0.7
     neardup_verify: str = "estimate"
@@ -97,6 +101,13 @@ def run_corpus_prep(
         d = quality_filters.quality_filter(
             d, text_col, keep_clean_text=cfg.c4_line_filter,
             **cfg.quality_thresholds)
+    if cfg.lm is not None and cfg.max_perplexity is not None:
+        # CCNet-style LM gate: runs after the cheap rule filters so the
+        # bigram explode + broadcast LM join only sees their survivors
+        from llmxmapreduce_spark.operators.lm_filter import perplexity_filter
+
+        d = perplexity_filter(d, cfg.lm, cfg.max_perplexity,
+                              text_col, id_col)
     if cfg.redact:
         d = pii_mod.redact_pii(d, text_col)
     d = cut("quality_redact", d)

@@ -162,6 +162,33 @@ def test_split_oversized_newline_separated_words(spark):
     assert not any(r["truncated"] for r in rows)
 
 
+def test_corpus_prep_perplexity_gate(spark, corpus):
+    """Optional CCNet LM stage: an LM trained on the corpus's own prose
+    drops a planted out-of-vocabulary doc that the rule filters alone
+    cannot catch (long enough, stopworded enough)."""
+    from llmxmapreduce_spark.operators.lm_filter import (doc_perplexity,
+                                                         train_bigram_lm)
+
+    rng = np.random.default_rng(13)
+    ood = " ".join("the of and".split()[i % 3] + f" xq{rng.integers(1e6)}"
+                   for i in range(120)) + "."
+    df = corpus.union(spark.createDataFrame(
+        [(999, ood, "web")], corpus.schema))
+    lm = train_bigram_lm(corpus.select("doc_id", "text"))
+    # threshold between the natural corpus ppl band and the OOD doc
+    ppl = {r["doc_id"]: r["perplexity"] for r in
+           doc_perplexity(df, lm).collect()}
+    cutoff = (max(p for i, p in ppl.items() if i != 999 and p) + 1)
+    assert ppl[999] > cutoff
+    cfg = CorpusPrepConfig(quality=False, redact=False, span=0,
+                           neardup_threshold=1.01, max_tokens=512,
+                           lm=lm, max_perplexity=cutoff)
+    out = run_corpus_prep(df, cfg)
+    all_text = "\n".join(r["text"] for r in out.collect())
+    assert "xq" not in all_text            # OOD doc gated by the LM
+    assert "rain" in all_text or "cloud" in all_text
+
+
 def test_corpus_prep_stages_can_disable(spark, corpus):
     cfg = CorpusPrepConfig(quality=False, redact=False, span=0,
                            max_tokens=512)
