@@ -146,11 +146,29 @@ def shards_manifest(spark, sf, tmp="/tmp/r7_shards"):
     }
 
 
+def data_selection(spark, sf):
+    """Walls for the round-7 data-selection trio at this scale factor
+    (single runs; trusted slice = doc_id % 19 == 0)."""
+    import __spark_entry__ as e
+
+    out = {"measure": "data_selection", "sf_dir": sf}
+    for name in ("q_ccnet_perplexity", "q_dsir_weights",
+                 "q_quality_classifier"):
+        def run():
+            df = getattr(e, name)(spark, sf)
+            df.write.mode("overwrite").format("noop").save()
+            return None
+        _, wall = t(run)
+        out[name[2:]] = wall
+    return out
+
+
 STEPS = {
     "ivf": ivf_join_recall,
     "packing": packing_waste,
     "bloom": bloom_vs_fast,
     "shards": shards_manifest,
+    "selection": data_selection,
 }
 
 
