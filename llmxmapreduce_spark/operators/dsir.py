@@ -40,6 +40,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def hash_uniform(col: Column, seed: int) -> Column:
+    """Deterministic per-(value, seed) uniform in (0, 1):
+    u = (xxhash64(value, seed) mod 2³¹ + 0.5) / 2³¹ — reproducible under
+    any partitioning, no RNG state; strictly inside the open interval so
+    log/−log transforms stay finite.  Shared by the Gumbel top-k sampler
+    here and the Pareto keep-rule in quality_classifier (one copy of the
+    numeric recipe — keep it that way)."""
+    return (F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(1 << 31))
+            + F.lit(0.5)) / F.lit(float(1 << 31))
+
+
 def _grams(text_col: str) -> Column:
     """Unigrams + bigrams of the lowercased whitespace tokens (the
     paper's hashed n-gram feature set)."""
@@ -109,6 +120,10 @@ def fit_bucket_logratio(
         .select("bucket",
                 F.coalesce("ct", F.lit(0)).alias("ct"),
                 F.coalesce("cr", F.lit(0)).alias("cr"))
+        # materialize BEFORE the totals aggregate: the two featurize
+        # aggregations (the dominant fit cost) must run once, not once
+        # for the totals and again for the returned log-ratio lineage
+        .localCheckpoint(eager=True)
     )
     tot = counts.agg(F.sum("ct"), F.sum("cr")).collect()[0]
     tt, tr = (tot[0] or 0) + alpha * n_buckets, (tot[1] or 0) + alpha * n_buckets
@@ -117,7 +132,7 @@ def fit_bucket_logratio(
         (F.log(F.col("ct") + F.lit(alpha)) - F.lit(math.log(tt))
          - F.log(F.col("cr") + F.lit(alpha)) + F.lit(math.log(tr)))
         .alias("logratio"),
-    ).localCheckpoint(eager=True)
+    )
 
 
 def importance_weights(
@@ -176,8 +191,7 @@ def dsir_select(
                                        alpha, portable)
     w = importance_weights(df, logratio, text_col, id_col, n_buckets,
                            portable)
-    u = (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 31))
-         + F.lit(0.5)) / F.lit(float(1 << 31))
+    u = hash_uniform(F.col(id_col), seed)
     keyed = w.select(id_col,
                      (F.col("log_weight") - F.log(-F.log(u))).alias("__k"))
     chosen = keyed.orderBy(F.col("__k").desc()).limit(n_select) \

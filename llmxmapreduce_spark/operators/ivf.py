@@ -105,6 +105,14 @@ def fit_centroids(
             total = int(str(rc.get()))        # scala BigInt → str → int
     except Exception:                          # py4j surface varies
         total = None
+    # With CBO the statistic can be an ESTIMATE (stale catalog stats,
+    # filter-selectivity guesses).  Trust it only in the safe direction:
+    # "big → sample" stays correct if the magnitude is off, but a
+    # small-claim must be re-verified by the bounded probe — an
+    # under-estimate would both skip sampling (head-collect, non-uniform
+    # training set) and undersize auto_n_cells (review repro).
+    if total is not None and total <= max_sample:
+        total = None
     if total is None:
         probe = sample_df.limit(max_sample + 1).count()
         total = df.count() if probe > max_sample else probe

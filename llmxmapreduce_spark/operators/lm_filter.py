@@ -207,6 +207,11 @@ def perplexity_buckets(
     is a narrow projection, so bucketing adds zero exchanges."""
     qs = scores.filter(F.col(ppl_col).isNotNull()) \
         .approxQuantile(ppl_col, list(fractions), relative_error)
+    if not qs:
+        # no row has a scoreable perplexity (e.g. every doc shorter than
+        # 2 words): everything is 'tail' — approxQuantile returns [] here
+        # and indexing it would crash (review repro)
+        return scores.withColumn("bucket", F.lit("tail")), []
     out = scores.withColumn(
         "bucket",
         F.when(F.col(ppl_col).isNull(), F.lit("tail"))

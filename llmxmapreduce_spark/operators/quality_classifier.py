@@ -47,12 +47,19 @@ def _collect_sparse(df: DataFrame, text_col: str, id_col: str,
                     seed: int):
     """Bounded sparse feature collect: (row_index, bucket, count) for up
     to ``max_sample`` docs.  The collect moves ~docs × distinct-buckets
-    integer triples — no text."""
-    ids = df.select(id_col).limit(max_sample + 1)
-    n = ids.count()
+    integer triples — no text.
+
+    Over-sized classes take a genuinely RANDOM sample: the bounded probe
+    only detects "bigger than max_sample"; the fraction comes from a
+    real count (review repro: deriving it from the capped probe count
+    saturates the fraction at 1.0 and `limit()` then takes the HEAD of
+    the DataFrame — one source's documents on source-ordered parquet,
+    a silently skewed classifier)."""
     d = df
-    if n > max_sample:
-        frac = min(1.0, (1.1 * max_sample) / n)
+    probe = df.select(id_col).limit(max_sample + 1).count()
+    if probe > max_sample:
+        total = df.count()
+        frac = min(1.0, (1.1 * max_sample) / max(total, 1))
         d = df.sample(withReplacement=False, fraction=frac, seed=seed) \
             .limit(max_sample)
     rows = doc_bucket_counts(d, text_col, id_col, n_buckets,
@@ -167,8 +174,9 @@ def pareto_filter(
     heavy-tailed, so low scorers are admitted rarely, not never (the
     corpus-diversity point of the rule, App. A).  Returns the scored
     rows that pass."""
-    u = (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 31))
-         + F.lit(0.5)) / F.lit(float(1 << 31))
+    from llmxmapreduce_spark.operators.dsir import hash_uniform
+
+    u = hash_uniform(F.col(id_col), seed)
     draw = F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0)
     return scores.filter(F.col(score_col) > F.lit(1.0) - draw)
 

@@ -101,7 +101,14 @@ def run_corpus_prep(
         d = quality_filters.quality_filter(
             d, text_col, keep_clean_text=cfg.c4_line_filter,
             **cfg.quality_thresholds)
-    if cfg.lm is not None and cfg.max_perplexity is not None:
+    if (cfg.lm is None) != (cfg.max_perplexity is None):
+        # half-configured gate must fail fast, not silently skip — the
+        # same orphaned-threshold contract as quality_filter
+        raise TypeError(
+            "corpus_prep: lm and max_perplexity must be set together "
+            f"(got lm={'set' if cfg.lm is not None else None!r}, "
+            f"max_perplexity={cfg.max_perplexity!r})")
+    if cfg.lm is not None:
         # CCNet-style LM gate: runs after the cheap rule filters so the
         # bigram explode + broadcast LM join only sees their survivors
         from llmxmapreduce_spark.operators.lm_filter import perplexity_filter

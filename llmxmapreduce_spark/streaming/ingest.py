@@ -134,6 +134,25 @@ def run_incremental_neardup_ingest(
     spark = stream.sparkSession
     schema = stream.schema
 
+    # Pairing guard: an EXISTING kept corpus with a FRESH checkpoint
+    # means epoch ids will restart at 0 and the overwrite-scoped sink
+    # would silently DESTROY prior admissions (worse than the old append
+    # sink's double-admission).  The state_dir and checkpoint_dir are a
+    # unit — refuse the mismatch instead of overwriting (review repro).
+    if _epoch_dirs(spark, kept_path):
+        jvm = spark._jvm
+        off = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(checkpoint_dir, "offsets"))
+        fs = off.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(off):
+            raise ValueError(
+                f"run_incremental_neardup_ingest: {kept_path} already "
+                f"holds admitted epochs but checkpoint {checkpoint_dir} "
+                f"has no progress — a fresh checkpoint would restart "
+                f"epoch ids at 0 and overwrite prior admissions. Reuse "
+                f"the original checkpoint_dir, or point state_dir at a "
+                f"new location.")
+
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if pre_filter is not None:
             batch_df = pre_filter(batch_df)
@@ -142,9 +161,11 @@ def run_incremental_neardup_ingest(
         # corpus = every epoch EXCEPT the in-flight one: on replay a
         # partial prior write of THIS epoch would otherwise dedup the
         # batch against itself and under-admit (the mirror image of the
-        # old append path's double-admission)
-        prior = [p for p in _epoch_dirs(spark, kept_path) if p != own
-                 and not p.endswith(f"/epoch={epoch_id}")]
+        # old append path's double-admission).  Exclusion matches on the
+        # path SUFFIX: _epoch_dirs returns fully-qualified URIs
+        # (file:/…), so a bare-path equality check would never match.
+        prior = [p for p in _epoch_dirs(spark, kept_path)
+                 if not p.endswith(f"/epoch={epoch_id}")]
         if prior:
             corpus = spark.read.schema(schema).parquet(*prior)
         else:

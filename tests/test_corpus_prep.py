@@ -189,6 +189,19 @@ def test_corpus_prep_perplexity_gate(spark, corpus):
     assert "rain" in all_text or "cloud" in all_text
 
 
+def test_corpus_prep_half_configured_lm_raises(spark, corpus):
+    """lm without max_perplexity (or vice versa) must fail fast, not
+    silently skip the gate (the quality_filter orphaned-threshold
+    contract)."""
+    from llmxmapreduce_spark.operators.lm_filter import train_bigram_lm
+
+    lm = train_bigram_lm(corpus.select("doc_id", "text"))
+    with pytest.raises(TypeError, match="must be set together"):
+        run_corpus_prep(corpus, CorpusPrepConfig(lm=lm))
+    with pytest.raises(TypeError, match="must be set together"):
+        run_corpus_prep(corpus, CorpusPrepConfig(max_perplexity=100.0))
+
+
 def test_corpus_prep_stages_can_disable(spark, corpus):
     cfg = CorpusPrepConfig(quality=False, redact=False, span=0,
                            max_tokens=512)

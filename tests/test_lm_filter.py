@@ -166,6 +166,18 @@ def test_buckets_and_filter(spark):
     assert kept.columns == corpus.columns
 
 
+def test_buckets_all_null_perplexity(spark):
+    """A corpus with nothing scoreable (every doc < 2 words) buckets
+    entirely as tail with empty thresholds — approxQuantile returns []
+    here and indexing it crashed (review repro)."""
+    lm = lmf.train_bigram_lm(_train(spark))
+    corpus = spark.createDataFrame([(1, "one"), (2, None)],
+                                   "doc_id bigint, text string")
+    out, qs = lmf.perplexity_buckets(lmf.doc_perplexity(corpus, lm))
+    assert qs == []
+    assert {r["bucket"] for r in out.collect()} == {"tail"}
+
+
 def test_min_count_prunes_and_plan_broadcasts(spark):
     train = _train(spark)
     bi, uni, _ = lmf.train_bigram_lm(train, min_count=2)

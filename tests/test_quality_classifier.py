@@ -114,6 +114,27 @@ def test_pareto_rule_profile_and_determinism(spark):
     assert other != kept
 
 
+def test_oversized_class_samples_not_heads(spark):
+    """Classes larger than max_sample go through the real-count random
+    sample path (review repro: the fraction used to saturate at 1.0 and
+    limit() took the DataFrame head) — and the fit still separates."""
+    rng = np.random.default_rng(97)
+    pos = spark.createDataFrame(
+        [(i, _doc(rng, GOOD)) for i in range(40)],
+        "doc_id bigint, text string")
+    neg = spark.createDataFrame(
+        [(i, _doc(rng, JUNK)) for i in range(40)],
+        "doc_id bigint, text string")
+    w, b = qc.train_quality_classifier(pos, neg, n_buckets=B,
+                                       max_sample=12, portable=True)
+    s = {r["doc_id"]: r["score"] for r in qc.classifier_scores(
+        spark.createDataFrame(
+            [(0, _doc(rng, GOOD)), (1, _doc(rng, JUNK))],
+            "doc_id bigint, text string"),
+        (w, b), portable=True).collect()}
+    assert s[0] > 0.8 and s[1] < 0.2
+
+
 def test_filter_schema_and_plan(spark, fitted):
     (w, b), rng = fitted
     df = spark.createDataFrame(

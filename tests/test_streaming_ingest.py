@@ -196,6 +196,33 @@ def test_incremental_ingest_pre_filter_gates_admission(spark, tmp_path):
     assert len(kept_ids) > 0
 
 
+def test_fresh_checkpoint_with_existing_state_refuses(spark, tmp_path):
+    """A fresh checkpoint restarts epoch ids at 0 — against an existing
+    kept corpus the overwrite-scoped sink would DESTROY epoch 0's prior
+    admissions, so the pairing mismatch must refuse up front (review
+    repro)."""
+    shards = _shards(seed=23)
+    src = str(tmp_path / "src")
+    _write_shards(spark, src, shards[:1])
+
+    def drain(ckpt):
+        stream = (spark.readStream.schema(SCHEMA)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        ingest.run_incremental_neardup_ingest(
+            stream, str(tmp_path / "state"), str(ckpt), **DEDUP_KW)
+
+    drain(tmp_path / "ckpt")
+    kept1 = sorted(r["doc_id"] for r in ingest.read_kept(
+        spark, str(tmp_path / "state"), SCHEMA).collect())
+    assert kept1
+    with pytest.raises(ValueError, match="no progress"):
+        drain(tmp_path / "ckpt_fresh")
+    # prior admissions untouched by the refused run
+    kept2 = sorted(r["doc_id"] for r in ingest.read_kept(
+        spark, str(tmp_path / "state"), SCHEMA).collect())
+    assert kept2 == kept1
+
+
 def test_incremental_ingest_replay_after_crash_is_idempotent(spark, tmp_path):
     """The exactly-once seam, closed: simulate a crash AFTER the epoch
     write but BEFORE the checkpoint commit by deleting the last commit
