@@ -1273,6 +1273,20 @@ def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     return qc.classifier_scores(raw, w)
 
 
+def q_token_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocab build + token-id encoding (operators/vocab.py): top-V word
+    vocabulary (two aggregates + TakeOrdered cut), then per-doc ordered
+    id arrays via posexplode → broadcast vocab join → doc-keyed
+    rebuild — integer triples in the shuffle, never text.  Bench-only:
+    exact DuckDB twin + OOV/roundtrip/determinism in
+    tests/test_vocab.py."""
+    from llmxmapreduce_spark.operators import vocab
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    v = vocab.build_vocab(d, vocab_size=50_000)
+    return vocab.encode_ids(d, v)
+
+
 def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR importance weights (operators/dsir.py, Xie et al.
     arXiv:2302.03169): hashed uni+bi-gram bucket features, smoothed

@@ -76,6 +76,7 @@ HEADLINE = [
     "ccnet_perplexity",
     "dsir_weights",
     "quality_classifier",
+    "token_encode",
 ]
 
 # The round-2..5 comparable set: "suite19_sec" in the output JSON is the
@@ -119,6 +120,7 @@ BENCH_ONLY = {
     "ccnet_perplexity": entrymod.q_ccnet_perplexity,
     "dsir_weights": entrymod.q_dsir_weights,
     "quality_classifier": entrymod.q_quality_classifier,
+    "token_encode": entrymod.q_token_encode,
 }
 
 
