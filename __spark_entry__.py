@@ -1273,6 +1273,33 @@ def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     return qc.classifier_scores(raw, w)
 
 
+def q_url_filters(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-side URL curation (operators/url_filter.py): canonical-URL
+    dedup (tracking params/ports/fragments normalized away) followed by
+    subdomain-aware blocklist filtering (suffix-exploded equi-join, the
+    RefinedWeb §3.1 shape) over URLs derived deterministically from the
+    documents table.  Bench-only: fixtures + exact canonicalization
+    DuckDB twin in tests/test_url_filter.py."""
+    from llmxmapreduce_spark.operators import url_filter as uf
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    hosts = F.array(*[F.lit(h) for h in (
+        "alpha.example.com", "cdn.beta.org", "blocked.net",
+        "gamma.site.io", "ads.spam.org")])
+    url = F.concat(
+        F.lit("https://"),
+        F.element_at(hosts, (F.pmod(F.xxhash64("doc_id"), F.lit(5)) + 1)
+                     .cast("int")),
+        F.lit("/doc/"), (F.col("doc_id") % 1000).cast("string"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("/?utm_source=feed")).otherwise(F.lit("")),
+    )
+    urls = d.withColumn("url", url)
+    blocked = spark.createDataFrame([("spam.org",), ("blocked.net",)],
+                                    "domain string")
+    return uf.filter_blocked_domains(uf.dedup_urls(urls), blocked)
+
+
 def q_token_encode(spark: SparkSession, sf: str) -> DataFrame:
     """Vocab build + token-id encoding (operators/vocab.py): top-V word
     vocabulary (two aggregates + TakeOrdered cut), then per-doc ordered

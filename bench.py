@@ -77,6 +77,7 @@ HEADLINE = [
     "dsir_weights",
     "quality_classifier",
     "token_encode",
+    "url_filters",
 ]
 
 # The round-2..5 comparable set: "suite19_sec" in the output JSON is the
@@ -121,6 +122,7 @@ BENCH_ONLY = {
     "dsir_weights": entrymod.q_dsir_weights,
     "quality_classifier": entrymod.q_quality_classifier,
     "token_encode": entrymod.q_token_encode,
+    "url_filters": entrymod.q_url_filters,
 }
 
 

@@ -66,6 +66,10 @@ class CorpusPrepConfig:
     span: int = 3                    # 0 disables span dedup
     neardup_threshold: float = 0.7
     neardup_verify: str = "estimate"
+    benchmark: DataFrame | None = None  # eval docs (doc_id, text):
+                                     # GPT-3 App. C decontamination stage
+                                     # (fast poly-hash twin) after near-dedup
+    decon_n: int = 13                # gram length for the decon stage
     mix_weights: dict | None = None  # source → weight; None = keep all
     mix_target: int | None = None
     mix_upsample: bool = False       # allow epochs > 1 per stratum
@@ -137,6 +141,19 @@ def run_corpus_prep(
         threshold=cfg.neardup_threshold, verify=cfg.neardup_verify)
     d = dedup_by_components(d, pairs, id_col=id_col)
     d = cut("near_dedup", d)
+
+    if cfg.benchmark is not None:
+        # GPT-3 App. C decontamination, AFTER dedup so the gram scan only
+        # sees surviving docs; the fast poly-hash twin (one mapInPandas
+        # scan, bench grams in the closure) — id-only anti-join back
+        from llmxmapreduce_spark.operators.decontamination import (
+            contamination_flags_fast)
+
+        flagged = contamination_flags_fast(
+            d, cfg.benchmark, n=cfg.decon_n,
+            id_col=id_col, text_col=text_col).select(id_col)
+        d = d.join(flagged, id_col, "left_anti")
+        d = cut("decontaminate", d)
 
     if cfg.mix_weights:
         from llmxmapreduce_spark.operators.mixing import mix_sources

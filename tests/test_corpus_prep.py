@@ -189,6 +189,30 @@ def test_corpus_prep_perplexity_gate(spark, corpus):
     assert "rain" in all_text or "cloud" in all_text
 
 
+def test_corpus_prep_decontamination_stage(spark, corpus):
+    """cfg.benchmark plants an eval doc whose 13-gram window one corpus
+    doc quotes verbatim — the decon stage drops exactly that doc and the
+    stage shows up in the telemetry."""
+    rows = corpus.collect()
+    window = " ".join(rows[4]["text"].split()[:15])
+    bench = spark.createDataFrame([(0, window)], "doc_id bigint, text string")
+    victim = rows[4]["doc_id"]
+    cfg = CorpusPrepConfig(quality=False, redact=False, span=0,
+                           neardup_threshold=1.01, max_tokens=512,
+                           benchmark=bench)
+    sm = StageMetrics(spark)
+    out = run_corpus_prep(corpus, cfg, stage_metrics=sm)
+    all_text = "\n".join(r["text"] for r in out.collect())
+    assert window not in all_text
+    rep = {r["stage"]: r for r in sm.report()}
+    assert "decontaminate" in rep
+    assert rep["decontaminate"]["rows_out"] \
+        == rep["near_dedup"]["rows_out"] - 1
+    # the victim's unique later sentences are gone with it
+    marker = rows[4]["text"].split("\n")[-1]
+    assert victim is not None and marker not in all_text
+
+
 def test_corpus_prep_half_configured_lm_raises(spark, corpus):
     """lm without max_perplexity (or vice versa) must fail fast, not
     silently skip the gate (the quality_filter orphaned-threshold
