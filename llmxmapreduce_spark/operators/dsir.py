@@ -53,8 +53,11 @@ def hash_uniform(col: Column, seed: int) -> Column:
 
 def _grams(text_col: str) -> Column:
     """Unigrams + bigrams of the lowercased whitespace tokens (the
-    paper's hashed n-gram feature set)."""
-    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    paper's hashed n-gram feature set; shared tokenizer —
+    text_stats.lower_ws_tokens)."""
+    from llmxmapreduce_spark.operators.text_stats import lower_ws_tokens
+
+    words = lower_ws_tokens(F.col(text_col))
     bigrams = F.filter(
         F.zip_with(words,
                    F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(1))),

@@ -45,7 +45,9 @@ LOG10_E = math.log10(math.e)
 
 
 def _words(text_col: str):
-    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    from llmxmapreduce_spark.operators.text_stats import lower_ws_tokens
+
+    return lower_ws_tokens(F.col(text_col))
 
 
 def train_bigram_lm(

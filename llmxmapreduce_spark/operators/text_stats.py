@@ -25,6 +25,15 @@ def ws_tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+def lower_ws_tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens — THE shared tokenizer expression for
+    every hashed/feature path (vocab build + id encoding, DSIR features,
+    LM training + scoring, badword gate).  One copy on purpose: these
+    consumers must tokenize in lockstep or vocab ids silently
+    desynchronize from encoder tokens (review finding)."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
 def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
     """Fraction of whitespace tokens that are stopwords (lowercased)."""
     sw = F.array(*[F.lit(s) for s in (stopwords or EN_STOPWORDS)])

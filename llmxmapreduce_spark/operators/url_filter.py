@@ -36,8 +36,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# scheme://[user@]host[:port]/… — host = group 1; RE2 ∩ Java dialect
-_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)"
+# scheme://[user@]host[:port]/… — host = group 1; RE2 ∩ Java dialect.
+# The userinfo scan excludes ?/# (review repro: '[^/@]*@' let an '@' in
+# a path-less URL's QUERY hijack the host —
+# 'https://ads.spam.org?contact=admin@friendly.org' parsed as
+# 'friendly.org', a blocklist bypass)
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)"
 
 
 def url_host(url: Column) -> Column:
@@ -47,10 +51,20 @@ def url_host(url: Column) -> Column:
 
 
 def domain_suffixes(host: Column, max_labels: int = 10) -> Column:
-    """All dot-suffixes of a host, most-specific first:
-    ``a.b.com`` → [a.b.com, b.com, com] (≤ ``max_labels`` labels — DNS
-    caps at 127, real hosts at ~5; the bound keeps the explode O(1))."""
-    parts = F.slice(F.split(host, r"\."), 1, max_labels)
+    """Dot-suffixes of a host, most-specific first:
+    ``a.b.com`` → [a.b.com, b.com, com], capped at the LAST
+    ``max_labels`` labels — blocklists match on registrable suffixes,
+    which live at the END of the host, so the cap must keep the tail
+    (review repro: keeping the FIRST labels let an adversary evade any
+    blocklist by prefixing ≥ max_labels subdomain labels; DNS allows up
+    to 127).  The longest generated suffix is truncated when the host
+    exceeds the cap — harmless, since a >10-label exact-host blocklist
+    entry is not a realistic rule, and every registrable suffix is
+    intact."""
+    allp = F.split(host, r"\.")
+    parts = F.slice(allp,
+                    F.greatest(F.size(allp) - max_labels + 1, F.lit(1)),
+                    max_labels)
     n = F.size(parts)
     return F.filter(
         F.transform(parts, lambda _, i: F.concat_ws(
@@ -104,13 +118,20 @@ def canonical_url(url: Column, strip_tracking: bool = True) -> Column:
     u = F.regexp_replace(u, r"^(http://[^/:?#]+):80$", r"$1")
     u = F.regexp_replace(u, r"^(http://[^/:?#]+):80([/?#])", r"$1$2")
     if strip_tracking:
+        # the tracking strip operates on the QUERY part only — an '&' is
+        # legal inside a path segment (RFC 3986), and an unanchored pass
+        # canonicalized '/a&ref=1' to '/a', merging distinct pages
+        # (review repro).  Split at the first '?', clean, recombine.
+        path = F.regexp_replace(u, r"\?.*$", "")
+        q = F.regexp_extract(u, r"(\?.*)$", 1)
         # order matters: drop '&track=…' params first, then a leading
         # '?track=…&' (keeping the '?'), then a lone '?track=…' — a
         # single [?&]-prefixed pass would eat the '?' and orphan the
         # next param behind an '&'
-        u = F.regexp_replace(u, r"&" + _TRACKING + r"=[^&#]*", "")
-        u = F.regexp_replace(u, r"\?" + _TRACKING + r"=[^&#]*&", "?")
-        u = F.regexp_replace(u, r"\?" + _TRACKING + r"=[^&#]*$", "")
+        q = F.regexp_replace(q, r"&" + _TRACKING + r"=[^&#]*", "")
+        q = F.regexp_replace(q, r"\?" + _TRACKING + r"=[^&#]*&", "?")
+        q = F.regexp_replace(q, r"\?" + _TRACKING + r"=[^&#]*$", "")
+        u = F.concat(path, q)
     u = F.regexp_replace(u, r"/+\?", "?")                  # /? → ?
     u = F.regexp_replace(u, r"/+$", "")                    # trailing /
     return u
@@ -142,22 +163,42 @@ def badwords_filter(
     word_col: str = "word",
 ) -> DataFrame:
     """C4's bad-word page gate: drop any page containing a listed word
-    (whole-token match, case-insensitive) or phrase (first token match
-    + substring confirm).  The list is DATA (broadcast join), not a
-    compiled alternation — plan shape is independent of list size."""
-    words = badwords.select(
-        F.lower(F.trim(F.col(word_col))).alias("__w")).distinct() \
-        .withColumn("__first", F.split(F.col("__w"), r"\s+")[0]) \
+    (whole-token match, case-insensitive) or phrase (first-token match,
+    then a boundary-safe confirm over the whitespace-normalized token
+    sequence — raw substring instr both over-dropped 'darn iteration'
+    for phrase 'darn it' and missed tab-separated phrases, review
+    repro).  The list is DATA (broadcast join), not a compiled
+    alternation — plan shape is independent of list size; token rows
+    carry (id, token) only, never the document text (the text joins
+    back ONLY for the rare phrase-candidate docs)."""
+    from llmxmapreduce_spark.operators.text_stats import lower_ws_tokens
+
+    words = (
+        badwords.select(F.concat_ws(" ", F.split(
+            F.trim(F.lower(F.col(word_col))), r"\s+")).alias("__w"))
+        .distinct()
+        .withColumn("__first", F.split(F.col("__w"), " ")[0])
         .withColumn("__is_phrase", F.instr("__w", " ") > 0)
-    toks = df.select(
-        F.col(id_col), F.lower(F.col(text_col)).alias("__t"),
-        F.explode(F.array_distinct(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))).alias("__first"),
     )
-    hits = (
-        toks.join(F.broadcast(words), "__first")
-        .filter(~F.col("__is_phrase")
-                | (F.instr(F.col("__t"), F.col("__w")) > 0))
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(lower_ws_tokens(F.col(text_col))))
+        .alias("__first"),
+    )
+    single_hits = toks.join(
+        F.broadcast(words.filter(~F.col("__is_phrase"))), "__first"
+    ).select(id_col).distinct()
+    phrase_cand = toks.join(
+        F.broadcast(words.filter(F.col("__is_phrase"))), "__first"
+    ).select(id_col, "__w").distinct()
+    norm = F.concat(F.lit(" "),
+                    F.concat_ws(" ", lower_ws_tokens(F.col(text_col))),
+                    F.lit(" "))
+    phrase_hits = (
+        phrase_cand.join(df.select(id_col, text_col), id_col)
+        .filter(F.instr(norm, F.concat(F.lit(" "), F.col("__w"),
+                                       F.lit(" "))) > 0)
         .select(id_col).distinct()
     )
+    hits = single_hits.unionByName(phrase_hits).distinct()
     return df.join(hits, id_col, "left_anti")

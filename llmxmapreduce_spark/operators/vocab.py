@@ -33,11 +33,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from llmxmapreduce_spark.operators.text_stats import lower_ws_tokens
+
 OOV_ID = 0
 
 
 def _words(text_col: str):
-    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return lower_ws_tokens(F.col(text_col))
 
 
 def build_vocab(

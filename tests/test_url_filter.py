@@ -103,6 +103,42 @@ def test_canonical_url_duckdb_twin(spark):
     assert got == duck
 
 
+def test_blocklist_bypass_repros(spark):
+    """Review repros: (a) an '@' in a path-less URL's query must not
+    hijack the host; (b) a host with more labels than max_labels must
+    still match its registrable suffix (first-labels truncation let
+    subdomain-stuffing evade any blocklist)."""
+    df = spark.createDataFrame(
+        [(1, "https://ads.spam.org?contact=admin@friendly.org"),
+         (2, "https://a.b.c.d.e.f.g.h.i.j.k.blocked.net/x"),
+         (3, "https://friendly.org/mail?to=x@spam.org")],
+        "doc_id bigint, url string")
+    hosts = {r["doc_id"]: r["h"] for r in
+             df.select("doc_id", uf.url_host(F.col("url")).alias("h"))
+             .collect()}
+    assert hosts[1] == "ads.spam.org"
+    assert hosts[3] == "friendly.org"
+    blocked = spark.createDataFrame([("spam.org",), ("blocked.net",)],
+                                    "domain string")
+    kept = sorted(r["doc_id"] for r in
+                  uf.filter_blocked_domains(df, blocked).collect())
+    assert kept == [3]
+
+
+def test_canonical_url_path_ampersand(spark):
+    """Review repro: '&ref=' inside a PATH segment (legal per RFC 3986)
+    must survive canonicalization — only query params are tracking."""
+    df = spark.createDataFrame(
+        [(1, "https://x.com/a&ref=1"), (2, "https://x.com/a"),
+         (3, "https://x.com/a?b=2&ref=1")],
+        "doc_id bigint, url string")
+    canon = {r["doc_id"]: r["c"] for r in df.select(
+        "doc_id", uf.canonical_url(F.col("url")).alias("c")).collect()}
+    assert canon[1] == "https://x.com/a&ref=1"
+    assert canon[1] != canon[2]
+    assert canon[3] == "https://x.com/a?b=2"
+
+
 def test_badwords_filter(spark):
     df = spark.createDataFrame(
         [(1, "a perfectly Clean page about rivers"),
@@ -110,12 +146,14 @@ def test_badwords_filter(spark):
          (3, "has the exact phrase darn it somewhere"),
          (4, "darn alone is fine (only the phrase is listed)"),
          (5, "heckler is NOT a whole-token match at all"),
-         (6, None)],
+         (6, None),
+         (7, "a darn iteration counter"),      # NOT the phrase 'darn it'
+         (8, "ends with darn\tit happened")],  # tab-separated phrase IS
         "doc_id bigint, text string")
     bad = spark.createDataFrame([("heck",), ("darn it",)], "word string")
     kept = sorted(r["doc_id"] for r in
                   uf.badwords_filter(df, bad).collect())
-    assert kept == [1, 4, 5, 6]
+    assert kept == [1, 4, 5, 6, 7]
     plan = uf.badwords_filter(df, bad) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
