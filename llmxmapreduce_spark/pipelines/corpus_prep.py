@@ -66,6 +66,9 @@ class CorpusPrepConfig:
     span: int = 3                    # 0 disables span dedup
     neardup_threshold: float = 0.7
     neardup_verify: str = "estimate"
+    badwords: DataFrame | None = None  # one word/phrase per row ('word'):
+                                       # C4 §2.2 bad-word page gate inside
+                                       # the quality stage
     benchmark: DataFrame | None = None  # eval docs (doc_id, text):
                                      # GPT-3 App. C decontamination stage
                                      # (fast poly-hash twin) after near-dedup
@@ -105,6 +108,10 @@ def run_corpus_prep(
         d = quality_filters.quality_filter(
             d, text_col, keep_clean_text=cfg.c4_line_filter,
             **cfg.quality_thresholds)
+    if cfg.badwords is not None:
+        from llmxmapreduce_spark.operators.url_filter import badwords_filter
+
+        d = badwords_filter(d, cfg.badwords, text_col, id_col)
     if (cfg.lm is None) != (cfg.max_perplexity is None):
         # half-configured gate must fail fast, not silently skip — the
         # same orphaned-threshold contract as quality_filter

@@ -213,6 +213,23 @@ def test_corpus_prep_decontamination_stage(spark, corpus):
     assert victim is not None and marker not in all_text
 
 
+def test_corpus_prep_badwords_gate(spark, corpus):
+    """cfg.badwords drops the page containing a listed token; everything
+    else flows through the normal stages."""
+    rows = corpus.collect()
+    poisoned = rows[3]["text"] + "\nand then a zorch appeared."
+    df = corpus.union(spark.createDataFrame(
+        [(998, poisoned, "web")], corpus.schema))
+    bad = spark.createDataFrame([("zorch",)], "word string")
+    cfg = CorpusPrepConfig(quality=False, redact=False, span=0,
+                           neardup_threshold=1.01, max_tokens=512,
+                           badwords=bad)
+    out = run_corpus_prep(df, cfg)
+    all_text = "\n".join(r["text"] for r in out.collect())
+    assert "zorch" not in all_text
+    assert rows[0]["text"].split("\n")[0] in all_text
+
+
 def test_corpus_prep_half_configured_lm_raises(spark, corpus):
     """lm without max_perplexity (or vice versa) must fail fast, not
     silently skip the gate (the quality_filter orphaned-threshold
