@@ -366,6 +366,7 @@ def build_gram_bloom(
     bits_per_key: int = 10,
     n_hashes: int = 7,
     text_col: str = "text",
+    distinct_cap_threshold: int = 1_000_000,
 ) -> tuple[bytes, int, int, list[int]]:
     """Distributed Bloom-filter build over the benchmark's n-gram hashes —
     the scale path for benchmark sets too large to broadcast exactly
@@ -385,7 +386,15 @@ def build_gram_bloom(
     per-gram collect.  ``m`` is sized from a one-aggregate UPPER BOUND on
     the gram count (a doc's gram count never exceeds its word count), so
     sizing costs one cheap Catalyst agg instead of a full distinct-gram
-    generation pass; oversizing only pushes fpp below nominal.
+    generation pass; oversizing only pushes fpp below nominal.  On
+    benchmarks with heavy cross-doc duplication the word-count bound
+    inflates ``m`` by the duplication factor — and each build task
+    allocates an m-byte bool array — so once the bound exceeds
+    ``distinct_cap_threshold`` keys, one extra ``approx_count_distinct``
+    aggregate over the Catalyst gram hashes caps ``m`` at 1.25× the
+    estimated distinct-gram count (review finding).  The cap cannot
+    create false negatives (Bloom sizing only moves fpp), and the 1.25
+    margin dominates the estimator's ~2 % relative error.
 
     Returns ``(packed_bits, m_bits, n_hashes, short_lengths)`` for
     :func:`contamination_flags_bloom` — the short example lengths let the
@@ -396,6 +405,14 @@ def build_gram_bloom(
     wc = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
     n_keys = benchmark.select(
         F.coalesce(F.sum(F.when(wc > 0, wc)), F.lit(0))).collect()[0][0] or 1
+    if int(n_keys) > distinct_cap_threshold:
+        # Same gram definition as the build below (distinct lowercase
+        # word n-grams incl. the single partial gram of short docs) —
+        # only the hash family differs, which is irrelevant to a count.
+        est = benchmark.filter(F.col(text_col).isNotNull()).select(
+            F.explode(_gram_hashes(F.col(text_col), n)).alias("__g")
+        ).agg(F.approx_count_distinct("__g").alias("d")).collect()[0]["d"]
+        n_keys = min(int(n_keys), max(int(est * 1.25), 1))
     m = max(64, int(n_keys) * bits_per_key)
     m -= m % 8
 

@@ -72,6 +72,7 @@ def fit_centroids(
     max_sample: int = 65_536,
     iters: int = 10,
     seed: int = 42,
+    est_total: int | None = None,
 ) -> np.ndarray:
     """Train the coarse quantizer: spherical k-means (cosine geometry —
     vectors and centroids unit-normalized, assignment by max dot product)
@@ -92,19 +93,29 @@ def fit_centroids(
     so re-partitioned data can train different (equally valid) centroids.
     Empty cells are re-seeded to the farthest-from-assignment points
     (each empty cell a DIFFERENT point), so all n_cells survive distinct.
+
+    Estimate hygiene: a CBO rowCount is trusted only in the "big →
+    sample" direction, an under-estimate is re-verified by the bounded
+    probe, and an OVER-estimate (detected when the collected sample is
+    far smaller than max_sample allows) triggers one corrective
+    resample at a fraction derived from the observed rate — so stale
+    catalog stats can neither head-collect nor starve the training set.
     """
     sample_df = df.select(vec_col)
     # Avoid collecting an unbounded corpus: read the optimizer's row-count
     # statistic FIRST (free — no job at all when the relation carries
     # stats); only when the plan doesn't know do we fall back to one
     # bounded limit-probe and, for genuinely large inputs, one count job.
-    total = None
-    try:
-        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
-        if rc.isDefined():
-            total = int(str(rc.get()))        # scala BigInt → str → int
-    except Exception:                          # py4j surface varies
-        total = None
+    # ``est_total`` lets callers (and the over-estimate regression test)
+    # inject a trusted-or-stale estimate in place of the CBO statistic.
+    total = est_total
+    if total is None:
+        try:
+            rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+            if rc.isDefined():
+                total = int(str(rc.get()))    # scala BigInt → str → int
+        except Exception:                      # py4j surface varies
+            total = None
     # With CBO the statistic can be an ESTIMATE (stale catalog stats,
     # filter-selectivity guesses).  Trust it only in the safe direction:
     # "big → sample" stays correct if the magnitude is off, but a
@@ -116,13 +127,35 @@ def fit_centroids(
     if total is None:
         probe = sample_df.limit(max_sample + 1).count()
         total = df.count() if probe > max_sample else probe
-    if total > max_sample:
+    sampled = total > max_sample
+    if sampled:
         frac = min(1.0, (1.2 * max_sample) / max(total, 1))
         sample_df = sample_df.sample(withReplacement=False, fraction=frac,
                                      seed=seed)
-    if n_cells is None:                    # √n rule — see auto_n_cells
+    auto_cells = n_cells is None
+    if auto_cells:                         # √n rule — see auto_n_cells
         n_cells = auto_n_cells(total)
     rows = sample_df.limit(max_sample).collect()
+    if sampled and len(rows) < max_sample // 2:
+        # CBO rowCount was an OVER-estimate (stale catalog stats,
+        # filter-selectivity products): frac came out far too small and
+        # the sample is a fraction of what max_sample allows — degenerate
+        # centroids, or an empty collect (review finding).  Re-estimate
+        # the real total from the observed sampling rate and resample
+        # with a corrected fraction (fraction 1.0 when the corpus now
+        # fits), re-deriving auto_n_cells from the corrected count.
+        est2 = max(int(len(rows) / max(frac, 1e-12)), len(rows), 1)
+        resample = df.select(vec_col)
+        if est2 > max_sample:
+            frac2 = min(1.0, (1.2 * max_sample) / est2)
+            resample = resample.sample(withReplacement=False,
+                                       fraction=frac2, seed=seed)
+        rows = resample.limit(max_sample).collect()
+        if auto_cells:
+            # a 0-row first draw carries no rate signal (est2 degenerates
+            # to 1); the recollected sample size is then the best lower
+            # bound on the true total (exact when < max_sample)
+            n_cells = auto_n_cells(max(est2, len(rows)))
     X = _normalize_rows(np.array([r[0] for r in rows], dtype=np.float64))
     n = X.shape[0]
     if n == 0:

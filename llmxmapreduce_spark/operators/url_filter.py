@@ -96,14 +96,24 @@ def filter_blocked_domains(
     return df.join(hit, url_col, "left_anti")
 
 
-_TRACKING = "(utm_[a-z]+|gclid|fbclid|ref)"
+# Unambiguous tracking params only.  `ref` is deliberately NOT here:
+# it is a semantic query param on many real sites (GitHub `?ref=<branch>`,
+# docs `?ref=section`) — stripping it merges distinct pages and dedup_urls
+# then silently drops all but one (review finding).  Callers who crawl
+# newsletter-style corpora where `ref` IS tracking opt in via
+# ``tracking_re=TRACKING_WITH_REF``.
+_TRACKING = "(utm_[a-z]+|gclid|fbclid)"
+TRACKING_WITH_REF = "(utm_[a-z]+|gclid|fbclid|ref)"
 
 
-def canonical_url(url: Column, strip_tracking: bool = True) -> Column:
+def canonical_url(url: Column, strip_tracking: bool = True,
+                  tracking_re: str = _TRACKING) -> Column:
     """Canonical form for URL dedup: lowercase scheme+host, fragment
     stripped, default :80/:443 ports dropped, trailing slash trimmed,
     and (optionally) tracking query params removed.  Pure Catalyst
-    regexps, RE2-compatible (oracle-exact)."""
+    regexps, RE2-compatible (oracle-exact).  ``tracking_re`` is the
+    alternation of query params considered tracking (default: only the
+    unambiguous utm_*/gclid/fbclid set)."""
     u = F.regexp_replace(url, r"#.*$", "")                 # fragment
     # lowercase scheme://host prefix, leave the path's case alone
     u = F.concat(
@@ -128,9 +138,9 @@ def canonical_url(url: Column, strip_tracking: bool = True) -> Column:
         # '?track=…&' (keeping the '?'), then a lone '?track=…' — a
         # single [?&]-prefixed pass would eat the '?' and orphan the
         # next param behind an '&'
-        q = F.regexp_replace(q, r"&" + _TRACKING + r"=[^&#]*", "")
-        q = F.regexp_replace(q, r"\?" + _TRACKING + r"=[^&#]*&", "?")
-        q = F.regexp_replace(q, r"\?" + _TRACKING + r"=[^&#]*$", "")
+        q = F.regexp_replace(q, r"&" + tracking_re + r"=[^&#]*", "")
+        q = F.regexp_replace(q, r"\?" + tracking_re + r"=[^&#]*&", "?")
+        q = F.regexp_replace(q, r"\?" + tracking_re + r"=[^&#]*$", "")
         u = F.concat(path, q)
     u = F.regexp_replace(u, r"/+\?", "?")                  # /? → ?
     u = F.regexp_replace(u, r"/+$", "")                    # trailing /
@@ -142,13 +152,25 @@ def dedup_urls(
     url_col: str = "url",
     id_col: str = "doc_id",
     strip_tracking: bool = True,
+    tracking_re: str = _TRACKING,
 ) -> DataFrame:
     """One page per canonical URL (min id wins — C4 keeps one page per
-    URL across snapshots).  Shuffle keyed by the canonical string."""
+    URL across snapshots).  Shuffle keyed by the canonical string.
+
+    Rows whose URL is null or canonicalizes to null/'' (no parseable
+    scheme+host AND no residual text) are EXEMPT from dedup: they would
+    otherwise all share the one null/'' partition key and collapse to a
+    single survivor — silent corpus loss on a nullable url column
+    (review finding).  Their partition key is coalesced to a per-row
+    unique value derived from the id, so each keeps its own window."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(canonical_url(F.col(url_col), strip_tracking)) \
-        .orderBy(F.col(id_col).asc())
+    canon = canonical_url(F.col(url_col), strip_tracking, tracking_re)
+    key = F.when(
+        canon.isNull() | (canon == ""),
+        F.concat(F.lit("\x00row:"), F.col(id_col).cast("string")),
+    ).otherwise(canon)
+    w = Window.partitionBy(key).orderBy(F.col(id_col).asc())
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1).drop("__rn")

@@ -179,6 +179,35 @@ def test_bloom_path_no_false_negatives(spark):
     assert dc.build_gram_bloom(bench, n=N, bits_per_key=12)[0] == bloom[0]
 
 
+def test_bloom_distinct_cap_sizing(spark):
+    """Review repro: a benchmark with heavy cross-doc duplication inflated
+    m by the duplication factor (m sized from summed word counts).  With
+    the distinct-cap active, m must shrink toward the true distinct-gram
+    count — while keeping the no-false-negative guarantee bit-for-bit."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # 200 copies of the same 10-word doc: word-count bound = 2000 keys,
+    # true distinct grams = 5 (10-word doc, N=6 → 5 six-grams)
+    bench_rows = [(i, base) for i in range(200)]
+    bench = spark.createDataFrame(bench_rows, "doc_id bigint, text string")
+    capped = dc.build_gram_bloom(bench, n=N, bits_per_key=24,
+                                 distinct_cap_threshold=100)
+    uncapped = dc.build_gram_bloom(bench, n=N, bits_per_key=24,
+                                   distinct_cap_threshold=10**9)
+    assert uncapped[1] >= 2000 * 24 - 8          # the inflated bound
+    assert capped[1] <= 24 * 5 * 2               # ~distinct·bits, not bound
+    # correctness unchanged: a corpus doc containing a benchmark gram is
+    # flagged by BOTH filters
+    corpus = spark.createDataFrame(
+        [(1, "xx yy " + base + " zz"), (2, "totally unrelated words here"
+          " none of which overlap at all truly")],
+        "doc_id bigint, text string")
+    for bloom in (capped, uncapped):
+        flagged = {r["doc_id"] for r in
+                   dc.contamination_flags_bloom(corpus, bloom, n=N)
+                   .collect()}
+        assert 1 in flagged
+
+
 def test_bloom_matches_fast_hash_family(spark):
     """Build and probe now share the fast twin's polynomial hash family:
     at generous bits_per_key the Bloom flags equal the fast twin's

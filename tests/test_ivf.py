@@ -59,6 +59,28 @@ def test_fit_centroids_deterministic_and_normalized(blobs_df):
     assert len({tuple(np.round(r, 9)) for r in c3}) == 8
 
 
+def test_fit_centroids_cbo_overestimate_fallback(blobs_df):
+    """Review repro: an inflated rowCount estimate (stale catalog stats)
+    made frac = 1.2*max_sample/total tiny — a near-empty (or empty)
+    training sample and an oversized auto_n_cells.  The corrective
+    resample must recover a full-size sample and a sane quantizer."""
+    # 720 real rows, estimate claims 50 M → naive frac ≈ 4.7e-6 → ~0 rows
+    c = ivf.fit_centroids(blobs_df, max_sample=256, seed=3,
+                          est_total=50_000_000)
+    # fallback recovered a real sample: all 256 slots trained, and
+    # n_cells came from the corrected total, not auto_n_cells(50M)=7071
+    assert c.shape[1] == DIM
+    assert 8 <= c.shape[0] <= 64        # √(corrected est) scale, not 7071
+    assert np.allclose(np.linalg.norm(c, axis=1), 1.0)
+    # moderately inflated estimate (within 2×) needs no fallback and
+    # stays deterministic
+    c1 = ivf.fit_centroids(blobs_df, n_cells=8, max_sample=512, seed=13,
+                           est_total=1000)
+    c2 = ivf.fit_centroids(blobs_df, n_cells=8, max_sample=512, seed=13,
+                           est_total=1000)
+    assert np.array_equal(c1, c2)
+
+
 def test_auto_n_cells_rule(blobs_df):
     assert ivf.auto_n_cells(100) == 10
     assert ivf.auto_n_cells(4) == 8            # clamp floor

@@ -77,9 +77,9 @@ SELECT doc_id,
     '^(https://[^/:?#]+):443([/?#])', '\1\2'),
     '^(http://[^/:?#]+):80$', '\1'),
     '^(http://[^/:?#]+):80([/?#])', '\1\2'),
-    '&(utm_[a-z]+|gclid|fbclid|ref)=[^&#]*', ''),
-    '\?(utm_[a-z]+|gclid|fbclid|ref)=[^&#]*&', '?'),
-    '\?(utm_[a-z]+|gclid|fbclid|ref)=[^&#]*$', ''),
+    '&(utm_[a-z]+|gclid|fbclid)=[^&#]*', ''),
+    '\?(utm_[a-z]+|gclid|fbclid)=[^&#]*&', '?'),
+    '\?(utm_[a-z]+|gclid|fbclid)=[^&#]*$', ''),
     '/+\?', '?'),
     '/+$', '') AS canon
 FROM urls_pdf ORDER BY doc_id
@@ -136,7 +136,46 @@ def test_canonical_url_path_ampersand(spark):
         "doc_id", uf.canonical_url(F.col("url")).alias("c")).collect()}
     assert canon[1] == "https://x.com/a&ref=1"
     assert canon[1] != canon[2]
-    assert canon[3] == "https://x.com/a?b=2"
+    # `ref` is semantic by default (GitHub ?ref=<branch>) — NOT stripped
+    assert canon[3] == "https://x.com/a?b=2&ref=1"
+
+
+def test_canonical_url_ref_opt_in(spark):
+    """`ref` is kept by default (semantic on many sites) but strippable
+    via tracking_re=TRACKING_WITH_REF for corpora where it IS tracking."""
+    df = spark.createDataFrame(
+        [(1, "https://g.com/repo?ref=main"),
+         (2, "https://g.com/repo?ref=dev"),
+         (3, "https://news.site/x?utm_source=tw&ref=newsletter")],
+        "doc_id bigint, url string")
+    default = {r["doc_id"]: r["c"] for r in df.select(
+        "doc_id", uf.canonical_url(F.col("url")).alias("c")).collect()}
+    assert default[1] == "https://g.com/repo?ref=main"
+    assert default[1] != default[2]          # distinct branches survive
+    assert default[3] == "https://news.site/x?ref=newsletter"
+    opted = {r["doc_id"]: r["c"] for r in df.select(
+        "doc_id", uf.canonical_url(
+            F.col("url"), tracking_re=uf.TRACKING_WITH_REF).alias("c"))
+        .collect()}
+    assert opted[1] == opted[2] == "https://g.com/repo"
+    assert opted[3] == "https://news.site/x"
+    # and dedup under the default keeps both branch pages
+    assert sorted(r["doc_id"] for r in uf.dedup_urls(df).collect()) \
+        == [1, 2, 3]
+    assert sorted(r["doc_id"] for r in uf.dedup_urls(
+        df, tracking_re=uf.TRACKING_WITH_REF).collect()) == [1, 3]
+
+
+def test_dedup_urls_null_exempt(spark):
+    """Review repro: null/unparseable-to-null URLs all shared the null
+    partition key — every null-URL doc collapsed to one survivor.  Nulls
+    must be exempt from URL dedup (each keeps its own row)."""
+    df = spark.createDataFrame(
+        [(1, "https://x.com/a"), (2, "https://x.com/a"),
+         (3, None), (4, None), (5, ""), (6, None)],
+        "doc_id bigint, url string")
+    kept = sorted(r["doc_id"] for r in uf.dedup_urls(df).collect())
+    assert kept == [1, 3, 4, 5, 6]
 
 
 def test_badwords_filter(spark):
