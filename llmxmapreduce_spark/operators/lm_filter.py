@@ -122,24 +122,19 @@ def train_bigram_lm(
             pass
 
 
-def doc_perplexity(
+def _scored_pairs(
     df: DataFrame,
     lm: tuple[DataFrame, DataFrame, float],
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    backoff: float = 0.4,
+    text_col: str,
+    id_col: str,
+    backoff: float,
 ) -> DataFrame:
-    """→ (id_col, n_scored, avg_log10p, perplexity) per document.
-
-    Scores each bigram transition w1→w2 with stupid backoff (bigram
-    logp, else log10(backoff) + unigram logp of w2, else log10(backoff)
-    + OOV); ``perplexity = 10^(−avg_log10p)``.  One-word and null/empty
-    docs have no transitions: n_scored = 0 and null perplexity (callers
-    decide; CCNet drops them as too short long before this stage).
-
-    Plan: corpus → bigram explode → TWO broadcast left joins (bigram
-    table, unigram table) → groupBy(id).  Corpus text never shuffles;
-    the exchanges carry (id, logp) pairs and the broadcast tables."""
+    """→ (id_col, lp): one stupid-backoff log10-prob per bigram
+    transition.  The shared scoring plan of :func:`doc_perplexity` and
+    :func:`doc_logprob_sum`: bigram explode → TWO broadcast left joins
+    (bigram table, unigram table) → coalesce(bigram, backoff·unigram,
+    backoff·OOV).  Corpus text never shuffles; the exchanges carry
+    (id, logp) pairs and the broadcast tables."""
     bi, uni, log10_oov = lm
     log_b = math.log10(backoff)
     words = _words(text_col)
@@ -159,7 +154,7 @@ def doc_perplexity(
     ).select(id_col, "bg.w1", "bg.w2") \
         .filter(F.col("w2").isNotNull() & (F.col("w1") != ""))
 
-    scored = (
+    return (
         pairs.join(F.broadcast(bi.withColumnRenamed("logp", "lp_bi")),
                    ["w1", "w2"], "left")
         .join(F.broadcast(uni.select(F.col("w").alias("w2"),
@@ -174,6 +169,25 @@ def doc_perplexity(
             ).alias("lp"),
         )
     )
+
+
+def doc_perplexity(
+    df: DataFrame,
+    lm: tuple[DataFrame, DataFrame, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backoff: float = 0.4,
+) -> DataFrame:
+    """→ (id_col, n_scored, avg_log10p, perplexity) per document.
+
+    Scores each bigram transition w1→w2 with stupid backoff (bigram
+    logp, else log10(backoff) + unigram logp of w2, else log10(backoff)
+    + OOV); ``perplexity = 10^(−avg_log10p)``.  One-word and null/empty
+    docs have no transitions: n_scored = 0 and null perplexity (callers
+    decide; CCNet drops them as too short long before this stage).
+
+    Plan: see :func:`_scored_pairs` (the shared scoring subplan)."""
+    scored = _scored_pairs(df, lm, text_col, id_col, backoff)
     agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_scored"),
         F.avg("lp").alias("avg_log10p"),
@@ -188,6 +202,39 @@ def doc_perplexity(
             F.when(F.col("avg_log10p").isNotNull(),
                    F.pow(F.lit(10.0), -F.col("avg_log10p")))
             .alias("perplexity"),
+        )
+    )
+
+
+def doc_logprob_sum(
+    df: DataFrame,
+    lm: tuple[DataFrame, DataFrame, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backoff: float = 0.4,
+    scale: int = 6,
+) -> DataFrame:
+    """→ (id_col, n_scored, sum_log10p): the ORACLE-EXACT variant of
+    :func:`doc_perplexity` — per-transition logprobs are rounded to
+    ``scale`` decimals (decimal cast) and summed as DECIMALs, so the
+    result is independent of summation order and bit-identical across
+    engines (a DuckDB twin can reproduce it exactly; a double ``avg``
+    cannot, because float addition is not associative and log10 is only
+    ulp-reproducible across libms).  ``perplexity`` is the monotone map
+    ``10^(−sum/n)`` of this output — ranking/filter decisions derived
+    from either representation agree.  Same plan as doc_perplexity; the
+    decimal cast is a projection."""
+    scored = _scored_pairs(df, lm, text_col, id_col, backoff)
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(F.col("lp").cast(f"decimal(20,{scale})")).alias("__s"),
+    )
+    return (
+        df.select(id_col).join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_scored"), F.lit(0)).alias("n_scored"),
+            F.col("__s").cast("double").alias("sum_log10p"),
         )
     )
 
