@@ -1484,7 +1484,11 @@ def q_dsir_weights_board(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents").select("doc_id", "text")
     target = d.filter(F.col("doc_id") % 19 == 0)
     raw = d.filter(F.col("doc_id") % 19 != 0)
-    lr = dsir.fit_bucket_logratio(target, raw, n_buckets=B, portable=True) \
+    # raw_sample=None: the BOARD fit is exact-full so the static DuckDB
+    # twin reproduces it at any SF; production (dsir_select) defaults to
+    # the bounded raw-side sample
+    lr = dsir.fit_bucket_logratio(target, raw, n_buckets=B, portable=True,
+                                  raw_sample=None) \
         .select("bucket", F.col("logratio").cast("decimal(20,8)").alias("lr"))
     counts = dsir.doc_bucket_counts(raw, n_buckets=B, portable=True)
     agg = (

@@ -92,6 +92,21 @@ def doc_bucket_counts(
     )
 
 
+def _bounded_raw(raw: DataFrame, cap: int, seed: int) -> DataFrame:
+    """Uniform bounded sample of the raw side for distribution fitting:
+    one bounded probe detects "bigger than cap"; only then one count job
+    prices the real fraction (the fit_centroids/_collect_sparse
+    contract — a fraction derived from the capped probe would saturate
+    at 1.0 and a ``limit()`` would take the corpus HEAD, a skewed
+    estimate on source-ordered parquet)."""
+    probe = raw.limit(cap + 1).count()
+    if probe <= cap:
+        return raw
+    total = raw.count()
+    frac = min(1.0, (1.1 * cap) / max(total, 1))
+    return raw.sample(withReplacement=False, fraction=frac, seed=seed)
+
+
 def fit_bucket_logratio(
     target: DataFrame,
     raw: DataFrame,
@@ -99,14 +114,28 @@ def fit_bucket_logratio(
     n_buckets: int = 10_000,
     alpha: float = 1.0,
     portable: bool = False,
+    raw_sample: int | None = 100_000,
+    seed: int = 42,
 ) -> DataFrame:
     """Fit the two smoothed bucket distributions and return the
     ``n_buckets``-row log-ratio table (bucket, logratio) with
     logratio = log p_target[b] − log p_raw[b] (natural log, add-α
-    smoothing so empty buckets stay finite).  The raw side may be a
-    SAMPLE of the crawl — the distribution estimate needs coverage, not
-    the full corpus (the paper fits on subsets too)."""
+    smoothing so empty buckets stay finite).
+
+    The raw-side DISTRIBUTION ESTIMATE needs coverage, not the full
+    crawl (the paper fits on subsets too), so the raw side is bounded
+    BY DEFAULT to a ``raw_sample``-row uniform sample — the fit was the
+    one selection component whose cost grew with the crawl (3.9→45 s at
+    50× data when it explode-featurized the full raw side; round-7
+    review finding).  A 100k-row sample estimates each of the 10k
+    bucket probabilities from ~10 grams/doc × 100k docs ≈ 10⁶ draws —
+    far inside the add-α smoothing noise.  Pass ``raw_sample=None`` for
+    the exact full-corpus fit (the oracle-board twin does, so its DuckDB
+    SQL stays reproducible).  The target side is a trusted corpus —
+    small by construction — and is never sampled."""
     spark = target.sparkSession
+    if raw_sample is not None:
+        raw = _bounded_raw(raw, raw_sample, seed)
 
     def dist(d: DataFrame, name: str) -> DataFrame:
         return (
@@ -178,6 +207,7 @@ def dsir_select(
     seed: int = 42,
     portable: bool = False,
     logratio: DataFrame | None = None,
+    raw_sample: int | None = 100_000,
 ) -> DataFrame:
     """Select ``n_select`` rows of ``df`` by importance resampling
     WITHOUT replacement (Gumbel top-k: key = log_weight + Gumbel noise;
@@ -188,10 +218,14 @@ def dsir_select(
     u = (xxhash64(id, seed) mod 2³¹ + 0.5) / 2³¹, g = −log(−log u) —
     reproducible under any partitioning, no RNG state.  Selection is a
     global top-k (``TakeOrdered``), not a sort.  Pass a precomputed
-    ``logratio`` to reuse one fit across shards."""
+    ``logratio`` to reuse one fit across shards.  The default fit
+    bounds the raw side to a ``raw_sample``-row uniform sample (see
+    :func:`fit_bucket_logratio`) — scoring still covers EVERY raw doc;
+    only the p_raw distribution estimate is sampled."""
     if logratio is None:
         logratio = fit_bucket_logratio(target, df, text_col, n_buckets,
-                                       alpha, portable)
+                                       alpha, portable,
+                                       raw_sample=raw_sample, seed=seed)
     w = importance_weights(df, logratio, text_col, id_col, n_buckets,
                            portable)
     u = hash_uniform(F.col(id_col), seed)

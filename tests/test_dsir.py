@@ -126,6 +126,36 @@ def test_dsir_select_recovers_target_domain(spark, shifted):
     assert again == ids
 
 
+def test_fit_raw_sample_bound(spark, shifted):
+    """The default fit bounds the raw side (review finding: dsir_select
+    explode-featurized the FULL crawl; the docstring said 'sample at
+    scale' but the default didn't).  A bounded fit must (a) leave
+    results IDENTICAL when the raw side is under the cap, (b) still
+    recover the planted domain shift when the cap actually samples."""
+    target, raw, _, _ = shifted
+    # (a) under the cap: bit-identical log-ratio table
+    full = dsir.fit_bucket_logratio(target, raw, n_buckets=B,
+                                    raw_sample=None)
+    bounded = dsir.fit_bucket_logratio(target, raw, n_buckets=B,
+                                       raw_sample=100_000)
+    assert sorted(map(tuple, full.collect())) \
+        == sorted(map(tuple, bounded.collect()))
+    # (b) cap smaller than the corpus: the sampled estimate must still
+    # separate the planted domains end-to-end
+    lr = dsir.fit_bucket_logratio(target, raw, n_buckets=B, raw_sample=24,
+                                  seed=5)
+    w = {r["doc_id"]: r["log_weight"] for r in
+         dsir.importance_weights(raw, lr, n_buckets=B).collect()}
+    in_dom = [w[i] for i in range(20)]
+    off_dom = [w[100 + i] for i in range(20)]
+    assert min(in_dom) > max(off_dom)
+    # and the default dsir_select path (bounded fit) still recovers
+    sel = dsir.dsir_select(raw, target, n_select=15, n_buckets=B, seed=7,
+                           raw_sample=24)
+    ids = {r["doc_id"] for r in sel.collect()}
+    assert len(ids) == 15 and len([i for i in ids if i < 100]) >= 13
+
+
 def test_plan_broadcasts_logratio(spark, shifted):
     target, raw, _, _ = shifted
     lr = dsir.fit_bucket_logratio(target, raw, n_buckets=B)
