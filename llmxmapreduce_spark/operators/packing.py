@@ -59,10 +59,21 @@ def _encoder_for(spec: str) -> Callable[[str], list]:
 
             tok = AutoTokenizer.from_pretrained(name)
             enc = lambda s: tok(s)["input_ids"]  # noqa: E731
+        elif kind == "minibpe":
+            # vendored dependency-free BPE (functions/minibpe.py): the
+            # same lazily-built-per-executor contract as tiktoken/hf,
+            # loadable in containers that have neither — `name` is the
+            # merges-file path, which every executor must see (fixture
+            # under tests/, or a shared filesystem in a real deployment)
+            from llmxmapreduce_spark.functions.minibpe import (MiniBPE,
+                                                               load_merges)
+
+            enc = MiniBPE(load_merges(name)).encode
         else:
             raise ValueError(
                 f"unknown tokenizer spec {spec!r} — expected "
-                f"'tiktoken:<encoding>' or 'hf:<model>'")
+                f"'tiktoken:<encoding>', 'hf:<model>', or "
+                f"'minibpe:<merges-file>'")
         _ENCODER_CACHE[spec] = enc
     return enc
 
