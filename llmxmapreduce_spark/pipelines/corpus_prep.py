@@ -4,6 +4,9 @@ Composes the round-6 training-data operator stack into the canonical
 "raw crawl → training sequences" flow a 100 TB pipeline actually runs:
 
     raw documents
+      → URL blocklist + URL dedup (opt)  (url_filter — suffix equi-join,
+                                          canonical-key window; FIRST,
+                                          the RefinedWeb §3.1 order)
       → Gopher + C4 quality gate         (quality_filters — narrow)
       → PII redaction                    (pii — narrow)
       → exact dedup                      (dedup.exact_dedup — hash keys)
@@ -52,6 +55,14 @@ from llmxmapreduce_spark.operators.stage_metrics import StageMetrics
 
 @dataclass
 class CorpusPrepConfig:
+    url_blocklist: DataFrame | None = None  # one lowercase domain per row
+                                     # ('domain'): RefinedWeb §3.1 URL
+                                     # blocklist, applied FIRST — a real
+                                     # crawl filters URLs before standing
+                                     # up any text-level work
+    url_dedup: bool = False          # C4 one-page-per-canonical-URL rule
+                                     # (min id wins); requires url_col
+    url_col: str = "url"
     quality: bool = True
     quality_thresholds: dict = field(default_factory=dict)
     c4_line_filter: bool = False     # True: C4 §2.2 line REMOVAL feeds
@@ -104,6 +115,24 @@ def run_corpus_prep(
         return df
 
     d = docs
+    if cfg.url_blocklist is not None or cfg.url_dedup:
+        # crawl-side URL curation FIRST (RefinedWeb §3.1 stage order):
+        # every row dropped here is a row no text-level stage ever scans
+        # — at crawl scale this is the difference between filtering a
+        # URL string and filtering a fetched page
+        from llmxmapreduce_spark.operators.url_filter import (
+            dedup_urls, filter_blocked_domains)
+
+        if cfg.url_col not in d.columns:
+            raise TypeError(
+                f"corpus_prep: url curation configured but column "
+                f"{cfg.url_col!r} is absent from the input")
+        if cfg.url_blocklist is not None:
+            d = filter_blocked_domains(d, cfg.url_blocklist,
+                                       url_col=cfg.url_col)
+        if cfg.url_dedup:
+            d = dedup_urls(d, url_col=cfg.url_col, id_col=id_col)
+        d = cut("url_curation", d)
     if cfg.quality:
         d = quality_filters.quality_filter(
             d, text_col, keep_clean_text=cfg.c4_line_filter,

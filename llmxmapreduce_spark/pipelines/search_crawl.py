@@ -232,13 +232,22 @@ def run_search_crawl(
     retry=None,
     full_prompts: bool = False,
     prompt_lang: str = "en",
+    url_blocklist: DataFrame | None = None,
 ) -> DataFrame:
     """Full front-end → one row per topic with its filtered papers
     (the S6 ``{"title": topic, "papers": [...]}`` shape).  ``expand_topics``
     enables the V3 L22 framing step; ``with_abstracts`` the V3 L23 per-URL
     abstracts.  ``full_prompts`` swaps the L17/L19/L20/L21 prompts for the
     reference's verbatim texts (the V3-only L22/L23 steps have no
-    prompts_en.py counterpart and keep the condensed templates)."""
+    prompts_en.py counterpart and keep the condensed templates).
+
+    ``url_blocklist`` (one lowercase domain per row, 'domain') drops
+    blocklisted-domain hits BEFORE snippet scoring and the crawl — the
+    RefinedWeb §3.1 order: a blocked URL costs a string comparison, not
+    an LLM snippet call plus a page fetch.  Canonical-URL dedup is NOT
+    applied here: the search source already drops exact-duplicate URLs
+    per topic (S3), and cross-topic canonical collapse would steal a
+    page from every topic but one."""
     if expand_topics:
         topics = expand_topic(topics, client_factory, retry)
     from pyspark.sql import Window
@@ -246,6 +255,11 @@ def run_search_crawl(
     queries = expand_queries(topics, client_factory, retry,
                              full_prompts=full_prompts, prompt_lang=prompt_lang)
     hits = crawl_src.batch_web_search(queries, search_fn_factory, top_n=top_n)
+    if url_blocklist is not None:
+        from llmxmapreduce_spark.operators.url_filter import (
+            filter_blocked_domains)
+
+        hits = filter_blocked_domains(hits, url_blocklist, url_col="url")
     # L19 gate, then T3: keep the over-fetched top urls per topic by score
     # (LLM_search.py:441-443) before paying for the crawl.
     w = Window.partitionBy("topic").orderBy(

@@ -255,3 +255,38 @@ def test_corpus_prep_stages_can_disable(spark, corpus):
     # with quality off, the junk/lorem docs survive to the dedup stages
     rep = {r["stage"]: r for r in sm.report()}
     assert rep["quality_redact"]["rows_out"] == corpus.count()
+
+
+def test_corpus_prep_url_curation_stage(spark, corpus):
+    """RefinedWeb §3.1 stage order: URL blocklist + canonical-URL dedup
+    run FIRST (before any text-level stage), with their own
+    StageMetrics row."""
+    from pyspark.sql import functions as F
+
+    docs = corpus.withColumn(
+        "url",
+        F.when(F.col("doc_id") == 5, F.lit("https://ads.spam.org/x"))
+        .when(F.col("doc_id") == 6, F.lit("https://sub.spam.org/y"))
+        .when(F.col("doc_id") == 7,
+              F.lit("https://ok.org/page?utm_source=a"))
+        .when(F.col("doc_id") == 8, F.lit("https://ok.org/page"))
+        .otherwise(F.concat(F.lit("https://fine.net/"),
+                            F.col("doc_id").cast("string"))))
+    blocked = spark.createDataFrame([("spam.org",)], "domain string")
+    sm = StageMetrics(spark)
+    cfg = CorpusPrepConfig(url_blocklist=blocked, url_dedup=True,
+                           max_tokens=256, neardup_threshold=0.6)
+    run_corpus_prep(docs, cfg, stage_metrics=sm) \
+        .write.mode("overwrite").format("noop").save()
+    order = [r["stage"] for r in sm.report()]
+    assert order[0] == "url_curation"
+    rep = {r["stage"]: r for r in sm.report()}
+    # 2 blocked-domain docs (exact + subdomain) + 1 canonical-URL dup
+    # (utm-stripped 7 vs 8 → min id 7 wins)
+    assert rep["url_curation"]["rows_out"] == corpus.count() - 3
+
+
+def test_corpus_prep_url_curation_requires_column(spark, corpus):
+    blocked = spark.createDataFrame([("spam.org",)], "domain string")
+    with pytest.raises(TypeError, match="url"):
+        run_corpus_prep(corpus, CorpusPrepConfig(url_blocklist=blocked))

@@ -33,6 +33,39 @@ def test_search_crawl_front_end(spark):
         assert 0 <= p["similarity"] <= 100
 
 
+def test_search_crawl_url_blocklist(spark):
+    """The front-end's URL blocklist drops blocklisted-domain hits BEFORE
+    snippet scoring and the crawl (RefinedWeb §3.1 order) — surviving
+    papers never carry a blocked domain."""
+    def fake_search(query):
+        hosts = ["x.test", "blocked.bad"]
+        return [{"url": f"https://{hosts[i % 2]}/{abs(hash(query)) % 1000}/{i}",
+                 "title": f"t{i}", "snippet": f"snippet {i} about {query}"}
+                for i in range(6)]
+
+    def fake_fetch(url):
+        n = int(url.rsplit("/", 1)[-1])
+        body = " ".join(f"word{i} the of and in" for i in range(40 + 10 * n))
+        return f"# Page {n}\n{body}"
+
+    topics = spark.createDataFrame(
+        [("deep learning", "neural nets")], ["topic", "description"])
+    blocked = spark.createDataFrame([("blocked.bad",)], "domain string")
+    out = search_crawl.run_search_crawl(
+        topics, lambda: fake_search, lambda: fake_fetch, MockSurveyClient,
+        # top_n=20 keeps the T7 over-fetch cap above the hit count: the
+        # cap orders by URL and 'blocked.bad' sorts before 'x.test', so a
+        # tight cap would remove the x.test hits BEFORE the blocklist —
+        # leaving nothing and testing the cap, not the filter
+        top_n=20, snippet_threshold=0, similarity_threshold=0,
+        min_length=10, max_length=10000, url_blocklist=blocked,
+    ).collect()
+    assert len(out) == 1
+    papers = out[0]["papers"]
+    assert len(papers) >= 1
+    assert all("blocked.bad" not in p["url"] for p in papers)
+
+
 def test_expand_queries_parses_block(spark):
     topics = spark.createDataFrame([("graph neural networks", None)],
                                    "topic string, description string")
