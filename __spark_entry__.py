@@ -1273,6 +1273,44 @@ def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     return qc.classifier_scores(raw, w)
 
 
+def q_quality_classifier_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """FIT-only bench line: the driver-side LR fit (bounded sparse
+    collect + 300 full-batch GD iterations) — split from scoring so the
+    100 TB-relevant scoring-scan median isn't masked by fit noise
+    (round-7 review: the combined line had a 7.36 s spread on a 7.35 s
+    median).  Returns a 1-row summary so the noop sink has something to
+    write; the fit cost dominates it entirely."""
+    import numpy as np
+
+    from llmxmapreduce_spark.operators import quality_classifier as qc
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    pos = d.filter(F.col("doc_id") % 19 == 0)
+    raw = d.filter(F.col("doc_id") % 19 != 0)
+    w, b = qc.train_quality_classifier(pos, raw, max_sample=4_000)
+    return spark.createDataFrame(
+        [(float(b), float(np.abs(w).sum()), int((w != 0).sum()))],
+        "bias double, l1 double, nnz int")
+
+
+def q_quality_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
+    """SCORE-only bench line: the distributed scoring pass
+    (quality_classifier.classifier_scores — featurize → broadcast weight
+    join → per-doc agg → sigmoid) under a fixed deterministic weight
+    vector, so the line prices the scan that runs at corpus scale with
+    zero fit cost in any run.  Plan shape is identical to scoring fitted
+    weights (same B, same nnz density class)."""
+    import numpy as np
+
+    from llmxmapreduce_spark.operators import quality_classifier as qc
+
+    idx = np.arange(10_000)
+    w = ((idx * 37 % 101) - 50) / 64.0
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    raw = d.filter(F.col("doc_id") % 19 != 0)
+    return qc.classifier_scores(raw, (w, -0.125))
+
+
 def q_url_filters(spark: SparkSession, sf: str) -> DataFrame:
     """Crawl-side URL curation (operators/url_filter.py): canonical-URL
     dedup (tracking params/ports/fragments normalized away) followed by

@@ -76,9 +76,23 @@ HEADLINE = [
     "ccnet_perplexity",
     "dsir_weights",
     "quality_classifier",
+    "quality_classifier_fit",
+    "quality_classifier_score",
     "token_encode",
     "url_filters",
 ]
+
+# Oracle-twin lines: implementations that exist to mirror a DuckDB-
+# expressible oracle while a FASTER production path covers the same
+# semantics — their cost is a correctness-harness property, not a
+# deployment property, so the record reports "production_sec" (the total
+# a deployment would run) alongside the all-in total (round-7 review:
+# the Catalyst `decontaminate` twin alone carried ~10% of the board).
+ORACLE_TWIN = {
+    "decontaminate",            # production: decontaminate_fast / _bloom
+    "embedding_cosine_topk",    # production: cosine_topk_np / ivf_topk(_join)
+    "minhash_lsh_neardup",      # production: minhash_neardup_estimate
+}
 
 # The round-2..5 comparable set: "suite19_sec" in the output JSON is the
 # sum over these, so cross-round regression tracking is immune to queries
@@ -94,9 +108,14 @@ SUITE19 = [
     "v2_survey_pipeline",
 ]
 
-# Bench-only queries: priced every round but deliberately OFF the driver's
-# 50-entry oracle board (their correctness gate is a golden-transcript
-# pytest — tests/test_v2_refdefaults.py — not a SQL oracle).
+# Bench-variant queries, resolved BEFORE the oracle board: where a name
+# exists in both, the board runs an exact-value variant tuned for the
+# correctness gate (decimal sums, exhaustive nprobe, portable md5
+# hashing) while the entry below is the production-shaped workload whose
+# r06/r07 medians the regression record tracks — bench must keep pricing
+# the production shape (e.g. board ivf_topk_join probes ALL cells; the
+# bench line prices nprobe=4/16).  Names not on the board at all are the
+# golden-transcript-gated pipelines (tests/test_v2_refdefaults.py).
 BENCH_ONLY = {
     "v2_survey_refdefaults": entrymod.q_v2_survey_refdefaults,
     "v2_survey_fullprompts": entrymod.q_v2_survey_fullprompts,
@@ -121,6 +140,8 @@ BENCH_ONLY = {
     "ccnet_perplexity": entrymod.q_ccnet_perplexity,
     "dsir_weights": entrymod.q_dsir_weights,
     "quality_classifier": entrymod.q_quality_classifier,
+    "quality_classifier_fit": entrymod.q_quality_classifier_fit,
+    "quality_classifier_score": entrymod.q_quality_classifier_score,
     "token_encode": entrymod.q_token_encode,
     "url_filters": entrymod.q_url_filters,
 }
@@ -137,7 +158,7 @@ def main() -> int:
     runs: dict[str, list[float]] = {}
     spread: dict[str, float] = {}
     for name in HEADLINE:
-        fn = queries.get(name) or BENCH_ONLY.get(name)
+        fn = BENCH_ONLY.get(name) or queries.get(name)
         if fn is None:
             continue
         samples: list[float] = []
@@ -161,6 +182,8 @@ def main() -> int:
     suite19 = round(
         sum(v for k, v in timings.items() if k in SUITE19 and v >= 0), 3
     )
+    twin = round(sum(v for k, v in timings.items()
+                     if k in ORACLE_TWIN and v >= 0), 3)
     compact = {
         "metric": "total_sec",
         "value": total,
@@ -169,6 +192,12 @@ def main() -> int:
         "sf": sf,
         "protocol": {"runs_per_query": n_runs, "stat": "median"},
         "suite19_sec": suite19,
+        # the deployment-path total vs the correctness-harness overhead
+        # (see ORACLE_TWIN) — regression-bar consumers should track
+        # production_sec; "value" stays the all-in total for continuity
+        "production_sec": round(total - twin, 3),
+        "oracle_twin_sec": twin,
+        "oracle_twin_queries": sorted(ORACLE_TWIN & set(timings)),
     }
     verbose = dict(compact, runs=runs, spread_sec=spread)
     # Raw per-run detail goes to stderr + a committed sidecar, NOT stdout:

@@ -134,12 +134,19 @@ def classifier_scores(
     The weight vector becomes a B-row DataFrame broadcast-joined to the
     per-doc bucket counts; docs with no grams score sigmoid(b) (bias
     only — no evidence)."""
+    import pandas as pd
+
     w, b = weights
     spark = df.sparkSession
     n_buckets = len(w)
+    # Arrow path for the weight table (one columnar transfer) instead of
+    # a driver-side Python tuple comprehension — the repo convention for
+    # driver→executor tables (round-7 review nit)
+    nz = np.flatnonzero(np.asarray(w))
     wdf = spark.createDataFrame(
-        [(int(i), float(x)) for i, x in enumerate(w) if x != 0.0],
-        "bucket int, w double")
+        pd.DataFrame({"bucket": nz.astype("int32"),
+                      "w": np.asarray(w, dtype="float64")[nz]}),
+        schema="bucket int, w double")
     counts = doc_bucket_counts(df, text_col, id_col, n_buckets, portable)
     agg = (
         counts.join(F.broadcast(wdf), "bucket", "left")
