@@ -1,10 +1,16 @@
 """Multimodal column operators (scale extension): image/audio/video as
 opaque ``binary`` payloads + typed metadata (schemas.MEDIA_ASSETS).
 
-The container has no image/audio codecs, so the *decode* step is stubbed
-behind ``NotImplementedError`` with a deterministic fake for tests — but
-everything Spark-side is real and tested: schema, Arrow batch shape,
-``mapInPandas`` signatures, partition sizing, and the metadata pipeline.
+The container has no image/audio *libraries*, so the default decode step
+is stubbed behind ``NotImplementedError`` with a deterministic fake for
+tests — but everything Spark-side is real and tested: schema, Arrow
+batch shape, ``mapInPandas`` signatures, partition sizing, and the
+metadata pipeline.  One real format round-trips in-container: PNG, via
+the stdlib-only codec in ``functions/png.py`` — inject
+``png.png_decoder`` / ``png.png_resizer`` through the seams below
+(tests/test_png_codec.py runs decode → resize → re-encode end-to-end);
+JPEG/audio/video still need PIL/libvips/ffmpeg injected in a real
+deployment.
 
 Design for 100 TB of media:
 - payloads never leave the executor (no collect; feature vectors are the
@@ -36,14 +42,16 @@ FEATURES = T.StructType([
 
 
 def decode_image(payload: bytes) -> "object":
-    """REAL decode would use PIL/libvips — not available in this container.
-
-    STUB: raises.  ``extract_features`` catches and falls back to the
-    deterministic byte-level featurizer so the pipeline shape is testable.
-    """
+    """General-format decode would use PIL/libvips — not available in
+    this container.  STUB: raises; ``extract_features`` catches and
+    falls back to the deterministic byte-level featurizer so the
+    pipeline shape is testable.  For PNG specifically a REAL decoder
+    exists in-container: ``functions.png.png_decoder`` (stdlib zlib +
+    struct) — inject it via ``extract_features(decoder=...)``."""
     raise NotImplementedError(
-        "image codecs are not installed in this environment; "
-        "inject a decoder or rely on byte-level features"
+        "general image codecs are not installed in this environment; "
+        "inject a decoder (functions.png.png_decoder handles PNG) or "
+        "rely on byte-level features"
     )
 
 
@@ -139,13 +147,17 @@ def strided_byte_thumbnail(payload: bytes, target_w: int,
 
 
 def resize_stub(payload: bytes, target_w: int, target_h: int) -> bytes:
-    """REAL resize would decode (PIL/libvips), downscale, re-encode — not
-    available in this container.  STUB: raises; ``resize_images`` catches
-    and falls back to the deterministic fake thumbnail with a D8 sentinel,
-    exactly like ``extract_features``'s decode handling."""
+    """General-format resize would decode (PIL/libvips), downscale,
+    re-encode — not available in this container.  STUB: raises;
+    ``resize_images`` catches and falls back to the deterministic fake
+    thumbnail with a D8 sentinel, exactly like ``extract_features``'s
+    decode handling.  For PNG a REAL resizer exists in-container:
+    ``functions.png.png_resizer`` (decode → nearest-neighbor →
+    re-encode) — inject it via ``resize_images(resizer=...)``."""
     raise NotImplementedError(
-        "image codecs are not installed in this environment; "
-        "inject a resizer(payload, w, h) -> bytes"
+        "general image codecs are not installed in this environment; "
+        "inject a resizer(payload, w, h) -> bytes "
+        "(functions.png.png_resizer handles PNG)"
     )
 
 
