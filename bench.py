@@ -64,6 +64,7 @@ HEADLINE = [
     "semantic_dedup",
     "quality_signals",
     "span_dedup",
+    "substring_dedup",
     "pii_redact",
     "source_mixture",
     "sequence_packing",

@@ -1,0 +1,155 @@
+"""Exact substring dedup — Lee et al.'s ExactSubstr rule (scale extension).
+
+"Deduplicating Training Data Makes Language Models Better" (Lee et al.,
+arXiv:2107.06499 §4.1) removes every substring of >= 50 BPE tokens that
+occurs more than once in the corpus, keeping one occurrence.  The paper
+builds a single suffix array over the concatenated corpus — inherently
+sequential and memory-resident.  This is the distributed, hash-windowed
+formulation over WORD windows (the unit is configurable; the threshold
+concept is the same):
+
+1. split each document into whitespace words (empty tokens dropped) and
+   slide an ``n``-word window, step 1 — ONLY full-length windows, so a
+   doc shorter than ``n`` words can never self-trigger;
+2. hash each window (``xxhash64`` of the joined window — the shuffle key
+   is 8 bytes, never the window text);
+3. one global ``groupBy(window_hash)`` finds duplicated windows and
+   elects the OWNER occurrence per window: ``min(struct(doc_id, pos))``
+   — deterministic and arrival-order-free (the paper keeps an arbitrary
+   single occurrence; this keeps the lexicographically smallest, so the
+   result is reproducible under any partitioning);
+4. every non-owner occurrence of a duplicated window masks its ``n``
+   word positions; surviving words re-join into ``clean_text``.
+
+Why this matches the paper's maximal-span behaviour: a duplicated
+substring of m >= n words contributes m - n + 1 duplicated windows at
+consecutive positions, whose union is exactly the maximal span — the
+interval union in step 4 removes the whole repeated passage, not just
+one window of it.  Two identical documents therefore keep one intact
+copy (the min doc_id) and strip the other to "".
+
+Documented divergences from the suffix-array algorithm: (a) duplicated
+substrings SHORTER than ``n`` words are not detected (the paper has the
+same threshold, in BPE tokens); (b) when distinct duplicated substrings
+overlap inside one document the union removes their cover — a
+deterministic superset, the same rule span_dedup documents for
+overlapping sentence spans; (c) matching is case-sensitive on exact
+whitespace words (the paper matches exact BPE ids).
+
+100 TB framing: window rows are (doc_id, pos, hash) = 20 fixed-width
+bytes, O(total words) of them — the decontamination gram-explode band.
+Wide ops: the window-hash groupBy (partial-combine-friendly: count +
+min-of-struct), the join of occurrences back to the (usually tiny)
+duplicated-window table on the 8-byte hash — AQE broadcasts it when
+duplication is rare — and a per-doc collect of masked INTEGER
+positions.  Text itself never shuffles; the rebuild joins the narrow
+mask back to the corpus by doc_id.  A window duplicated across the
+whole corpus is one row in the dup table but skews the occurrence join's
+hash partitions exactly like any hot key: AQE skew-join territory, rows
+are 20 bytes.
+
+Values gate: exact DuckDB twin (group-by window TEXT — same equivalence
+classes as the hash, collision-free at test scale) in
+tests/test_substring_dedup.py; oracle-board entry ``substring_dedup``;
+priced in bench.py (`substring_dedup`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _words(text: Column) -> Column:
+    """Whitespace words of ``text`` with empty tokens dropped; null/empty
+    text yields an EMPTY array (never null, never [''])."""
+    toks = F.split(F.trim(F.coalesce(text, F.lit(""))), r"\s+")
+    return F.filter(toks, lambda w: w != "")
+
+
+def _full_windows(words: Column, n: int) -> Column:
+    """All full-length ``n``-word windows of ``words`` joined with single
+    spaces; [] when there are fewer than ``n`` words.  Case-sensitive —
+    dedup matches exact content, unlike the lowercased shingles the
+    similarity sketches use (text_stats.ngram_shingles)."""
+    g = words
+    for j in range(1, n):
+        g = F.zip_with(
+            g,
+            F.slice(words, j + 1, F.greatest(F.size(words) - j, F.lit(1))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.when(F.size(words) >= n,
+                  F.slice(g, 1, F.size(words) - (n - 1))) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def duplicate_window_mask(
+    df: DataFrame,
+    n: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_col, pos) for every word-window occurrence that a duplicate
+    elsewhere in the corpus makes REMOVABLE — i.e. every occurrence of a
+    duplicated window except its owner (min (doc_id, pos)).  Exposed
+    separately so callers can audit what `substring_dedup` would remove
+    (the paper's App. C analysis) without rebuilding text."""
+    occ = df.select(
+        F.col(id_col),
+        F.posexplode(_full_windows(_words(F.col(text_col)), n))
+         .alias("pos", "__w"),
+    ).select(id_col, "pos", F.xxhash64("__w").alias("g"))
+    # one partial-agg-friendly pass: occurrence count + owner election
+    dup = (
+        occ.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__c"),
+             F.min(F.struct(id_col, "pos")).alias("__own"))
+        .filter(F.col("__c") > 1)
+        .select("g", "__own")
+    )
+    return (
+        occ.join(dup, "g")
+        .filter(~((F.col(id_col) == F.col(f"__own.{id_col}"))
+                  & (F.col("pos") == F.col("__own.pos"))))
+        .select(id_col, "pos")
+    )
+
+
+def substring_dedup(
+    df: DataFrame,
+    n: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lee et al. ExactSubstr dedup (arXiv:2107.06499 §4.1), word-window
+    formulation — see the module docstring.  → (id_col, clean_text,
+    n_words, n_removed_words) for EVERY input row (unique content passes
+    through with 0 removed; the non-owner copy of a fully-duplicated doc
+    comes back as "").  ``clean_text`` re-joins surviving words with
+    single spaces — token content is what training cares about, original
+    whitespace is not preserved (the mask_contamination contract)."""
+    masked = (
+        duplicate_window_mask(df, n=n, id_col=id_col, text_col=text_col)
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("__mpos"))
+    )
+    out = (
+        df.join(masked, id_col, "left")
+        .withColumn("__mpos", F.coalesce(F.col("__mpos"),
+                                         F.array().cast("array<int>")))
+        .withColumn("__w", _words(F.col(text_col)))
+        .withColumn("__keep", F.filter(
+            F.col("__w"),
+            lambda w, i: ~F.exists(
+                F.col("__mpos"),
+                lambda p: (i >= p) & (i < p + F.lit(n))),
+        ))
+    )
+    return out.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.col("__keep")).alias("clean_text"),
+        F.size("__w").cast("long").alias("n_words"),
+        (F.size("__w") - F.size("__keep")).cast("long")
+        .alias("n_removed_words"),
+    )
