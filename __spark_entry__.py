@@ -1687,6 +1687,19 @@ def q_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return substring_dedup(d, n=13)
 
 
+def q_substring_dedup_fast(spark: SparkSession, sf: str) -> DataFrame:
+    """Production occurrence scan for `substring_dedup` (mode='fast'):
+    Arrow rolling-hash windows (blake2b word hashes + the decontamination
+    polynomial family) instead of the Catalyst zip_with window-string
+    chain, whose cost grows with n.  Output ≡ the catalyst path
+    (test-pinned, tests/test_substring_dedup.py); bench-only — the board
+    prices the twin-matched catalyst shape."""
+    from llmxmapreduce_spark.operators.substring_dedup import substring_dedup
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    return substring_dedup(d, n=13, mode="fast")
+
+
 def _substring_dedup_oracle(n: int = 13) -> str:
     """DuckDB twin of `substring_dedup` — window-text-keyed owner
     election + interval-union word mask (mirrors the pytest twin in

@@ -65,6 +65,7 @@ HEADLINE = [
     "quality_signals",
     "span_dedup",
     "substring_dedup",
+    "substring_dedup_fast",
     "pii_redact",
     "source_mixture",
     "sequence_packing",
@@ -93,6 +94,7 @@ ORACLE_TWIN = {
     "decontaminate",            # production: decontaminate_fast / _bloom
     "embedding_cosine_topk",    # production: cosine_topk_np / ivf_topk(_join)
     "minhash_lsh_neardup",      # production: minhash_neardup_estimate
+    "substring_dedup",          # production: substring_dedup_fast
 }
 
 # The round-2..5 comparable set: "suite19_sec" in the output JSON is the
@@ -129,6 +131,7 @@ BENCH_ONLY = {
     "semantic_dedup": entrymod.q_semantic_dedup,
     "quality_signals": entrymod.q_quality_signals,
     "span_dedup": entrymod.q_span_dedup,
+    "substring_dedup_fast": entrymod.q_substring_dedup_fast,
     "pii_redact": entrymod.q_pii_redact,
     "source_mixture": entrymod.q_source_mixture,
     "sequence_packing": entrymod.q_sequence_packing,

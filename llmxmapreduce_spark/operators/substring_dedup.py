@@ -84,22 +84,97 @@ def _full_windows(words: Column, n: int) -> Column:
             .otherwise(F.array().cast("array<string>"))
 
 
+def _occurrences_catalyst(df, n, id_col, text_col):
+    """(id, pos, g) window occurrences, Catalyst path: window strings via
+    a zip_with chain, hashed with xxhash64 — n passes over the word
+    array, each materializing progressively longer window prefixes."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(_full_windows(_words(F.col(text_col)), n))
+         .alias("pos", "__w"),
+    ).select(id_col, "pos", F.xxhash64("__w").alias("g"))
+
+
+def _occurrences_fast(df, n, id_col, text_col):
+    """(id, pos, g) window occurrences, Arrow path: per-word blake2b-8
+    hashes (Zipf-memoized) + the vectorized polynomial rolling hash from
+    decontamination._poly_gram_hashes — O(words) numpy work per doc, no
+    window strings ever built.  Same equivalence classes as the Catalyst
+    path modulo hash family (test-pinned fast ≡ catalyst); tokenization
+    mirrors the Catalyst ``split(trim(text), '\\s+')`` exactly — Java
+    ``\\s`` is ASCII-only and ``trim`` strips spaces only — but keeps
+    ORIGINAL case (dedup matches exact content; the decontamination
+    splitter lowercases because GPT-3 gram matching does)."""
+    import re
+
+    java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def scan(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from llmxmapreduce_spark.operators.decontamination import (
+            _poly_gram_hashes)
+
+        cache: dict = {}
+
+        def word_hash(w: str) -> int:
+            v = cache.get(w)
+            if v is None:
+                v = int.from_bytes(
+                    hashlib.blake2b(w.encode(),
+                                    digest_size=8).digest(), "big")
+                cache[w] = v
+            return v
+
+        for pdf in batches:
+            ids: list = []
+            poss: list = []
+            gs: list = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                ws = [w for w in java_ws.split((t or "").strip(" ")) if w]
+                if len(ws) < n:
+                    continue
+                h = np.array([word_hash(w) for w in ws], dtype=np.uint64)
+                g = _poly_gram_hashes(h, n)
+                m = len(g)
+                ids.append(np.full(m, i, dtype=np.int64))
+                poss.append(np.arange(m, dtype=np.int32))
+                gs.append(g.view(np.int64))
+            if ids:
+                yield pd.DataFrame({
+                    id_col: np.concatenate(ids),
+                    "pos": np.concatenate(poss),
+                    "g": np.concatenate(gs)})
+
+    return df.select(id_col, text_col).mapInPandas(
+        scan, f"{id_col} long, pos int, g long")
+
+
 def duplicate_window_mask(
     df: DataFrame,
     n: int = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
+    mode: str = "catalyst",
 ) -> DataFrame:
     """(id_col, pos) for every word-window occurrence that a duplicate
     elsewhere in the corpus makes REMOVABLE — i.e. every occurrence of a
     duplicated window except its owner (min (doc_id, pos)).  Exposed
     separately so callers can audit what `substring_dedup` would remove
-    (the paper's App. C analysis) without rebuilding text."""
-    occ = df.select(
-        F.col(id_col),
-        F.posexplode(_full_windows(_words(F.col(text_col)), n))
-         .alias("pos", "__w"),
-    ).select(id_col, "pos", F.xxhash64("__w").alias("g"))
+    (the paper's App. C analysis) without rebuilding text.
+
+    ``mode``: "catalyst" (default — DuckDB-twin-matched, whole-stage
+    codegen) or "fast" (Arrow rolling-hash occurrence scan — identical
+    output modulo hash family, test-pinned; the production choice when
+    window length is large, since the Catalyst chain's cost grows with
+    n while the polynomial hash's numpy pass is O(words) regardless)."""
+    if mode not in ("catalyst", "fast"):
+        raise ValueError(f"unknown mode {mode!r}")
+    gen = _occurrences_fast if mode == "fast" else _occurrences_catalyst
+    occ = gen(df, n, id_col, text_col)
     # one partial-agg-friendly pass: occurrence count + owner election
     dup = (
         occ.groupBy("g")
@@ -121,6 +196,7 @@ def substring_dedup(
     n: int = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
+    mode: str = "catalyst",
 ) -> DataFrame:
     """Lee et al. ExactSubstr dedup (arXiv:2107.06499 §4.1), word-window
     formulation — see the module docstring.  → (id_col, clean_text,
@@ -130,7 +206,8 @@ def substring_dedup(
     single spaces — token content is what training cares about, original
     whitespace is not preserved (the mask_contamination contract)."""
     masked = (
-        duplicate_window_mask(df, n=n, id_col=id_col, text_col=text_col)
+        duplicate_window_mask(df, n=n, id_col=id_col, text_col=text_col,
+                              mode=mode)
         .groupBy(id_col)
         .agg(F.collect_set("pos").alias("__mpos"))
     )

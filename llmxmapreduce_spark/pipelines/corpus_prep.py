@@ -12,6 +12,9 @@ Composes the round-6 training-data operator stack into the canonical
       → exact dedup                      (dedup.exact_dedup — hash keys)
       → C4 3-sentence span dedup         (span_dedup — hash-key shuffles)
       → MinHash near-dedup + components  (dedup + components — bucketed)
+      → ExactSubstr passage dedup (opt)  (substring_dedup mode='fast' —
+                                          rolling-hash windows, after
+                                          fuzzy dedup per RefinedWeb)
       → source mixing (optional)         (mixing — narrow sample)
       → sequence packing                 (packing — one bucket exchange)
 
@@ -75,6 +78,13 @@ class CorpusPrepConfig:
                                      # perplexity gate after the rulesets
     max_perplexity: float | None = None
     span: int = 3                    # 0 disables span dedup
+    substring_n: int | None = None   # ExactSubstr window (Lee et al.
+                                     # 2107.06499; paper uses 50): mask
+                                     # every ≥n-word passage repeated
+                                     # across the surviving corpus, after
+                                     # near-dedup (RefinedWeb runs exact-
+                                     # substring AFTER fuzzy dedup);
+                                     # mode='fast' rolling-hash scan
     neardup_threshold: float = 0.7
     neardup_verify: str = "estimate"
     badwords: DataFrame | None = None  # one word/phrase per row ('word'):
@@ -177,6 +187,24 @@ def run_corpus_prep(
         threshold=cfg.neardup_threshold, verify=cfg.neardup_verify)
     d = dedup_by_components(d, pairs, id_col=id_col)
     d = cut("near_dedup", d)
+
+    if cfg.substring_n:
+        # ExactSubstr (Lee et al. 2107.06499) AFTER near-dedup — the
+        # RefinedWeb order: fuzzy dedup removes whole near-duplicate
+        # documents first, so the window scan only chases the repeated
+        # PASSAGES (boilerplate, quotes, licenses) that survive it
+        from llmxmapreduce_spark.operators.substring_dedup import (
+            substring_dedup)
+
+        subs = substring_dedup(d, n=cfg.substring_n, id_col=id_col,
+                               text_col=text_col, mode="fast")
+        d = (
+            d.drop(text_col)
+            .join(subs.filter(F.length("clean_text") > 0)
+                  .select(id_col, F.col("clean_text").alias(text_col)),
+                  id_col)
+        )
+        d = cut("substring_dedup", d)
 
     if cfg.benchmark is not None:
         # GPT-3 App. C decontamination, AFTER dedup so the gram scan only

@@ -213,6 +213,32 @@ def test_corpus_prep_decontamination_stage(spark, corpus):
     assert victim is not None and marker not in all_text
 
 
+def test_corpus_prep_substring_stage(spark, corpus):
+    """cfg.substring_n masks a repeated >=n-word passage (boilerplate
+    both docs quote) AFTER near-dedup: one copy survives, the other
+    doc keeps its surrounding text, and the stage reports telemetry."""
+    rng = np.random.default_rng(77)
+    boiler = " ".join(rng.choice(VOCAB) for _ in range(12))
+    extra = spark.createDataFrame(
+        [(996, _doc(rng) + "\n" + boiler + ".", "web"),
+         (997, boiler + ". " + _doc(rng), "web")],
+        "doc_id bigint, text string, source string")
+    df = corpus.union(extra)
+    cfg = CorpusPrepConfig(quality=False, redact=False, span=0,
+                           neardup_threshold=1.01, max_tokens=512,
+                           substring_n=10)
+    sm = StageMetrics(spark)
+    out = run_corpus_prep(df, cfg, stage_metrics=sm)
+    all_text = "\n".join(r["text"] for r in out.collect())
+    # exactly one surviving occurrence of the repeated passage
+    assert all_text.count(boiler) == 1
+    rep = {r["stage"]: r for r in sm.report()}
+    assert "substring_dedup" in rep
+    # passage masking keeps the documents (only doc 103, the exact dup,
+    # is gone by this point)
+    assert rep["substring_dedup"]["rows_out"] == rep["near_dedup"]["rows_out"]
+
+
 def test_corpus_prep_badwords_gate(spark, corpus):
     """cfg.badwords drops the page containing a listed token; everything
     else flows through the normal stages."""

@@ -138,6 +138,39 @@ def test_duckdb_twin_on_planted_corpus(spark):
     assert got[50]["clean_text"] == ""
 
 
+def test_fast_mode_equals_catalyst(spark):
+    """The Arrow rolling-hash occurrence scan (mode='fast') must produce
+    the identical result as the Catalyst window-string path — different
+    hash family, same equivalence classes."""
+    rng = np.random.default_rng(31)
+    vocab = "aa Bb cc DD ee ff g hh".split()
+    docs = [" ".join(rng.choice(vocab) for _ in range(int(rng.integers(2, 25))))
+            for _ in range(60)]
+    docs += [docs[3], docs[7] + " " + docs[3]]          # planted dups
+    # NBSP is NOT whitespace to Java \\s: "ee\xa0ff" must stay ONE word
+    # in BOTH paths (the fast tokenizer is pinned ASCII-only)
+    docs += ["aa Bb ee\u00a0ff cc DD g", "aa Bb ee\u00a0ff cc DD hh"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)] + [(len(docs), None)],
+        "doc_id bigint, text string")
+    a = {r["doc_id"]: r for r in substring_dedup(df, n=4).collect()}
+    b = {r["doc_id"]: r
+         for r in substring_dedup(df, n=4, mode="fast").collect()}
+    assert set(a) == set(b)
+    removed = 0
+    for k in a:
+        assert a[k]["clean_text"] == b[k]["clean_text"], k
+        assert a[k]["n_removed_words"] == b[k]["n_removed_words"], k
+        removed += a[k]["n_removed_words"]
+    assert removed > 0
+
+
+def test_mode_validation(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        substring_dedup(df, n=2, mode="nope")
+
+
 def test_plan_has_no_cartesian(spark):
     from llmxmapreduce_spark import load_table
 
