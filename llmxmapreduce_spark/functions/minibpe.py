@@ -105,3 +105,60 @@ class MiniBPE:
         """Inverse id→symbol lookup (test aid; <unk> renders as itself)."""
         rev = {i: s for s, i in self.vocab.items()}
         return [rev.get(i, "<unk>") for i in ids]
+
+
+def learn_merges(word_counts, n_merges: int) -> list[tuple[str, str]]:
+    """Sennrich BPE training (arXiv:1508.07909 Alg. 1) over a
+    ``(word, count)`` frequency table: repeatedly merge the most
+    frequent adjacent symbol pair, count-weighted by word frequency.
+    Deterministic: ties break on the lexicographically smallest pair,
+    never on dict/partition order.  Stops early when no pair occurs
+    twice (merging a count-1 pair memorizes a single word).
+
+    This is the classic formulation that trains on the WORD INVENTORY,
+    not the raw corpus — the whole reason BPE training scales: the
+    corpus-wide work is one word-count aggregation (see
+    ``vocab.train_bpe``), and this loop touches only the bounded
+    (word, count) table, like the quality classifier's driver-side fit."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, c in word_counts:
+        if w:
+            k = tuple(w)
+            vocab[k] = vocab.get(k, 0) + int(c)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best, best_c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best_c < 2:
+            break
+        merges.append(best)
+        a, b = best
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, c in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            k = tuple(out)
+            new_vocab[k] = new_vocab.get(k, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def save_merges(merges: list[tuple[str, str]], path: str) -> None:
+    """Write a merges table in the `load_merges` format (one
+    space-separated pair per line, line order = rank) — the bridge from
+    ``learn_merges`` to the ``"minibpe:<path>"`` tokenizer spec."""
+    with open(path, "w", encoding="utf-8") as f:
+        for a, b in merges:
+            f.write(f"{a} {b}\n")

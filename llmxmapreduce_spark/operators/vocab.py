@@ -138,3 +138,44 @@ def decode_ids(
             lambda s: s["w"])).alias("text"))
     return encoded.select(id_col).join(agg, id_col, "left") \
         .select(id_col, F.coalesce("text", F.lit("")).alias("text"))
+
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int = 200,
+    text_col: str = "text",
+    max_words: int = 50_000,
+    min_count: int = 2,
+) -> list:
+    """Distributed BPE tokenizer training (Sennrich arXiv:1508.07909):
+    ONE corpus-wide pass — the word-count aggregation (the build_vocab
+    plan shape: explode → partial-agg groupBy on word) — then the greedy
+    merge loop runs driver-side on the top-``max_words`` ``(word,
+    count)`` table via :func:`functions.minibpe.learn_merges`.  This is
+    the SentencePiece/subword-nmt practice: BPE trains on the word
+    INVENTORY (Zipf-bounded, cut deterministically by (count desc, word
+    asc) TakeOrdered), never the raw corpus, so the driver-side state is
+    ``max_words`` rows regardless of corpus size.
+
+    Returns the merges list — feed it to ``minibpe.MiniBPE`` directly
+    or ``minibpe.save_merges`` + the ``"minibpe:<path>"`` tokenizer
+    spec, closing the train → encode → pack loop in-container
+    (tests/test_minibpe.py).  Tokenization is CASE-SENSITIVE whitespace
+    words to match ``MiniBPE.encode``; the count pass splits on Java
+    ``\\s`` (ASCII) while the encoder's ``str.split()`` is Unicode —
+    an NBSP-joined pair weights counts as one word but encodes as two,
+    a count-weight wobble only, never a correctness issue."""
+    from llmxmapreduce_spark.functions.minibpe import learn_merges
+
+    counts = (
+        df.select(F.explode(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))),
+                    r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(max_words)
+    )
+    rows = counts.collect()
+    return learn_merges([(r["w"], r["c"]) for r in rows], n_merges)

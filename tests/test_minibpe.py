@@ -101,3 +101,74 @@ def test_packing_ledger_matches_hand_counts(spark):
     seqs = packing.pack_sequences(df, max_tokens=16, tokenizer=SPEC)
     assert (sum(r["total_tokens"] for r in seqs.collect())
             == sum(len(bpe.encode(t)) for t in texts.values()))
+
+
+# ---------------------------------------------------------------------------
+# BPE TRAINING (learn_merges / vocab.train_bpe)
+# ---------------------------------------------------------------------------
+
+def test_learn_merges_hand_computed():
+    """Sennrich's worked inventory: low*5 lower*2 newest*6 widest*3.
+    Weighted pair counts give (e,s)=9 tie (s,t)=9 -> lexicographic
+    smallest first; then (es,t)=9; then (l,o)=7 tie (o,w) -> (l,o);
+    then (lo,w)=7."""
+    from llmxmapreduce_spark.functions.minibpe import learn_merges
+
+    wc = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = learn_merges(wc, 4)
+    assert merges == [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+    # the learned table drives the encoder directly
+    bpe = MiniBPE(merges)
+    assert bpe.decode_symbols(bpe.encode("lowest")) == ["low", "est"]
+
+
+def test_learn_merges_stops_on_singletons():
+    from llmxmapreduce_spark.functions.minibpe import learn_merges
+
+    # every pair occurs once -- memorizing single words is refused
+    assert learn_merges([("abc", 1), ("xyz", 1)], 10) == []
+    # and an empty inventory is fine
+    assert learn_merges([], 5) == []
+
+
+def test_train_bpe_spark_matches_pure(spark):
+    """The distributed word-count + driver merge loop must equal
+    learn_merges on the same hand-built inventory, independent of row
+    order/partitioning."""
+    from llmxmapreduce_spark.functions.minibpe import learn_merges
+    from llmxmapreduce_spark.operators.vocab import train_bpe
+
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    rows = [(i, " ".join(words[i::3])) for i in range(3)]  # shuffled split
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = train_bpe(df, n_merges=4, min_count=1)
+    want = learn_merges(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)], 4)
+    assert got == want
+    assert train_bpe(df.repartition(7), n_merges=4, min_count=1) == got
+
+
+def test_train_encode_pack_loop(spark, tmp_path):
+    """The full in-container tokenizer loop: train on the corpus, save
+    the merges, pack with the 'minibpe:' spec, and the ledger's token
+    counts equal driver-side encoding with the same learned table."""
+    from llmxmapreduce_spark.functions.minibpe import save_merges
+    from llmxmapreduce_spark.operators.vocab import train_bpe
+
+    texts = ["the thin cat and the thin dog", "reading and rereading",
+             "the cat reading", "and the dog thin"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string")
+    merges = train_bpe(df, n_merges=6, min_count=1)
+    assert merges, "planted corpus must produce merges"
+    path = str(tmp_path / "learned_merges.txt")
+    save_merges(merges, path)
+    bpe = MiniBPE(load_merges(path))
+
+    counter = packing.resolve_token_counter(f"minibpe:{path}")
+    src = df.withColumn("n_tokens", counter(F.col("text")))
+    packed = packing.pack_sequences(src, max_tokens=16,
+                                    len_col="n_tokens")
+    got = {r["seq_id"]: r for r in packed.collect()}
+    total = sum(r["total_tokens"] for r in got.values())
+    assert total == sum(len(bpe.encode(t)) for t in texts)
