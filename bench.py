@@ -66,6 +66,7 @@ HEADLINE = [
     "span_dedup",
     "substring_dedup",
     "substring_dedup_fast",
+    "line_dedup",
     "pii_redact",
     "source_mixture",
     "sequence_packing",
