@@ -83,6 +83,9 @@ HEADLINE = [
     "quality_classifier_score",
     "token_encode",
     "url_filters",
+    "corpus_shuffle",
+    "curriculum_order",
+    "interleave_sources",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-

@@ -100,6 +100,14 @@ class CorpusPrepConfig:
     max_tokens: int = 2048
     split_oversized: bool = True     # split > max_tokens docs (C1 chunker)
                                      # instead of emitting truncated bins
+    shuffle_output: bool = False     # assign each packed sequence a
+                                     # deterministic 0..n-1 `train_pos`
+                                     # (ordering.deterministic_shuffle,
+                                     # keyed on seq_id ⊕ seed): the
+                                     # reproducible epoch order trainers
+                                     # consume, without orderBy(rand())'s
+                                     # retry nondeterminism or a global
+                                     # window
     seed: int = 42
 
 
@@ -269,4 +277,19 @@ def run_corpus_prep(
                             id_col=id_col, text_col=text_col)
     if sm is not None:
         packed = sm.observe("packing", packed)
+    if cfg.shuffle_output:
+        from llmxmapreduce_spark.operators.ordering import (
+            deterministic_shuffle)
+
+        # pin the pack output first: position assignment runs a counts
+        # job plus the final consumption, and without the cut the whole
+        # upstream pipeline would recompute for each ("packing" is
+        # already observed above — plain checkpoint, not cut())
+        packed = packed.localCheckpoint(eager=True)
+        if sm is not None:
+            sm.materialized("packing")
+        packed = deterministic_shuffle(packed, id_col="seq_id",
+                                       seed=cfg.seed, pos_col="train_pos")
+        if sm is not None:
+            packed = sm.observe("ordering", packed)
     return packed

@@ -316,3 +316,22 @@ def test_corpus_prep_url_curation_requires_column(spark, corpus):
     blocked = spark.createDataFrame([("spam.org",)], "domain string")
     with pytest.raises(TypeError, match="url"):
         run_corpus_prep(corpus, CorpusPrepConfig(url_blocklist=blocked))
+
+
+def test_corpus_prep_shuffle_output(spark, corpus):
+    """shuffle_output assigns a deterministic 0..n-1 train_pos over the
+    packed sequences (the trainer's epoch order), reported as an
+    'ordering' stage."""
+    from llmxmapreduce_spark.operators.stage_metrics import StageMetrics
+
+    sm = StageMetrics(spark)
+    cfg = CorpusPrepConfig(max_tokens=256, neardup_threshold=0.6,
+                           shuffle_output=True, seed=5)
+    a = run_corpus_prep(corpus, cfg, stage_metrics=sm).collect()
+    pos = sorted(r["train_pos"] for r in a)
+    assert pos == list(range(len(a)))               # a permutation
+    assert [r["stage"] for r in sm.report()][-1] == "ordering"
+    # reproducible: same seed → identical positions per seq_id
+    b = {r["seq_id"]: r["train_pos"]
+         for r in run_corpus_prep(corpus, cfg).collect()}
+    assert all(b[r["seq_id"]] == r["train_pos"] for r in a)
