@@ -13,6 +13,9 @@ mixture natively:
   row budget, derive per-stratum fractions from per-stratum counts (one
   aggregate), optionally UPSAMPLING a stratum past 1 epoch by exploding
   whole copies + a fractional remainder — the "books ×2 epochs" case.
+- :func:`mix_sources_by_budget` — the same planner over a TOKEN (or any
+  per-row cost) budget: the published mixture tables are token-weighted,
+  and by-rows sampling over-represents short-doc sources by tokens.
 
 100 TB framing: the only job before sampling is one groupBy(strata)
 count (partial-agg, tiny result); sampling itself is a narrow map with
@@ -98,7 +101,42 @@ def mix_sources(
     if target_rows is None:
         target_rows = sum(counts.values()) // 2
     plan = mixture_plan(counts, weights, target_rows, allow_upsample)
+    return _apply_plan(df, plan, strata_col, allow_upsample, seed)
 
+
+def mix_sources_by_budget(
+    df: DataFrame,
+    weights: dict,
+    target_budget: int | None,
+    budget_col: str = "n_tokens",
+    strata_col: str = "source",
+    allow_upsample: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """Token-budget mixing: the published composition tables (GPT-3
+    Table 2.2, LLaMA Table 1, The Pile) weight sources by TOKENS, not
+    documents — a books stratum at 10 % by rows is far more than 10 %
+    by tokens.  Same planner as :func:`mix_sources` but the per-stratum
+    measure is ``sum(budget_col)`` and ``target_budget`` is in budget
+    units (``None`` → half the corpus budget).
+
+    Sampling rows uniformly at rate r within a stratum yields the
+    stratum budget share r·B_s in EXPECTATION; the realized share
+    concentrates at corpus scale (sub-gamma tails in the per-doc
+    budget), which is the same guarantee row-budget mixing gives for
+    row counts.  One aggregate job (partial+final sum, tiny result) —
+    plan shape identical to mix_sources."""
+    sums = {r[0]: int(r[1]) for r in
+            df.groupBy(strata_col).agg(F.sum(budget_col)).collect()
+            if r[1] is not None}
+    if target_budget is None:
+        target_budget = sum(sums.values()) // 2
+    plan = mixture_plan(sums, weights, target_budget, allow_upsample)
+    return _apply_plan(df, plan, strata_col, allow_upsample, seed)
+
+
+def _apply_plan(df: DataFrame, plan: dict, strata_col: str,
+                allow_upsample: bool, seed: int) -> DataFrame:
     if not allow_upsample:
         # rates are already capped at 1.0 — a full-epoch stratum keeps
         # everything (NOT rate − floor(rate), which would zero it out)

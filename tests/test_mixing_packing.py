@@ -269,3 +269,39 @@ def test_pack_sequences_null_text_counts_zero(spark):
                for r in rows)
     with pytest.raises(Exception, match="negative"):
         packing.ffd_pack([(1, -1)], 10)
+
+
+def test_mix_by_budget_hits_token_composition(spark):
+    """Token-budget mixing: strata with very different doc lengths must
+    land the TOKEN shares, which by-rows mixing would miss.  'a' docs are
+    10× longer than 'b' docs; equal token weights → ~10× fewer 'a' ROWS
+    than 'b' rows."""
+    rows = ([(i, "a", 1000) for i in range(2000)]
+            + [(i + 10_000, "b", 100) for i in range(2000)])
+    d = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+    out = mixing.mix_sources_by_budget(
+        d, {"a": 0.5, "b": 0.5}, target_budget=360_000,
+        budget_col="n_tok", seed=3)
+    got = {r[0]: r[1] for r in
+           out.groupBy("source").agg(F.sum("n_tok")).collect()}
+    budget_each = 180_000                         # 360k split 50/50
+    assert got["a"] == pytest.approx(budget_each, rel=0.15)
+    assert got["b"] == pytest.approx(budget_each, rel=0.15)
+    # and the row counts are wildly asymmetric — the point of the op
+    nrows = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    assert nrows["b"] > 5 * nrows["a"]
+
+
+def test_mix_by_budget_default_target_and_upsample(spark):
+    rows = ([(i, "a", 10) for i in range(500)]
+            + [(i + 10_000, "b", 10) for i in range(50)])
+    d = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+    # None → half the corpus budget (5500/2); b at weight .5 wants 1375
+    # tokens but only has 500 → rate 2.75, so epochs repeat it
+    out = mixing.mix_sources_by_budget(
+        d, {"a": 0.5, "b": 0.5}, None, budget_col="n_tok",
+        allow_upsample=True, seed=1)
+    got = {r[0]: r[1] for r in
+           out.groupBy("source").agg(F.sum("n_tok")).collect()}
+    assert got["b"] == pytest.approx(1375, rel=0.25)
+    assert out.filter("source = 'b' and epoch >= 1").count() >= 50
