@@ -1819,6 +1819,19 @@ def _line_dedup_oracle() -> str:
     """
 
 
+def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus datasheet rollup (operators/report.py): per-(source,lang),
+    per-source, and grand-total doc/word/char stats in ONE scan via
+    ROLLUP (Expand + partial agg — shuffle carries partial rows per
+    cell, never documents).  `level` = grouping bitmask disambiguates
+    rollup NULLs from null strata; avg is exact integer micros (the
+    portable-division convention)."""
+    from llmxmapreduce_spark.operators.report import corpus_report
+
+    d = load_table(spark, sf, "documents")
+    return corpus_report(d, strata=("source", "lang"))
+
+
 def q_corpus_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic global shuffle (operators/ordering.py): position =
     rank of md5(doc_id, seed) — a reproducible 0..n-1 permutation for
@@ -1860,6 +1873,21 @@ def _ordering_key_sql(seed: int) -> str:
     key = ("coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'NULL') || "
            f"chr(31) || '{seed}'")
     return f"CAST(('0x' || substr(md5({key}),1,15)) AS UBIGINT)"
+
+
+def _corpus_report_oracle() -> str:
+    words = (r"CAST(LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) "
+             "AS BIGINT)")
+    return f"""
+        SELECT source, lang,
+               CAST(GROUPING(source, lang) AS BIGINT) AS level,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum({words}) AS BIGINT) AS total_words,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars,
+               CAST((sum({words}) * 1000000) // count(*) AS BIGINT)
+                 AS avg_words_micro
+        FROM documents GROUP BY ROLLUP (source, lang)
+    """
 
 
 def _corpus_shuffle_oracle() -> str:
@@ -1919,7 +1947,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # 64 entries.  Round-5 evidence says the driver's correctness gate may
+    # 65 entries.  Round-5 evidence says the driver's correctness gate may
     # truncate at 50 entries (a 51st entry silently fell off the record),
     # so the dict is ORDERED as a hedge: the eight round-8 promotions
     # (ccnet/dsir/classifier/token_encode/url_filters/bloom/ivf/packing)
@@ -1983,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "holdout_split": q_holdout_split,
         "line_dedup": q_line_dedup,
+        "corpus_report": q_corpus_report,
         "corpus_shuffle": q_corpus_shuffle,
         "curriculum_order": q_curriculum_order,
         "interleave_sources": q_interleave_sources,
@@ -3090,6 +3119,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": _substring_dedup_oracle(),
         "holdout_split": _holdout_split_oracle(),
         "line_dedup": _line_dedup_oracle(),
+        "corpus_report": _corpus_report_oracle(),
         "corpus_shuffle": _corpus_shuffle_oracle(),
         "curriculum_order": _curriculum_order_oracle(),
         "interleave_sources": _interleave_sources_oracle(),

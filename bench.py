@@ -83,6 +83,7 @@ HEADLINE = [
     "quality_classifier_score",
     "token_encode",
     "url_filters",
+    "corpus_report",
     "corpus_shuffle",
     "curriculum_order",
     "interleave_sources",
