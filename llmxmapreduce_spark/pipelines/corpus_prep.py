@@ -111,6 +111,17 @@ class CorpusPrepConfig:
     seed: int = 42
 
 
+def _cutter(sm: StageMetrics | None):
+    def cut(name: str, df: DataFrame) -> DataFrame:
+        if sm is not None:
+            df = sm.observe(name, df)
+        df = df.localCheckpoint(eager=True)
+        if sm is not None:
+            sm.materialized(name)
+        return df
+    return cut
+
+
 def run_corpus_prep(
     docs: DataFrame,
     cfg: CorpusPrepConfig | None = None,
@@ -120,17 +131,31 @@ def run_corpus_prep(
 ) -> DataFrame:
     """→ packed training sequences (seq_id, n_docs, total_tokens,
     truncated, text).  Pass a :class:`StageMetrics` to get the per-stage
-    rows/wall report after the action runs."""
+    rows/wall report after the action runs.
+
+    Composition of the two halves — :func:`prep_documents` (doc-level
+    curation through mixing) then :func:`pack_corpus` (packing tail);
+    callers that need to act at the document level between them (e.g.
+    dataset_build's leakage-safe holdout split AFTER global dedup but
+    BEFORE per-side packing) call the halves directly."""
+    cfg = cfg or CorpusPrepConfig()
+    d = prep_documents(docs, cfg, stage_metrics, id_col, text_col)
+    return pack_corpus(d, cfg, stage_metrics, id_col, text_col)
+
+
+def prep_documents(
+    docs: DataFrame,
+    cfg: CorpusPrepConfig | None = None,
+    stage_metrics: StageMetrics | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document-level half of the pipeline: URL curation → quality/PII →
+    dedup ladder → decontamination → mixing.  Returns curated DOCUMENT
+    rows (same schema as the input, plus ``epoch`` when upsampling)."""
     cfg = cfg or CorpusPrepConfig()
     sm = stage_metrics
-
-    def cut(name: str, df: DataFrame) -> DataFrame:
-        if sm is not None:
-            df = sm.observe(name, df)
-        df = df.localCheckpoint(eager=True)
-        if sm is not None:
-            sm.materialized(name)
-        return df
+    cut = _cutter(sm)
 
     d = docs
     if cfg.url_blocklist is not None or cfg.url_dedup:
@@ -235,6 +260,22 @@ def run_corpus_prep(
         d = mix_sources(d, cfg.mix_weights, cfg.mix_target,
                         allow_upsample=cfg.mix_upsample, seed=cfg.seed)
         d = cut("mixing", d)
+    return d
+
+
+def pack_corpus(
+    d: DataFrame,
+    cfg: CorpusPrepConfig | None = None,
+    stage_metrics: StageMetrics | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Packing half: oversized-doc splitting → bucketed FFD packing →
+    optional deterministic output ordering.  Input is curated document
+    rows (:func:`prep_documents` output or any (id, text[, epoch])
+    frame)."""
+    cfg = cfg or CorpusPrepConfig()
+    sm = stage_metrics
 
     pack_src = d.select(id_col, text_col)
     if "epoch" in d.columns:
