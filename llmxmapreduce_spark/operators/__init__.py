@@ -26,4 +26,17 @@ Training-data pipeline stack (round 6):
 - ``packing``         — fixed-token sequence packing (bucketed FFD)
 - ``multimodal``      — binary media columns (decode stubbed)
 - ``stage_metrics``   — per-stage telemetry (D10)
+
+Rounds 7-8 additions:
+
+- ``lm_filter``          — CCNet bigram-LM perplexity gate
+- ``dsir``               — DSIR hashed-n-gram importance resampling
+- ``quality_classifier`` — GPT-3-style LR quality classifier
+- ``vocab``              — vocab build, token-id encode/decode, BPE train
+- ``url_filter``         — domain blocklist, URL canonicalize/dedup, badwords
+- ``substring_dedup``    — ExactSubstr repeated-passage masking
+- ``line_dedup``         — CCNet per-line boilerplate removal
+- ``splits``             — leakage-safe keyed holdout split
+- ``ordering``           — deterministic shuffle / curriculum / interleave
+- ``report``             — corpus datasheet rollup
 """
