@@ -1759,6 +1759,43 @@ def q_holdout_split(spark: SparkSession, sf: str) -> DataFrame:
                          seed=7, portable=True)
 
 
+def q_split_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Train-vs-heldout n-gram leakage scrub (pipelines/dataset_build.py
+    `scrub_train_overlap`; GPT-3 arXiv:2005.14165 App. C applied to the
+    release's own eval split, Lee et al. 2107.06499 §6.2): split the
+    corpus on the portable md5 source key, then flag every TRAIN doc
+    sharing a 13-gram with any held-out doc.  The reference side here
+    scale-grows with the corpus (heldout_frac of 100 TB is not an eval
+    set), so the gram semi-join runs NON-broadcast — a shuffle join on
+    8-byte gram hashes, ints only on the wire.  A 13-word snippet of the
+    min-id held-out doc is planted into every train doc_id%25==0 doc so
+    the flag count is non-trivially non-zero at every SF."""
+    from llmxmapreduce_spark.operators.decontamination import (
+        contamination_flags)
+    from llmxmapreduce_spark.operators.splits import holdout_split
+
+    d = load_table(spark, sf, "documents").select("doc_id", "source",
+                                                  "text")
+    d = holdout_split(d, heldout_frac=0.2, key_col="source", seed=7,
+                      portable=True)
+    held = d.filter(F.col("split") == "heldout").select("doc_id", "text")
+    snip = held.orderBy("doc_id").limit(1).select(
+        F.concat_ws(" ", F.slice(F.split(F.trim(F.col("text")), r"\s+"),
+                                 1, 13)).alias("__snip"))
+    train = (
+        d.filter(F.col("split") == "train")
+        .crossJoin(F.broadcast(snip))
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 25 == 0,
+                   F.concat_ws(" ", F.col("text"), F.col("__snip")))
+            .otherwise(F.col("text")).alias("text"))
+    )
+    return contamination_flags(train, held, n=13,
+                               broadcast_bench=False) \
+        .select("doc_id", "n_matched_grams", "n_bench_examples")
+
+
 def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet per-line dedup (operators/line_dedup.py, Wenzek et al.
     arXiv:1911.00359 §3.1): a line whose corpus frequency reaches
@@ -1936,6 +1973,52 @@ def _holdout_split_oracle() -> str:
     """
 
 
+def _split_scrub_oracle(n: int = 13) -> str:
+    key = ("coalesce(CAST(source AS VARCHAR), chr(0) || 'NULL') || "
+           "chr(31) || '7'")
+    b = _md5_bucket(key, 1_000_000)
+    return rf"""
+        WITH sp AS (
+          SELECT doc_id, text,
+                 CASE WHEN {b} < 200000 THEN 'heldout' ELSE 'train' END
+                   AS split
+          FROM documents),
+        snip AS (
+          SELECT array_to_string(
+                   (regexp_split_to_array(trim(text), '\s+'))[1:{n}], ' ')
+                 AS s
+          FROM sp WHERE split = 'heldout' ORDER BY doc_id LIMIT 1),
+        cws AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(
+                   CASE WHEN doc_id % 25 = 0
+                        THEN text || ' ' || (SELECT s FROM snip)
+                        ELSE text END)), '\s+') AS ws
+          FROM sp WHERE split = 'train'),
+        bws AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')
+                 AS ws
+          FROM sp WHERE split = 'heldout'),
+        lens AS (SELECT DISTINCT len(ws) AS l FROM bws
+                 WHERE len(ws) > 0 AND len(ws) < {n}
+                 UNION SELECT {n}),
+        cg AS (SELECT DISTINCT doc_id, g FROM (
+          SELECT c.doc_id, unnest(CASE WHEN len(c.ws) >= t.l
+               THEN [array_to_string(c.ws[i:i+t.l-1], ' ')
+                     for i in range(1, len(c.ws) - t.l + 2)]
+               ELSE [array_to_string(c.ws, ' ')] END) AS g
+          FROM cws c, lens t)),
+        bg AS (SELECT DISTINCT doc_id AS bench_id, g FROM (
+          SELECT doc_id, unnest(CASE WHEN len(ws) >= {n}
+               THEN [array_to_string(ws[i:i+{n - 1}], ' ')
+                     for i in range(1, len(ws) - {n} + 2)]
+               ELSE [array_to_string(ws, ' ')] END) AS g
+          FROM bws))
+        SELECT doc_id, count(DISTINCT g) AS n_matched_grams,
+               count(DISTINCT bench_id) AS n_bench_examples
+        FROM cg JOIN bg USING (g) GROUP BY doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -1947,7 +2030,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # 65 entries.  Round-5 evidence says the driver's correctness gate may
+    # 66 entries.  Round-5 evidence says the driver's correctness gate may
     # truncate at 50 entries (a 51st entry silently fell off the record),
     # so the dict is ORDERED as a hedge: the eight round-8 promotions
     # (ccnet/dsir/classifier/token_encode/url_filters/bloom/ivf/packing)
@@ -2010,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8 NEW operators (values-grade)
         "substring_dedup": q_substring_dedup,
         "holdout_split": q_holdout_split,
+        "split_scrub": q_split_scrub,
         "line_dedup": q_line_dedup,
         "corpus_report": q_corpus_report,
         "corpus_shuffle": q_corpus_shuffle,
@@ -3118,6 +3202,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk_join": _ivf_topk_oracle(),
         "substring_dedup": _substring_dedup_oracle(),
         "holdout_split": _holdout_split_oracle(),
+        "split_scrub": _split_scrub_oracle(),
         "line_dedup": _line_dedup_oracle(),
         "corpus_report": _corpus_report_oracle(),
         "corpus_shuffle": _corpus_shuffle_oracle(),

@@ -67,6 +67,7 @@ HEADLINE = [
     "substring_dedup",
     "substring_dedup_fast",
     "line_dedup",
+    "split_scrub",
     "pii_redact",
     "source_mixture",
     "sequence_packing",

@@ -83,6 +83,7 @@ def contamination_flags(
     text_col: str = "text",
     bench_id_col: str = "doc_id",
     bench_text_col: str = "text",
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """→ (id_col, n_matched_grams, n_bench_examples, bench_ids) for every
     CONTAMINATED corpus document (clean docs are absent — join the result
@@ -90,6 +91,14 @@ def contamination_flags(
 
     ``bench_ids`` holds up to 20 offending benchmark example ids — enough
     evidence to audit a hit without carrying unbounded arrays.
+
+    ``broadcast_bench``: the default assumes an EVAL-SET-sized benchmark
+    (the module-docstring broadcast contract).  Pass ``False`` when the
+    reference side is itself corpus-scale — e.g. scrubbing the train
+    split against a 1% held-out split of a 100 TB corpus, whose gram set
+    is billions of keys — and the semi-join becomes a shuffle join on
+    the 8-byte gram hashes (ints only on the wire; the corpus TEXT still
+    never shuffles).  Matching semantics are identical.
 
     Benchmark examples shorter than ``n`` words match on their FULL text
     (GPT-3's min(n, example length) rule): the corpus side generates
@@ -106,7 +115,7 @@ def contamination_flags(
         F.col(id_col),
         F.explode(_corpus_gram_hashes(F.col(text_col), n, shorts))
         .alias("g"))
-    hits = grams.join(F.broadcast(bench), "g")
+    hits = grams.join(F.broadcast(bench) if broadcast_bench else bench, "g")
     return (
         hits.groupBy(id_col)
         .agg(

@@ -9,6 +9,8 @@ the existing halves in the one order that is leakage-safe:
     prep_documents (URL curation → quality/PII → dedup ladder →
                     decontamination → mixing)          [corpus-WIDE]
       → holdout_split by grouping key                  [pure projection]
+      → optional train-vs-heldout n-gram scrub         [shuffle semi-join
+                                                        on gram hashes]
       → pack_corpus per side (+ deterministic shuffle on train)
       → write_training_shards per side (+ _manifest.json)
       → corpus_report datasheet over the curated docs  [one scan]
@@ -62,6 +64,16 @@ class DatasetBuildConfig:
                                      # train side (heldout order is
                                      # irrelevant — eval is order-free)
     seed: int = 42
+    # n-gram overlap scrub of the TRAIN side against the held-out side
+    # (GPT-3 App. C applied to the release's own eval split; Lee et al.
+    # §6.2).  The corpus-wide dedup above already collapses doc-level
+    # (near-)duplicates before the split, so what this catches is the
+    # SUB-document leak class dedup thresholds pass: a train doc quoting
+    # a ≥ scrub_n-word passage of a held-out doc.  Off by default — it
+    # is a policy choice that shrinks train.
+    scrub_train_overlap: bool = False
+    scrub_n: int = 13
+    scrub_min_grams: int = 1
 
 
 def build_dataset(
@@ -94,6 +106,30 @@ def build_dataset(
     # stage outputs; this pins the split projection on top)
     d = d.localCheckpoint(eager=True)
 
+    if cfg.scrub_train_overlap:
+        # the held-out side scale-grows with the corpus (heldout_frac of
+        # 100 TB is not an eval set), so the gram semi-join runs
+        # NON-broadcast: a shuffle join on 8-byte gram hashes — ints
+        # only on the wire, neither side's text moves
+        from llmxmapreduce_spark.operators.decontamination import (
+            contamination_flags)
+
+        flagged = (
+            contamination_flags(
+                d.filter(F.col("split") == "train"),
+                d.filter(F.col("split") == "heldout"),
+                n=cfg.scrub_n, id_col=id_col, text_col=text_col,
+                bench_id_col=id_col, bench_text_col=text_col,
+                broadcast_bench=False)
+            .filter(F.col("n_matched_grams") >= cfg.scrub_min_grams)
+            .select(id_col))
+        d = d.join(flagged, id_col, "left_anti")
+        if stage_metrics is not None:
+            d = stage_metrics.observe("train_scrub", d)
+        d = d.localCheckpoint(eager=True)
+        if stage_metrics is not None:
+            stage_metrics.materialized("train_scrub")
+
     out = out_dir.rstrip("/")
     manifests = {}
     for side in ("train", "heldout"):
@@ -123,6 +159,7 @@ def build_dataset(
         "split_key": cfg.split_key,
         "heldout_frac": cfg.heldout_frac,
         "seed": cfg.seed,
+        "scrub_train_overlap": cfg.scrub_train_overlap,
         "sides": {s: {k: m[k] for k in ("n_files", "n_rows")
                       } | ({"n_tokens": m["n_tokens"]}
                            if "n_tokens" in m else {})

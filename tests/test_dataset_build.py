@@ -95,3 +95,48 @@ def test_build_dataset_guards(spark, tmp_path):
     bad.split_key = "nope"
     with pytest.raises(TypeError):
         build_dataset(_corpus(spark), str(tmp_path / "y"), bad)
+
+
+def test_build_dataset_train_scrub(spark, tmp_path):
+    """scrub_train_overlap: a train doc quoting a ≥13-word passage of a
+    held-out doc (the sub-document leak class corpus-wide dedup passes —
+    jaccard is far below any near-dup threshold) is dropped from the
+    release's train side; the held-out side is untouched."""
+    from llmxmapreduce_spark.operators.splits import holdout_split
+
+    sides = {r["source"]: r["split"] for r in holdout_split(
+        spark.createDataFrame([(f"host{h}",) for h in range(8)],
+                              "source string"),
+        0.3, key_col="source", seed=42).collect()}
+    train_host = next(s for s in sorted(sides) if sides[s] == "train")
+    held_host = next(s for s in sorted(sides) if sides[s] == "heldout")
+
+    rng = np.random.default_rng(11)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet"]
+    held_text = " ".join(rng.choice(words, size=60)) + " tailheld"
+    quote = " ".join(held_text.split()[20:33])          # 13-word passage
+    quoting = (" ".join(rng.choice(words, size=25)) + " " + quote + " "
+               + " ".join(rng.choice(words, size=25)) + " tailquote")
+    clean = " ".join(rng.choice(words, size=60)) + " tailclean"
+    docs = spark.createDataFrame(
+        [(600, held_text, held_host, "en"),
+         (601, quoting, train_host, "en"),
+         (602, clean, train_host, "en")],
+        "doc_id bigint, text string, source string, lang string")
+
+    def words_of(out, side):
+        return {w for r in spark.read.parquet(f"{out}/{side}").collect()
+                for w in r["text"].split()}
+
+    off = str(tmp_path / "off")
+    build_dataset(docs, off, _cfg())
+    assert "tailquote" in words_of(off, "train")
+
+    on = str(tmp_path / "on")
+    summary = build_dataset(docs, on, _cfg(scrub_train_overlap=True))
+    assert summary["scrub_train_overlap"] is True
+    tw = words_of(on, "train")
+    assert "tailquote" not in tw                 # quoting doc scrubbed
+    assert "tailclean" in tw                     # clean train doc kept
+    assert "tailheld" in words_of(on, "heldout")  # heldout untouched

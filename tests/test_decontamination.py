@@ -342,3 +342,37 @@ def test_null_texts_ignored_like_exact_path(spark):
             dc.contamination_flags_fast(corpus, bench, n=N).collect()}
     assert fast == exact
     assert 11 not in fast                  # null corpus text never flagged
+
+
+def test_nonbroadcast_flags_equal_and_shuffle_join(spark):
+    """broadcast_bench=False (the train-vs-holdout scrub shape, where the
+    reference side scale-grows with the corpus) must return the same
+    flags as the broadcast default — and must actually take the shuffle
+    join when Spark's auto-broadcast is off (the hint, by contrast,
+    forces a broadcast regardless of the threshold)."""
+    corpus = spark.createDataFrame([
+        (10, "intro words then the quick brown fox jumps over the ending"),
+        (13, "tiny example"),
+        (12, "she did pack my box with five items yesterday evening"),
+    ], "doc_id bigint, text string")
+    want = sorted(
+        (r["doc_id"], r["n_matched_grams"], r["n_bench_examples"]) for r in
+        dc.contamination_flags(corpus, _bench(spark), n=N).collect())
+    got_df = dc.contamination_flags(corpus, _bench(spark), n=N,
+                                    broadcast_bench=False)
+    got = sorted((r["doc_id"], r["n_matched_grams"], r["n_bench_examples"])
+                 for r in got_df.collect())
+    assert got == want and len(got) == 2
+
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = dc.contamination_flags(
+            corpus, _bench(spark), n=N, broadcast_bench=False) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        hinted = dc.contamination_flags(corpus, _bench(spark), n=N) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in hinted or "BroadcastExchange" in hinted
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
