@@ -5,12 +5,14 @@ The container has no image/audio *libraries*, so the default decode step
 is stubbed behind ``NotImplementedError`` with a deterministic fake for
 tests — but everything Spark-side is real and tested: schema, Arrow
 batch shape, ``mapInPandas`` signatures, partition sizing, and the
-metadata pipeline.  One real format round-trips in-container: PNG, via
-the stdlib-only codec in ``functions/png.py`` — inject
-``png.png_decoder`` / ``png.png_resizer`` through the seams below
-(tests/test_png_codec.py runs decode → resize → re-encode end-to-end);
-JPEG/audio/video still need PIL/libvips/ffmpeg injected in a real
-deployment.
+metadata pipeline.  Two real formats round-trip in-container via
+stdlib-only codecs: PNG (``functions/png.py`` — inject
+``png.png_decoder`` / ``png.png_resizer``; tests/test_png_codec.py runs
+decode → resize → re-encode end-to-end) and WAV/PCM audio
+(``functions/wav.py`` — inject ``wav.wav_decoder`` +
+``wav.wav_featurizer`` for real RMS/ZCR/envelope descriptors;
+tests/test_wav_codec.py).  JPEG/compressed-audio/video still need
+PIL/libvips/ffmpeg injected in a real deployment.
 
 Design for 100 TB of media:
 - payloads never leave the executor (no collect; feature vectors are the
@@ -68,11 +70,17 @@ def byte_histogram_feature(payload: bytes, dim: int = 16) -> list[float]:
 
 
 def extract_features(assets: DataFrame, dim: int = 16,
-                     decoder=decode_image) -> DataFrame:
+                     decoder=decode_image, featurizer=None) -> DataFrame:
     """MEDIA_ASSETS → per-asset feature rows via ``mapInPandas``.
 
     Decode failures follow the D8 error-sentinel contract: the row flows on
     with ``decode_ok=false`` + the byte-level fallback feature.
+
+    ``featurizer``: optional ``decoded_object -> list[float]`` applied to
+    the decoder's result when decode SUCCEEDS (e.g.
+    ``functions.wav.wav_featurizer`` for real audio descriptors, or an
+    embedding model in a real deployment); failed rows keep the
+    byte-level fallback so the feature column is never null.
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -80,8 +88,11 @@ def extract_features(assets: DataFrame, dim: int = 16,
             for r in pdf.to_dict("records"):
                 payload = r["payload"] or b""
                 ok, err = True, None
+                feat = None
                 try:
-                    decoder(payload)
+                    decoded = decoder(payload)
+                    if featurizer is not None:
+                        feat = [float(x) for x in featurizer(decoded)]
                 except NotImplementedError as e:
                     ok, err = False, f"decode stub: {e}"
                 except Exception as e:  # noqa: BLE001
@@ -90,7 +101,8 @@ def extract_features(assets: DataFrame, dim: int = 16,
                     "asset_id": r["asset_id"],
                     "media_type": r["media_type"],
                     "n_bytes": len(payload),
-                    "feature": byte_histogram_feature(payload, dim),
+                    "feature": (feat if feat is not None
+                                else byte_histogram_feature(payload, dim)),
                     "decode_ok": ok,
                     "decode_error": err,
                 })
