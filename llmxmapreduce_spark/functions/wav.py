@@ -163,3 +163,12 @@ def wav_featurizer(decoded) -> list[float]:
     real audio features replace the byte-histogram fallback whenever the
     decode succeeded."""
     return audio_features(decoded)
+
+
+def wav_resampler(payload: bytes, target_rate: int) -> bytes:
+    """Drop-in for ``multimodal.resample_audio(resampler=...)``:
+    decode → linear resample → re-encode at the target rate (same
+    sample width)."""
+    rate, _, width, frames = decode_wav(bytes(payload))
+    return encode_wav(resample_linear(frames, rate, target_rate),
+                      target_rate, sample_width=width)

@@ -214,6 +214,65 @@ def resize_images(assets: DataFrame, target_w: int = 64, target_h: int = 64,
         .mapInPandas(run, schema=RESIZED)
 
 
+RESAMPLED = T.StructType([
+    T.StructField("asset_id", T.StringType(), False),
+    T.StructField("media_type", T.StringType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("resample_ok", T.BooleanType(), False),
+    T.StructField("resample_error", T.StringType(), True),
+])
+
+
+def resample_stub(payload: bytes, target_rate: int) -> bytes:
+    """Compressed-audio resampling would use ffmpeg/libsndfile — not in
+    this container.  STUB: raises; a real WAV path exists in-container:
+    ``functions.wav.wav_resampler`` (decode → linear interp → re-encode),
+    injectable via ``resample_audio(resampler=...)``."""
+    raise NotImplementedError(
+        "general audio codecs are not installed in this environment; "
+        "inject a resampler (functions.wav.wav_resampler handles PCM WAV)"
+    )
+
+
+def resample_audio(assets: DataFrame, target_rate: int = 16_000,
+                   resampler=resample_stub) -> DataFrame:
+    """Audio-rate normalization via ``mapInPandas`` — the audio mirror of
+    :func:`resize_images` (training pipelines normalize every clip to one
+    rate before feature extraction).  Same contracts: binary in/binary
+    out per Arrow batch, D8 error-sentinel rows (failed rows keep the
+    ORIGINAL payload — unlike images there is no meaningful fake resample
+    — with ``resample_ok=false``), payloads never shuffle."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                payload = r["payload"] or b""
+                ok, err = True, None
+                out_bytes = payload
+                try:
+                    out_bytes = resampler(payload, target_rate)
+                except NotImplementedError as e:
+                    ok, err = False, f"resample stub: {e}"
+                except Exception as e:  # noqa: BLE001
+                    ok, err = False, f"{type(e).__name__}: {e}"
+                rows.append({
+                    "asset_id": r["asset_id"],
+                    "media_type": r["media_type"],
+                    "payload": out_bytes,
+                    "sample_rate": target_rate if ok else None,
+                    "duration_ms": r.get("duration_ms"),
+                    "resample_ok": ok,
+                    "resample_error": err,
+                })
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in RESAMPLED.fields])
+
+    return assets.filter(F.col("media_type") == "audio") \
+        .mapInPandas(run, schema=RESAMPLED)
+
+
 def media_stats(assets: DataFrame) -> DataFrame:
     """Typed-metadata rollup — pure column math over the struct columns."""
     return assets.groupBy("media_type").agg(

@@ -129,3 +129,33 @@ def test_multimodal_seams_with_real_audio_codec(spark):
     assert feats["a2"]["decode_ok"] is False
     assert "ValueError" in feats["a2"]["decode_error"]
     assert len(feats["a2"]["feature"]) == 16      # histogram fallback dim
+
+
+def test_resample_audio_operator(spark):
+    """resample_audio mirrors resize_images: a decodable WAV re-encodes
+    at the target rate (duration preserved within a sample), garbage
+    keeps its original payload with the D8 sentinel, and non-audio rows
+    are excluded by the media_type gate."""
+    from llmxmapreduce_spark.operators import multimodal as mm
+
+    frames = np.arange(-400, 400, dtype=np.int64)     # 800 frames @8k
+    wav_bytes = W.encode_wav(frames, 8000)
+    assets = spark.createDataFrame(
+        [("a1", "audio", bytearray(wav_bytes), None, None, 100, None),
+         ("a2", "audio", bytearray(b"hiss"), None, None, None, None),
+         ("a3", "image", bytearray(b"png?"), None, None, None, None)],
+        "asset_id string, media_type string, payload binary, width int, "
+        "height int, duration_ms long, codec string")
+    out = {r["asset_id"]: r for r in
+           mm.resample_audio(assets, target_rate=16_000,
+                             resampler=W.wav_resampler).collect()}
+    assert set(out) == {"a1", "a2"}                   # image row excluded
+    assert out["a1"]["resample_ok"] is True
+    assert out["a1"]["sample_rate"] == 16_000
+    rate, ch, width, got = W.decode_wav(bytes(out["a1"]["payload"]))
+    assert (rate, ch, width) == (16_000, 1, 2)
+    assert abs(got.shape[0] - 1600) <= 1              # duration preserved
+    assert got[0, 0] == frames[0] and got[-1, 0] == frames[-1]
+    assert out["a2"]["resample_ok"] is False
+    assert bytes(out["a2"]["payload"]) == b"hiss"     # original kept
+    assert out["a2"]["sample_rate"] is None
