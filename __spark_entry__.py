@@ -1796,6 +1796,38 @@ def q_split_scrub(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "n_matched_grams", "n_bench_examples")
 
 
+def q_split_scrub_fast(spark: SparkSession, sf: str) -> DataFrame:
+    """Production twin of `split_scrub` (bench-only): identical split +
+    plant + matching semantics, but gram hashing is the vectorized
+    polynomial scan and the join is the same non-broadcast shuffle
+    (operators/decontamination.py contamination_flags_shuffled) — flag
+    equality with the Catalyst oracle path is test-pinned
+    (tests/test_decontamination.py)."""
+    from llmxmapreduce_spark.operators.decontamination import (
+        contamination_flags_shuffled)
+    from llmxmapreduce_spark.operators.splits import holdout_split
+
+    d = load_table(spark, sf, "documents").select("doc_id", "source",
+                                                  "text")
+    d = holdout_split(d, heldout_frac=0.2, key_col="source", seed=7,
+                      portable=True)
+    held = d.filter(F.col("split") == "heldout").select("doc_id", "text")
+    snip = held.orderBy("doc_id").limit(1).select(
+        F.concat_ws(" ", F.slice(F.split(F.trim(F.col("text")), r"\s+"),
+                                 1, 13)).alias("__snip"))
+    train = (
+        d.filter(F.col("split") == "train")
+        .crossJoin(F.broadcast(snip))
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 25 == 0,
+                   F.concat_ws(" ", F.col("text"), F.col("__snip")))
+            .otherwise(F.col("text")).alias("text"))
+    )
+    return contamination_flags_shuffled(train, held, n=13) \
+        .select("doc_id", "n_matched_grams", "n_bench_examples")
+
+
 def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet per-line dedup (operators/line_dedup.py, Wenzek et al.
     arXiv:1911.00359 §3.1): a line whose corpus frequency reaches

@@ -68,6 +68,7 @@ HEADLINE = [
     "substring_dedup_fast",
     "line_dedup",
     "split_scrub",
+    "split_scrub_fast",
     "pii_redact",
     "source_mixture",
     "sequence_packing",
@@ -101,6 +102,7 @@ ORACLE_TWIN = {
     "embedding_cosine_topk",    # production: cosine_topk_np / ivf_topk(_join)
     "minhash_lsh_neardup",      # production: minhash_neardup_estimate
     "substring_dedup",          # production: substring_dedup_fast
+    "split_scrub",              # production: split_scrub_fast
 }
 
 # The round-2..5 comparable set: "suite19_sec" in the output JSON is the
@@ -138,6 +140,7 @@ BENCH_ONLY = {
     "quality_signals": entrymod.q_quality_signals,
     "span_dedup": entrymod.q_span_dedup,
     "substring_dedup_fast": entrymod.q_substring_dedup_fast,
+    "split_scrub_fast": entrymod.q_split_scrub_fast,
     "pii_redact": entrymod.q_pii_redact,
     "source_mixture": entrymod.q_source_mixture,
     "sequence_packing": entrymod.q_sequence_packing,

@@ -277,6 +277,88 @@ def contamination_flags_fast(
     return src.mapInPandas(scan, schema)
 
 
+def _gram_hash_rows(df: DataFrame, lengths: list[int], id_col: str,
+                    text_col: str, out_id: str,
+                    min_parallelism: int | None = None) -> DataFrame:
+    """(id, text) → one (out_id, g) row per DISTINCT poly-hash gram of
+    the document — the exploded form of the fast path's per-doc gram
+    set, for joins where neither side fits a closure.  Null texts emit
+    nothing (the exact path's explode-of-null contract)."""
+    import numpy as np
+    import pandas as pd
+
+    id_t = dict(df.dtypes)[id_col]
+    schema = f"{out_id} {id_t}, g bigint"
+
+    def scan(batches):
+        cache: dict = {}
+        for pdf in batches:
+            if len(cache) > 2_000_000:
+                cache.clear()
+            ids, gs = [], []
+            for _id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                wh = _word_hashes(text, cache)
+                u = np.unique(np.concatenate(
+                    [_poly_gram_hashes(wh, l) for l in lengths]))
+                ids.append(np.full(len(u), _id))
+                gs.append(u)
+            if ids:
+                yield pd.DataFrame({
+                    out_id: np.concatenate(ids),
+                    "g": np.concatenate(gs).view(np.int64)})
+
+    src = df.select(id_col, text_col)
+    if min_parallelism and src.rdd.getNumPartitions() < min_parallelism:
+        src = src.repartition(min_parallelism)
+    return src.mapInPandas(scan, schema)
+
+
+def contamination_flags_shuffled(
+    corpus: DataFrame,
+    reference: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_id_col: str = "doc_id",
+    ref_text_col: str = "text",
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """Production path for overlap flags when the REFERENCE side is
+    itself corpus-scale (train-vs-heldout scrub: heldout_frac of 100 TB
+    is neither broadcastable nor collectable) →
+    (id_col, n_matched_grams, n_bench_examples, bench_ids).
+
+    Combines the two existing formulations' scale halves: gram hashing
+    is the fast path's vectorized polynomial over memoized word hashes
+    (one O(words) numpy pass per doc — not Catalyst's per-length
+    ``zip_with`` string chain, and not ``contamination_flags_fast``'s
+    driver-side reference collect), and matching is ONE shuffle join of
+    the two (id, 8-byte gram hash) exploded sides + a per-doc count agg
+    — ints only on the wire, neither side's text shuffles.  Same
+    matching semantics as :func:`contamination_flags` (n-grams +
+    min(n, example length) short rule, null texts ignored), test-pinned
+    flag-equal on planted corpora; gram hashes use the fast path's
+    family, so only the opaque hash VALUES differ."""
+    shorts = _short_lengths(reference, n, ref_text_col)
+    cg = _gram_hash_rows(corpus, [n] + sorted(shorts), id_col, text_col,
+                         id_col, min_parallelism)
+    # per-doc np.unique already dedups the reference rows — no distinct
+    bg = _gram_hash_rows(reference, [n], ref_id_col, ref_text_col,
+                         "bench_id", min_parallelism)
+    return (
+        cg.join(bg, "g")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("g").alias("n_matched_grams"),
+            F.countDistinct("bench_id").alias("n_bench_examples"),
+            F.slice(F.array_sort(F.collect_set("bench_id")), 1, 20)
+            .alias("bench_ids"),
+        )
+    )
+
+
 def mask_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

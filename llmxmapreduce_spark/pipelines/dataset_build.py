@@ -108,19 +108,20 @@ def build_dataset(
 
     if cfg.scrub_train_overlap:
         # the held-out side scale-grows with the corpus (heldout_frac of
-        # 100 TB is not an eval set), so the gram semi-join runs
-        # NON-broadcast: a shuffle join on 8-byte gram hashes — ints
-        # only on the wire, neither side's text moves
+        # 100 TB is not an eval set), so the production path hashes
+        # grams vectorized per side and joins them NON-broadcast — 8-byte
+        # ints only on the wire, neither side's text moves (the Catalyst
+        # twin, contamination_flags(broadcast_bench=False), is the board
+        # oracle `split_scrub`; flag equality is test-pinned)
         from llmxmapreduce_spark.operators.decontamination import (
-            contamination_flags)
+            contamination_flags_shuffled)
 
         flagged = (
-            contamination_flags(
+            contamination_flags_shuffled(
                 d.filter(F.col("split") == "train"),
                 d.filter(F.col("split") == "heldout"),
                 n=cfg.scrub_n, id_col=id_col, text_col=text_col,
-                bench_id_col=id_col, bench_text_col=text_col,
-                broadcast_bench=False)
+                ref_id_col=id_col, ref_text_col=text_col)
             .filter(F.col("n_matched_grams") >= cfg.scrub_min_grams)
             .select(id_col))
         d = d.join(flagged, id_col, "left_anti")

@@ -376,3 +376,33 @@ def test_nonbroadcast_flags_equal_and_shuffle_join(spark):
         assert "BroadcastHashJoin" in hinted or "BroadcastExchange" in hinted
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
+def test_shuffled_fast_path_matches_exact_flags(spark):
+    """contamination_flags_shuffled (vectorized poly-hash grams + shuffle
+    join — the train-vs-heldout scrub's production path) must agree with
+    the exact Catalyst path on flags, counts, and offending ids,
+    including the short-example rule and null texts on both sides."""
+    corpus = spark.createDataFrame([
+        (10, "intro words then the quick brown fox jumps over the ending"),
+        (11, "completely unrelated text about rivers and mountains in "
+             "spring sunshine weather"),
+        (13, "tiny example"),
+        (14, "the quick brown fox jumps over the lazy dog tonight and "
+             "pack my box with five dozen liquor jugs right now"),
+        (15, "a long document which quotes the tiny example answer deep "
+             "inside its running text somewhere"),
+        (16, None),
+    ], "doc_id bigint, text string")
+    bench = spark.createDataFrame(
+        BENCH + [(3, None)], "doc_id bigint, text string")
+
+    def norm(df):
+        return sorted(
+            (r["doc_id"], r["n_matched_grams"], r["n_bench_examples"],
+             tuple(r["bench_ids"])) for r in df.collect())
+
+    exact = norm(dc.contamination_flags(corpus, bench, n=N))
+    fast = norm(dc.contamination_flags_shuffled(corpus, bench, n=N))
+    assert fast == exact
+    assert {r[0] for r in fast} == {10, 13, 14, 15}
