@@ -1828,6 +1828,20 @@ def q_split_scrub_fast(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "n_matched_grams", "n_bench_examples")
 
 
+def q_warc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """WARC writer+reader gate (sources/warc.py): every non-null doc is
+    encoded as a spec-shaped ISO 28500 conversion record (its own gzip
+    member, the Common Crawl layout) and parsed straight back by the
+    production reader machinery inside the same task — the output
+    (doc_id, text) is re-derived FROM THE PARSED BYTES, so it equals the
+    input iff both halves are spec-correct.  The DuckDB twin is the
+    identity projection.  No shuffle, no disk, no driver data."""
+    from llmxmapreduce_spark.sources.warc import warc_roundtrip
+
+    d = load_table(spark, sf, "documents")
+    return warc_roundtrip(d, id_col="doc_id", text_col="text")
+
+
 def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet per-line dedup (operators/line_dedup.py, Wenzek et al.
     arXiv:1911.00359 §3.1): a line whose corpus frequency reaches
@@ -2126,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "holdout_split": q_holdout_split,
         "split_scrub": q_split_scrub,
+        "warc_roundtrip": q_warc_roundtrip,
         "line_dedup": q_line_dedup,
         "corpus_report": q_corpus_report,
         "corpus_shuffle": q_corpus_shuffle,
@@ -3235,6 +3250,11 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": _substring_dedup_oracle(),
         "holdout_split": _holdout_split_oracle(),
         "split_scrub": _split_scrub_oracle(),
+        "warc_roundtrip": """
+            SELECT doc_id, text
+            FROM documents
+            WHERE text IS NOT NULL
+        """,
         "line_dedup": _line_dedup_oracle(),
         "corpus_report": _corpus_report_oracle(),
         "corpus_shuffle": _corpus_shuffle_oracle(),

@@ -69,6 +69,7 @@ HEADLINE = [
     "line_dedup",
     "split_scrub",
     "split_scrub_fast",
+    "warc_roundtrip",
     "pii_redact",
     "source_mixture",
     "sequence_packing",

@@ -1,0 +1,196 @@
+"""WARC/WET source (sources/warc.py): spec-assembled fixtures (built
+record-by-record from ISO 28500, independent of the reader), parser
+units with multi-chunk + concatenated-gzip-member streams, both Spark
+read modes, type filters, payload=False metadata scans, HTTP charset
+decode, WET Catalyst decode, truncation error sentinel, and the
+warc_to_documents crawl→corpus front half."""
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from llmxmapreduce_spark.sources import warc as W
+
+HTML = (b"<html><body><p>The quick brown fox jumps over the lazy dog "
+        b"and then the dog jumps over the fox again because it is a "
+        b"very good dog that likes to jump over foxes all day</p>"
+        b"<p>nav</p></body></html>")
+LATIN1_BODY = "caf\xe9 content".encode("latin-1")
+
+
+def _record(wtype, uri, block, rid, extra=()):
+    head = [b"WARC/1.0",
+            b"WARC-Type: " + wtype.encode(),
+            b"WARC-Record-ID: <urn:uuid:" + rid.encode() + b">",
+            b"WARC-Date: 2024-03-22T17:34:21Z"]
+    if uri:
+        head.append(b"WARC-Target-URI: " + uri.encode())
+    head.extend(extra)
+    head.append(b"Content-Length: " + str(len(block)).encode())
+    return b"\r\n".join(head) + b"\r\n\r\n" + block + b"\r\n\r\n"
+
+
+def _http(body, ctype=b"text/html", status=b"200 OK"):
+    return (b"HTTP/1.1 " + status + b"\r\nContent-Type: " + ctype +
+            b"\r\nServer: x\r\n\r\n" + body)
+
+
+def _records():
+    return [
+        _record("warcinfo", None, b"software: test\r\n", "r0",
+                (b"Content-Type: application/warc-fields",)),
+        _record("request", "http://a.example/page", b"GET /page HTTP/1.1\r\n",
+                "r1"),
+        _record("response", "http://a.example/page", _http(HTML), "r2"),
+        _record("response", "http://b.example/cafe",
+                _http(LATIN1_BODY, b"text/html; charset=ISO-8859-1"), "r3"),
+        _record("response", "http://c.example/miss",
+                _http(b"gone", status=b"404 Not Found"), "r4"),
+        _record("conversion", "http://a.example/page",
+                "plain text café extract".encode(), "r5",
+                (b"Content-Type: text/plain",)),
+    ]
+
+
+@pytest.fixture(scope="module")
+def warc_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("warc")
+    recs = _records()
+    (d / "seg.warc").write_bytes(b"".join(recs))
+    # Common Crawl layout: each record its own gzip member
+    (d / "seg.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in recs))
+    return d
+
+
+# ---------- parser units (no Spark) ----------
+
+def test_iter_records_multi_chunk_and_member_gzip():
+    raw = b"".join(_records())
+    # feed in awkward 7-byte chunks to exercise the buffered reader
+    chunks = [raw[i:i + 7] for i in range(0, len(raw), 7)]
+    got = list(W._iter_warc_records(W._Buffered(chunks)))
+    assert len(got) == 6
+    assert [h["warc-type"] for h, _ in got] == [
+        "warcinfo", "request", "response", "response", "response",
+        "conversion"]
+    assert got[2][1] == _http(HTML)
+    # gzip member stream, also in small chunks
+    gz = b"".join(gzip.compress(r) for r in _records())
+    chunks = [gz[i:i + 11] for i in range(0, len(gz), 11)]
+    got2 = list(W._iter_warc_records(
+        W._Buffered(W._gunzip_members(chunks))))
+    assert [(h["warc-type"], b) for h, b in got2] == [
+        (h["warc-type"], b) for h, b in got]
+
+
+def test_split_http():
+    status, ctype, body = W._split_http(_http(b"BODY"))
+    assert (status, ctype, body) == (200, "text/html", b"BODY")
+    # LF-only endings
+    status, ctype, body = W._split_http(
+        b"HTTP/1.0 301 Moved\nContent-Type: a/b\n\nX")
+    assert (status, ctype, body) == (301, "a/b", b"X")
+    # not an HTTP message → passthrough
+    assert W._split_http(b"raw bytes") == (None, None, b"raw bytes")
+
+
+def test_file_rows_truncation_sentinel():
+    recs = _records()
+    raw = b"".join(recs)[:-10]  # cut into the last record's block
+    rows = list(W._file_rows("f", [raw], None, True))
+    assert [r["warc_type"] for r in rows[:-1]] == [
+        "warcinfo", "request", "response", "response", "response"]
+    assert rows[-1]["warc_type"] == "__error__"
+    assert "truncated" in rows[-1]["parse_error"]
+    assert all(r["parse_error"] is None for r in rows[:-1])
+
+
+# ---------- Spark reads ----------
+
+@pytest.mark.parametrize("fname,via", [
+    ("seg.warc", "binaryFile"),
+    ("seg.warc.gz", "binaryFile"),
+    ("seg.warc.gz", "paths"),
+])
+def test_read_warc_modes(spark, warc_dir, fname, via):
+    df = W.read_warc(spark, str(warc_dir / fname), via=via)
+    rows = {r["record_id"]: r for r in df.collect()}
+    assert set(rows) == {"<urn:uuid:r2>", "<urn:uuid:r3>", "<urn:uuid:r4>"}
+    r2 = rows["<urn:uuid:r2>"]
+    assert r2["warc_type"] == "response"
+    assert r2["target_uri"] == "http://a.example/page"
+    assert r2["http_status"] == 200
+    assert r2["http_content_type"] == "text/html"
+    assert bytes(r2["payload"]) == HTML
+    assert r2["warc_date"] is not None and r2["warc_date"].year == 2024
+    assert rows["<urn:uuid:r4>"]["http_status"] == 404
+
+
+def test_read_warc_all_types_and_metadata_only(spark, warc_dir):
+    df = W.read_warc(spark, str(warc_dir / "seg.warc.gz"),
+                     warc_types=None, payload=False)
+    rows = df.collect()
+    assert len(rows) == 6
+    assert all(r["payload"] is None for r in rows)
+    assert {r["warc_type"] for r in rows} == {
+        "warcinfo", "request", "response", "conversion"}
+
+
+def test_warc_http_text_charset(spark, warc_dir):
+    df = W.warc_http_text(
+        W.read_warc(spark, str(warc_dir / "seg.warc.gz")))
+    by_uri = {r["target_uri"]: r["text"] for r in df.collect()}
+    assert by_uri["http://b.example/cafe"] == "café content"
+    assert "very good dog" in by_uri["http://a.example/page"]
+
+
+def test_wet_text_catalyst(spark, warc_dir):
+    df = W.wet_text(W.read_warc(
+        spark, str(warc_dir / "seg.warc"), warc_types=("conversion",)))
+    [r] = df.collect()
+    assert r["text"] == "plain text café extract"
+
+
+def test_warc_to_documents_e2e(spark, warc_dir):
+    docs = W.warc_to_documents(spark, str(warc_dir / "seg.warc.gz"))
+    rows = docs.collect()
+    # 404 and non-HTML-less pages gated out; latin-1 page has no block
+    # clearing the stopword-density gate, so the fox page survives alone
+    assert [r["url"] for r in rows] == ["http://a.example/page"]
+    assert "very good dog" in rows[0]["text"]
+    assert "nav" not in rows[0]["text"]
+    assert rows[0]["doc_id"] is not None
+    assert rows[0]["fetched_at"].year == 2024
+
+
+def test_write_warc_then_read_back(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "first doc"), (2, "zwei: café"), (3, None), (4, "vier")],
+        "doc_id bigint, text string")
+    out = str(tmp_path / "wet")
+    W.write_warc(docs, out, records_per_file=2)
+    back = W.wet_text(W.read_warc(
+        spark, out + "/*.warc.gz", warc_types=("conversion",)))
+    got = {(r["target_uri"], r["text"]) for r in back.collect()}
+    assert got == {("doc://1", "first doc"), ("doc://2", "zwei: café"),
+                   ("doc://4", "vier")}
+    import glob as g
+    assert len(g.glob(out + "/*.warc.gz")) >= 2  # records_per_file split
+
+
+def test_warc_roundtrip_identity(spark):
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} körper") for i in range(50)]
+        + [(99, None)], "doc_id bigint, text string").repartition(3)
+    got = sorted((r["doc_id"], r["text"])
+                 for r in W.warc_roundtrip(docs).collect())
+    assert got == [(i, f"document number {i} körper") for i in range(50)]
+
+
+def test_read_warc_paths_glob_and_missing(spark, warc_dir):
+    df = W.read_warc(spark, str(warc_dir / "*.warc.gz"), via="paths")
+    assert df.count() == 3
+    with pytest.raises(FileNotFoundError):
+        W.read_warc(spark, str(warc_dir / "nope*.warc"), via="paths")
