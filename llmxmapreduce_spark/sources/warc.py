@@ -44,6 +44,7 @@ from collections.abc import Iterable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 WARC_SCHEMA = (
     "warc_file string, record_id string, warc_type string, "
@@ -313,6 +314,58 @@ def read_warc(
         raise ValueError(f"read_warc: unknown via={via!r}")
     out = src.mapInPandas(scan, WARC_SCHEMA)
     return out.withColumn("warc_date", F.to_timestamp("warc_date"))
+
+
+# the binaryFile source's fixed schema — streaming file sources require
+# it stated explicitly (no inference on a stream)
+_BINARYFILE_SCHEMA = T.StructType([
+    T.StructField("path", T.StringType(), False),
+    T.StructField("modificationTime", T.TimestampType(), False),
+    T.StructField("length", T.LongType(), False),
+    T.StructField("content", T.BinaryType(), True),
+])
+
+
+def stream_warc(
+    spark: SparkSession,
+    path: str,
+    warc_types: Iterable[str] | None = ("response",),
+    payload: bool = True,
+    glob: str = "*.warc*",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`read_warc`: ``.warc(.gz)`` segments
+    LANDING in ``path`` become micro-batches of parsed records — the
+    front end of an accreting crawl ingest (compose with
+    ``streaming.ingest.stream_exact_dedup`` /
+    ``run_incremental_neardup_ingest``; the file-source checkpoint
+    remembers which segments were consumed, so a restart resumes with
+    only the new arrivals).  Same scan, filters, and schema as the
+    batch reader, plus ``ingest_ts`` (the segment file's modification
+    time) for watermarking — WARC-Date is CRAWL time, which can lag
+    arrival by days and would stall an event-time watermark."""
+    scan = _scan_factory(warc_types, payload, open_path=False)
+    reader = (spark.readStream.format("binaryFile")
+              .schema(_BINARYFILE_SCHEMA)
+              .option("pathGlobFilter", glob))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.load(path)
+    out = (src.select("path", "modificationTime", "content")
+           .mapInPandas(_with_ts(scan), WARC_SCHEMA + ", ingest_ts timestamp"))
+    return out.withColumn("warc_date", F.to_timestamp("warc_date"))
+
+
+def _with_ts(scan):
+    """Wrap a parse scan so each output row carries its source file's
+    modificationTime (threaded through pandas, not a join)."""
+    def wrapped(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ts_by_path = dict(zip(pdf["path"], pdf["modificationTime"]))
+            for out in scan(iter([pdf])):
+                out["ingest_ts"] = out["warc_file"].map(ts_by_path)
+                yield out
+    return wrapped
 
 
 def encode_warc_record(

@@ -194,3 +194,74 @@ def test_read_warc_paths_glob_and_missing(spark, warc_dir):
     assert df.count() == 3
     with pytest.raises(FileNotFoundError):
         W.read_warc(spark, str(warc_dir / "nope*.warc"), via="paths")
+
+
+# ---------- streaming ----------
+
+def _drain(stream_df, ck):
+    got = []
+    q = (stream_df.writeStream
+         .foreachBatch(lambda df, eid: got.extend(df.collect()))
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return got
+
+
+def _wet_segment(path, docs):
+    path.write_bytes(b"".join(
+        gzip.compress(W.encode_warc_record(
+            "conversion", t.encode(), record_id=f"<urn:doc:{i}>",
+            target_uri=f"doc://{i}", content_type="text/plain"))
+        for i, t in docs))
+
+
+def test_stream_warc_incremental_resume(spark, tmp_path):
+    """New segment files become new micro-batches; the file-source
+    checkpoint remembers consumed segments across restarts."""
+    land, ck = tmp_path / "land", str(tmp_path / "ck")
+    land.mkdir()
+    _wet_segment(land / "seg1.warc.gz", [(1, "one"), (2, "two")])
+    s = W.stream_warc(spark, str(land), warc_types=("conversion",))
+    first = _drain(s, ck)
+    assert sorted(r["target_uri"] for r in first) == ["doc://1", "doc://2"]
+    assert all(r["ingest_ts"] is not None for r in first)
+    # second landing: only the NEW segment is processed on resume
+    _wet_segment(land / "seg2.warc.gz", [(3, "three")])
+    second = _drain(W.stream_warc(spark, str(land),
+                                  warc_types=("conversion",)), ck)
+    assert [r["target_uri"] for r in second] == ["doc://3"]
+
+
+def test_stream_warc_into_neardup_ingest(spark, tmp_path):
+    """Crawl→corpus accretion e2e: WET segments land, stream_warc
+    parses them, and the incremental near-dedup admission drops the
+    cross-segment duplicate — one segment per micro-batch."""
+    import time
+    from llmxmapreduce_spark.streaming import ingest
+
+    land = tmp_path / "land"
+    land.mkdir()
+    import numpy as np
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+
+    def mk(seed):
+        rng = np.random.default_rng(seed)
+        return " ".join(rng.choice(words) for _ in range(40))
+
+    _wet_segment(land / "seg1.warc.gz", [(1, mk(1)), (2, mk(7))])
+    time.sleep(1.1)  # distinct mtime → deterministic file order
+    _wet_segment(land / "seg2.warc.gz", [(3, mk(13)), (4, mk(1))])  # 4≈1
+
+    docs = (W.wet_text(W.stream_warc(
+                spark, str(land), warc_types=("conversion",),
+                max_files_per_trigger=1))
+            .select(
+                F.split("target_uri", "//")[1].cast("long").alias("doc_id"),
+                "text"))
+    ingest.run_incremental_neardup_ingest(
+        docs, str(tmp_path / "state"), str(tmp_path / "ck2"),
+        threshold=0.5, verify="estimate")
+    kept = ingest.read_kept(spark, str(tmp_path / "state"), docs.schema)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2, 3]
