@@ -1828,6 +1828,16 @@ def q_split_scrub_fast(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "n_matched_grams", "n_bench_examples")
 
 
+def q_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Deflate-ratio repetitiveness signal (bench-only: DuckDB has no
+    zlib, so the gate is the pytest plumbing-twin + ordering tests in
+    tests/test_repetition.py).  One mapInPandas pass, no shuffle."""
+    from llmxmapreduce_spark.operators.text_stats import compression_ratio
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    return compression_ratio(d).select("doc_id", "compression_ratio")
+
+
 def q_warc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """WARC writer+reader gate (sources/warc.py): every non-null doc is
     encoded as a spec-shaped ISO 28500 conversion record (its own gzip

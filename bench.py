@@ -70,6 +70,7 @@ HEADLINE = [
     "split_scrub",
     "split_scrub_fast",
     "warc_roundtrip",
+    "compression_ratio",
     "pii_redact",
     "source_mixture",
     "sequence_packing",
@@ -142,6 +143,7 @@ BENCH_ONLY = {
     "span_dedup": entrymod.q_span_dedup,
     "substring_dedup_fast": entrymod.q_substring_dedup_fast,
     "split_scrub_fast": entrymod.q_split_scrub_fast,
+    "compression_ratio": entrymod.q_compression_ratio,
     "pii_redact": entrymod.q_pii_redact,
     "source_mixture": entrymod.q_source_mixture,
     "sequence_packing": entrymod.q_sequence_packing,

@@ -245,6 +245,54 @@ def repetition_stats_fast(
     return df.mapInPandas(run, out_schema)
 
 
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "compression_ratio",
+    level: int = 6,
+) -> DataFrame:
+    """Deflate-ratio repetitiveness signal (the "gzip ratio" heuristic
+    of crawl-curation pipelines, e.g. Dolma §Appendix / RefinedWeb-class
+    filters): ``len(zlib.compress(utf8)) / len(utf8)``.  Templated spam,
+    keyword stuffing, and machine-generated boilerplate compress far
+    below natural prose (EN prose ≈ 0.35-0.45 at level 6; heavy
+    repetition → < 0.2), while random-ish payloads (minified JS, base64
+    blobs) sit near or above 1.0 — both tails are drop candidates.
+
+    Complements :func:`repetition_stats`: the n-gram fractions see exact
+    repeats; deflate's LZ77 window also prices near-repeats and long-
+    range structure.  Per-document, so the plan is one ``mapInPandas``
+    pass — no shuffle, output partitioning is the input's; the byte work
+    is zlib's C loop, Arrow-batched.  Null text → null; empty → null
+    (no bytes to price, and 0-byte ratios would pollute quantiles).
+    """
+    import zlib
+
+    import pandas as pd
+
+    other_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema = f"{other_schema}, {out_col} double"
+
+    def ratio(t):
+        if t is None:
+            return None
+        raw = t.encode("utf-8")
+        if not raw:
+            return None
+        return len(zlib.compress(raw, level)) / len(raw)
+
+    def run(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = pd.Series(
+                [ratio(t) for t in pdf[text_col]], index=pdf.index,
+                dtype="float64")
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
 def fingerprint(text: Column, n: int = 3, algo: str = "xxhash64") -> Column:
     """Document fingerprint: minimum hash over word n-gram shingles — the
     min-sampling step of a winnowing scheme, stable under small edits away

@@ -153,3 +153,41 @@ def test_normalize_text_rules_and_duckdb_nfc_twin(spark):
     plan = normalize_text(df, nfc=False)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "MapInPandas" not in plan and "Exchange" not in plan
+
+
+def test_compression_ratio(spark):
+    """Deflate-ratio signal: plumbing twin vs direct zlib, the
+    repetitive≪prose≪random ordering it exists to expose, null/empty
+    → null, and the no-Exchange plan shape."""
+    import zlib
+
+    from llmxmapreduce_spark.operators.text_stats import compression_ratio
+
+    import base64
+    import hashlib
+    prose = " ".join([
+        "The quick brown fox jumps over the lazy dog near the river.",
+        "A cold wind moved through the valley as the farmers hauled grain.",
+        "She counted the boats returning before sunset and wrote the tally.",
+        "Nobody in the village remembered a winter with so little snow.",
+        "The bridge creaked under the cart but held as it always had.",
+        "Merchants argued about salt prices while children chased gulls.",
+        "An old map in the cellar showed roads that no longer existed.",
+        "He repaired the mill wheel with oak pegs and borrowed patience."])
+    spam = "buy cheap pills " * 40
+    randomish = base64.b64encode(b"".join(   # non-repeating high entropy
+        hashlib.sha256(str(i).encode()).digest()
+        for i in range(20))).decode()
+    rows = [(0, prose), (1, spam), (2, randomish), (3, None), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r["compression_ratio"]
+           for r in compression_ratio(df).collect()}
+    # exact plumbing twin (same zlib, validates encode/level/indexing)
+    for i, t in rows[:3]:
+        raw = t.encode("utf-8")
+        assert out[i] == len(zlib.compress(raw, 6)) / len(raw)
+    assert out[1] < 0.2 < out[0] < out[2]    # spam ≪ prose < randomish
+    assert out[3] is None and out[4] is None
+    plan = compression_ratio(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
