@@ -270,3 +270,32 @@ def test_incremental_ingest_replay_after_crash_is_idempotent(spark, tmp_path):
     kept2 = sorted(r["doc_id"] for r in ingest.read_kept(
         spark, str(tmp_path / "state"), SCHEMA).collect())
     assert kept2 == kept1                  # no duplicate admission, no loss
+
+
+def test_incremental_ingest_decontaminates_per_batch(spark, tmp_path):
+    """Streaming decontamination composes as pre_filter: each arriving
+    shard is scrubbed against the benchmark (GPT-3 App. C 13-gram rule)
+    BEFORE admission — a doc quoting a benchmark example never enters
+    the kept corpus, in whichever shard it lands."""
+    from llmxmapreduce_spark.operators.decontamination import decontaminate
+
+    shards = _shards(seed=11)
+    bench_text = ("which of the following rivers crosses the northern "
+                  "border twice before reaching the delta plain region")
+    # plant benchmark-quoting docs into two different shards
+    shards[0].append((950, "intro words " + bench_text + " outro", _ts(1)))
+    shards[2].append((951, bench_text + " trailing commentary", _ts(2)))
+    bench = spark.createDataFrame([(0, bench_text)],
+                                  "doc_id bigint, text string")
+    src = str(tmp_path / "src")
+    _write_shards(spark, src, shards)
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    ingest.run_incremental_neardup_ingest(
+        stream, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        pre_filter=lambda df: decontaminate(df, bench, n=13),
+        **DEDUP_KW)
+    kept_ids = {r["doc_id"] for r in ingest.read_kept(
+        spark, str(tmp_path / "state"), SCHEMA).collect()}
+    assert 950 not in kept_ids and 951 not in kept_ids
+    assert len(kept_ids) > 0
