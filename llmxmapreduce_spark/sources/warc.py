@@ -316,6 +316,142 @@ def read_warc(
     return out.withColumn("warc_date", F.to_timestamp("warc_date"))
 
 
+def _iter_members(chunks: Iterable[bytes]):
+    """Walk a concatenated-gzip-member stream yielding
+    ``(offset, comp_length, decompressed_bytes)`` per member — the
+    byte-range bookkeeping CDX indexing needs.  ``decompressobj``
+    consumes all input it is fed, so compressed consumption per member
+    is exact: bytes fed minus ``unused_data`` at member EOF."""
+    d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+    offset = consumed = 0
+    parts: list[bytes] = []
+    started = False
+    for chunk in chunks:
+        data = chunk
+        while data:
+            started = True
+            before = len(data)
+            out = d.decompress(data)
+            if out:
+                parts.append(out)
+            if d.eof:
+                consumed += before - len(d.unused_data)
+                yield offset, consumed - offset, b"".join(parts)
+                parts, offset = [], consumed
+                data = d.unused_data
+                d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+                started = False
+            else:
+                consumed += before
+                data = b""
+    if parts or started:
+        raise ValueError(f"truncated gzip member at offset {offset}")
+
+
+def _surt(url: str | None) -> str | None:
+    """Minimal SURT (Sort-friendly URI Reordering Transform): lowercase,
+    scheme dropped, leading ``www.`` dropped, host segments reversed and
+    comma-joined, ``)`` before the path — so one host's records sort
+    adjacent and a domain is a key-range prefix.  Path+query kept
+    verbatim-lowercased (full SURT also normalizes query-param order;
+    consumers inside this engine regenerate SURTs with this same
+    function, so the simplification is self-consistent)."""
+    if url is None:
+        return None
+    u = url.strip().lower()
+    u = re.sub(r"^[a-z][a-z0-9+.-]*://", "", u)
+    host, sep, rest = u.partition("/")
+    host = host.split("@")[-1].split(":")[0]
+    if host.startswith("www."):
+        host = host[4:]
+    return ",".join(reversed(host.split("."))) + ")/" + (rest if sep else "")
+
+
+CDX_SCHEMA = ("surt string, ts string, url string, mime string, "
+              "status int, digest string, offset bigint, length bigint, "
+              "warc_file string")
+
+
+def warc_cdx(spark: SparkSession, path: str, via: str = "binaryFile",
+             min_parallelism: int | None = None) -> DataFrame:
+    """CDX index of ``.warc.gz`` segments in the one-gzip-member-per-
+    record layout (the Common Crawl shape — exactly the layout where a
+    byte-range index is meaningful): one row per ``response`` record
+    with the member's ``offset``/``length`` in the segment file, so a
+    consumer can fetch ``bytes[offset : offset+length]``, gunzip, and
+    have the record — no scan.  ``digest`` is base32 SHA-1 of the HTTP
+    payload (the CDX convention); ``ts`` is the 14-digit WARC-Date;
+    ``surt`` is :func:`_surt`.  Same per-file parallelism story as
+    :func:`read_warc`; raises inside the scan on a non-member-layout
+    file (an uncompressed or whole-file-gzip WARC has no per-record
+    byte ranges to index — convert first)."""
+    import base64
+    import hashlib
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, frow in pdf.iterrows():
+                name, content = frow["path"], bytes(frow["content"])
+                if content[:2] != _GZ_MAGIC:
+                    raise ValueError(
+                        f"warc_cdx: {name} is not gzip-member layout")
+                for off, ln, data in _iter_members([content]):
+                    recs = list(_iter_warc_records(_Buffered([data])))
+                    if len(recs) != 1:
+                        raise ValueError(
+                            f"warc_cdx: member at {name}:{off} holds "
+                            f"{len(recs)} records — not the one-record-"
+                            f"per-member layout")
+                    h, block = recs[0]
+                    if h.get("warc-type") != "response":
+                        continue
+                    status, mime, body = _split_http(block)
+                    wd = (h.get("warc-date") or "")
+                    rows.append({
+                        "surt": _surt(h.get("warc-target-uri")),
+                        "ts": re.sub(r"\D", "", wd)[:14],
+                        "url": h.get("warc-target-uri"),
+                        "mime": (mime or "").split(";")[0].strip() or None,
+                        "status": status,
+                        "digest": base64.b32encode(
+                            hashlib.sha1(body).digest()).decode("ascii"),
+                        "offset": off, "length": ln, "warc_file": name,
+                    })
+            if rows:
+                pdf_out = pd.DataFrame(rows)
+                pdf_out["status"] = pdf_out["status"].astype("Int32")
+                yield pdf_out
+
+    if via == "binaryFile":
+        src = (spark.read.format("binaryFile").load(path)
+               .select("path", "content"))
+        if min_parallelism and src.rdd.getNumPartitions() < min_parallelism:
+            src = src.repartition(min_parallelism)
+    else:
+        raise ValueError("warc_cdx: only via='binaryFile' (the scan "
+                         "needs the raw compressed bytes for offsets)")
+    return src.mapInPandas(scan, CDX_SCHEMA)
+
+
+def write_cdx(cdx: DataFrame, out_dir: str, n_files: int = 1) -> None:
+    """Write classic space-separated CDX lines globally sorted by
+    ``(surt, ts)`` — ``repartitionByRange`` + ``sortWithinPartitions``,
+    so files are range-ordered and a binary search over file boundaries
+    still works at any ``n_files`` (never a single-partition global
+    sort)."""
+    line = F.concat_ws(
+        " ", "surt", "ts", "url",
+        F.coalesce("mime", F.lit("-")),
+        F.coalesce(F.col("status").cast("string"), F.lit("-")),
+        "digest", F.col("length").cast("string"),
+        F.col("offset").cast("string"), "warc_file")
+    (cdx.repartitionByRange(n_files, "surt", "ts")
+        .sortWithinPartitions("surt", "ts")
+        .select(line.alias("value"))
+        .write.mode("overwrite").text(out_dir))
+
+
 # the binaryFile source's fixed schema — streaming file sources require
 # it stated explicitly (no inference on a stream)
 _BINARYFILE_SCHEMA = T.StructType([

@@ -265,3 +265,57 @@ def test_stream_warc_into_neardup_ingest(spark, tmp_path):
         threshold=0.5, verify="estimate")
     kept = ingest.read_kept(spark, str(tmp_path / "state"), docs.schema)
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2, 3]
+
+
+# ---------- CDX ----------
+
+def test_surt():
+    assert W._surt("http://www.Example.COM:8080/Path?Q=1") == \
+        "com,example)/path?q=1"
+    assert W._surt("https://a.b.example.org/") == "org,example,b,a)/"
+    assert W._surt("http://host.test") == "test,host)/"
+    assert W._surt(None) is None
+
+
+def test_warc_cdx_offsets_fetch_records(spark, warc_dir):
+    """Every CDX row's (offset, length) must slice the segment file to
+    exactly one gunzippable member holding exactly that record — the
+    random-access contract the index exists for."""
+    import base64
+    import hashlib
+
+    seg = warc_dir / "seg.warc.gz"
+    cdx = W.warc_cdx(spark, str(seg)).collect()
+    assert len(cdx) == 3 and all(r["warc_type"] != "__error__"
+                                 for r in cdx if "warc_type" in r)
+    blob = seg.read_bytes()
+    by_url = {}
+    for r in cdx:
+        member = blob[r["offset"]: r["offset"] + r["length"]]
+        [(h, block)] = list(W._iter_warc_records(
+            W._Buffered(W._gunzip_members([member]))))
+        assert h["warc-target-uri"] == r["url"]
+        status, mime, body = W._split_http(block)
+        assert status == r["status"]
+        assert base64.b32encode(
+            hashlib.sha1(body).digest()).decode() == r["digest"]
+        by_url[r["url"]] = r
+    fox = by_url["http://a.example/page"]
+    assert fox["surt"] == "example,a)/page"
+    assert fox["ts"] == "20240322173421"
+    assert fox["mime"] == "text/html"
+
+
+def test_warc_cdx_rejects_non_member_layout(spark, warc_dir):
+    with pytest.raises(Exception, match="not gzip-member"):
+        W.warc_cdx(spark, str(warc_dir / "seg.warc")).collect()
+
+
+def test_write_cdx_sorted(spark, warc_dir, tmp_path):
+    out = str(tmp_path / "cdx")
+    W.write_cdx(W.warc_cdx(spark, str(warc_dir / "seg.warc.gz")), out)
+    lines = [r["value"] for r in spark.read.text(out).collect()]
+    assert len(lines) == 3
+    keys = [tuple(ln.split(" ")[:2]) for ln in lines]
+    assert keys == sorted(keys)
+    assert all(len(ln.split(" ")) == 9 for ln in lines)
