@@ -5,14 +5,17 @@ The container has no image/audio *libraries*, so the default decode step
 is stubbed behind ``NotImplementedError`` with a deterministic fake for
 tests — but everything Spark-side is real and tested: schema, Arrow
 batch shape, ``mapInPandas`` signatures, partition sizing, and the
-metadata pipeline.  Two real formats round-trip in-container via
-stdlib-only codecs: PNG (``functions/png.py`` — inject
+metadata pipeline.  Three real formats round-trip in-container via
+stdlib(+numpy)-only codecs: PNG (``functions/png.py`` — inject
 ``png.png_decoder`` / ``png.png_resizer``; tests/test_png_codec.py runs
-decode → resize → re-encode end-to-end) and WAV/PCM audio
+decode → resize → re-encode end-to-end), baseline JPEG
+(``functions/jpeg.py`` — full T.81 sequential DCT encode+decode,
+4:4:4/4:2:0, restart markers; inject ``jpeg.jpeg_decoder`` /
+``jpeg.jpeg_resizer``; tests/test_jpeg_codec.py), and WAV/PCM audio
 (``functions/wav.py`` — inject ``wav.wav_decoder`` +
 ``wav.wav_featurizer`` for real RMS/ZCR/envelope descriptors;
-tests/test_wav_codec.py).  JPEG/compressed-audio/video still need
-PIL/libvips/ffmpeg injected in a real deployment.
+tests/test_wav_codec.py).  Progressive JPEG/compressed-audio/video
+still need PIL/libvips/ffmpeg injected in a real deployment.
 
 Design for 100 TB of media:
 - payloads never leave the executor (no collect; feature vectors are the
@@ -47,13 +50,15 @@ def decode_image(payload: bytes) -> "object":
     """General-format decode would use PIL/libvips — not available in
     this container.  STUB: raises; ``extract_features`` catches and
     falls back to the deterministic byte-level featurizer so the
-    pipeline shape is testable.  For PNG specifically a REAL decoder
-    exists in-container: ``functions.png.png_decoder`` (stdlib zlib +
-    struct) — inject it via ``extract_features(decoder=...)``."""
+    pipeline shape is testable.  For PNG and baseline JPEG, REAL
+    decoders exist in-container: ``functions.png.png_decoder`` and
+    ``functions.jpeg.jpeg_decoder`` — inject via
+    ``extract_features(decoder=...)``."""
     raise NotImplementedError(
         "general image codecs are not installed in this environment; "
-        "inject a decoder (functions.png.png_decoder handles PNG) or "
-        "rely on byte-level features"
+        "inject a decoder (functions.png.png_decoder handles PNG, "
+        "functions.jpeg.jpeg_decoder baseline JPEG) or rely on "
+        "byte-level features"
     )
 
 
