@@ -116,6 +116,74 @@ def extract_features(assets: DataFrame, dim: int = 16,
     return assets.mapInPandas(run, schema=FEATURES)
 
 
+def probe_media(assets: DataFrame,
+                prober=None,
+                media_types: tuple[str, ...] = ("video",)) -> DataFrame:
+    """Backfill width/height/duration_ms/codec metadata FROM THE
+    PAYLOAD BYTES for assets whose catalog metadata is missing — the
+    step that makes :func:`frame_sample_plan` and metadata gates
+    (duration/resolution/codec filters) runnable on a raw crawl where
+    nothing upstream supplied the columns.
+
+    ``prober``: ``payload -> dict`` with any of ``width, height,
+    duration_ms, codec, tracks`` (a ``functions.mp4.probe_mp4``-shaped
+    dict also works: the first ``vide`` track supplies width/height/
+    codec, the movie header the duration).  Defaults to the in-container
+    MP4/ISO-BMFF box walker.  Existing non-null metadata is NEVER
+    overwritten (the catalog outranks the probe); rows outside
+    ``media_types`` pass through untouched; probe failures keep the row
+    with ``probe_ok=false`` + the error string (D8 sentinel convention —
+    quarantine is the caller's filter, not silent loss).  Payload bytes
+    never leave the executor; the output partitioning is the input's."""
+    if prober is None:
+        from llmxmapreduce_spark.functions.mp4 import mp4_prober
+        prober = mp4_prober
+
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in assets.schema.fields) + ", probe_ok boolean, probe_error string"
+    mt = set(media_types)
+
+    def flat(meta: dict) -> dict:
+        out = {k: meta.get(k) for k in ("width", "height", "duration_ms",
+                                        "codec")}
+        for tr in meta.get("tracks", []):
+            if tr.get("handler") == "vide":
+                out["width"] = out["width"] or tr.get("width")
+                out["height"] = out["height"] or tr.get("height")
+                out["codec"] = out["codec"] or tr.get("codec")
+                break
+        return out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            oks, errs = [], []
+            for i in pdf.index:
+                if pdf.at[i, "media_type"] not in mt or \
+                        pdf.at[i, "payload"] is None:
+                    oks.append(None)
+                    errs.append(None)
+                    continue
+                try:
+                    meta = flat(prober(bytes(pdf.at[i, "payload"])))
+                    for col in ("width", "height", "duration_ms", "codec"):
+                        if col in pdf.columns and pd.isna(pdf.at[i, col]) \
+                                and meta.get(col) is not None:
+                            pdf.at[i, col] = meta[col]
+                    oks.append(True)
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — sentinel contract
+                    oks.append(False)
+                    errs.append(f"{type(e).__name__}: {e}"[:500])
+            pdf = pdf.copy()
+            pdf["probe_ok"] = pd.Series(oks, index=pdf.index, dtype="object")
+            pdf["probe_error"] = pd.Series(errs, index=pdf.index,
+                                           dtype="object")
+            yield pdf
+
+    return assets.mapInPandas(run, schema)
+
+
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per (asset, frame_ts) — the
     decode of each frame is the stubbed step, but the explode that fans a
