@@ -557,12 +557,15 @@ def jpeg_decoder(payload: bytes):
     return decode_jpeg(payload)
 
 
-def jpeg_resizer(payload: bytes, target_w: int, target_h: int) -> bytes:
+def jpeg_resizer(payload: bytes, target_w: int, target_h: int,
+                 method: str = "nearest") -> bytes:
     """Drop-in for ``multimodal.resize_images(resizer=...)``: decode →
-    nearest-neighbor → re-encode (q=90, 4:4:4)."""
-    from llmxmapreduce_spark.functions.png import resize_nearest
+    resample ('nearest' or 'bilinear') → re-encode (q=90, 4:4:4).
+    Pin the method with ``functools.partial``."""
+    from llmxmapreduce_spark.functions.png import (resize_bilinear,
+                                                   resize_nearest)
 
     w, h, nc, px = decode_jpeg(payload)
-    return encode_jpeg(
-        resize_nearest(px, w, h, nc, target_w, target_h),
-        target_w, target_h, nc, quality=90)
+    fn = resize_bilinear if method == "bilinear" else resize_nearest
+    return encode_jpeg(fn(px, w, h, nc, target_w, target_h),
+                       target_w, target_h, nc, quality=90)

@@ -142,16 +142,42 @@ def resize_nearest(pixels: bytes, w: int, h: int, channels: int,
     return bytes(out)
 
 
+def resize_bilinear(pixels: bytes, w: int, h: int, channels: int,
+                    tw: int, th: int) -> bytes:
+    """Bilinear resample to tw×th with the half-pixel-center convention
+    (``src = (t + 0.5)·scale − 0.5``, edges clamped — the OpenCV/PIL
+    default): the interpolating resize a training pipeline wants for
+    thumbnails/normalization, where nearest-neighbor aliases."""
+    import numpy as np
+
+    a = np.frombuffer(pixels, dtype=np.uint8).astype(np.float64) \
+        .reshape(h, w, channels)
+    sy = (np.arange(th) + 0.5) * (h / th) - 0.5
+    sx = (np.arange(tw) + 0.5) * (w / tw) - 0.5
+    y0 = np.clip(np.floor(sy).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(sx).astype(int), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = np.clip(sy - y0, 0.0, 1.0)[:, None, None]
+    fx = np.clip(sx - x0, 0.0, 1.0)[None, :, None]
+    top = a[y0][:, x0] * (1 - fx) + a[y0][:, x1] * fx
+    bot = a[y1][:, x0] * (1 - fx) + a[y1][:, x1] * fx
+    out = top * (1 - fy) + bot * fy
+    return np.clip(np.round(out), 0, 255).astype(np.uint8).tobytes()
+
+
 def png_decoder(payload: bytes):
     """Drop-in for ``multimodal.extract_features(decoder=...)``: decodes
     or raises (ValueError → decode_ok=false sentinel row)."""
     return decode_png(payload)
 
 
-def png_resizer(payload: bytes, target_w: int, target_h: int) -> bytes:
+def png_resizer(payload: bytes, target_w: int, target_h: int,
+                method: str = "nearest") -> bytes:
     """Drop-in for ``multimodal.resize_images(resizer=...)``: decode →
-    nearest-neighbor downscale → re-encode, same color type."""
+    resample (``method`` 'nearest' or 'bilinear') → re-encode, same
+    color type.  Pin the method with ``functools.partial``."""
     w, h, ctype, px = decode_png(payload)
-    return encode_png(
-        resize_nearest(px, w, h, CHANNELS[ctype], target_w, target_h),
-        target_w, target_h, ctype)
+    fn = resize_bilinear if method == "bilinear" else resize_nearest
+    return encode_png(fn(px, w, h, CHANNELS[ctype], target_w, target_h),
+                      target_w, target_h, ctype)

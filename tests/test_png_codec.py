@@ -152,3 +152,46 @@ def test_multimodal_seams_with_real_codec(spark):
     assert (w, h, ctype) == (1, 1, 2) and px == bytes([255, 0, 0])
     assert resized["a2"]["resize_ok"] is False   # garbage → fake thumb
     assert len(resized["a2"]["payload"]) == 1
+
+
+def test_resize_bilinear_hand_computed():
+    """Half-pixel-center bilinear, checked against hand-derived values:
+    a 2x2 gray upscaled to 4x4 — the corner outputs clamp to the source
+    corners and the interior mixes at exactly 1/4-3/4 weights."""
+    import numpy as np
+
+    src = np.array([[0, 100], [200, 60]], dtype=np.uint8)
+    out = np.frombuffer(
+        P.resize_bilinear(src.tobytes(), 2, 2, 1, 4, 4),
+        dtype=np.uint8).reshape(4, 4).astype(int)
+    # corners clamp to the source corners
+    assert out[0, 0] == 0 and out[0, 3] == 100
+    assert out[3, 0] == 200 and out[3, 3] == 60
+    # row 0 interior: src=(x+0.5)*0.5-0.5 → frac 0.25 / 0.75 of (0,100)
+    assert out[0, 1] == 25 and out[0, 2] == 75
+    # column 0 interior mixes (0,200) at the same weights
+    assert out[1, 0] == 50 and out[2, 0] == 150
+    # identity resize is exact, channels independent
+    rgb = np.arange(2 * 2 * 3, dtype=np.uint8)
+    assert P.resize_bilinear(rgb.tobytes(), 2, 2, 3, 2, 2) == rgb.tobytes()
+    # downscale averages: 4x4 constant stays constant
+    flat = bytes([77]) * 16
+    assert P.resize_bilinear(flat, 4, 4, 1, 2, 2) == bytes([77]) * 4
+
+
+def test_resizers_accept_bilinear_method():
+    import numpy as np
+
+    from llmxmapreduce_spark.functions import jpeg as J
+
+    w = h = 8
+    grad = np.tile(np.arange(0, 256, 32, dtype=np.uint8), (h, 1))
+    png_in = P.encode_png(grad.tobytes(), w, h, color_type=0)
+    out = P.png_resizer(png_in, 4, 4, method="bilinear")
+    ww, hh, ct, px = P.decode_png(out)
+    assert (ww, hh) == (4, 4)
+    jp_in = J.encode_jpeg(np.repeat(grad[..., None], 3, -1).tobytes(),
+                          w, h, 3, quality=95)
+    ww, hh, nc, px = J.decode_jpeg(J.jpeg_resizer(jp_in, 4, 4,
+                                                  method="bilinear"))
+    assert (ww, hh, nc) == (4, 4, 3)
