@@ -240,12 +240,26 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 # ----------------------------------------------------------------- decode
 
+class _Comp:
+    """Per-component decode state: sampling, quant id, and the zigzag-
+    order coefficient array accumulated across scans (progressive files
+    touch it many times; baseline once)."""
+
+    __slots__ = ("cid", "hs", "vs", "tq", "coefs", "bw", "bh",
+                 "bw_pad", "bh_pad", "pred")
+
+    def __init__(self, cid, hs, vs, tq):
+        self.cid, self.hs, self.vs, self.tq = cid, hs, vs, tq
+        self.pred = 0
+
+
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     """→ (width, height, n_components, pixels) with ``pixels`` row-major
-    RGB (3 components) or grayscale (1).  Baseline sequential DCT only
-    (SOF0), interleaved single scan, sampling factors ≤ 2; anything
-    else raises ValueError — the multimodal seam's decode-failure
-    contract."""
+    RGB (3 components) or grayscale (1).  Sequential baseline/extended
+    (SOF0/SOF1) AND progressive (SOF2 — spectral selection + successive
+    approximation, per-scan coefficient accumulation), sampling factors
+    ≤ 2; anything else raises ValueError — the multimodal seam's
+    decode-failure contract."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -253,12 +267,17 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     hdc: dict[int, dict] = {}
     hac: dict[int, dict] = {}
     frame = None
+    comps: list[_Comp] = []
     restart_interval = 0
-    while pos + 4 <= len(payload):
+    saw_scan = False
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG: bad marker alignment")
         m = payload[pos + 1]
         pos += 2
+        if m == 0xFF or m == 0x00:           # fill byte / stray
+            pos -= 1
+            continue
         if m == 0xD9:                        # EOI
             break
         (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
@@ -289,95 +308,211 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 vals = list(seg[i + 17:i + 17 + n])
                 (hdc if tc == 0 else hac)[th] = _build_decoder(bits, vals)
                 i += 17 + n
-        elif m == 0xC0 or m == 0xC1:         # SOF0/1 (baseline huffman)
+        elif m in (0xC0, 0xC1, 0xC2):        # SOF0/1 (sequential), SOF2
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise ValueError("JPEG: only 8-bit precision supported")
+            progressive = (m == 0xC2)
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 0xF, tq))
-            frame = (w, h, comps)
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                comps.append(_Comp(cid, hv >> 4, hv & 0xF, tq))
+            hmax = max(c.hs for c in comps)
+            vmax = max(c.vs for c in comps)
+            if hmax > 2 or vmax > 2:
+                raise ValueError("JPEG: sampling factors above 2 "
+                                 "not supported")
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                c.bw_pad, c.bh_pad = mcux * c.hs, mcuy * c.vs
+                cw = -(-(w * c.hs) // hmax)
+                ch = -(-(h * c.vs) // vmax)
+                c.bw, c.bh = -(-cw // 8), -(-ch // 8)
+                c.coefs = np.zeros((c.bh_pad * c.bw_pad, 64),
+                                   dtype=np.int32)
+            frame = (w, h, progressive, hmax, vmax, mcux, mcuy)
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise ValueError(f"JPEG: unsupported SOF marker 0x{m:02X} "
-                             "(baseline sequential only)")
+                             "(sequential/progressive huffman only)")
         elif m == 0xDD:                      # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif m == 0xDA:                      # SOS
             if frame is None:
                 raise ValueError("JPEG: SOS before SOF")
             ns = seg[0]
-            scan_sel = {}
+            scan_comps = []
             for c in range(ns):
                 cs, td_ta = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan_sel[cs] = (td_ta >> 4, td_ta & 0xF)
-            return _decode_scan(payload, end, frame, scan_sel, qt,
-                                hdc, hac, restart_interval)
+                comp = next((x for x in comps if x.cid == cs), None)
+                if comp is None:
+                    raise ValueError("JPEG: scan names unknown component")
+                scan_comps.append((comp, td_ta >> 4, td_ta & 0xF))
+            ss, se, a = seg[1 + 2 * ns:4 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            end = _decode_scan(payload, end, frame, scan_comps,
+                               hdc, hac, restart_interval, ss, se, ah, al)
+            saw_scan = True
         pos = end
-    raise ValueError("JPEG: no scan found")
+    if not saw_scan:
+        raise ValueError("JPEG: no scan found")
+    return _assemble(frame, comps, qt)
 
 
-def _decode_scan(payload, pos, frame, scan_sel, qt, hdc, hac, ri):
-    w, h, comps = frame
-    if any(cid not in scan_sel for cid, *_ in comps):
-        raise ValueError("JPEG: non-interleaved scans not supported")
-    hmax = max(hs for _, hs, _, _ in comps)
-    vmax = max(vs for _, _, vs, _ in comps)
-    if hmax > 2 or vmax > 2:
-        raise ValueError("JPEG: sampling factors above 2 not supported")
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = {cid: np.zeros((mcuy * vs * 8, mcux * hs * 8))
-              for cid, hs, vs, _ in comps}
-    pred = {cid: 0 for cid, *_ in comps}
+def _decode_scan(payload, pos, frame, scan_comps, hdc, hac, ri,
+                 ss, se, ah, al):
+    """Decode one entropy-coded scan into the components' coefficient
+    arrays; returns the byte offset of the next marker segment.  Handles
+    baseline (Ss=0..Se=63, Ah=Al=0) and every progressive scan kind
+    (DC first/refine, AC first/refine) per T.81 G.1.2."""
+    w, h, progressive, hmax, vmax, mcux, mcuy = frame
+    if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+        raise ValueError("JPEG: bad spectral params in sequential scan")
+    if progressive and ss == 0 and se != 0:
+        raise ValueError("JPEG: progressive scan mixes DC and AC "
+                         "(Ss=0 requires Se=0)")
+    if progressive and ss > 0 and len(scan_comps) != 1:
+        raise ValueError("JPEG: progressive AC scans must be "
+                         "non-interleaved")
     r = _BitReader(payload, pos)
-    n_mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if ri and n_mcu and n_mcu % ri == 0:
-                r.restart()
-                pred = {cid: 0 for cid, *_ in comps}
-            for cid, hs, vs, tq in comps:
-                dct, act = hdc[scan_sel[cid][0]], hac[scan_sel[cid][1]]
-                q = qt[tq]
-                for by in range(vs):
-                    for bx in range(hs):
-                        zz = np.zeros(64, dtype=np.int32)
-                        s = r.decode_symbol(dct)
-                        diff = _extend(r.bits(s), s) if s else 0
-                        pred[cid] += diff
-                        zz[0] = pred[cid]
-                        k = 1
-                        while k < 64:
-                            rs = r.decode_symbol(act)
-                            rr, ss = rs >> 4, rs & 0xF
-                            if ss == 0:
-                                if rr == 15:
-                                    k += 16          # ZRL
-                                    continue
-                                break                # EOB
-                            k += rr
-                            if k > 63:
-                                raise ValueError("JPEG: AC index overflow")
-                            zz[k] = _extend(r.bits(ss), ss)
-                            k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[ZIGZAG] = zz
-                        block = idct2(coef.reshape(8, 8) * q) + 128.0
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[cid][y0:y0 + 8, x0:x0 + 8] = block
-            n_mcu += 1
-    # upsample subsampled components and crop to (h, w)
+    state = {"eobrun": 0}
+    for comp, *_ in scan_comps:
+        comp.pred = 0
+
+    def maybe_restart(n_mcu):
+        if ri and n_mcu and n_mcu % ri == 0:
+            r.restart()
+            state["eobrun"] = 0
+            for comp, *_ in scan_comps:
+                comp.pred = 0
+
+    if len(scan_comps) > 1 or not progressive:
+        # interleaved: full (padded) MCU grid
+        n_mcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart(n_mcu)
+                for comp, td, ta in scan_comps:
+                    for by in range(comp.vs):
+                        for bx in range(comp.hs):
+                            blk = comp.coefs[
+                                (my * comp.vs + by) * comp.bw_pad
+                                + mx * comp.hs + bx]
+                            _decode_block(r, blk, comp,
+                                          hdc.get(td), hac.get(ta),
+                                          ss, se, ah, al, state)
+                n_mcu += 1
+    else:
+        # non-interleaved: the component's OWN block grid (unpadded)
+        comp, td, ta = scan_comps[0]
+        n_mcu = 0
+        for by in range(comp.bh):
+            for bx in range(comp.bw):
+                maybe_restart(n_mcu)
+                blk = comp.coefs[by * comp.bw_pad + bx]
+                _decode_block(r, blk, comp, hdc.get(td), hac.get(ta),
+                              ss, se, ah, al, state)
+                n_mcu += 1
+    # scan ends: reader.pos sits on (or just before) the next marker
+    p = r.pos
+    while p < len(payload) and payload[p] != 0xFF:
+        p += 1          # tolerate stray pad bytes before the marker
+    return p
+
+
+def _decode_block(r, blk, comp, dct, act, ss, se, ah, al, state):
+    if ss == 0:                              # DC (and baseline AC tail)
+        if ah == 0:
+            s = r.decode_symbol(dct)
+            diff = _extend(r.bits(s), s) if s else 0
+            comp.pred += diff
+            blk[0] = comp.pred << al
+        else:                                # DC refinement: raw bit
+            if r.bit():
+                blk[0] |= 1 << al
+    if se == 0:
+        return
+    k = max(ss, 1)
+    if ah == 0:                              # AC first pass (incl. baseline)
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        while k <= se:
+            rs = r.decode_symbol(act)
+            rr, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if rr == 15:
+                    k += 16                  # ZRL
+                    continue
+                state["eobrun"] = (1 << rr) - 1 + (r.bits(rr) if rr else 0)
+                break                        # EOB(run)
+            k += rr
+            if k > se:
+                raise ValueError("JPEG: AC index overflow")
+            blk[k] = _extend(r.bits(s), s) << al
+            k += 1
+    else:                                    # AC refinement (G.1.2.3)
+        p1, m1 = 1 << al, -1 << al
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = r.decode_symbol(act)
+                rr, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if rr < 15:
+                        # counts the CURRENT block too: its correction-
+                        # bit tail below still runs, then decrements
+                        state["eobrun"] = (1 << rr) + \
+                            (r.bits(rr) if rr else 0)
+                        break
+                    newval = 0               # ZRL: skip 16 zero-history
+                elif s == 1:
+                    newval = p1 if r.bit() else m1
+                else:
+                    raise ValueError("JPEG: bad refinement magnitude")
+                while k <= se:
+                    v = int(blk[k])
+                    if v != 0:
+                        if r.bit() and (v & p1) == 0:
+                            blk[k] = v + (p1 if v >= 0 else m1)
+                    else:
+                        if rr == 0:
+                            break
+                        rr -= 1
+                    k += 1
+                if newval and k <= se:
+                    blk[k] = newval
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:                   # correction-only tail
+                v = int(blk[k])
+                if v != 0 and r.bit() and (v & p1) == 0:
+                    blk[k] = v + (p1 if v >= 0 else m1)
+                k += 1
+            state["eobrun"] -= 1
+
+
+def _assemble(frame, comps, qt):
+    w, h, _prog, hmax, vmax, mcux, mcuy = frame
     full = []
-    for cid, hs, vs, _ in comps:
-        p = planes[cid]
-        if vs < vmax:
-            p = np.repeat(p, vmax // vs, axis=0)
-        if hs < hmax:
-            p = np.repeat(p, hmax // hs, axis=1)
-        full.append(p[:h, :w])
+    for c in comps:
+        q = qt.get(c.tq)
+        if q is None:
+            raise ValueError("JPEG: missing quantization table")
+        qzz = q.reshape(64)[ZIGZAG].astype(np.float64)
+        plane = np.zeros((c.bh_pad * 8, c.bw_pad * 8))
+        for by in range(c.bh_pad):
+            for bx in range(c.bw_pad):
+                zz = c.coefs[by * c.bw_pad + bx]
+                nat = np.zeros(64)
+                nat[ZIGZAG] = zz * qzz
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    idct2(nat.reshape(8, 8)) + 128.0
+        if c.vs < vmax:
+            plane = np.repeat(plane, vmax // c.vs, axis=0)
+        if c.hs < hmax:
+            plane = np.repeat(plane, hmax // c.hs, axis=1)
+        full.append(plane[:h, :w])
     if len(full) == 1:
         out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return w, h, 1, out.tobytes()
@@ -435,12 +570,10 @@ def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
     return np.pad(plane, ((0, (-h) % mh), (0, (-w) % mw)), mode="edge")
 
 
-def encode_jpeg(pixels: bytes, width: int, height: int, channels: int = 3,
-                quality: int = 75, subsampling: str = "4:4:4",
-                restart_interval: int = 0) -> bytes:
-    """Raw row-major RGB (channels=3) or grayscale (1) → baseline JPEG.
-    ``subsampling`` '4:4:4' or '4:2:0' (RGB only); optional DRI/RSTn
-    every ``restart_interval`` MCUs."""
+def _prep_planes(pixels: bytes, width: int, height: int, channels: int,
+                 quality: int, subsampling: str):
+    """Shared encoder front half: color convert, subsample, MCU-pad.
+    → (samp, quants, padded, hmax, vmax, mcux, mcuy)."""
     if channels not in (1, 3):
         raise ValueError("encode_jpeg: channels must be 1 or 3")
     if len(pixels) != width * height * channels:
@@ -479,9 +612,19 @@ def encode_jpeg(pixels: bytes, width: int, height: int, channels: int = 3,
     padded = []
     for (hs, vs), p in zip(samp, comp_planes):
         th, tw = mcuy * vs * 8, mcux * hs * 8
-        ph = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
-                    mode="edge")
-        padded.append(ph)
+        padded.append(np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"))
+    return samp, quants, padded, hmax, vmax, mcux, mcuy
+
+
+def encode_jpeg(pixels: bytes, width: int, height: int, channels: int = 3,
+                quality: int = 75, subsampling: str = "4:4:4",
+                restart_interval: int = 0) -> bytes:
+    """Raw row-major RGB (channels=3) or grayscale (1) → baseline JPEG.
+    ``subsampling`` '4:4:4' or '4:2:0' (RGB only); optional DRI/RSTn
+    every ``restart_interval`` MCUs."""
+    samp, quants, padded, hmax, vmax, mcux, mcuy = _prep_planes(
+        pixels, width, height, channels, quality, subsampling)
 
     dc_l = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
@@ -525,7 +668,7 @@ def encode_jpeg(pixels: bytes, width: int, height: int, channels: int = 3,
 
     out = bytearray(b"\xff\xd8")                      # SOI
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += dqt(0, qly)
+    out += dqt(0, quants[0])
     sof = bytes([8]) + struct.pack(">HH", height, width) \
         + bytes([channels])
     comp_ids = [1, 2, 3][:channels]
@@ -534,7 +677,7 @@ def encode_jpeg(pixels: bytes, width: int, height: int, channels: int = 3,
     out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
     out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
     if channels == 3:
-        out += dqt(1, qch)
+        out += dqt(1, quants[1])
         out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
         out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
     out += seg(0xC0, sof)
@@ -547,6 +690,232 @@ def encode_jpeg(pixels: bytes, width: int, height: int, channels: int = 3,
     out += seg(0xDA, sos)
     out += wtr.out
     out += b"\xff\xd9"                                # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------- progressive encoder
+
+# libjpeg-style default scan scripts (comp index lists + Ss,Se,Ah,Al):
+# DC first at Al=1, banded AC first passes at Al>0, then the successive-
+# approximation refinements — together they exercise every progressive
+# decode path (DC first/refine, AC first with EOBRUN, AC refinement
+# with correction bits and ZRL-over-history).
+_PROG_SCANS_COLOR = [
+    ([0, 1, 2], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([2], 1, 63, 0, 1),
+    ([1], 1, 63, 0, 1),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0, 1, 2], 0, 0, 1, 0),
+    ([2], 1, 63, 1, 0),
+    ([1], 1, 63, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+_PROG_SCANS_GRAY = [
+    ([0], 0, 0, 0, 1),
+    ([0], 1, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0], 0, 0, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+
+
+# Progressive AC scans need EOBn symbols (r<<4, r=1..14) that the
+# Annex K baseline tables don't define — real encoders build custom
+# Huffman tables for progressive files.  Ours is the simplest valid
+# canonical table: every symbol we can emit ((r,s) s=1..10, ZRL, EOB0-14)
+# at code length 16 (Kraft sum 176·2⁻¹⁶ ≪ 1; last code 175 ≠ all-ones).
+# Compression is poor and irrelevant; it also exercises the decoder's
+# from-DHT table construction with a non-standard layout.
+AC_PROG_VALS = sorted(
+    [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [0xF0] + [r << 4 for r in range(15)])
+AC_PROG_BITS = [0] * 15 + [len(AC_PROG_VALS)]
+
+
+class _ProgState:
+    """Per-scan entropy state: the EOB run and the correction bits
+    buffered to ride out with it (T.81 G.1.2.2/G.1.2.3 encode side)."""
+
+    def __init__(self, wtr: _BitWriter, ac_codes: dict):
+        self.wtr = wtr
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.corr: list[int] = []
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nb = self.eobrun.bit_length() - 1
+            c, ln = self.ac[nb << 4]
+            self.wtr.write(c, ln)
+            if nb:
+                self.wtr.write(self.eobrun - (1 << nb), nb)
+            self.eobrun = 0
+        for b in self.corr:
+            self.wtr.write(b, 1)
+        self.corr = []
+
+
+def _enc_ac_first(st: _ProgState, blk, ss, se, al) -> None:
+    wtr, ac = st.wtr, st.ac
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        v = (v >> al) if v >= 0 else -((-v) >> al)   # truncate toward 0
+        if v == 0:
+            r += 1
+            continue
+        st.flush_eobrun()
+        while r > 15:
+            wtr.write(*ac[0xF0])
+            r -= 16
+        s, mag = _magnitude(v)
+        wtr.write(*ac[(r << 4) | s])
+        wtr.write(mag, s)
+        r = 0
+    if r > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush_eobrun()
+
+
+def _enc_ac_refine(st: _ProgState, blk, ss, se, al) -> None:
+    wtr, ac = st.wtr, st.ac
+    absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+    eob = 0
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = i + 1
+    r = 0
+    br: list[int] = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i < eob:
+            st.flush_eobrun()
+            wtr.write(*ac[0xF0])
+            r -= 16
+            for b in br:
+                wtr.write(b, 1)
+            br = []
+        if t > 1:                    # history-nonzero: buffered correction
+            br.append(t & 1)
+            continue
+        st.flush_eobrun()            # newly significant: (run, 1) + sign
+        wtr.write(*ac[(r << 4) | 1])
+        wtr.write(1 if int(blk[ss + i]) > 0 else 0, 1)
+        for b in br:
+            wtr.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st.eobrun += 1
+        st.corr.extend(br)
+        if st.eobrun == 0x7FFF or len(st.corr) > 900:
+            st.flush_eobrun()
+
+
+def encode_jpeg_progressive(pixels: bytes, width: int, height: int,
+                            channels: int = 3, quality: int = 75,
+                            subsampling: str = "4:4:4") -> bytes:
+    """Raw pixels → progressive JPEG (SOF2) with the libjpeg-style
+    default scan script.  The quantized coefficients are identical to
+    :func:`encode_jpeg` at the same settings, so a decoder must produce
+    the IDENTICAL image from both files — the test pin."""
+    samp, quants, padded, hmax, vmax, mcux, mcuy = _prep_planes(
+        pixels, width, height, channels, quality, subsampling)
+
+    # quantize every component to zigzag-order coefficient arrays
+    coefs = []
+    dims = []                      # (bw_pad, bh_pad, bw, bh)
+    for (hs, vs), plane, q in zip(samp, padded, quants):
+        bh_pad, bw_pad = plane.shape[0] // 8, plane.shape[1] // 8
+        qzz = q.reshape(64)[ZIGZAG].astype(np.float64)
+        arr = np.zeros((bh_pad, bw_pad, 64), dtype=np.int64)
+        for by in range(bh_pad):
+            for bx in range(bw_pad):
+                coef = fdct2(plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                             - 128.0)
+                arr[by, bx] = np.round(coef.reshape(64)[ZIGZAG] / qzz)
+        cw = -(-(width * hs) // hmax)
+        ch = -(-(height * vs) // vmax)
+        coefs.append(arr)
+        dims.append((bw_pad, bh_pad, -(-cw // 8), -(-ch // 8)))
+
+    dc_l = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    dc_c = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_prog = _build_codes(AC_PROG_BITS, AC_PROG_VALS)
+    dc_tabs = [dc_l] + [dc_c] * (channels - 1)
+    ac_tabs = [ac_prog] * channels          # shared table id 0
+    comp_ids = [1, 2, 3][:channels]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(
+        int(quants[0].reshape(64)[z]) for z in ZIGZAG))
+    if channels == 3:
+        out += seg(0xDB, bytes([1]) + bytes(
+            int(quants[1].reshape(64)[z]) for z in ZIGZAG))
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([channels])
+    for cid, (hs, vs) in zip(comp_ids, samp):
+        sof += bytes([cid, (hs << 4) | vs, 0 if cid == 1 else 1])
+    out += seg(0xC2, sof)                              # SOF2: progressive
+    out += seg(0xC4, bytes([0x00]) + bytes(DC_LUMA_BITS)
+               + bytes(DC_LUMA_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(AC_PROG_BITS)
+               + bytes(AC_PROG_VALS))
+    if channels == 3:
+        out += seg(0xC4, bytes([0x01]) + bytes(DC_CHROMA_BITS)
+                   + bytes(DC_CHROMA_VALS))
+
+    script = _PROG_SCANS_COLOR if channels == 3 else _PROG_SCANS_GRAY
+    for comp_idx, ss, se, ah, al in script:
+        sos = bytes([len(comp_idx)])
+        for ci in comp_idx:
+            td = 0 if ci == 0 else 1         # DC per class; AC shared id 0
+            sos += bytes([comp_ids[ci], td << 4])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        wtr = _BitWriter()
+        if ss == 0:                                    # DC scan
+            preds = {ci: 0 for ci in comp_idx}
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci in comp_idx:
+                        hs, vs = samp[ci]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                blk = coefs[ci][my * vs + by, mx * hs + bx]
+                                dc = int(blk[0])
+                                if ah == 0:
+                                    v = dc >> al
+                                    s, mag = _magnitude(v - preds[ci])
+                                    preds[ci] = v
+                                    wtr.write(*dc_tabs[ci][s])
+                                    if s:
+                                        wtr.write(mag, s)
+                                else:                  # refinement: raw bit
+                                    wtr.write((dc >> al) & 1, 1)
+        else:                                          # AC scan: one comp
+            [ci] = comp_idx
+            st = _ProgState(wtr, ac_tabs[ci])
+            bw_pad, bh_pad, bw, bh = dims[ci]
+            for by in range(bh):
+                for bx in range(bw):
+                    blk = coefs[ci][by, bx]
+                    if ah == 0:
+                        _enc_ac_first(st, blk, ss, se, al)
+                    else:
+                        _enc_ac_refine(st, blk, ss, se, al)
+            st.flush_eobrun()
+        wtr.flush()
+        out += wtr.out
+    out += b"\xff\xd9"
     return bytes(out)
 
 

@@ -8,14 +8,16 @@ batch shape, ``mapInPandas`` signatures, partition sizing, and the
 metadata pipeline.  Three real formats round-trip in-container via
 stdlib(+numpy)-only codecs: PNG (``functions/png.py`` — inject
 ``png.png_decoder`` / ``png.png_resizer``; tests/test_png_codec.py runs
-decode → resize → re-encode end-to-end), baseline JPEG
-(``functions/jpeg.py`` — full T.81 sequential DCT encode+decode,
-4:4:4/4:2:0, restart markers; inject ``jpeg.jpeg_decoder`` /
+decode → resize → re-encode end-to-end), JPEG (``functions/jpeg.py``
+— T.81 sequential AND progressive decode, sequential + progressive
+encode, 4:4:4/4:2:0, restart markers; inject ``jpeg.jpeg_decoder`` /
 ``jpeg.jpeg_resizer``; tests/test_jpeg_codec.py), and WAV/PCM audio
 (``functions/wav.py`` — inject ``wav.wav_decoder`` +
 ``wav.wav_featurizer`` for real RMS/ZCR/envelope descriptors;
-tests/test_wav_codec.py).  Progressive JPEG/compressed-audio/video
-still need PIL/libvips/ffmpeg injected in a real deployment.
+tests/test_wav_codec.py).  MP4 metadata probing is also real
+(``functions/mp4.py`` + :func:`probe_media`); compressed audio and
+video FRAME decode still need ffmpeg-class libraries injected in a
+real deployment.
 
 Design for 100 TB of media:
 - payloads never leave the executor (no collect; feature vectors are the

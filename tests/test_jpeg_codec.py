@@ -1,6 +1,6 @@
 """Stdlib+numpy baseline JPEG codec (functions/jpeg.py): DCT pair
 pinned to orthonormality and a hand-computed DC case, exact flat-block
-roundtrips, quantization-tolerance roundtrips for 4:4:4 / 4:2:0 /
+roundtrips, quantization-tolerance roundtrips for 4:4:4 / 4:2:0 / progressive /
 grayscale / odd dimensions / restart intervals, magnitude↔extend
 inverse, zigzag permutation sanity, error paths, and the multimodal
 extract_features/resize_images seam with the real codec."""
@@ -101,10 +101,15 @@ def test_error_paths():
     good = J.encode_jpeg(bytes(64), 8, 8, 1)
     with pytest.raises(ValueError):
         J.decode_jpeg(good[:40])               # truncated mid-segment
-    # flip SOF0 -> SOF2 (progressive): must refuse, not mis-decode
+    # flip SOF0 -> SOF3 (lossless): must refuse, not mis-decode
     i = good.find(b"\xff\xc0")
-    prog = good[:i] + b"\xff\xc2" + good[i + 2:]
+    lossless = good[:i] + b"\xff\xc3" + good[i + 2:]
     with pytest.raises(ValueError, match="SOF"):
+        J.decode_jpeg(lossless)
+    # SOF0 -> SOF2 with the baseline 0..63 scan: an ILLEGAL progressive
+    # scan (DC and AC may not mix) — refuse, not mis-decode
+    prog = good[:i] + b"\xff\xc2" + good[i + 2:]
+    with pytest.raises(ValueError, match="DC and AC"):
         J.decode_jpeg(prog)
     with pytest.raises(ValueError, match="channels"):
         J.encode_jpeg(bytes(8 * 8 * 2), 8, 8, 2)
@@ -140,3 +145,56 @@ def test_multimodal_seams_with_real_jpeg(spark):
     got = np.frombuffer(px, np.uint8).reshape(2, 2, 3).astype(int)
     assert np.abs(got - np.array([90, 40, 200])).max() <= 6
     assert resized["j2"]["resize_ok"] is False
+
+
+@pytest.mark.parametrize("case", ["smooth444", "smooth420", "noise444",
+                                  "noise420", "gray", "flat"])
+def test_progressive_decodes_identical_to_baseline(case):
+    """encode_jpeg_progressive writes the SAME quantized coefficients
+    as the baseline encoder, so decoding both files must give BIT-
+    IDENTICAL pixels — one equality that pins every progressive decode
+    path (DC first at Al=1 + refinement, banded AC first passes at
+    Al=2/1, successive-approximation AC refinements with EOBRUN,
+    correction bits, ZRL-over-history) against the long-verified
+    sequential path."""
+    rng = np.random.default_rng(3)
+    H, W = 37, 53
+    yy, xx = np.mgrid[0:H, 0:W]
+    smooth = np.stack([xx * 4, yy * 5, xx * 2 + yy * 2],
+                      axis=-1).astype(np.uint8)
+    imgs = {
+        "smooth444": (smooth, 3, "4:4:4"),
+        "smooth420": (smooth, 3, "4:2:0"),
+        "noise444": (rng.integers(0, 256, (24, 31, 3), dtype=np.uint8),
+                     3, "4:4:4"),
+        "noise420": (rng.integers(0, 256, (24, 31, 3), dtype=np.uint8),
+                     3, "4:2:0"),
+        "gray": (rng.integers(0, 256, (19, 23), dtype=np.uint8)[..., None],
+                 1, None),
+        "flat": (np.full((32, 32, 3), 130, dtype=np.uint8), 3, "4:4:4"),
+    }
+    img, ch, sub = imgs[case]
+    h, w = img.shape[:2]
+    kw = dict(quality=75) if sub is None else \
+        dict(quality=75, subsampling=sub)
+    data = J.encode_jpeg_progressive(img.tobytes(), w, h, ch, **kw)
+    assert b"\xff\xc2" in data                 # really SOF2
+    assert data.count(b"\xff\xda") >= 5        # really multi-scan
+    base = J.decode_jpeg(J.encode_jpeg(img.tobytes(), w, h, ch, **kw))
+    prog = J.decode_jpeg(data)
+    assert prog[:3] == base[:3]
+    assert prog[3] == base[3]
+
+
+def test_progressive_quality_sweep_roundtrip():
+    """End-to-end quality check of the progressive path on its own: the
+    decoded image must track the source within quantization error."""
+    H, W = 21, 34
+    yy, xx = np.mgrid[0:H, 0:W]
+    img = np.stack([xx * 6, yy * 9, np.full((H, W), 64)],
+                   axis=-1).astype(np.uint8)
+    for q in (50, 90):
+        w, h, nc, out = J.decode_jpeg(J.encode_jpeg_progressive(
+            img.tobytes(), W, H, 3, quality=q))
+        got = np.frombuffer(out, np.uint8).reshape(H, W, 3).astype(int)
+        assert np.abs(got - img.astype(int)).mean() < (6 if q == 50 else 2)
