@@ -919,6 +919,31 @@ def encode_jpeg_progressive(pixels: bytes, width: int, height: int,
     return bytes(out)
 
 
+def probe_jpeg(payload: bytes) -> dict:
+    """Metadata-only probe (no entropy decode): walk markers to SOFn →
+    ``{width, height, channels, progressive, codec}``.  The image half
+    of the curate-by-metadata-first story (``multimodal.probe_media``)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG: bad marker alignment")
+        m = payload[pos + 1]
+        pos += 2
+        if m in (0xD9, 0xDA):
+            break
+        (ln,) = struct.unpack(">H", payload[pos:pos + 2])
+        if m in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            seg = payload[pos + 2:pos + ln]
+            h, w = struct.unpack(">HH", seg[1:5])
+            return {"width": w, "height": h, "channels": seg[5],
+                    "progressive": m == 0xC2, "codec": "jpeg"}
+        pos += ln
+    raise ValueError("JPEG: no frame header found")
+
+
 # ------------------------------------------------------------------ seams
 
 def jpeg_decoder(payload: bytes):

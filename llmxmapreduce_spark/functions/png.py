@@ -181,3 +181,16 @@ def png_resizer(payload: bytes, target_w: int, target_h: int,
     fn = resize_bilinear if method == "bilinear" else resize_nearest
     return encode_png(fn(px, w, h, CHANNELS[ctype], target_w, target_h),
                       target_w, target_h, ctype)
+
+
+def probe_png(payload: bytes) -> dict:
+    """Metadata-only probe (IHDR read, no inflate) →
+    ``{width, height, channels, codec}``."""
+    if not payload.startswith(_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    if payload[12:16] != b"IHDR" or len(payload) < 29:
+        raise ValueError("PNG: missing IHDR")
+    w, h = struct.unpack(">II", payload[16:24])
+    ctype = payload[25]
+    return {"width": w, "height": h,
+            "channels": CHANNELS.get(ctype), "codec": "png"}

@@ -34,6 +34,29 @@ import struct
 import numpy as np
 
 _PCM = 1
+_ALAW = 6            # G.711 A-law (telephony corpora)
+_ULAW = 7            # G.711 μ-law
+
+
+def _ulaw_to_linear(u: "np.ndarray") -> "np.ndarray":
+    """G.711 μ-law byte → 16-bit linear (the classic public-domain
+    expansion: invert, rebuild the biased mantissa, shift by segment)."""
+    u = (~u.astype(np.int32)) & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t = t << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int32)
+
+
+def _alaw_to_linear(a: "np.ndarray") -> "np.ndarray":
+    """G.711 A-law byte → 16-bit linear (XOR 0x55, then per-segment
+    mantissa reconstruction)."""
+    a = a.astype(np.int32) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, t + 8,
+                 np.where(seg == 1, t + 0x108,
+                          (t + 0x108) << np.maximum(seg - 1, 0)))
+    return np.where(a & 0x80, t, -t).astype(np.int32)
 
 
 def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
@@ -63,9 +86,21 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError("short fmt chunk")
     audio_format, n_channels, sample_rate, _, _, bits = struct.unpack(
         "<HHIIHH", fmt[:16])
-    if audio_format != _PCM:
+    if audio_format not in (_PCM, _ALAW, _ULAW):
         raise ValueError(f"compressed WAV (format {audio_format}); "
-                         "only PCM is supported")
+                         "only PCM and G.711 a/μ-law are supported")
+    if audio_format in (_ALAW, _ULAW):
+        # G.711 companded telephony audio: 8-bit bytes expanding to
+        # 16-bit linear — decoded width is 2 by construction
+        if bits != 8 or n_channels < 1 or sample_rate < 1:
+            raise ValueError(f"bad G.711 layout ({bits}-bit, "
+                             f"{n_channels}ch, {sample_rate}Hz)")
+        n_frames = len(data) // n_channels
+        raw = np.frombuffer(data[:n_frames * n_channels], dtype=np.uint8)
+        expand = _ulaw_to_linear if audio_format == _ULAW \
+            else _alaw_to_linear
+        return sample_rate, n_channels, 2, expand(raw).reshape(
+            n_frames, n_channels)
     if bits not in (8, 16) or n_channels < 1 or sample_rate < 1:
         raise ValueError(f"unsupported PCM layout ({bits}-bit, "
                          f"{n_channels}ch, {sample_rate}Hz)")
@@ -172,3 +207,37 @@ def wav_resampler(payload: bytes, target_rate: int) -> bytes:
     rate, _, width, frames = decode_wav(bytes(payload))
     return encode_wav(resample_linear(frames, rate, target_rate),
                       target_rate, sample_width=width)
+
+
+def probe_wav(payload: bytes) -> dict:
+    """Metadata-only probe (header walk, no sample decode) →
+    ``{duration_ms, sample_rate, channels, codec}`` with codec one of
+    pcm_u8 / pcm_s16le / alaw / ulaw — the audio half of
+    ``multimodal.probe_media``'s curate-by-metadata-first story."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV (bad RIFF/WAVE header)")
+    pos, fmt, data_len = 12, None, None
+    while pos + 8 <= len(payload):
+        typ = payload[pos:pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        if typ == b"fmt ":
+            fmt = payload[pos + 8:pos + 8 + ln]
+        elif typ == b"data":
+            data_len = min(ln, len(payload) - pos - 8)
+        pos += 8 + ln + (ln & 1)
+    if fmt is None or data_len is None or len(fmt) < 16:
+        raise ValueError("missing/short fmt or data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = struct.unpack(
+        "<HHIIHH", fmt[:16])
+    codec = {(_PCM, 8): "pcm_u8", (_PCM, 16): "pcm_s16le",
+             (_ALAW, 8): "alaw", (_ULAW, 8): "ulaw"}.get(
+        (audio_format, bits))
+    if codec is None or n_channels < 1 or sample_rate < 1:
+        raise ValueError(f"unsupported WAV (format {audio_format}, "
+                         f"{bits}-bit)")
+    frame_bytes = (bits // 8) * n_channels
+    n_frames = data_len // frame_bytes
+    return {"duration_ms": int(n_frames * 1000 // sample_rate),
+            "sample_rate": sample_rate, "channels": n_channels,
+            "codec": codec}

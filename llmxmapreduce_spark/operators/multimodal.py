@@ -118,6 +118,28 @@ def extract_features(assets: DataFrame, dim: int = 16,
     return assets.mapInPandas(run, schema=FEATURES)
 
 
+def media_prober(payload: bytes) -> dict:
+    """Universal metadata probe: dispatch on magic bytes to the
+    in-container format probes — JPEG/PNG (width/height/channels), WAV
+    incl. G.711 (duration/rate/codec), MP4/ISO BMFF (tracks/duration/
+    codec).  Raises ValueError on anything unrecognized (probe_ok=false
+    sentinel).  Pass as ``probe_media(prober=media_prober,
+    media_types=("image","audio","video"))`` to backfill metadata for
+    every asset class in one pass."""
+    b = bytes(payload)
+    if b[:2] == b"\xff\xd8":
+        from llmxmapreduce_spark.functions.jpeg import probe_jpeg
+        return probe_jpeg(b)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        from llmxmapreduce_spark.functions.png import probe_png
+        return probe_png(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        from llmxmapreduce_spark.functions.wav import probe_wav
+        return probe_wav(b)
+    from llmxmapreduce_spark.functions.mp4 import probe_mp4
+    return probe_mp4(b)
+
+
 def probe_media(assets: DataFrame,
                 prober=None,
                 media_types: tuple[str, ...] = ("video",)) -> DataFrame:

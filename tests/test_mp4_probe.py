@@ -158,3 +158,71 @@ def test_probe_media_backfills_and_feeds_frame_plan(spark):
     per_asset = {r["asset_id"] for r in plan.collect()}
     assert per_asset == {"v1", "v3"}
     assert plan.filter("asset_id = 'v1'").count() == 9   # 9500ms // 1000
+
+
+def test_g711_wav_decode_known_values():
+    """G.711 μ-law/A-law WAVs decode through the RIFF walk to 16-bit
+    linear with the spec expansion (hand-pinned reference points)."""
+    import numpy as np
+
+    from llmxmapreduce_spark.functions import wav as WV
+
+    def riff(fmt_code, data):
+        fmt = struct.pack("<HHIIHH", fmt_code, 1, 8000, 8000, 1, 8)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+                + (b"\x00" if len(data) & 1 else b""))
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    rate, ch, width, frames = WV.decode_wav(riff(7, bytes([0xFF, 0x00,
+                                                           0x80])))
+    assert (rate, ch, width) == (8000, 1, 2)
+    assert frames[:, 0].tolist() == [0, -32124, 32124]
+    rate, ch, width, frames = WV.decode_wav(riff(6, bytes([0xD5, 0x55])))
+    assert frames[:, 0].tolist() == [8, -8]
+    # probe reports the codec without decoding samples
+    assert WV.probe_wav(riff(7, bytes(16)))["codec"] == "ulaw"
+    assert WV.probe_wav(riff(6, bytes(16)))["codec"] == "alaw"
+    info = WV.probe_wav(riff(7, bytes(8000)))
+    assert info["duration_ms"] == 1000 and info["sample_rate"] == 8000
+
+
+def test_media_prober_dispatch(spark):
+    """One prober for every in-container format: JPEG, PNG, WAV, MP4 —
+    and probe_media backfills all three asset classes in one pass."""
+    import numpy as np
+
+    from llmxmapreduce_spark.functions import jpeg as J
+    from llmxmapreduce_spark.functions import png as P
+    from llmxmapreduce_spark.functions import wav as WV
+    from llmxmapreduce_spark.operators.multimodal import (media_prober,
+                                                          probe_media)
+
+    jp = J.encode_jpeg(bytes(16 * 8 * 3), 16, 8, 3)
+    pn = P.encode_png(bytes(5 * 4 * 3), 5, 4, color_type=2)
+    wv = WV.encode_wav(np.zeros((4000, 1), dtype=np.int32), 8000)
+    m4 = _mp4()
+    assert media_prober(jp) == {"width": 16, "height": 8, "channels": 3,
+                                "progressive": False, "codec": "jpeg"}
+    assert media_prober(pn)["codec"] == "png"
+    assert media_prober(pn)["width"] == 5
+    assert media_prober(wv)["codec"] == "pcm_s16le"
+    assert media_prober(wv)["duration_ms"] == 500
+    assert media_prober(m4)["tracks"][0]["codec"] == "avc1"
+    with pytest.raises(ValueError):
+        media_prober(b"unrecognized payload")
+
+    assets = spark.createDataFrame(
+        [("i", 1, "image", bytearray(jp), None, None, None, None),
+         ("a", 2, "audio", bytearray(wv), None, None, None, None),
+         ("v", 3, "video", bytearray(m4), None, None, None, None)],
+        "asset_id string, doc_id long, media_type string, payload binary, "
+        "width int, height int, duration_ms long, codec string")
+    out = {r["asset_id"]: r for r in probe_media(
+        assets, prober=media_prober,
+        media_types=("image", "audio", "video")).collect()}
+    assert all(out[k]["probe_ok"] for k in "iav")
+    assert (out["i"]["width"], out["i"]["height"]) == (16, 8)
+    assert out["i"]["codec"] == "jpeg"
+    assert out["a"]["duration_ms"] == 500 and out["a"]["codec"] == "pcm_s16le"
+    assert out["v"]["duration_ms"] == 9500 and out["v"]["codec"] == "avc1"
