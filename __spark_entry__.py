@@ -2075,6 +2075,135 @@ def _split_scrub_oracle(n: int = 13) -> str:
     """
 
 
+def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 ranked retrieval (operators/bm25.py): postings build is one
+    explode→groupBy scan; scoring is a broadcast query-term equi-join
+    over the postings with Lucene-positive idf; per-term contributions
+    are 1e-6-quantized BEFORE the per-doc sum so the aggregate is an
+    exact integer (order-independent — module determinism contract).
+    Queries = documents doc_id < 15 in self-retrieval shape (the
+    decontamination-by-retrieval use-case; rank 1 = self is expected).
+    Gated by tests/test_bm25.py (hand-computed scores + DuckDB twin)."""
+    from llmxmapreduce_spark.operators import bm25
+
+    docs = load_table(spark, sf, "documents")
+    qs = docs.filter("doc_id < 15").select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25.bm25_topk(docs, qs, k=10)
+
+
+def q_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed Lloyd k-means (operators/kmeans.py): one FULL-CORPUS
+    centroid update from 8 data seeds (lowest vec_ids), then
+    reassignment — assignment, partial sums, and the centroid
+    re-quantization are exact int64 / pure-IEEE ops, so the iterative
+    fit itself is values-grade vs the DuckDB replay (assign → update →
+    assign).  Per-iteration driver state is the K·D aggregated sum
+    table; corpus size never enters it.  Gated by tests/test_kmeans.py
+    (numpy-reference equivalence, bit-determinism under repartition)."""
+    import numpy as np
+
+    from llmxmapreduce_spark.operators import kmeans
+
+    emb = load_table(spark, sf, "embeddings")
+    seeds = np.stack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.orderBy("vec_id").limit(8).collect()
+        ]
+    )
+    c1 = kmeans.kmeans_refine(emb, kmeans.quantize_np(seeds), n_iter=1)
+    return kmeans.kmeans_assign(emb, c1)
+
+
+def _bm25_oracle() -> str:
+    return """
+        WITH c AS (SELECT doc_id,
+                 [w for w in string_split_regex(trim(lower(text)), '\\s+')
+                  if w <> ''] AS toks FROM documents),
+        tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+                FROM c WHERE len(toks) > 0),
+        post AS (SELECT doc_id, dl, term, count(*) AS tf
+                 FROM tok GROUP BY ALL),
+        st AS (SELECT count(*) AS n,
+                      CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl
+               FROM (SELECT doc_id, max(dl) AS dl FROM post GROUP BY doc_id)),
+        idf AS (SELECT term, count(*) AS dft FROM post GROUP BY term),
+        q AS (SELECT doc_id AS query_id,
+                     unnest(list_distinct(toks)) AS term
+              FROM c WHERE doc_id < 15),
+        contrib AS (
+            SELECT q.query_id, p.doc_id,
+                   CAST(floor(
+                     ln(1.0 + (st.n - i.dft + 0.5)/(i.dft + 0.5))
+                     * (p.tf*(1.2+1.0)
+                        / (p.tf + 1.2*(1.0-0.75 + 0.75*p.dl/st.avgdl)))
+                     * 1000000.0) AS BIGINT) AS cm
+            FROM q JOIN post p USING(term) JOIN idf i USING(term)
+            CROSS JOIN st),
+        s AS (SELECT query_id, doc_id, sum(cm) AS score_micro
+              FROM contrib GROUP BY ALL),
+        r AS (SELECT query_id, doc_id,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rank,
+                     score_micro
+              FROM s)
+        SELECT query_id, doc_id, rank, score_micro FROM r WHERE rank <= 10
+    """
+
+
+def _kmeans_oracle() -> str:
+    return """
+        WITH q AS (SELECT vec_id,
+                [CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+                 for x in embedding] AS v
+            FROM embeddings),
+        seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                         AS cell, v
+                  FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 8)),
+        d1 AS (SELECT q.vec_id, s.cell,
+                      list_sum([(q.v[i]-s.v[i])*(q.v[i]-s.v[i])
+                                for i in range(1, len(q.v)+1)]) AS d2
+               FROM q CROSS JOIN seeds s),
+        a1 AS (SELECT vec_id, cell FROM
+                 (SELECT vec_id, cell,
+                         row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d2 ASC, cell ASC) AS rn
+                  FROM d1) WHERE rn = 1),
+        mem AS (SELECT a1.cell, q.v FROM a1 JOIN q USING (vec_id)),
+        sums AS (SELECT cell, u.pos, sum(u.val) AS s, count(*) AS c
+                 FROM (SELECT cell,
+                          unnest([{'pos': i, 'val': v[i]}
+                                  for i in range(1, len(v)+1)]) AS u
+                       FROM mem)
+                 GROUP BY cell, u.pos),
+        cent AS (SELECT s0.cell, s0.pos,
+                        coalesce(CAST(floor((2.0*su.s + su.c)
+                                            / (2.0*su.c)) AS BIGINT),
+                                 s0.sv) AS cv
+                 FROM (SELECT cell, u.pos, u.val AS sv
+                       FROM (SELECT cell,
+                                unnest([{'pos': i, 'val': v[i]}
+                                        for i in range(1, len(v)+1)]) AS u
+                             FROM seeds)) s0
+                 LEFT JOIN sums su USING (cell, pos)),
+        c1 AS (SELECT cell, list(cv ORDER BY pos) AS v
+               FROM cent GROUP BY cell),
+        d2t AS (SELECT q.vec_id, c.cell,
+                       list_sum([(q.v[i]-c.v[i])*(q.v[i]-c.v[i])
+                                 for i in range(1, len(q.v)+1)]) AS d2
+                FROM q CROSS JOIN c1 c),
+        a2 AS (SELECT vec_id, cell, d2 FROM
+                 (SELECT vec_id, cell, d2,
+                         row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d2 ASC, cell ASC) AS rn
+                  FROM d2t) WHERE rn = 1)
+        SELECT vec_id, cell, CAST(d2 AS BIGINT) AS d2_q
+        FROM a2
+    """
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -2156,6 +2285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "curriculum_order": q_curriculum_order,
         "interleave_sources": q_interleave_sources,
+        "bm25_topk": q_bm25_topk,
+        "kmeans_lloyd": q_kmeans_lloyd,
         # rows/fingerprint-grade (FFD bin assignment is sequential per
         # bucket — not SQL-expressible; ledger invariants are pytest-gated
         # in tests/test_mixing_packing.py)
@@ -3258,6 +3389,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_bloom": _decontaminate_oracle(),
         "ivf_topk_join": _ivf_topk_oracle(),
         "substring_dedup": _substring_dedup_oracle(),
+        "bm25_topk": _bm25_oracle(),
+        "kmeans_lloyd": _kmeans_oracle(),
         "holdout_split": _holdout_split_oracle(),
         "split_scrub": _split_scrub_oracle(),
         "warc_roundtrip": """

@@ -91,6 +91,8 @@ HEADLINE = [
     "corpus_shuffle",
     "curriculum_order",
     "interleave_sources",
+    "bm25_topk",
+    "kmeans_lloyd",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-
