@@ -73,6 +73,7 @@ def fit_centroids(
     iters: int = 10,
     seed: int = 42,
     est_total: int | None = None,
+    refine_iters: int = 0,
 ) -> np.ndarray:
     """Train the coarse quantizer: spherical k-means (cosine geometry —
     vectors and centroids unit-normalized, assignment by max dot product)
@@ -192,6 +193,79 @@ def fit_centroids(
             C = newC
             break
         C = newC
+    if refine_iters:
+        # optional full-corpus polish: every row votes, not just the
+        # sample (see refine_centroids)
+        C = refine_centroids(df, C, refine_iters, vec_col)
+    return C
+
+
+def refine_centroids(
+    df: DataFrame,
+    centroids: np.ndarray,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Full-corpus spherical Lloyd refinement of a sample-trained coarse
+    quantizer — the scale complement to :func:`fit_centroids`: the
+    bounded driver sample picks WHERE the cells are, the refinement lets
+    the WHOLE corpus vote on exactly where their centers sit.  faiss
+    exposes the same split as train-on-sample + optional full re-train.
+
+    Per iteration: one projected scan of the vector column → map-side
+    assignment (BLAS argmax on unit vectors, centroids ride the task
+    closure) → per-Arrow-batch partial sums (≤ K rows of K·D doubles)
+    → one (cell, pos) aggregation → driver renormalize.  Shuffle state
+    per iteration is K·D doubles — independent of corpus size.  Dead
+    cells keep their previous centroid.
+
+    Float partial sums are reduction-order sensitive in the last ulp, so
+    this carries the same determinism contract as ``fit_centroids``
+    (stable for fixed data + partitioning); the bit-deterministic
+    exact-integer Euclidean variant is ``kmeans.kmeans_refine``
+    (operators/kmeans.py), whose oracle gate covers the shared
+    scan→partial-sum→aggregate iteration shape."""
+    import pandas as pd
+
+    C = _normalize_rows(np.asarray(centroids, dtype=np.float64))
+    k, d = C.shape
+    for _ in range(n_iter):
+        Ct = C.T
+
+        def run(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = _normalize_rows(
+                    np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                )
+                cell = np.argmax(X @ Ct, axis=1)
+                cells, inv = np.unique(cell, return_inverse=True)
+                sums = np.zeros((len(cells), d), dtype=np.float64)
+                np.add.at(sums, inv, X)
+                cnt = np.bincount(inv, minlength=len(cells)).astype("int64")
+                yield pd.DataFrame(
+                    {"cell": cells.astype("int32"), "cnt": cnt,
+                     "sums": list(sums)}
+                )
+
+        rows = (
+            df.select(vec_col)
+            .mapInPandas(run, schema="cell int, cnt long, sums array<double>")
+            .select("cell", "cnt", F.posexplode("sums").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("cnt").alias("c"), F.sum("val").alias("s"))
+            .collect()
+        )
+        sums = np.zeros((k, d), dtype=np.float64)
+        cnt = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            sums[r["cell"], r["pos"]] = r["s"]
+            cnt[r["cell"]] = r["c"]
+        nz = cnt > 0
+        newC = C.copy()
+        newC[nz] = sums[nz] / cnt[nz, None]
+        C = _normalize_rows(newC)
     return C
 
 

@@ -185,3 +185,70 @@ def test_semantic_dedup_max_cell_guard(spark):
     with pytest.raises(Exception, match="max_cell"):
         ivf.semantic_dedup_pairs(df, threshold=0.9, n_cells=1, max_cell=50,
                                  seed=9).collect()
+
+
+def test_refine_centroids_full_corpus_vote(spark, blobs_df):
+    """Full-corpus spherical refinement: refined centroids must match a
+    driver-side numpy replay of the same iterations exactly-ish (same
+    math, different reduction order → allclose), stay unit-norm, and
+    land closer to the true cluster means than a deliberately-degraded
+    init."""
+    rows = _blobs()
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    true_means = np.stack(
+        [X[i * 60:(i + 1) * 60].mean(axis=0) for i in range(12)]
+    )
+    true_means /= np.linalg.norm(true_means, axis=1, keepdims=True)
+
+    # degraded init: true means pushed off-center
+    rng = np.random.default_rng(3)
+    init = true_means + 0.25 * rng.normal(size=true_means.shape)
+
+    got = ivf.refine_centroids(blobs_df, init, n_iter=3)
+    assert np.allclose(np.linalg.norm(got, axis=1), 1.0)
+
+    # numpy replay of the same spherical Lloyd iterations
+    C = init / np.linalg.norm(init, axis=1, keepdims=True)
+    for _ in range(3):
+        a = np.argmax(X @ C.T, axis=1)
+        newC = C.copy()
+        for j in range(len(C)):
+            m = X[a == j]
+            if len(m):
+                newC[j] = m.mean(axis=0)
+        C = newC / np.linalg.norm(newC, axis=1, keepdims=True)
+    assert np.allclose(got, C, atol=1e-9)
+
+    # refinement reduced distance to the truth vs the degraded init
+    def dist(A):
+        return sum(np.min(np.linalg.norm(A - t, axis=1)) for t in true_means)
+
+    assert dist(got) < dist(init / np.linalg.norm(init, axis=1,
+                                                  keepdims=True))
+
+
+def test_refine_centroids_dead_cell_kept(spark):
+    # every vector sits in the +e0 hemisphere; the -e0 centroid captures
+    # nothing and must survive the update untouched
+    rng = np.random.default_rng(5)
+    pts = np.abs(rng.normal(size=(50, 4))) + np.array([2.0, 0, 0, 0])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in p]) for i, p in enumerate(pts)],
+        "vec_id bigint, embedding array<float>",
+    )
+    init = np.array([[1.0, 0, 0, 0], [-1.0, 0, 0, 0]])
+    out = ivf.refine_centroids(df, init, n_iter=2)
+    assert np.allclose(out[1], init[1])
+    assert not np.allclose(out[0], init[0])  # live cell did move
+
+
+def test_fit_centroids_refine_iters_wiring(spark, blobs_df):
+    base = ivf.fit_centroids(blobs_df, n_cells=8, seed=13)
+    refined = ivf.fit_centroids(blobs_df, n_cells=8, seed=13,
+                                refine_iters=2)
+    assert refined.shape == base.shape
+    assert not np.array_equal(base, refined)
+    assert np.allclose(np.linalg.norm(refined, axis=1), 1.0)
+    # wiring equivalence: fit(refine_iters=2) == refine(fit(), 2)
+    assert np.allclose(refined, ivf.refine_centroids(blobs_df, base, 2))
