@@ -2204,6 +2204,77 @@ def _kmeans_oracle() -> str:
     """
 
 
+def q_pagerank_bipartite(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-integer PageRank (operators/pagerank.py) over the
+    order↔part bipartite graph from `lineitem` (part nodes offset by
+    1e12 into a disjoint id space; symmetric edges so the walk
+    alternates sides; multi-edges weight by line count).  3 fixed-point
+    iterations — every step is int64 arithmetic (rational damping
+    17/20), so the ITERATIVE graph computation is values-grade vs the
+    unrolled DuckDB replay.  Gated by tests/test_pagerank.py
+    (pure-python reference equivalence, dangling redistribution,
+    determinism under repartition)."""
+    from llmxmapreduce_spark.operators import pagerank as pr
+
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    part = (F.col("l_partkey") + F.lit(10**12)).cast("long")
+    fwd = li.select(F.col("l_orderkey").alias("src"), part.alias("dst"))
+    rev = li.select(part.alias("src"), F.col("l_orderkey").alias("dst"))
+    return pr.pagerank(fwd.union(rev), n_iter=3)
+
+
+def _pagerank_oracle_sql(
+    edges_sql: str,
+    n_iter: int = 3,
+    num: int = 17,
+    den: int = 20,
+    scale: int = 10**9,
+) -> str:
+    """Unrolled n-iteration fixed-point PageRank in DuckDB — the same
+    integer recurrence as pagerank.pagerank (module contract), one CTE
+    trio per iteration."""
+    base = (scale * (den - num)) // den
+    parts = [f"""
+        WITH e AS ({edges_sql}),
+        nodes AS (SELECT DISTINCT node FROM
+                    (SELECT src AS node FROM e
+                     UNION ALL SELECT dst FROM e)),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank_q
+               FROM nodes)"""]
+    for i in range(n_iter):
+        p = f"r{i}"
+        parts.append(f""",
+        dang{i} AS (SELECT coalesce(sum(rank_q), 0) AS m FROM {p}
+                    WHERE node NOT IN (SELECT src FROM deg)),
+        sin{i} AS (SELECT e.dst AS node,
+                          sum(r.rank_q // d.outdeg) AS s
+                   FROM e JOIN {p} r ON e.src = r.node
+                        JOIN deg d ON e.src = d.src
+                   GROUP BY e.dst),
+        r{i + 1} AS (SELECT n.node,
+                       CAST({base} + ({num} * (coalesce(s.s, 0)
+                             + (dang{i}.m // nn.n))) // {den} AS BIGINT)
+                       AS rank_q
+                FROM nodes n
+                LEFT JOIN sin{i} s ON n.node = s.node
+                CROSS JOIN dang{i} CROSS JOIN nn)""")
+    parts.append(f"\n        SELECT node, rank_q FROM r{n_iter}")
+    return "".join(parts)
+
+
+def _pagerank_oracle() -> str:
+    edges = (
+        "SELECT l_orderkey AS src, l_partkey + 1000000000000 AS dst "
+        "FROM lineitem "
+        "UNION ALL "
+        "SELECT l_partkey + 1000000000000 AS src, l_orderkey AS dst "
+        "FROM lineitem"
+    )
+    return _pagerank_oracle_sql(edges, n_iter=3)
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -2287,6 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_sources": q_interleave_sources,
         "bm25_topk": q_bm25_topk,
         "kmeans_lloyd": q_kmeans_lloyd,
+        "pagerank_bipartite": q_pagerank_bipartite,
         # rows/fingerprint-grade (FFD bin assignment is sequential per
         # bucket — not SQL-expressible; ledger invariants are pytest-gated
         # in tests/test_mixing_packing.py)
@@ -3391,6 +3463,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": _substring_dedup_oracle(),
         "bm25_topk": _bm25_oracle(),
         "kmeans_lloyd": _kmeans_oracle(),
+        "pagerank_bipartite": _pagerank_oracle(),
         "holdout_split": _holdout_split_oracle(),
         "split_scrub": _split_scrub_oracle(),
         "warc_roundtrip": """

@@ -93,6 +93,7 @@ HEADLINE = [
     "interleave_sources",
     "bm25_topk",
     "kmeans_lloyd",
+    "pagerank_bipartite",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-

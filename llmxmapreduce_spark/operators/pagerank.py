@@ -1,0 +1,128 @@
+"""PageRank over an edge DataFrame — the link-graph centrality signal a
+crawl-curation pipeline ranks domains and pages with (Common Crawl
+publishes exactly this kind of ranking for its host/domain graph; a
+curation stack joins it as a keep/weight signal next to the URL filters
+in operators/url_filter.py).
+
+The reference engine has no graph operator; this extends the engine the
+same way components.py (connected components) does, and shares its
+iteration discipline: each round is plain joins/aggregations keyed by
+node id, no driver-side graph state, lineage cut per round with an eager
+``localCheckpoint``.
+
+**Exact-integer determinism contract.**  Ranks live on a fixed-point
+grid (``scale`` units per node, default 1e9 — the "ranks sum to N"
+convention).  One iteration is::
+
+    outdeg(v)   = number of edge rows leaving v        (multi-edges act
+                                                        as weights)
+    contrib(e)  = rank(src) DIV outdeg(src)            (integer floor)
+    S_in(v)     = Σ contrib over in-edges              (exact int sum)
+    share       = (Σ rank over dangling nodes) DIV N   (uniform
+                                                        redistribution)
+    rank'(v)    = (scale·(den−num)) DIV den
+                  + (num·(S_in(v) + share)) DIV den
+
+with damping num/den (default 17/20 = 0.85) kept rational so every step
+is int64 arithmetic: reduction-order independent, bit-identical under
+any partitioning, and replayable in DuckDB (the `pagerank_bipartite`
+oracle unrolls the iterations in SQL).  Floor losses bias each rank down
+by < 1 unit per term per iteration — at scale=1e9 that is 1e-9 of a
+node's mass, far below anything a ranking consumer can see.
+
+Overflow bound: num·N·scale must stay < 2^63, so the defaults support
+~5·10⁸ nodes; drop ``scale`` to 1e6 for graphs up to ~5·10¹¹ nodes.
+Checked at runtime from the node count.
+
+Scale design (100 TB graph):
+- Shuffles carry (node_id, int64) pairs only.  The edge table is joined
+  once per iteration against the rank table on ``src`` and aggregated on
+  ``dst`` — the same two-shuffle round as every vertex-centric BSP step
+  (Pregel/GraphX do this with RDD machinery; this is the DataFrame
+  formulation, so AQE handles skewed hubs).
+- The degree table is computed ONCE and reused across iterations.
+- Dangling mass is one scalar aggregate per iteration (bounded collect).
+- Hot-key caveat: a node with huge in-degree concentrates its S_in
+  aggregation; AQE skew-join splitting covers the join side, and the
+  aggregation is a partial-agg (map-side combine) shape by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    scale: int = 1_000_000_000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """→ ``(node, rank_q)`` — fixed-point PageRank after ``n_iter``
+    exact-integer iterations (see module contract).  ``rank_q`` is in
+    ``scale`` units; ranks sum to ≈ N·scale.  Multi-edges weight the
+    walk by multiplicity; self-loops are legal; dangling-node mass is
+    redistributed uniformly each round."""
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_q", F.lit(0).cast("long"))
+    if damping_num * n * scale >= 2**63:
+        raise ValueError(
+            "pagerank: num*N*scale overflows int64 — lower `scale` "
+            f"(N={n}, scale={scale})"
+        )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    deg = deg.localCheckpoint(eager=True)
+    # pre-join outdeg onto the edge table once — reused every iteration
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+
+    base = (scale * (damping_den - damping_num)) // damping_den
+    ranks = nodes.withColumn("rank_q", F.lit(int(scale)).cast("long"))
+
+    for _ in range(n_iter):
+        dang = (
+            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+            .agg(F.sum("rank_q"))
+            .collect()[0][0]
+        )
+        share = int(dang or 0) // n
+        s_in = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_q DIV outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s_in"))
+        )
+        ranks = (
+            nodes.join(s_in, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(int(base))
+                    + F.expr(
+                        f"({damping_num} * (coalesce(s_in, 0) + {share}))"
+                        f" DIV {damping_den}"
+                    )
+                ).cast("long").alias("rank_q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
