@@ -2234,26 +2234,31 @@ def _pagerank_oracle_sql(
     integer recurrence as pagerank.pagerank (module contract), one CTE
     trio per iteration."""
     base = (scale * (den - num)) // den
+    # AS MATERIALIZED: without it DuckDB inlines every CTE reference, and
+    # the unrolled recurrence (r_i referenced by both dang_i and sin_i)
+    # re-evaluates r_{i-1} twice per level — exponential in n_iter (the
+    # sf1 fingerprint run wedged for 10+ minutes before this hint).
     parts = [f"""
-        WITH e AS ({edges_sql}),
-        nodes AS (SELECT DISTINCT node FROM
+        WITH e AS MATERIALIZED ({edges_sql}),
+        nodes AS MATERIALIZED (SELECT DISTINCT node FROM
                     (SELECT src AS node FROM e
                      UNION ALL SELECT dst FROM e)),
         nn AS (SELECT count(*) AS n FROM nodes),
-        deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
-        r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank_q
+        deg AS MATERIALIZED (SELECT src, count(*) AS outdeg
+                             FROM e GROUP BY src),
+        r0 AS MATERIALIZED (SELECT node, CAST({scale} AS BIGINT) AS rank_q
                FROM nodes)"""]
     for i in range(n_iter):
         p = f"r{i}"
         parts.append(f""",
         dang{i} AS (SELECT coalesce(sum(rank_q), 0) AS m FROM {p}
                     WHERE node NOT IN (SELECT src FROM deg)),
-        sin{i} AS (SELECT e.dst AS node,
+        sin{i} AS MATERIALIZED (SELECT e.dst AS node,
                           sum(r.rank_q // d.outdeg) AS s
                    FROM e JOIN {p} r ON e.src = r.node
                         JOIN deg d ON e.src = d.src
                    GROUP BY e.dst),
-        r{i + 1} AS (SELECT n.node,
+        r{i + 1} AS MATERIALIZED (SELECT n.node,
                        CAST({base} + ({num} * (coalesce(s.s, 0)
                              + (dang{i}.m // nn.n))) // {den} AS BIGINT)
                        AS rank_q
@@ -2262,6 +2267,33 @@ def _pagerank_oracle_sql(
                 CROSS JOIN dang{i} CROSS JOIN nn)""")
     parts.append(f"\n        SELECT node, rank_q FROM r{n_iter}")
     return "".join(parts)
+
+
+def q_stratified_sample_n(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-N per-stratum deterministic sampling
+    (mixing.sample_n_per_stratum): portable md5 rank per (doc_id, seed),
+    top-10 per source via a rank-limited window (WindowGroupLimit pushes
+    the cut below the shuffle).  The draw is a pure function of
+    (id, seed) — partitioning/engine independent, unlike sampleBy.
+    Gated by tests/test_mixing_packing.py."""
+    from llmxmapreduce_spark.operators.mixing import sample_n_per_stratum
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    return sample_n_per_stratum(docs, "source", n=10, id_col="doc_id")
+
+
+def _stratified_sample_oracle() -> str:
+    return """
+        SELECT doc_id, source, lang FROM (
+          SELECT doc_id, source, lang,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY CAST(('0x' || substr(md5(
+                       concat_ws('#', CAST(doc_id AS VARCHAR), '42')
+                     ), 1, 15)) AS UBIGINT) ASC, doc_id ASC) AS rn
+          FROM documents) WHERE rn <= 10
+    """
 
 
 def _pagerank_oracle() -> str:
@@ -2359,6 +2391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "kmeans_lloyd": q_kmeans_lloyd,
         "pagerank_bipartite": q_pagerank_bipartite,
+        "stratified_sample_n": q_stratified_sample_n,
         # rows/fingerprint-grade (FFD bin assignment is sequential per
         # bucket — not SQL-expressible; ledger invariants are pytest-gated
         # in tests/test_mixing_packing.py)
@@ -3464,6 +3497,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_oracle(),
         "kmeans_lloyd": _kmeans_oracle(),
         "pagerank_bipartite": _pagerank_oracle(),
+        "stratified_sample_n": _stratified_sample_oracle(),
         "holdout_split": _holdout_split_oracle(),
         "split_scrub": _split_scrub_oracle(),
         "warc_roundtrip": """

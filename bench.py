@@ -94,6 +94,7 @@ HEADLINE = [
     "bm25_topk",
     "kmeans_lloyd",
     "pagerank_bipartite",
+    "stratified_sample_n",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-

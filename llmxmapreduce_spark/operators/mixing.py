@@ -52,6 +52,47 @@ def stratified_sample(
     return df.sampleBy(strata_col, fractions, seed=seed)
 
 
+def sample_n_per_stratum(
+    df: DataFrame,
+    strata_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """EXACTLY min(n, |stratum|) rows per stratum, chosen by a portable
+    seeded hash rank — the fixed-size companion to
+    :func:`stratified_sample`: fractional Bernoulli gives binomial-noise
+    counts and a partitioning-dependent draw, while eval slices /
+    per-source audit samples need exact sizes and a draw that is a pure
+    function of (row id, seed) — stable across partitioning, engines,
+    and reruns (values-grade oracle `stratified_sample_n`).
+
+    Rank = md5(id # seed) prefix as a 60-bit int (the repo's portable
+    cross-engine hash, cf. c6_hash_batches), ties broken by id; top-n
+    per stratum via a rank-limited window.  Spark's WindowGroupLimit
+    pushes the limit below the shuffle (partial top-n map-side), so a
+    hot stratum ships at most n·partitions rows, not its whole
+    membership."""
+    if n <= 0:
+        raise ValueError("sample_n_per_stratum: n must be positive")
+    from pyspark.sql import Window
+
+    rank = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.col(id_col).cast("string"),
+                              F.lit(str(seed)))), 1, 15),
+        16, 10,
+    ).cast("decimal(38,0)")
+    w = Window.partitionBy(strata_col).orderBy(
+        rank.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
 def mixture_plan(
     counts: dict,
     weights: dict,

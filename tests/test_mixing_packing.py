@@ -305,3 +305,42 @@ def test_mix_by_budget_default_target_and_upsample(spark):
            out.groupBy("source").agg(F.sum("n_tok")).collect()}
     assert got["b"] == pytest.approx(1375, rel=0.25)
     assert out.filter("source = 'b' and epoch >= 1").count() >= 50
+
+
+class TestSampleNPerStratum:
+    def _df(self, spark):
+        rows = [(i, f"s{i % 4}") for i in range(200)]
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    def test_exact_counts_and_subset(self, spark):
+        from llmxmapreduce_spark.operators.mixing import sample_n_per_stratum
+
+        df = self._df(spark)
+        out = sample_n_per_stratum(df, "source", n=7)
+        by = {r["source"]: 0 for r in out.collect()}
+        for r in out.collect():
+            by[r["source"]] += 1
+        assert by == {f"s{i}": 7 for i in range(4)}
+        # small stratum: capped at its size
+        small = sample_n_per_stratum(df.filter("doc_id < 6"), "source", n=7)
+        assert small.count() == 6
+
+    def test_pure_function_of_id_and_seed(self, spark):
+        from llmxmapreduce_spark.operators.mixing import sample_n_per_stratum
+
+        df = self._df(spark)
+        a = sorted(map(tuple, sample_n_per_stratum(df, "source", 5).collect()))
+        b = sorted(map(tuple, sample_n_per_stratum(
+            df.repartition(11), "source", 5).collect()))
+        assert a == b  # partitioning-independent, unlike sampleBy
+        c = sorted(map(tuple, sample_n_per_stratum(
+            df, "source", 5, seed=7).collect()))
+        assert a != c  # seed actually steers the draw
+
+    def test_n_validation(self, spark):
+        import pytest as _pytest
+
+        from llmxmapreduce_spark.operators.mixing import sample_n_per_stratum
+
+        with _pytest.raises(ValueError, match="positive"):
+            sample_n_per_stratum(self._df(spark), "source", 0)
