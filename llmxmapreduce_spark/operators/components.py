@@ -130,12 +130,41 @@ def dedup_by_components(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    keep_by: str | None = None,
 ) -> DataFrame:
-    """Keep the canonical (min-id) member of every near-dup cluster; rows
-    never named in ``pairs`` survive untouched.  The anti-join key is the
-    id column only — corpus text never enters the shuffle."""
+    """Keep ONE member of every near-dup cluster; rows never named in
+    ``pairs`` survive untouched.
+
+    Representative policy: with ``keep_by=None`` the min-id member wins
+    (cheapest — the component root IS the representative, no second
+    pass).  With ``keep_by=<column>`` the cluster member with the
+    HIGHEST value of that column wins (ties → lowest id) — the policy a
+    production dedup actually wants: near-dup clusters usually contain
+    one clean page and N boilerplate-damaged copies, and min-id keeps
+    whichever crawled first.  Pass a quality score
+    (quality_classifier.classifier_scores, gopher_signals-derived, or
+    ccnet log-prob) to keep the best copy instead.
+
+    Scale shape with ``keep_by``: components (id → component) joins the
+    (id, keep_by) projection — never text — and one max_by aggregation
+    per component elects the winner; the final anti-join key is ids
+    only."""
     comp = connected_components(pairs, src, dst)
-    losers = comp.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias(id_col)
+    if keep_by is None:
+        losers = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+        return df.join(losers, id_col, "left_anti")
+    scored = comp.join(
+        df.select(F.col(id_col).alias("id"), F.col(keep_by).alias("__q")),
+        "id",
+    )
+    winners = scored.groupBy("component").agg(
+        F.expr("max_by(id, struct(__q, -id))").alias("__keep")
+    )
+    losers = (
+        scored.join(winners, "component")
+        .filter(F.col("id") != F.col("__keep"))
+        .select(F.col("id").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")

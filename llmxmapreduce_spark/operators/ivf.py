@@ -609,10 +609,13 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    keep_by: str | None = None,
 ) -> DataFrame:
-    """Full SemDeDup: within-cell pairs → connected components → keep the
-    min-id representative per semantic-duplicate group.  Returns the
-    SURVIVING rows of ``df`` (original schema).
+    """Full SemDeDup: within-cell pairs → connected components → keep
+    one representative per semantic-duplicate group (min-id by default;
+    ``keep_by=<score column>`` keeps the highest-scoring member — see
+    dedup_by_components).  Returns the SURVIVING rows of ``df``
+    (original schema).
 
     The transitive closure matters for the same reason as in the text
     near-dup path: per-pair dropping over- or under-deletes on chains
@@ -622,4 +625,4 @@ def semantic_dedup(
 
     pairs = semantic_dedup_pairs(df, threshold, centroids, n_cells,
                                  id_col, vec_col, seed=seed)
-    return dedup_by_components(df, pairs, id_col=id_col)
+    return dedup_by_components(df, pairs, id_col=id_col, keep_by=keep_by)

@@ -133,3 +133,41 @@ def test_minhash_to_clusters_e2e(spark):
     kept = sorted(r["doc_id"] for r in out.collect())
     assert kept[0] == 0 and 10 in kept
     assert 1 not in kept and 2 not in kept and 11 not in kept
+
+
+def test_dedup_by_components_keep_by_quality(spark):
+    from llmxmapreduce_spark.operators.components import dedup_by_components
+
+    # two clusters {1,2,3} and {10,11}; 7 untouched
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    df = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.1), (11, 0.5), (7, 0.0)],
+        "doc_id long, score double",
+    )
+    # min-id policy: keeps 1, 10, 7
+    a = {r["doc_id"] for r in dedup_by_components(df, pairs).collect()}
+    assert a == {1, 10, 7}
+    # quality policy: cluster 1 has a 0.9 tie (2 vs 3) → lowest id 2 wins;
+    # cluster 2 keeps 11 (0.5 > 0.1); untouched 7 survives
+    b = {r["doc_id"]
+         for r in dedup_by_components(df, pairs, keep_by="score").collect()}
+    assert b == {2, 11, 7}
+
+
+def test_dedup_by_components_keep_by_deterministic(spark):
+    from llmxmapreduce_spark.operators.components import dedup_by_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)], "id_a long, id_b long"
+    )
+    df = spark.createDataFrame(
+        [(i, float(i % 3)) for i in range(50)], "doc_id long, score double"
+    )
+    a = sorted(r["doc_id"] for r in
+               dedup_by_components(df, pairs, keep_by="score").collect())
+    b = sorted(r["doc_id"] for r in
+               dedup_by_components(df.repartition(7), pairs,
+                                   keep_by="score").collect())
+    assert a == b
