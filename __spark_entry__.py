@@ -2269,6 +2269,85 @@ def _pagerank_oracle_sql(
     return "".join(parts)
 
 
+def q_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization encoding (operators/pq.py): 4 subspaces of
+    the 64-d embeddings, codebooks = subvectors of the 8 lowest-vec_id
+    rows (SQL-derivable, like `kmeans_lloyd`'s seeds), per-subspace
+    argmin under EXACT quantized-int64 distance — the 32× compressed
+    ANN storage path (faiss IndexPQ shape), values-grade because the
+    assignment arithmetic is engine-exact.  Output one row per
+    (vector, subspace).  Gated by tests/test_pq.py (reconstruction,
+    ADC ≡ decode-and-score, recall vs exact, DuckDB twin)."""
+    import numpy as np
+
+    from llmxmapreduce_spark.operators import pq
+
+    emb = load_table(spark, sf, "embeddings")
+    seeds = np.stack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.orderBy("vec_id").limit(8).collect()
+        ]
+    )
+    m = 4
+    ds = seeds.shape[1] // m
+    books = np.stack([seeds[:, j * ds:(j + 1) * ds] for j in range(m)])
+    return (
+        pq.pq_encode(emb, books)
+        .select(
+            "vec_id",
+            F.posexplode("pq_code").alias("subspace", "code"),
+        )
+        .select(
+            "vec_id",
+            F.col("subspace").cast("int").alias("subspace"),
+            F.col("code").cast("int").alias("code"),
+        )
+    )
+
+
+def _pq_encode_oracle(m: int = 4, ds: int = 16, n_books: int = 8) -> str:
+    return f"""
+        WITH q AS (SELECT vec_id,
+                [CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+                 for x in embedding] AS v
+            FROM embeddings),
+        seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                         AS INT) AS code, v
+                  FROM (SELECT vec_id, v FROM q
+                        ORDER BY vec_id LIMIT {n_books})),
+        books AS (SELECT s.j, b.code,
+                         b.v[s.j*{ds} + 1 : s.j*{ds} + {ds}] AS bv
+                  FROM (SELECT unnest(range({m})) AS j) s
+                  CROSS JOIN seeds b),
+        d AS (SELECT x.vec_id, bk.j, bk.code,
+                     list_sum([(x.v[bk.j*{ds} + i] - bk.bv[i])
+                               * (x.v[bk.j*{ds} + i] - bk.bv[i])
+                               for i in range(1, {ds} + 1)]) AS d2
+              FROM q x CROSS JOIN books bk)
+        SELECT vec_id, CAST(j AS INT) AS subspace, code FROM
+          (SELECT vec_id, j, code,
+                  row_number() OVER (PARTITION BY vec_id, j
+                      ORDER BY d2 ASC, code ASC) AS rn
+           FROM d) WHERE rn = 1
+    """
+
+
+def q_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Bench-only PQ end-to-end ANN: train codebooks on a bounded sample
+    (m=8, k=64), encode the corpus to 8-byte codes, ADC top-10 for 20
+    queries via per-query lookup tables — the compressed-memory search
+    path (32x smaller candidate lists than float32).  Equivalence and
+    recall gates live in tests/test_pq.py (ADC == decode-and-score
+    exactly; recall vs exact search on clustered data)."""
+    from llmxmapreduce_spark.operators import pq
+
+    emb = load_table(spark, sf, "embeddings")
+    books = pq.pq_train(emb, m=8, k=64, iters=5)
+    codes = pq.pq_encode(emb, books)
+    return pq.pq_adc_topk(codes, emb.filter("vec_id < 20"), books, k=10)
+
+
 def q_stratified_sample_n(spark: SparkSession, sf: str) -> DataFrame:
     """Exact-N per-stratum deterministic sampling
     (mixing.sample_n_per_stratum): portable md5 rank per (doc_id, seed),
@@ -2392,6 +2471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_lloyd": q_kmeans_lloyd,
         "pagerank_bipartite": q_pagerank_bipartite,
         "stratified_sample_n": q_stratified_sample_n,
+        "pq_encode": q_pq_encode,
         # rows/fingerprint-grade (FFD bin assignment is sequential per
         # bucket — not SQL-expressible; ledger invariants are pytest-gated
         # in tests/test_mixing_packing.py)
@@ -3498,6 +3578,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_lloyd": _kmeans_oracle(),
         "pagerank_bipartite": _pagerank_oracle(),
         "stratified_sample_n": _stratified_sample_oracle(),
+        "pq_encode": _pq_encode_oracle(),
         "holdout_split": _holdout_split_oracle(),
         "split_scrub": _split_scrub_oracle(),
         "warc_roundtrip": """

@@ -95,6 +95,8 @@ HEADLINE = [
     "kmeans_lloyd",
     "pagerank_bipartite",
     "stratified_sample_n",
+    "pq_encode",
+    "pq_adc_topk",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-
@@ -164,6 +166,7 @@ BENCH_ONLY = {
     "quality_classifier_score": entrymod.q_quality_classifier_score,
     "token_encode": entrymod.q_token_encode,
     "url_filters": entrymod.q_url_filters,
+    "pq_adc_topk": entrymod.q_pq_adc_topk,
 }
 
 
