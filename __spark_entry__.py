@@ -444,6 +444,57 @@ def q_events_sessions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal as-of join (operators/temporal.py:asof_join): every click
+    gets the latest purchase at-or-before it per user (union-sort window,
+    one key shuffle).  Oracle: DuckDB's native ASOF LEFT JOIN — identical
+    backward-inclusive semantics.  Right side pre-deduped per (user, ts)
+    so tie resolution can't differ between engines; timestamps emitted as
+    epoch micros, the double as the floor-u6 convention."""
+    from llmxmapreduce_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf, "events")
+    left = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts").agg(F.max("value").alias("value"))
+    )
+    j = asof_join(left, right, on="user_id", value_cols=["value"])
+    return j.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.unix_micros("ts_r").alias("ts_r_us"),
+        F.floor(F.col("value_r") * F.lit(1_000_000.0)).cast("bigint")
+        .alias("value_u6"),
+    )
+
+
+def q_range_join_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval (range) join (operators/temporal.py:range_join): clicks
+    inside each user's 12-hour post-signup window, rolled up per window.
+    Spark side is the bucketed equi-join (no BroadcastNestedLoop — each
+    point lands in one bucket, intervals explode to overlapped buckets);
+    oracle is the plain BETWEEN join DuckDB can run directly.  Exact
+    double sum via the decimal convention."""
+    from llmxmapreduce_spark.operators.temporal import range_join
+
+    ev = load_table(spark, sf, "events")
+    points = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts", "value")
+    ivals = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("ival_id"), "user_id",
+        F.col("ts").alias("t_start"),
+        (F.col("ts") + F.expr("INTERVAL 12 HOURS")).alias("t_end"))
+    pairs = range_join(points, ivals, "ts", "t_start", "t_end",
+                       on="user_id", bucket=3600.0)
+    return pairs.groupBy("ival_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.min(F.unix_micros("ts")).alias("first_click_us"),
+        F.sum(_dec("value", 6)).cast("double").alias("sum_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # V2 survey-engine deterministic operators: skeleton tree (parse⇄serialize,
 # J1 alignment), A3 digest merge, P12 citation renumbering, A9 claim
@@ -2458,6 +2509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": q_decontaminate_bloom_board,
         "ivf_topk_join": q_ivf_topk_join_board,
         # round-8 NEW operators (values-grade)
+        "asof_join": q_asof_join,
+        "range_join_agg": q_range_join_agg,
         "substring_dedup": q_substring_dedup,
         "holdout_split": q_holdout_split,
         "split_scrub": q_split_scrub,
@@ -3239,6 +3292,31 @@ def oracle_sql() -> dict[str, str]:
                   SELECT b - 300 AS window_start, event_type FROM x)
             SELECT window_start, event_type, COUNT(*) AS n_events
             FROM w GROUP BY 1, 2
+        """,
+        "asof_join": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+            r AS (SELECT user_id, ts, MAX(value) AS value FROM events
+                  WHERE event_type = 'purchase' GROUP BY user_id, ts)
+            SELECT l.event_id, l.user_id, epoch_us(l.ts) AS t_us,
+                   epoch_us(r.ts) AS ts_r_us,
+                   CAST(FLOOR(r.value * 1000000.0) AS BIGINT) AS value_u6
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join_agg": """
+            WITH p AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'click'),
+            i AS (SELECT event_id AS ival_id, user_id, ts AS t_start,
+                         ts + INTERVAL 12 HOUR AS t_end FROM events
+                  WHERE event_type = 'signup')
+            SELECT i.ival_id, COUNT(*) AS n_clicks,
+                   MIN(epoch_us(p.ts)) AS first_click_us,
+                   CAST(SUM(CAST(p.value AS DECIMAL(20,6))) AS DOUBLE)
+                     AS sum_value
+            FROM p JOIN i ON p.user_id = i.user_id
+             AND p.ts BETWEEN i.t_start AND i.t_end
+            GROUP BY i.ival_id
         """,
         "events_session_windows": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),

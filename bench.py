@@ -97,6 +97,8 @@ HEADLINE = [
     "stratified_sample_n",
     "pq_encode",
     "pq_adc_topk",
+    "asof_join",
+    "range_join_agg",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-
