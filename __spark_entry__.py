@@ -495,6 +495,38 @@ def q_range_join_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order layout key (operators/zorder.py): Morton-interleave of
+    min-max-normalized (user_id, value) — the multi-column clustering
+    key `zorder_sort` lays data out by so parquet row-group stats prune
+    on BOTH columns.  Pure Catalyst shift/AND arithmetic after one
+    bounded min/max agg; the oracle replays the identical IEEE-double
+    normalization and bit-lane sum in DuckDB (zorder_key_sql)."""
+    from llmxmapreduce_spark.operators.zorder import zorder_key
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id", "value")
+    return zorder_key(ev, ["user_id", "value"], bits=16) \
+        .select("event_id", "zkey")
+
+
+def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy hitters (operators/sketches.py): tokens with frequency >
+    N/(capacity+1) via per-partition Misra-Gries summaries + merged
+    compress + exact recount of the ≤capacity candidates.  The sketch
+    bounds shuffle state at capacity×partitions rows where the naive
+    count table is one row per DISTINCT token; the exact recount makes
+    the thresholded output partition-independent and equal to the plain
+    HAVING query the oracle runs."""
+    from llmxmapreduce_spark.operators.sketches import heavy_hitters
+    from llmxmapreduce_spark.operators.text_stats import lower_ws_tokens
+
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(F.explode(lower_ws_tokens(F.col("text")))
+                       .alias("tok")).filter(F.col("tok") != "")
+    return heavy_hitters(toks, "tok", capacity=256, key_name="token")
+
+
 # ---------------------------------------------------------------------------
 # V2 survey-engine deterministic operators: skeleton tree (parse⇄serialize,
 # J1 alignment), A3 digest merge, P12 citation renumbering, A9 claim
@@ -2511,6 +2543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8 NEW operators (values-grade)
         "asof_join": q_asof_join,
         "range_join_agg": q_range_join_agg,
+        "zorder_key": q_zorder_key,
+        "heavy_hitters": q_heavy_hitters,
         "substring_dedup": q_substring_dedup,
         "holdout_split": q_holdout_split,
         "split_scrub": q_split_scrub,
@@ -2965,6 +2999,8 @@ def _ivf_topk_oracle(k: int = 5) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from llmxmapreduce_spark.operators.zorder import zorder_key_sql
+
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -3317,6 +3353,20 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN i ON p.user_id = i.user_id
              AND p.ts BETWEEN i.t_start AND i.t_end
             GROUP BY i.ival_id
+        """,
+        # generated mirror of the Spark-side normalization + bit-lane sum
+        # (operators/zorder.py:zorder_key_sql) — same IEEE-double op order
+        "zorder_key": zorder_key_sql("events", ["user_id", "value"],
+                                     bits=16, id_cols=["event_id"]),
+        "heavy_hitters": """
+            WITH t AS (
+              SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                     AS token
+              FROM documents WHERE text IS NOT NULL),
+            nn AS (SELECT token FROM t WHERE token <> '')
+            SELECT token, COUNT(*) AS freq FROM nn
+            GROUP BY token
+            HAVING COUNT(*) > (SELECT COUNT(*) FROM nn) / 257.0
         """,
         "events_session_windows": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),

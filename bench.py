@@ -99,6 +99,8 @@ HEADLINE = [
     "pq_adc_topk",
     "asof_join",
     "range_join_agg",
+    "zorder_key",
+    "heavy_hitters",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-
