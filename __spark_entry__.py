@@ -495,6 +495,25 @@ def q_range_join_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
+    """Funnel analytics (operators/funnel.py): greedy-earliest
+    signup→click→purchase chain per user in ONE shuffle — sorted
+    (ts, step) sequences folded with Catalyst's aggregate() HOF, no
+    per-step join.  Oracle is the chained-min CTE ladder (identical
+    semantics by the induction in the module docstring)."""
+    from llmxmapreduce_spark.operators.funnel import funnel
+
+    ev = load_table(spark, sf, "events")
+    f = funnel(ev, ["signup", "click", "purchase"])
+    return f.select(
+        "user_id",
+        F.col("steps_completed").cast("long").alias("steps_completed"),
+        F.unix_micros("t1").alias("t1_us"),
+        F.unix_micros("t2").alias("t2_us"),
+        F.unix_micros("t3").alias("t3_us"),
+    )
+
+
 def q_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
     """Z-order layout key (operators/zorder.py): Morton-interleave of
     min-max-normalized (user_id, value) — the multi-column clustering
@@ -2545,6 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_agg": q_range_join_agg,
         "zorder_key": q_zorder_key,
         "heavy_hitters": q_heavy_hitters,
+        "funnel_steps": q_funnel_steps,
         "substring_dedup": q_substring_dedup,
         "holdout_split": q_holdout_split,
         "split_scrub": q_split_scrub,
@@ -3358,6 +3378,26 @@ def oracle_sql() -> dict[str, str]:
         # (operators/zorder.py:zorder_key_sql) — same IEEE-double op order
         "zorder_key": zorder_key_sql("events", ["user_id", "value"],
                                      bits=16, id_cols=["event_id"]),
+        "funnel_steps": """
+            WITH e AS (SELECT user_id, ts, event_type FROM events),
+            s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e
+                   WHERE event_type = 'signup' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e
+                   JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts >= s1.t1
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e
+                   JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+                   GROUP BY e.user_id)
+            SELECT s1.user_id,
+                   1 + (t2 IS NOT NULL)::BIGINT + (t3 IS NOT NULL)::BIGINT
+                     AS steps_completed,
+                   epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us,
+                   epoch_us(t3) AS t3_us
+            FROM s1 LEFT JOIN s2 USING (user_id)
+                    LEFT JOIN s3 USING (user_id)
+        """,
         "heavy_hitters": """
             WITH t AS (
               SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))

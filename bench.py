@@ -101,6 +101,7 @@ HEADLINE = [
     "range_join_agg",
     "zorder_key",
     "heavy_hitters",
+    "funnel_steps",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-
