@@ -514,6 +514,18 @@ def q_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention (operators/retention.py): signup-week cohorts ×
+    week offset → distinct active users.  Engine-portable integer day
+    arithmetic (Monday-epoch week index) instead of date_trunc, whose
+    week conventions differ across engines; one anchor agg + one
+    user_id equi-join + one distinct-count rollup."""
+    from llmxmapreduce_spark.operators.retention import retention_cohorts
+
+    ev = load_table(spark, sf, "events")
+    return retention_cohorts(ev)
+
+
 def q_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
     """Z-order layout key (operators/zorder.py): Morton-interleave of
     min-max-normalized (user_id, value) — the multi-column clustering
@@ -2565,6 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "heavy_hitters": q_heavy_hitters,
         "funnel_steps": q_funnel_steps,
+        "retention_cohorts": q_retention_cohorts,
         "substring_dedup": q_substring_dedup,
         "holdout_split": q_holdout_split,
         "split_scrub": q_split_scrub,
@@ -3019,9 +3032,13 @@ def _ivf_topk_oracle(k: int = 5) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from llmxmapreduce_spark.operators.retention import retention_sql
     from llmxmapreduce_spark.operators.zorder import zorder_key_sql
 
     return {
+        # generated mirror (operators/retention.py:retention_sql) — the
+        # identical Monday-epoch integer week/offset arithmetic
+        "retention_cohorts": retention_sql("events"),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,

@@ -102,6 +102,7 @@ HEADLINE = [
     "zorder_key",
     "heavy_hitters",
     "funnel_steps",
+    "retention_cohorts",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-
