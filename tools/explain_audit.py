@@ -75,6 +75,29 @@ AUDITED = [
      "dst-keyed partial+final agg (the Pregel BSP round as DataFrame "
      "ops); degree table computed once; dangling mass is a scalar agg; "
      "localCheckpoint cuts the iterative lineage"),
+    ("asof_join", "union-sort as-of: both sides union on one schema, "
+     "ONE Exchange on user_id, a single running-last window per key — "
+     "no join node at all, no pair materialization; right payload "
+     "rides a struct column"),
+    ("range_join_agg", "interval containment WITHOUT "
+     "BroadcastNestedLoop: intervals explode to hour buckets, points "
+     "land in one bucket, the join is a plain equi-join on "
+     "(user, bucket) with the exact BETWEEN as a post-filter — plan "
+     "must show a hash/sort-merge join, never a nested-loop"),
+    ("zorder_key", "Morton layout key: one bounded min/max partial agg "
+     "(disappears when catalog stats are passed) + pure "
+     "whole-stage-codegen shift/AND projection — ZERO Exchange in the "
+     "keying itself"),
+    ("heavy_hitters", "MG sketch: mapInPandas summaries (≤cap rows per "
+     "partition) → one small groupBy-sum → broadcast semi-join recount "
+     "— shuffle rows bounded by cap×partitions, never one per distinct "
+     "token; the recount join side must show BroadcastExchange"),
+    ("funnel_steps", "ONE Exchange on user_id: sorted (ts,step) "
+     "sequences per user, then a Catalyst aggregate() HOF fold — no "
+     "per-step join, no Python nodes; k steps never add a shuffle"),
+    ("retention_cohorts", "anchor partial agg + user_id equi-join + "
+     "(cohort,offset) distinct-count agg; day arithmetic is codegen "
+     "projection, no date_trunc"),
 ]
 
 
