@@ -514,6 +514,48 @@ def q_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_resample_locf(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series regularization (operators/temporal.py:resample_locf):
+    per-user purchase series resampled to epoch-aligned 6-hour ticks
+    with last-observation-carried-forward — grid from one span agg +
+    sequence explode, fill via ONE asof_join (union-sort, single
+    shuffle).  Oracle: generate_series grid + native ASOF LEFT JOIN."""
+    from llmxmapreduce_spark.operators.temporal import resample_locf
+
+    ev = load_table(spark, sf, "events")
+    obs = (ev.filter(F.col("event_type") == "purchase")
+           .groupBy("user_id", "ts").agg(F.max("value").alias("value")))
+    out = resample_locf(obs, on="user_id", interval_s=6 * 3600)
+    return out.select(
+        "user_id",
+        F.unix_micros("ts").alias("tick_us"),
+        F.unix_micros("ts_r").alias("ts_r_us"),
+        F.floor(F.col("value_r") * F.lit(1_000_000.0)).cast("bigint")
+        .alias("value_u6"),
+    )
+
+
+def q_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 dimension builder (operators/temporal.py:scd2_intervals):
+    per-user purchase-value change log → maximal [valid_from, valid_to)
+    validity intervals (no-op changes collapsed, open current rows).
+    One key shuffle; collapse lag + valid_to lead share the Exchange.
+    Oracle: the LAG-filter + LEAD ladder in DuckDB."""
+    from llmxmapreduce_spark.operators.temporal import scd2_intervals
+
+    ev = load_table(spark, sf, "events")
+    ch = ev.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "value")
+    dim = scd2_intervals(ch, on="user_id", attr_cols=["value"])
+    return dim.select(
+        "user_id",
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("bigint")
+        .alias("value_u6"),
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+    )
+
+
 def q_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
     """Cohort retention (operators/retention.py): signup-week cohorts ×
     week offset → distinct active users.  Engine-portable integer day
@@ -2578,6 +2620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
+        "resample_locf": q_resample_locf,
+        "scd2_intervals": q_scd2_intervals,
         "substring_dedup": q_substring_dedup,
         "holdout_split": q_holdout_split,
         "split_scrub": q_split_scrub,
@@ -3395,6 +3439,42 @@ def oracle_sql() -> dict[str, str]:
         # (operators/zorder.py:zorder_key_sql) — same IEEE-double op order
         "zorder_key": zorder_key_sql("events", ["user_id", "value"],
                                      bits=16, id_cols=["event_id"]),
+        "resample_locf": """
+            WITH obs AS (SELECT user_id, ts, MAX(value) AS value
+                         FROM events WHERE event_type = 'purchase'
+                         GROUP BY user_id, ts),
+            spans AS (SELECT user_id,
+                             CAST(CEIL(epoch_us(MIN(ts)) / 21600000000.0)
+                                  AS BIGINT) * 21600000000 AS t0,
+                             CAST(FLOOR(epoch_us(MAX(ts)) / 21600000000.0)
+                                  AS BIGINT) * 21600000000 AS t1
+                      FROM obs GROUP BY user_id),
+            grid AS (SELECT user_id,
+                            make_timestamp(unnest(generate_series(
+                                t0, t1, 21600000000))) AS ts
+                     FROM spans WHERE t0 <= t1)
+            SELECT grid.user_id, epoch_us(grid.ts) AS tick_us,
+                   epoch_us(obs.ts) AS ts_r_us,
+                   CAST(FLOOR(obs.value * 1000000.0) AS BIGINT)
+                     AS value_u6
+            FROM grid ASOF LEFT JOIN obs
+              ON grid.user_id = obs.user_id AND grid.ts >= obs.ts
+        """,
+        "scd2_intervals": """
+            WITH d AS (SELECT user_id, ts, MAX(value) AS value
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY user_id, ts),
+            c AS (SELECT *, LAG(value) OVER
+                    (PARTITION BY user_id ORDER BY ts) AS pv FROM d),
+            k AS (SELECT user_id, ts, value FROM c
+                  WHERE pv IS NULL OR value <> pv)
+            SELECT user_id,
+                   CAST(FLOOR(value * 1000000.0) AS BIGINT) AS value_u6,
+                   epoch_us(ts) AS valid_from_us,
+                   epoch_us(LEAD(ts) OVER
+                     (PARTITION BY user_id ORDER BY ts)) AS valid_to_us
+            FROM k
+        """,
         "funnel_steps": """
             WITH e AS (SELECT user_id, ts, event_type FROM events),
             s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e

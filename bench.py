@@ -103,6 +103,8 @@ HEADLINE = [
     "heavy_hitters",
     "funnel_steps",
     "retention_cohorts",
+    "resample_locf",
+    "scd2_intervals",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-

@@ -210,3 +210,109 @@ def range_join(
                     c, F.lit(None).cast(right.schema[c].dataType))
         return matched.unionByName(missing)
     return joined
+
+
+def resample_locf(
+    df: DataFrame,
+    on: str | list[str],
+    ts_col: str = "ts",
+    interval_s: float = 3600.0,
+    value_cols: list[str] | None = None,
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """Regularize an irregular time series: one row per ``interval_s``
+    tick per key, values carried forward from the latest observation
+    at-or-before the tick (LOCF — last observation carried forward).
+
+    Ticks are EPOCH-ALIGNED multiples of the interval covering each
+    key's own [min ts, max ts] span (first tick = the first multiple
+    ≥ min, so every emitted tick has an observation to carry;
+    engine-portable integer-micros arithmetic).  ``tolerance`` bounds
+    how stale a carried value may be (nulls past it, tick row kept).
+
+    Plan: one (min,max) agg per key + a ``sequence`` explode builds the
+    grid — grid rows are (key, tick) pairs only — then ONE ``asof_join``
+    (union-sort: single shuffle of grid + observations).  Grid size =
+    span/interval rows per key; pick ``interval_s`` for the consumer,
+    not the source density.  Carried columns come back suffixed ``_r``
+    (the observation timestamp as ``ts_r``).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    step = int(round(interval_s * 1_000_000))
+    if step <= 0:
+        raise ValueError("resample_locf: interval_s must be positive")
+    us = F.unix_micros(F.col(ts_col))
+    spans = df.groupBy(*keys).agg(
+        (F.ceil(F.min(us) / F.lit(step)) * F.lit(step)).alias("__t0"),
+        (F.floor(F.max(us) / F.lit(step)) * F.lit(step)).alias("__t1"),
+    )
+    grid = (
+        spans.filter(F.col("__t0") <= F.col("__t1"))
+        .select(*keys,
+                F.explode(F.sequence("__t0", "__t1",
+                                     F.lit(step))).alias("__tick_us"))
+        .select(*keys,
+                F.timestamp_micros(F.col("__tick_us")).alias(ts_col))
+    )
+    return asof_join(grid, df, on=keys, left_ts=ts_col,
+                     value_cols=value_cols, tolerance=tolerance)
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    on: str | list[str],
+    ts_col: str = "ts",
+    attr_cols: list[str] | None = None,
+    collapse: bool = True,
+) -> DataFrame:
+    """Build a slowly-changing-dimension (SCD type 2) validity table
+    from a change log: per key, each change row becomes
+    ``[valid_from, valid_to)`` with ``valid_to`` = the next change's
+    timestamp (null = still current).  The dimension side of an
+    ``asof_join``/``range_join`` at 100 TB is exactly this shape.
+
+    ``collapse=True`` drops no-op changes first (rows whose attrs equal
+    the PREVIOUS row's attrs, per key in ts order) so intervals are
+    maximal.  Ties on (key, ts) resolve to the max attr struct —
+    pre-dedup if ties are meaningful.  One key shuffle; both the
+    collapse lag and the valid_to lead run on the same partitioning
+    (a single Exchange in the plan).
+
+    Returns key cols + attr cols + ``valid_from``, ``valid_to``.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if attr_cols is None:
+        attr_cols = [c for c in changes.columns
+                     if c not in keys and c != ts_col]
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    d = changes.select(*keys, F.col(ts_col), *attr_cols)
+    if collapse:
+        attrs = F.struct(*[F.col(c) for c in attr_cols])
+        # max-struct per (key, ts) first so a tie can't interleave
+        d = (d.groupBy(*keys, ts_col)
+             .agg(F.max(attrs).alias("__a"))
+             .select(*keys, ts_col,
+                     *[F.col("__a")[c].alias(c) for c in attr_cols]))
+        prev = F.lag(F.struct(*[F.col(c) for c in attr_cols])).over(w)
+        d = (d.withColumn("__prev", prev)
+             .filter(F.col("__prev").isNull() |
+                     (F.struct(*[F.col(c) for c in attr_cols])
+                      != F.col("__prev")))
+             .drop("__prev"))
+    return d.select(
+        *keys, *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w).alias("valid_to"),
+    )
+
+
+def snapshot_at(dim: DataFrame, at: Column,
+                valid_from: str = "valid_from",
+                valid_to: str = "valid_to") -> DataFrame:
+    """The dimension as of one instant: rows with
+    valid_from <= at < valid_to (open-ended rows included).  A pure
+    filter — partition-prunable when the table is laid out by
+    valid_from."""
+    return dim.filter(
+        (F.col(valid_from) <= at) &
+        (F.col(valid_to).isNull() | (F.col(valid_to) > at)))
