@@ -556,6 +556,25 @@ def q_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_json_extract_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured payload rollup (operators/json_ops.py): parse
+    events.props against a declared schema (PERMISSIVE + explicit
+    corrupt lane via columnNameOfCorruptRecord), then a per-type
+    integer rollup of the extracted field — all codegen, no Python.
+    Oracle: DuckDB JSON extraction with TRY_CAST corrupt counting."""
+    from llmxmapreduce_spark.operators.json_ops import parse_json
+
+    ev = load_table(spark, sf, "events").select("event_type", "props")
+    p = parse_json(ev, "props", "k long")
+    return p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("corrupt").cast("long")).alias("n_corrupt"),
+        F.sum(F.col("parsed")["k"]).alias("sum_k"),
+        F.min(F.col("parsed")["k"]).alias("min_k"),
+        F.max(F.col("parsed")["k"]).alias("max_k"),
+    )
+
+
 def q_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
     """Cohort retention (operators/retention.py): signup-week cohorts ×
     week offset → distinct active users.  Engine-portable integer day
@@ -2622,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "resample_locf": q_resample_locf,
         "scd2_intervals": q_scd2_intervals,
+        "json_extract_agg": q_json_extract_agg,
         "substring_dedup": q_substring_dedup,
         "holdout_split": q_holdout_split,
         "split_scrub": q_split_scrub,
@@ -3439,6 +3459,16 @@ def oracle_sql() -> dict[str, str]:
         # (operators/zorder.py:zorder_key_sql) — same IEEE-double op order
         "zorder_key": zorder_key_sql("events", ["user_id", "value"],
                                      bits=16, id_cols=["event_id"]),
+        "json_extract_agg": """
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(CASE WHEN props IS NOT NULL
+                             AND TRY_CAST(props AS JSON) IS NULL
+                            THEN 1 ELSE 0 END) AS n_corrupt,
+                   SUM(CAST(props::JSON ->> 'k' AS BIGINT)) AS sum_k,
+                   MIN(CAST(props::JSON ->> 'k' AS BIGINT)) AS min_k,
+                   MAX(CAST(props::JSON ->> 'k' AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
         "resample_locf": """
             WITH obs AS (SELECT user_id, ts, MAX(value) AS value
                          FROM events WHERE event_type = 'purchase'

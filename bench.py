@@ -105,6 +105,7 @@ HEADLINE = [
     "retention_cohorts",
     "resample_locf",
     "scd2_intervals",
+    "json_extract_agg",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-
