@@ -575,6 +575,33 @@ def q_json_extract_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_DQ_RULES = [
+    {"name": "text_complete", "kind": "complete", "col": "text",
+     "bound": 0.95},
+    {"name": "id_unique", "kind": "unique", "col": "doc_id",
+     "bound": 1.0},
+    {"name": "chars_min", "kind": "min", "col": "n_chars", "bound": 0.0},
+    {"name": "lang_vocab", "kind": "in_set", "col": "lang",
+     "values": ["en", "zh", "de", "fr", "es"], "bound": 1.0},
+    {"name": "lang_shape", "kind": "matches", "col": "lang",
+     "pattern": "^[a-z][a-z]$", "bound": 1.0},
+    {"name": "chars_nonneg", "kind": "satisfies",
+     "expr": "n_chars >= 0", "bound": 1.0},
+]
+
+
+def q_dq_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality constraint report (operators/constraints.py): six
+    declarative rules over documents compiled into ONE aggregation pass
+    (adding rules adds agg columns, never scans); the report pivot is a
+    literal stack, plan-side.  Oracle: the generated UNION ALL twin
+    with identical metric expressions and operand order."""
+    from llmxmapreduce_spark.operators.constraints import dq_check
+
+    docs = load_table(spark, sf, "documents")
+    return dq_check(docs, _DQ_RULES)
+
+
 def q_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
     """Cohort retention (operators/retention.py): signup-week cohorts ×
     week offset → distinct active users.  Engine-portable integer day
@@ -2642,6 +2669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_locf": q_resample_locf,
         "scd2_intervals": q_scd2_intervals,
         "json_extract_agg": q_json_extract_agg,
+        "dq_report": q_dq_report,
         "substring_dedup": q_substring_dedup,
         "holdout_split": q_holdout_split,
         "split_scrub": q_split_scrub,
@@ -3096,10 +3124,13 @@ def _ivf_topk_oracle(k: int = 5) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from llmxmapreduce_spark.operators.constraints import constraints_sql
     from llmxmapreduce_spark.operators.retention import retention_sql
     from llmxmapreduce_spark.operators.zorder import zorder_key_sql
 
     return {
+        # generated mirror (operators/constraints.py:constraints_sql)
+        "dq_report": constraints_sql("documents", _DQ_RULES),
         # generated mirror (operators/retention.py:retention_sql) — the
         # identical Monday-epoch integer week/offset arithmetic
         "retention_cohorts": retention_sql("events"),

@@ -106,6 +106,7 @@ HEADLINE = [
     "resample_locf",
     "scd2_intervals",
     "json_extract_agg",
+    "dq_report",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-
