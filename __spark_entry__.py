@@ -590,6 +590,20 @@ _DQ_RULES = [
 ]
 
 
+def q_group_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact grouped quantiles (operators/quantiles.py): per-lang
+    n_chars at q ∈ {.25, .5, .9} as the value at row ceil(q·n) — a
+    type-1 discrete quantile, an ACTUAL data value, so no
+    interpolation/rounding convention can diverge between engines (the
+    oracle mirrors the rank arithmetic literally).  Rank + count share
+    one window partitioning: a single Exchange."""
+    from llmxmapreduce_spark.operators.quantiles import group_quantiles
+
+    docs = load_table(spark, sf, "documents")
+    return group_quantiles(docs, "n_chars", by="lang",
+                           qs=[0.25, 0.5, 0.9])
+
+
 def q_dq_report(spark: SparkSession, sf: str) -> DataFrame:
     """Data-quality constraint report (operators/constraints.py): six
     declarative rules over documents compiled into ONE aggregation pass
@@ -2670,6 +2684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_intervals": q_scd2_intervals,
         "json_extract_agg": q_json_extract_agg,
         "dq_report": q_dq_report,
+        "group_quantiles": q_group_quantiles,
         "substring_dedup": q_substring_dedup,
         "holdout_split": q_holdout_split,
         "split_scrub": q_split_scrub,
@@ -3125,12 +3140,17 @@ def _ivf_topk_oracle(k: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     from llmxmapreduce_spark.operators.constraints import constraints_sql
+    from llmxmapreduce_spark.operators.quantiles import quantiles_sql
     from llmxmapreduce_spark.operators.retention import retention_sql
     from llmxmapreduce_spark.operators.zorder import zorder_key_sql
 
     return {
         # generated mirror (operators/constraints.py:constraints_sql)
         "dq_report": constraints_sql("documents", _DQ_RULES),
+        # generated mirror (operators/quantiles.py:quantiles_sql) — the
+        # literal rank == ceil(q*n) arithmetic, no quantile built-ins
+        "group_quantiles": quantiles_sql(
+            "documents", "n_chars", ["lang"], [0.25, 0.5, 0.9]),
         # generated mirror (operators/retention.py:retention_sql) — the
         # identical Monday-epoch integer week/offset arithmetic
         "retention_cohorts": retention_sql("events"),

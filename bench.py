@@ -107,6 +107,7 @@ HEADLINE = [
     "scd2_intervals",
     "json_extract_agg",
     "dq_report",
+    "group_quantiles",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-
