@@ -590,6 +590,21 @@ _DQ_RULES = [
 ]
 
 
+def q_bigram_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Collocation mining (operators/collocations.py): adjacent-bigram
+    counts with unigram marginals — pairs built INSIDE the token array
+    (zip_with vs its own tail, no posexplode self-join), one partial-agg
+    count, marginals joined on partial-agg'd word tables.  PMI itself is
+    a transcendental (pytest-gated vs numpy); the values surface here is
+    the exact integers.  Deterministic top-200 by (count, w1, w2)."""
+    from llmxmapreduce_spark.operators.collocations import bigram_counts
+
+    docs = load_table(spark, sf, "documents")
+    s = bigram_counts(docs, min_count=3)
+    return s.orderBy(F.col("c_xy").desc(), F.col("w1").asc(),
+                     F.col("w2").asc()).limit(200)
+
+
 def q_group_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """Exact grouped quantiles (operators/quantiles.py): per-lang
     n_chars at q ∈ {.25, .5, .9} as the value at row ceil(q·n) — a
@@ -2685,6 +2700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_agg": q_json_extract_agg,
         "dq_report": q_dq_report,
         "group_quantiles": q_group_quantiles,
+        "bigram_stats": q_bigram_stats,
         "substring_dedup": q_substring_dedup,
         "holdout_split": q_holdout_split,
         "split_scrub": q_split_scrub,
@@ -3510,6 +3526,26 @@ def oracle_sql() -> dict[str, str]:
         # (operators/zorder.py:zorder_key_sql) — same IEEE-double op order
         "zorder_key": zorder_key_sql("events", ["user_id", "value"],
                                      bits=16, id_cols=["event_id"]),
+        "bigram_stats": """
+            WITH lists AS (
+              SELECT list_filter(string_split_regex(trim(lower(text)),
+                                                    '\\s+'),
+                                 x -> x <> '') AS lt
+              FROM documents WHERE text IS NOT NULL),
+            uni AS (SELECT unnest(lt) AS w FROM lists),
+            uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+            n AS (SELECT SUM(c) AS n_tokens FROM uc),
+            pairs AS (SELECT unnest(list_zip(lt[1:len(lt)-1],
+                                             lt[2:len(lt)])) AS p
+                      FROM lists WHERE len(lt) >= 2),
+            bc AS (SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS c_xy
+                   FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+            SELECT bc.w1, bc.w2, bc.c_xy, ux.c AS c_x, uy.c AS c_y,
+                   n.n_tokens
+            FROM bc JOIN uc ux ON ux.w = bc.w1
+                    JOIN uc uy ON uy.w = bc.w2, n
+            ORDER BY bc.c_xy DESC, bc.w1 ASC, bc.w2 ASC LIMIT 200
+        """,
         "json_extract_agg": """
             SELECT event_type, COUNT(*) AS n,
                    SUM(CASE WHEN props IS NOT NULL

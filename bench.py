@@ -108,6 +108,7 @@ HEADLINE = [
     "json_extract_agg",
     "dq_report",
     "group_quantiles",
+    "bigram_stats",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-
