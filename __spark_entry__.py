@@ -590,6 +590,45 @@ _DQ_RULES = [
 ]
 
 
+def q_event_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event sessionization (operators/temporal.py:assign_sessions):
+    every event keeps its row and gains the user's 0-based session index
+    (5-minute gap rule) — the join-ready complement of the
+    events_session_windows AGGREGATE.  One key shuffle; lag flag +
+    running sum share the sort.  Oracle: the same LAG/SUM ladder."""
+    from llmxmapreduce_spark.operators.temporal import assign_sessions
+
+    ev = load_table(spark, sf, "events")
+    return assign_sessions(ev, on="user_id", gap_s=300) \
+        .select("event_id", "user_id", "session_idx")
+
+
+def q_rolling_value_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing time-RANGE window stats (operators/temporal.py:
+    rolling_stats): per purchase event, 24-hour trailing count / sum /
+    avg / min / max of the user's purchase values — one key shuffle and
+    one sort serve all five outputs; sum rides DECIMAL(38,6) and avg
+    divides the exact sum by the exact count (portable-double
+    convention).  Oracle: the identical RANGE window in DuckDB."""
+    from llmxmapreduce_spark.operators.temporal import rolling_stats
+
+    ev = load_table(spark, sf, "events") \
+        .filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts", "value")
+    out = rolling_stats(ev, on="user_id", window_s=86400.0)
+    return out.select(
+        "event_id", "w_count",
+        F.floor(F.col("w_sum") * F.lit(1_000_000.0)).cast("bigint")
+        .alias("w_sum_u6"),
+        F.floor(F.col("w_avg") * F.lit(1_000_000.0)).cast("bigint")
+        .alias("w_avg_u6"),
+        F.floor(F.col("w_min") * F.lit(1_000_000.0)).cast("bigint")
+        .alias("w_min_u6"),
+        F.floor(F.col("w_max") * F.lit(1_000_000.0)).cast("bigint")
+        .alias("w_max_u6"),
+    )
+
+
 def q_bigram_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Collocation mining (operators/collocations.py): adjacent-bigram
     counts with unigram marginals — pairs built INSIDE the token array
@@ -2701,6 +2740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_report": q_dq_report,
         "group_quantiles": q_group_quantiles,
         "bigram_stats": q_bigram_stats,
+        "event_sessions": q_event_sessions,
+        "rolling_value_stats": q_rolling_value_stats,
         "substring_dedup": q_substring_dedup,
         "holdout_split": q_holdout_split,
         "split_scrub": q_split_scrub,
@@ -3526,6 +3567,41 @@ def oracle_sql() -> dict[str, str]:
         # (operators/zorder.py:zorder_key_sql) — same IEEE-double op order
         "zorder_key": zorder_key_sql("events", ["user_id", "value"],
                                      bits=16, id_cols=["event_id"]),
+        "event_sessions": """
+            WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t
+                       FROM events),
+            m AS (SELECT event_id, user_id, t,
+                    CASE WHEN t - LAG(t) OVER
+                           (PARTITION BY user_id ORDER BY t) > 300000000
+                         THEN 1 ELSE 0 END AS f
+                  FROM e)
+            SELECT event_id, user_id,
+                   SUM(f) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+            FROM m
+        """,
+        "rolling_value_stats": """
+            WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t,
+                              value
+                       FROM events WHERE event_type = 'purchase')
+            SELECT event_id,
+                   COUNT(value) OVER w AS w_count,
+                   CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                                   OVER w AS DOUBLE) * 1000000.0)
+                        AS BIGINT) AS w_sum_u6,
+                   CAST(FLOOR((CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                                    OVER w AS DOUBLE)
+                               / CAST(COUNT(value) OVER w AS DOUBLE))
+                              * 1000000.0) AS BIGINT) AS w_avg_u6,
+                   CAST(FLOOR(MIN(value) OVER w * 1000000.0) AS BIGINT)
+                     AS w_min_u6,
+                   CAST(FLOOR(MAX(value) OVER w * 1000000.0) AS BIGINT)
+                     AS w_max_u6
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY t
+                         RANGE BETWEEN 86400000000 PRECEDING
+                               AND CURRENT ROW)
+        """,
         "bigram_stats": """
             WITH lists AS (
               SELECT list_filter(string_split_regex(trim(lower(text)),

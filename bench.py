@@ -109,6 +109,8 @@ HEADLINE = [
     "dq_report",
     "group_quantiles",
     "bigram_stats",
+    "event_sessions",
+    "rolling_value_stats",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-

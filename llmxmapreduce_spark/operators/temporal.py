@@ -316,3 +316,72 @@ def snapshot_at(dim: DataFrame, at: Column,
     return dim.filter(
         (F.col(valid_from) <= at) &
         (F.col(valid_to).isNull() | (F.col(valid_to) > at)))
+
+
+def assign_sessions(
+    df: DataFrame,
+    on: str | list[str],
+    ts_col: str = "ts",
+    gap_s: float = 1800.0,
+    out_col: str = "session_idx",
+) -> DataFrame:
+    """Gap-based sessionization that KEEPS the event rows: each row
+    gains its key's 0-based ``session_idx`` (a new session starts when
+    the gap from the previous event exceeds ``gap_s`` seconds).  The
+    per-event complement of the windowed session AGGREGATES
+    (streaming/events.py): downstream joins need the id on the row,
+    not the rollup.
+
+    One key shuffle; the lag flag and the running sum share the same
+    (key, ts) sort.  Equal timestamps always land in the same session
+    (their mutual gap is 0) so tie order cannot change the assignment.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    gap_us = int(round(gap_s * 1_000_000))
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(*keys).orderBy(us.asc())
+    new_flag = F.when(
+        (us - F.lag(us).over(w)) > F.lit(gap_us), 1).otherwise(0)
+    run = Window.partitionBy(*keys).orderBy(us.asc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(
+        out_col, F.sum(new_flag).over(run).cast("long"))
+
+
+def rolling_stats(
+    df: DataFrame,
+    on: str | list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_s: float = 86400.0,
+    prefix: str = "w_",
+) -> DataFrame:
+    """Trailing time-RANGE window stats per key: for every row, count /
+    sum / avg / min / max of ``value_col`` over the key's rows in
+    ``[ts - window_s, ts]`` (inclusive both ends — RANGE semantics over
+    epoch micros, so equal-timestamp peers are always all in).
+
+    One key shuffle + one sort serve all five outputs.  The sum runs
+    in DECIMAL(38,6) and is emitted as double, and avg divides that
+    exact sum by the exact count — the repo's portable-double
+    convention, so a values oracle can mirror it verbatim.  100 TB
+    note: RANGE state is the window's row span per key — bound
+    ``window_s`` by the key's event rate, and split hot keys upstream
+    (the same inherent-serialization caveat as asof_join).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    us = F.unix_micros(F.col(ts_col))
+    win_us = int(round(window_s * 1_000_000))
+    w = (Window.partitionBy(*keys).orderBy(us.asc())
+         .rangeBetween(-win_us, 0))
+    v = F.col(value_col)
+    dec = v.cast("decimal(38,6)")
+    cnt = F.count(v).over(w)
+    s = F.sum(dec).over(w)
+    return (df
+            .withColumn(prefix + "count", cnt.cast("long"))
+            .withColumn(prefix + "sum", s.cast("double"))
+            .withColumn(prefix + "avg",
+                        (s.cast("double") / cnt.cast("double")))
+            .withColumn(prefix + "min", F.min(v).over(w))
+            .withColumn(prefix + "max", F.max(v).over(w)))
