@@ -629,6 +629,32 @@ def q_rolling_value_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_cdc_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC merge (operators/cdc.py): a base snapshot (even-id purchase
+    maxima) plus a change log (purchases upsert, errors delete) →
+    next snapshot.  Compaction is an ORDER-FREE max-struct groupBy
+    (partial-aggregable — map-side combine eats the log before the
+    shuffle, where a row_number window ships every change row); merge
+    is one full-outer key join with both sides ≤ 1 row/key.  Oracle:
+    the row_number window ladder."""
+    from llmxmapreduce_spark.operators.cdc import apply_cdc
+
+    ev = load_table(spark, sf, "events")
+    base = (ev.filter((F.col("event_type") == "purchase")
+                      & (F.col("event_id") % 2 == 0))
+            .groupBy("user_id").agg(F.max("value").alias("value")))
+    changes = ev.filter(F.col("event_type").isin("purchase", "error")) \
+        .select("user_id", "ts",
+                F.when(F.col("event_type") == "error", "delete")
+                .otherwise("upsert").alias("op"), "value")
+    snap = apply_cdc(base, changes, on="user_id")
+    return snap.select(
+        "user_id",
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("bigint")
+        .alias("value_u6"),
+    )
+
+
 def q_bigram_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Collocation mining (operators/collocations.py): adjacent-bigram
     counts with unigram marginals — pairs built INSIDE the token array
@@ -2742,6 +2768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_stats": q_bigram_stats,
         "event_sessions": q_event_sessions,
         "rolling_value_stats": q_rolling_value_stats,
+        "cdc_snapshot": q_cdc_snapshot,
         "substring_dedup": q_substring_dedup,
         "holdout_split": q_holdout_split,
         "split_scrub": q_split_scrub,
@@ -3567,6 +3594,27 @@ def oracle_sql() -> dict[str, str]:
         # (operators/zorder.py:zorder_key_sql) — same IEEE-double op order
         "zorder_key": zorder_key_sql("events", ["user_id", "value"],
                                      bits=16, id_cols=["event_id"]),
+        "cdc_snapshot": """
+            WITH e AS (SELECT * FROM events),
+            base AS (SELECT user_id, MAX(value) AS value FROM e
+                     WHERE event_type = 'purchase' AND event_id % 2 = 0
+                     GROUP BY user_id),
+            ch AS (SELECT user_id, ts,
+                          CASE WHEN event_type = 'error' THEN 'delete'
+                               ELSE 'upsert' END AS op, value
+                   FROM e WHERE event_type IN ('purchase', 'error')),
+            latest AS (SELECT user_id, op, value FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, op DESC, value DESC NULLS LAST)
+                    AS rn
+                FROM ch) WHERE rn = 1)
+            SELECT COALESCE(b.user_id, l.user_id) AS user_id,
+                   CAST(FLOOR(CASE WHEN l.user_id IS NOT NULL
+                                   THEN l.value ELSE b.value END
+                              * 1000000.0) AS BIGINT) AS value_u6
+            FROM base b FULL OUTER JOIN latest l USING (user_id)
+            WHERE NOT (l.user_id IS NOT NULL AND l.op = 'delete')
+        """,
         "event_sessions": """
             WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t
                        FROM events),

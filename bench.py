@@ -111,6 +111,7 @@ HEADLINE = [
     "bigram_stats",
     "event_sessions",
     "rolling_value_stats",
+    "cdc_snapshot",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-

@@ -98,6 +98,24 @@ AUDITED = [
     ("retention_cohorts", "anchor partial agg + user_id equi-join + "
      "(cohort,offset) distinct-count agg; day arithmetic is codegen "
      "projection, no date_trunc"),
+    ("resample_locf", "span agg → sequence explode builds the (key, "
+     "tick) grid; the fill is the asof_join union-sort shape — grid "
+     "rows carry no payload"),
+    ("scd2_intervals", "tie-dedup agg + collapse lag + valid_to lead "
+     "all on one user_id Exchange"),
+    ("json_extract_agg", "from_json with the corrupt-record channel is "
+     "a codegen projection; one scan, partial+final agg, no Python"),
+    ("dq_report", "six rules, ONE aggregation pass (Expand for the "
+     "distinct), stack pivot stays plan-side — one parquet scan total"),
+    ("group_quantiles", "rank + count share one window partitioning "
+     "(single Exchange); final agg is partial-aggregable"),
+    ("bigram_stats", "pairs built inside the token array (zip_with), "
+     "one explode → partial-agg count; marginal joins on partial-agg'd "
+     "word tables, min_count applied before any join"),
+    ("event_sessions", "lag flag + running sum on one (user, ts) sort "
+     "— a single Exchange, rows keep their identity"),
+    ("rolling_value_stats", "five RANGE-window outputs off one "
+     "shuffle+sort; decimal sum feeds the portable avg"),
 ]
 
 
