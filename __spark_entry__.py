@@ -629,6 +629,28 @@ def q_rolling_value_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_bloom_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-pruned semi join (operators/bloom_join.py): lineitem rows
+    whose order is expensive, with the fact side pre-filtered by a
+    Bloom of the qualifying order keys (array<long> literal probed with
+    pure-Catalyst shift/AND — no Python, no extra shuffle) before the
+    exact LEFT SEMI join kills the false positives.  The Bloom
+    guarantee (no false negatives) makes the result ≡ the plain semi
+    join — which IS the oracle.  Rolled up per order key."""
+    from llmxmapreduce_spark.operators.bloom_join import bloom_semi_join
+
+    li = load_table(spark, sf, "lineitem") \
+        .select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf, "orders") \
+        .filter(F.col("o_totalprice") > 150000) \
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    j = bloom_semi_join(li, orders, "l_orderkey", bits_per_key=12)
+    return j.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(_dec("l_quantity", 4)).cast("double").alias("sum_qty"),
+    )
+
+
 def q_cdc_snapshot(spark: SparkSession, sf: str) -> DataFrame:
     """CDC merge (operators/cdc.py): a base snapshot (even-id purchase
     maxima) plus a change log (purchases upsert, errors delete) →
@@ -2769,6 +2791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "rolling_value_stats": q_rolling_value_stats,
         "cdc_snapshot": q_cdc_snapshot,
+        "bloom_semi_join": q_bloom_semi_join,
         "substring_dedup": q_substring_dedup,
         "holdout_split": q_holdout_split,
         "split_scrub": q_split_scrub,
@@ -3594,6 +3617,16 @@ def oracle_sql() -> dict[str, str]:
         # (operators/zorder.py:zorder_key_sql) — same IEEE-double op order
         "zorder_key": zorder_key_sql("events", ["user_id", "value"],
                                      bits=16, id_cols=["event_id"]),
+        "bloom_semi_join": """
+            SELECT l.l_orderkey, COUNT(*) AS n_lines,
+                   CAST(SUM(CAST(l.l_quantity AS DECIMAL(20,4)))
+                        AS DOUBLE) AS sum_qty
+            FROM lineitem l
+            WHERE l.l_orderkey IN (
+                SELECT o_orderkey FROM orders
+                WHERE o_totalprice > 150000)
+            GROUP BY l.l_orderkey
+        """,
         "cdc_snapshot": """
             WITH e AS (SELECT * FROM events),
             base AS (SELECT user_id, MAX(value) AS value FROM e

@@ -112,6 +112,7 @@ HEADLINE = [
     "event_sessions",
     "rolling_value_stats",
     "cdc_snapshot",
+    "bloom_semi_join",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-
