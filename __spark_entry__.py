@@ -629,6 +629,18 @@ def q_rolling_value_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width histogram (operators/quantiles.py:histogram): event
+    values into 20 fixed [0, 500] bins per type — multiply-before-
+    divide bin arithmetic mirrored verbatim in the oracle, count is a
+    plain partial-agg groupBy on the tiny (type, bin) key."""
+    from llmxmapreduce_spark.operators.quantiles import histogram
+
+    ev = load_table(spark, sf, "events")
+    return histogram(ev, "value", bins=20, lo=0.0, hi=500.0,
+                     by="event_type")
+
+
 def q_bloom_semi_join(spark: SparkSession, sf: str) -> DataFrame:
     """Bloom-pruned semi join (operators/bloom_join.py): lineitem rows
     whose order is expensive, with the fact side pre-filtered by a
@@ -2792,6 +2804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_value_stats": q_rolling_value_stats,
         "cdc_snapshot": q_cdc_snapshot,
         "bloom_semi_join": q_bloom_semi_join,
+        "value_histogram": q_value_histogram,
         "substring_dedup": q_substring_dedup,
         "holdout_split": q_holdout_split,
         "split_scrub": q_split_scrub,
@@ -3247,7 +3260,8 @@ def _ivf_topk_oracle(k: int = 5) -> str:
 
 def oracle_sql() -> dict[str, str]:
     from llmxmapreduce_spark.operators.constraints import constraints_sql
-    from llmxmapreduce_spark.operators.quantiles import quantiles_sql
+    from llmxmapreduce_spark.operators.quantiles import (histogram_sql,
+                                                         quantiles_sql)
     from llmxmapreduce_spark.operators.retention import retention_sql
     from llmxmapreduce_spark.operators.zorder import zorder_key_sql
 
@@ -3258,6 +3272,9 @@ def oracle_sql() -> dict[str, str]:
         # literal rank == ceil(q*n) arithmetic, no quantile built-ins
         "group_quantiles": quantiles_sql(
             "documents", "n_chars", ["lang"], [0.25, 0.5, 0.9]),
+        # generated mirror (operators/quantiles.py:histogram_sql)
+        "value_histogram": histogram_sql(
+            "events", "value", 20, 0.0, 500.0, ["event_type"]),
         # generated mirror (operators/retention.py:retention_sql) — the
         # identical Monday-epoch integer week/offset arithmetic
         "retention_cohorts": retention_sql("events"),

@@ -113,6 +113,7 @@ HEADLINE = [
     "rolling_value_stats",
     "cdc_snapshot",
     "bloom_semi_join",
+    "value_histogram",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-

@@ -118,3 +118,65 @@ def quantiles_sql(table: str, col: str, by: list[str] | None,
               FROM d)
         SELECT {ksel}{", ".join(cols)} FROM r {grp}
     """
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+    by: list[str] | str | None = None,
+) -> DataFrame:
+    """Equi-width histogram: → group cols + (bin, bin_lo, n_rows) with
+    ``bin = floor((x - lo) · bins / (hi - lo))`` clamped so x == hi
+    lands in the last bin (multiply-BEFORE-divide: one rounding step,
+    mirrored verbatim in the SQL twin).  Values outside [lo, hi] and
+    nulls are dropped (count the drop with a dq rule if it matters).
+    Empty bins are absent — left-join a spine if the consumer needs
+    zeros.  One bounded min/max agg when lo/hi are omitted; the count
+    is a plain partial-agg groupBy on the small (group, bin) key."""
+    if bins < 1:
+        raise ValueError("histogram: bins must be >= 1")
+    keys = ([by] if isinstance(by, str) else list(by)) if by else []
+    if lo is None or hi is None:
+        row = df.agg(F.min(F.col(col).cast("double")),
+                     F.max(F.col(col).cast("double"))).collect()[0]
+        lo = float(row[0]) if lo is None else lo
+        hi = float(row[1]) if hi is None else hi
+    if not (hi > lo):
+        raise ValueError("histogram: need hi > lo")
+    x = F.col(col).cast("double")
+    raw = F.floor((x - F.lit(lo)) * F.lit(float(bins))
+                  / F.lit(hi - lo))
+    b = F.least(raw, F.lit(bins - 1)).cast("long")
+    width = (hi - lo) / bins
+    return (df.filter(x.isNotNull() & (x >= F.lit(lo))
+                      & (x <= F.lit(hi)))
+            .select(*keys, b.alias("bin"))
+            .groupBy(*keys, "bin")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .withColumn("bin_lo",
+                        F.lit(lo) + F.col("bin") * F.lit(width)))
+
+
+def histogram_sql(table: str, col: str, bins: int,
+                  lo: float, hi: float,
+                  by: list[str] | None = None) -> str:
+    """DuckDB mirror of ``histogram`` with fixed lo/hi: same
+    multiply-before-divide bin arithmetic, same clamp."""
+    keys = by or []
+    ksel = ", ".join(keys) + ", " if keys else ""
+    grp = ", ".join([*keys, "bin"])
+    width = (hi - lo) / bins
+    return f"""
+        WITH d AS (
+          SELECT {ksel}LEAST(CAST(FLOOR((CAST({col} AS DOUBLE) - {lo})
+                                        * {float(bins)} / {hi - lo})
+                                  AS BIGINT), {bins - 1}) AS bin
+          FROM {table}
+          WHERE {col} IS NOT NULL AND {col} >= {lo} AND {col} <= {hi})
+        SELECT {ksel}bin, COUNT(*) AS n_rows,
+               {lo} + bin * {width} AS bin_lo
+        FROM d GROUP BY {grp}
+    """
