@@ -629,6 +629,22 @@ def q_rolling_value_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_fuzzy_name_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy entity matching (operators/fuzzy.py): part-name pairs
+    within Levenshtein distance 2 via EXHAUSTIVE deletion-neighborhood
+    blocking (SymSpell scheme — proof in the module docstring) + exact
+    verify; candidates join on 8-byte key hashes, strings only come
+    back for the verify.  Oracle: the naive all-pairs join, tractable
+    because the query slices one p_size stratum (the operator itself
+    never does the n² work).  ASCII data — the engines' levenshtein
+    units (codepoints vs bytes) agree exactly there."""
+    from llmxmapreduce_spark.operators.fuzzy import fuzzy_pairs
+
+    part = load_table(spark, sf, "part").filter(F.col("p_size") == 1) \
+        .select("p_partkey", "p_name")
+    return fuzzy_pairs(part, "p_name", "p_partkey", max_dist=2)
+
+
 def q_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """Equi-width histogram (operators/quantiles.py:histogram): event
     values into 20 fixed [0, 500] bins per type — multiply-before-
@@ -2805,6 +2821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot": q_cdc_snapshot,
         "bloom_semi_join": q_bloom_semi_join,
         "value_histogram": q_value_histogram,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "substring_dedup": q_substring_dedup,
         "holdout_split": q_holdout_split,
         "split_scrub": q_split_scrub,
@@ -3634,6 +3651,14 @@ def oracle_sql() -> dict[str, str]:
         # (operators/zorder.py:zorder_key_sql) — same IEEE-double op order
         "zorder_key": zorder_key_sql("events", ["user_id", "value"],
                                      bits=16, id_cols=["event_id"]),
+        "fuzzy_name_pairs": """
+            WITH t AS (SELECT p_partkey, p_name FROM part
+                       WHERE p_size = 1)
+            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                   levenshtein(a.p_name, b.p_name) AS dist
+            FROM t a JOIN t b ON a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
+        """,
         "bloom_semi_join": """
             SELECT l.l_orderkey, COUNT(*) AS n_lines,
                    CAST(SUM(CAST(l.l_quantity AS DECIMAL(20,4)))

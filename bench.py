@@ -114,6 +114,7 @@ HEADLINE = [
     "cdc_snapshot",
     "bloom_semi_join",
     "value_histogram",
+    "fuzzy_name_pairs",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-
