@@ -12,14 +12,19 @@ only fires for plans Catalyst chooses; this operator makes the
 technique explicit and composable.
 
 Spark-first detail — the PROBE IS PURE CATALYST: the bitmap rides a
-ONE-ROW broadcast DataFrame (array<long> as DATA — an expression
-literal via ``F.lit(list)`` expands to a CreateArray with one child
-node per word, which at a few hundred-thousand words melts plan
-compilation; measured live at sf1 before this formulation) cross-joined
-onto the fact side, and each of the k probe positions is tested with
-``shiftrightunsigned(element_at(...)) & 1`` inside whole-stage codegen.
-No Python, no UDF, no extra shuffle on the pruned side — the only
-addition is a BroadcastExchange of a single row.  The BUILD is
+SCALAR SUBQUERY (``DataFrame.scalar()`` over a one-row array<bigint>
+frame — evaluated once, shipped with the plan) and each of the k probe
+positions is tested with ``shiftrightunsigned(element_at(...)) & 1``
+inside whole-stage codegen.  No Python, no UDF, no shuffle, and —
+decisive — the probe is a plain Filter glued to the fact scan, so no
+optimizer rule can reorder work underneath it.  Two rejected
+formulations, both measured live: an ``F.lit(list)`` literal expands
+to a CreateArray with one child node PER WORD and melts plan
+compilation at sf1 (334 s → timeout); a one-row crossJoin carries the
+bitmap as data but ``PushDownLeftSemiAntiJoin`` then pushes the exact
+semi join BELOW the bitmap filter — executing the join first and the
+prune after it, the exact inversion of the operator's purpose (visible
+in PLANS.md before this rewrite).  The BUILD is
 one projected xxhash64 scan → per-partition numpy bitmaps → driver OR
 (same shape as decontamination's gram bloom; the driver holds
 m/8 bytes, bounded by construction).  Build and probe share the
@@ -109,15 +114,14 @@ def bloom_prune(
     bloom: tuple[list[int], int, int],
 ) -> DataFrame:
     """Keep only rows whose key MIGHT be in the bloom (a superset of
-    the true matches).  Pure-Catalyst probe: the bitmap broadcast as a
-    one-row array<bigint> column + k shift/AND bit tests, all
-    codegen."""
+    the true matches).  Pure-Catalyst probe: the bitmap as a scalar
+    subquery + k shift/AND bit tests, all codegen, filter pinned to
+    the input scan."""
     words, m, k = bloom
     keys = [on] if isinstance(on, str) else list(on)
     spark = df.sparkSession
-    bits = spark.createDataFrame([(words,)], "__bloom array<bigint>")
-    df = df.crossJoin(F.broadcast(bits))
-    arr = F.col("__bloom")
+    arr = spark.createDataFrame([(words,)],
+                                "__bloom array<bigint>").scalar()
     h = _key_hash(keys)
     h1 = F.shiftrightunsigned(h, 32)
     h2 = h.bitwiseAND(F.lit(0xFFFFFFFF))
@@ -131,7 +135,7 @@ def bloom_prune(
             "shiftrightunsigned", word, (pos % F.lit(64)).cast("int")
         ).bitwiseAND(F.lit(1))
         cond = cond & (bit == F.lit(1))
-    return df.filter(cond).drop("__bloom")
+    return df.filter(cond)
 
 
 def bloom_semi_join(

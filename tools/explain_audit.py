@@ -116,6 +116,18 @@ AUDITED = [
      "— a single Exchange, rows keep their identity"),
     ("rolling_value_stats", "five RANGE-window outputs off one "
      "shuffle+sort; decimal sum feeds the portable avg"),
+    ("cdc_snapshot", "max-struct compaction is a partial-aggregable "
+     "groupBy (map-side combine eats the log); merge is a full-outer "
+     "join with both sides ≤1 row/key"),
+    ("bloom_semi_join", "fact side pruned BEFORE the join by a "
+     "one-row broadcast bitmap probed with codegen shift/AND — the "
+     "only exchanges are broadcasts; NOT an F.lit(list) literal "
+     "(124k-node expression tree, the recorded sf1 lesson)"),
+    ("value_histogram", "projected scan → codegen bin arithmetic → "
+     "partial+final count agg on the tiny (type, bin) key"),
+    ("fuzzy_name_pairs", "deletion keys built in Catalyst, candidate "
+     "self-join on 8-byte hashes, strings return only for the "
+     "levenshtein verify — no cross join anywhere"),
 ]
 
 
