@@ -107,11 +107,15 @@ def test_corpus_prep_default_mix_target_no_extra_job(spark, corpus):
                 mix_weights={"web": 1.0})
 
     def n_jobs(cfg_kw):
+        # count by MAX job id, not len(): the status tracker evicts old
+        # ids past spark.ui.retainedJobs, so len() under-reports once a
+        # long suite has run >1000 jobs in the shared session (observed
+        # as an order-dependent failure at suite sizes >525 tests)
         st = spark.sparkContext.statusTracker()
-        before = len(st.getJobIdsForGroup())
+        before = max(st.getJobIdsForGroup(), default=-1)
         run_corpus_prep(corpus, CorpusPrepConfig(**cfg_kw)) \
             .write.mode("overwrite").format("noop").save()
-        return len(st.getJobIdsForGroup()) - before
+        return max(st.getJobIdsForGroup(), default=-1) - before
 
     explicit = n_jobs(dict(base, mix_target=10))
     default = n_jobs(dict(base, mix_target=None))
