@@ -58,3 +58,33 @@ def salted_join(fact: DataFrame, dim: DataFrame, key_cols: list[str],
     ).withColumn("__salt", F.col("__salt").cast(fact_s.schema["__salt"].dataType))
     out = fact_s.join(dim_s, [*key_cols, "__salt"], how)
     return out.drop("__salt")
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    top: int = 20,
+) -> DataFrame:
+    """Diagnose BEFORE salting: → one row per top-``top`` hottest key
+    with (key…, n_rows, share, x_over_even) where ``share`` is the
+    key's fraction of all rows and ``x_over_even`` its multiple of the
+    mean rows-per-key — the number that says whether a shuffle on this
+    key needs `salted_aggregate`/`salted_join`/AQE at all (x ≈ 1:
+    don't; x ≫ shuffle-partition count: one task owns the key).
+
+    One partial-agg count per key + a bounded TakeOrdered; the totals
+    ride a scalar aggregate, no extra scan of the raw data."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    counts = counts.localCheckpoint(eager=True)
+    tot = counts.agg(F.sum("n_rows").alias("n"),
+                     F.count(F.lit(1)).alias("k")).collect()[0]
+    n_total, n_keys = int(tot["n"] or 0), int(tot["k"] or 1)
+    mean = n_total / max(n_keys, 1)
+    return (counts.orderBy(F.col("n_rows").desc(),
+                           *[F.col(k).asc() for k in keys])
+            .limit(top)
+            .withColumn("share", F.col("n_rows")
+                        / F.lit(float(max(n_total, 1))))
+            .withColumn("x_over_even", F.col("n_rows")
+                        / F.lit(float(max(mean, 1e-12)))))

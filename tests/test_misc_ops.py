@@ -179,3 +179,18 @@ def test_llm_dedup_claims_matches_deterministic_on_planted_dups(spark):
     det = dedup_claims(
         claims.filter("survey_id = 's1'").select("claim_id", "claim"))
     assert det.count() == len(uniques)
+
+
+def test_skew_report(spark):
+    rows = [("hot", i) for i in range(900)] + \
+        [(f"k{i % 50}", i) for i in range(100)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    rep = {r.k: (r.n_rows, r.share, r.x_over_even)
+           for r in skew.skew_report(df, "k", top=5).collect()}
+    assert len(rep) == 5
+    n, share, x = rep["hot"]
+    assert n == 900 and abs(share - 0.9) < 1e-12
+    # 51 distinct keys, mean = 1000/51; hot is 900/(1000/51) = 45.9x
+    assert abs(x - 900 / (1000 / 51)) < 1e-9
+    # uniform keys sit near 1x
+    assert all(v[2] < 2 for k, v in rep.items() if k != "hot")
