@@ -11,20 +11,29 @@ bloom runtime filter (`spark.sql.optimizer.runtime.bloomFilter.*`)
 only fires for plans Catalyst chooses; this operator makes the
 technique explicit and composable.
 
-Spark-first detail — the PROBE IS PURE CATALYST: the bitmap rides a
-SCALAR SUBQUERY (``DataFrame.scalar()`` over a one-row array<bigint>
-frame — evaluated once, shipped with the plan) and each of the k probe
-positions is tested with ``shiftrightunsigned(element_at(...)) & 1``
-inside whole-stage codegen.  No Python, no UDF, no shuffle, and —
-decisive — the probe is a plain Filter glued to the fact scan, so no
-optimizer rule can reorder work underneath it.  Two rejected
-formulations, both measured live: an ``F.lit(list)`` literal expands
-to a CreateArray with one child node PER WORD and melts plan
-compilation at sf1 (334 s → timeout); a one-row crossJoin carries the
-bitmap as data but ``PushDownLeftSemiAntiJoin`` then pushes the exact
-semi join BELOW the bitmap filter — executing the join first and the
-prune after it, the exact inversion of the operator's purpose (visible
-in PLANS.md before this rewrite).  The BUILD is
+Spark-first detail — the probe is TWO-TIER, auto-selected by bitmap
+size (both tiers keep the filter glued to the fact scan, below the
+join, so no optimizer rule reorders work underneath it):
+
+- small bitmaps (≤ 2 MiB): PURE CATALYST — the bitmap rides a SCALAR
+  SUBQUERY (``DataFrame.scalar()``) and each of the k probe positions
+  is a ``shiftrightunsigned(element_at(...)) & 1`` codegen bit test.
+  Zero Python.  The scalar literal is embedded per-task, which is why
+  this tier is size-capped.
+- large bitmaps: ONE ``sc.broadcast`` (TorrentBroadcast — shipped once
+  per executor, not per task) probed by an Arrow-vectorized pandas_udf
+  over the JVM-computed xxhash64 column; numpy does the k bit tests
+  per batch.
+
+THREE rejected formulations, all measured live: an ``F.lit(list)``
+literal expands to a CreateArray with one child node PER WORD and
+melts plan compilation at sf1 (334 s → timeout); a one-row crossJoin
+carries the bitmap as data but ``PushDownLeftSemiAntiJoin`` pushes the
+exact semi join BELOW the bitmap filter — join first, prune after, the
+inversion of the operator's purpose; and the scalar subquery alone,
+which is perfect until the per-task literal embedding breaks task
+serialization at sf5 bitmap sizes ("IllegalStateException: unread
+block data" at ~960k words).  The BUILD is
 one projected xxhash64 scan → per-partition numpy bitmaps → driver OR
 (same shape as decontamination's gram bloom; the driver holds
 m/8 bytes, bounded by construction).  Build and probe share the
@@ -47,6 +56,7 @@ alone only where a null-key superset is acceptable.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -108,21 +118,49 @@ def build_key_bloom(
     return words, m, k
 
 
+# Above this many WORDS the bitmap rides an sc.broadcast + Arrow probe:
+# a scalar-subquery literal re-embeds the whole array into EVERY task
+# binary (boxed, Java-serialized), which is wasteful at any size and
+# broke outright at sf5 (~960k words ⇒ "IllegalStateException: unread
+# block data" in ShuffleMapTask deserialization).  2^18 words = 2 MiB.
+_CATALYST_PROBE_MAX_WORDS = 1 << 18
+
+
 def bloom_prune(
     df: DataFrame,
     on: str | list[str],
     bloom: tuple[list[int], int, int],
+    probe: str = "auto",
 ) -> DataFrame:
     """Keep only rows whose key MIGHT be in the bloom (a superset of
-    the true matches).  Pure-Catalyst probe: the bitmap as a scalar
-    subquery + k shift/AND bit tests, all codegen, filter pinned to
-    the input scan."""
+    the true matches).
+
+    ``probe="catalyst"`` — bitmap as a scalar subquery + k codegen
+    shift/AND bit tests; zero Python, filter pinned to the input scan.
+    Right for small bitmaps; the literal is embedded per-task, so past
+    a couple of MiB it wastes task bytes and eventually breaks task
+    serialization (see _CATALYST_PROBE_MAX_WORDS).
+
+    ``probe="arrow"`` — bitmap as ONE sc.broadcast (TorrentBroadcast:
+    shipped once per executor, not per task) probed by an
+    Arrow-vectorized pandas_udf over the JVM-computed xxhash64 column —
+    numpy does the k bit tests per batch.  The scale path.
+
+    ``probe="auto"`` picks by bitmap size.  Both probes are test-pinned
+    to identical results."""
     words, m, k = bloom
     keys = [on] if isinstance(on, str) else list(on)
+    if probe == "auto":
+        probe = "catalyst" if len(words) <= _CATALYST_PROBE_MAX_WORDS \
+            else "arrow"
+    h = _key_hash(keys)
+    if probe == "arrow":
+        return df.filter(_arrow_probe(df, words, m, k)(h))
+    if probe != "catalyst":
+        raise ValueError(f"bloom_prune: unknown probe {probe!r}")
     spark = df.sparkSession
     arr = spark.createDataFrame([(words,)],
                                 "__bloom array<bigint>").scalar()
-    h = _key_hash(keys)
     h1 = F.shiftrightunsigned(h, 32)
     h2 = h.bitwiseAND(F.lit(0xFFFFFFFF))
     cond = F.lit(True)
@@ -136,6 +174,29 @@ def bloom_prune(
         ).bitwiseAND(F.lit(1))
         cond = cond & (bit == F.lit(1))
     return df.filter(cond)
+
+
+def _arrow_probe(df: DataFrame, words: list[int], m: int, k: int):
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    bits = np.array(words, dtype=np.int64).view(np.uint64)
+    bc = df.sparkSession.sparkContext.broadcast(bits)
+
+    @pandas_udf("boolean")
+    def might_contain(h: pd.Series) -> pd.Series:
+        arr = bc.value
+        hv = h.to_numpy(dtype=np.int64).view(np.uint64)
+        h1, h2 = hv >> np.uint64(32), hv & np.uint64(0xFFFFFFFF)
+        ok = np.ones(len(hv), dtype=bool)
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            w = arr[(pos >> np.uint64(6)).astype(np.int64)]
+            ok &= ((w >> (pos & np.uint64(63)))
+                   & np.uint64(1)).astype(bool)
+        return pd.Series(ok)
+
+    return might_contain
 
 
 def bloom_semi_join(

@@ -177,6 +177,7 @@ def histogram_sql(table: str, col: str, bins: int,
           FROM {table}
           WHERE {col} IS NOT NULL AND {col} >= {lo} AND {col} <= {hi})
         SELECT {ksel}bin, COUNT(*) AS n_rows,
-               {lo} + bin * {width} AS bin_lo
+               CAST({lo} AS DOUBLE) + bin * CAST({width} AS DOUBLE)
+                 AS bin_lo
         FROM d GROUP BY {grp}
     """

@@ -4,6 +4,8 @@ measured prune selectivity, and the pure-codegen plan pin."""
 
 import random
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from llmxmapreduce_spark.operators.bloom_join import (bloom_prune,
@@ -74,3 +76,21 @@ def test_prune_plan_is_codegen_only(spark):
     assert "Python" not in plan
     assert "Exchange hashpartitioning" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_arrow_probe_matches_catalyst(spark):
+    import random
+    rng = random.Random(8)
+    right = spark.createDataFrame(
+        [(rng.randrange(10**12),) for _ in range(4_000)], "k long")
+    left = spark.createDataFrame(
+        [(rng.randrange(10**12),) for _ in range(20_000)], "k long") \
+        .union(right.limit(500))
+    bloom = build_key_bloom(right, "k", bits_per_key=12)
+    a = sorted(r.k for r in
+               bloom_prune(left, "k", bloom, probe="catalyst").collect())
+    b = sorted(r.k for r in
+               bloom_prune(left, "k", bloom, probe="arrow").collect())
+    assert a == b
+    with pytest.raises(ValueError):
+        bloom_prune(left, "k", bloom, probe="nope")
