@@ -152,17 +152,45 @@ def user_totals_batch(events: DataFrame) -> DataFrame:
 
 
 def run_available_now(agg: DataFrame, query_name: str,
-                      checkpoint_dir: str) -> DataFrame:
-    """Execute a streaming aggregation to completion over the currently
-    available files (Trigger.AvailableNow) into a memory sink; returns the
-    complete-mode result as a batch DataFrame."""
+                      checkpoint_dir: str,
+                      output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming query to completion over the currently
+    available files (Trigger.AvailableNow) into a memory sink; returns
+    the result as a batch DataFrame.  ``output_mode``: "complete" for
+    aggregations, "append" for row streams (e.g. dedupe_events)."""
     q = (
         agg.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     return agg.sparkSession.table(query_name)
+
+
+def dedupe_events(events: DataFrame, keys: list[str] | None = None,
+                  watermark: str = "30 minutes",
+                  within_watermark: bool = True) -> DataFrame:
+    """Streaming deduplication: drop replayed/duplicate events by key.
+
+    At-least-once upstreams (Kafka replays, crawler retries, the
+    streaming ingest's redelivered micro-batches) duplicate rows; this
+    keeps the FIRST arrival per key.  ``within_watermark=True`` uses
+    dropDuplicatesWithinWatermark: state for a key is dropped once the
+    watermark passes it, so state is bounded by the duplicate-arrival
+    horizon instead of the whole stream's key cardinality — the only
+    sustainable mode for an unbounded 100 TB stream.  Duplicates that
+    arrive later than the watermark slack are NOT caught (the bound is
+    the contract); set ``within_watermark=False`` for exact global
+    dedup on bounded replays where unbounded state is acceptable.
+
+    Batch equivalence (tests): with every duplicate inside the
+    watermark horizon, the surviving (key-set, per-key count=1)
+    matches the batch ``dropDuplicates`` of the same input."""
+    keys = keys or ["event_id"]
+    w = events.withWatermark("ts", watermark)
+    if within_watermark:
+        return w.dropDuplicatesWithinWatermark(keys)
+    return w.dropDuplicates(keys)

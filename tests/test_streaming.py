@@ -73,3 +73,38 @@ def test_stateful_running_totals_matches_batch(spark, tmp_path):
         e = expected[uid]
         assert (r["total_events"], r["total_value_micros"]) == \
             (e["total_events"], e["total_value_micros"]), uid
+
+
+def test_streaming_dedupe_matches_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over a REPLAYED source: the same
+    event files land twice, arrive across micro-batches, and exactly
+    one copy per event_id survives — matching the batch distinct."""
+    batch = load_table(spark, SF, "events") \
+        .select("event_id", "user_id", "ts")
+    src = str(tmp_path / "replayed")
+    batch.repartition(2).write.mode("overwrite").parquet(src)
+    batch.repartition(3).write.mode("append").parquet(src)   # the replay
+
+    stream = (
+        spark.readStream
+        .schema("event_id BIGINT, user_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    deduped = se.dedupe_events(stream, keys=["event_id"],
+                               watermark="1 hour")
+    got = se.run_available_now(deduped, "t_dedupe",
+                               str(tmp_path / "ckpt"),
+                               output_mode="append")
+    n_unique = batch.select("event_id").distinct().count()
+    assert got.count() == n_unique
+    per_key = got.groupBy("event_id").count() \
+        .filter("count > 1").count()
+    assert per_key == 0
+    # exact-mode variant on the same bounded replay
+    deduped2 = se.dedupe_events(stream, keys=["event_id"],
+                                within_watermark=False)
+    got2 = se.run_available_now(deduped2, "t_dedupe2",
+                                str(tmp_path / "ckpt2"),
+                                output_mode="append")
+    assert got2.count() == n_unique
