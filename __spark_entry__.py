@@ -645,6 +645,25 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return fuzzy_pairs(part, "p_name", "p_partkey", max_dist=2)
 
 
+def q_value_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """Sufficient statistics (operators/moments.py): per-returnflag
+    exact moments of (quantity, price) in ONE partial-agg pass — the
+    sums that back corr/covariance/OLS at scale.  Sums stay DECIMAL
+    end-to-end and cross the oracle as STRINGS: the exact 29-digit
+    decimal→double cast disagrees between engines by one ulp (measured
+    live), so doubles can't be the values surface here."""
+    from llmxmapreduce_spark.operators.moments import moment_stats
+
+    li = load_table(spark, sf, "lineitem")
+    s = moment_stats(li, "l_quantity", "l_extendedprice",
+                     by="l_returnflag")
+    return s.select(
+        "l_returnflag", "n",
+        *[F.col(c).cast("string").alias(c)
+          for c in ("sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2")],
+    )
+
+
 def q_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """Equi-width histogram (operators/quantiles.py:histogram): event
     values into 20 fixed [0, 500] bins per type — multiply-before-
@@ -2822,6 +2841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join": q_bloom_semi_join,
         "value_histogram": q_value_histogram,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "value_moments": q_value_moments,
         "substring_dedup": q_substring_dedup,
         "holdout_split": q_holdout_split,
         "split_scrub": q_split_scrub,
@@ -3651,6 +3671,26 @@ def oracle_sql() -> dict[str, str]:
         # (operators/zorder.py:zorder_key_sql) — same IEEE-double op order
         "zorder_key": zorder_key_sql("events", ["user_id", "value"],
                                      bits=16, id_cols=["event_id"]),
+        "value_moments": """
+            WITH d AS (SELECT l_returnflag,
+                              CAST(l_quantity AS DECIMAL(19,6)) AS x,
+                              CAST(l_extendedprice AS DECIMAL(19,6)) AS y
+                       FROM lineitem
+                       WHERE l_quantity IS NOT NULL
+                         AND l_extendedprice IS NOT NULL)
+            SELECT l_returnflag, COUNT(*) AS n,
+                   CAST(CAST(SUM(x) AS DECIMAL(38,6)) AS VARCHAR)
+                     AS sum_x,
+                   CAST(CAST(SUM(y) AS DECIMAL(38,6)) AS VARCHAR)
+                     AS sum_y,
+                   CAST(CAST(SUM(x*y) AS DECIMAL(38,12)) AS VARCHAR)
+                     AS sum_xy,
+                   CAST(CAST(SUM(x*x) AS DECIMAL(38,12)) AS VARCHAR)
+                     AS sum_x2,
+                   CAST(CAST(SUM(y*y) AS DECIMAL(38,12)) AS VARCHAR)
+                     AS sum_y2
+            FROM d GROUP BY l_returnflag
+        """,
         "fuzzy_name_pairs": """
             WITH t AS (SELECT p_partkey, p_name FROM part
                        WHERE p_size = 1)

@@ -115,6 +115,7 @@ HEADLINE = [
     "bloom_semi_join",
     "value_histogram",
     "fuzzy_name_pairs",
+    "value_moments",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-
