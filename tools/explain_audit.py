@@ -128,6 +128,8 @@ AUDITED = [
     ("fuzzy_name_pairs", "deletion keys built in Catalyst, candidate "
      "self-join on 8-byte hashes, strings return only for the "
      "levenshtein verify — no cross join anywhere"),
+    ("value_moments", "one projected scan → partial+final hash agg of "
+     "six decimal sums; no joins, no window"),
 ]
 
 
