@@ -645,6 +645,20 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return fuzzy_pairs(part, "p_name", "p_partkey", max_dist=2)
 
 
+def q_user_event_crosstab(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit-values pivot (operators/report.py:crosstab_counts):
+    events per user × type as ONE partial-agg pass of conditional sums
+    — explicit values keep the schema data-independent (implicit
+    .pivot() runs an extra distinct job and grows columns when a new
+    category appears).  Absent combinations are exact zeros."""
+    from llmxmapreduce_spark.operators.report import crosstab_counts
+
+    ev = load_table(spark, sf, "events")
+    return crosstab_counts(ev, "user_id", "event_type",
+                           ["click", "view", "purchase", "signup",
+                            "error"])
+
+
 def q_value_moments(spark: SparkSession, sf: str) -> DataFrame:
     """Sufficient statistics (operators/moments.py): per-returnflag
     exact moments of (quantity, price) in ONE partial-agg pass — the
@@ -2842,6 +2856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "value_moments": q_value_moments,
+        "user_event_crosstab": q_user_event_crosstab,
         "substring_dedup": q_substring_dedup,
         "holdout_split": q_holdout_split,
         "split_scrub": q_split_scrub,
@@ -3671,6 +3686,20 @@ def oracle_sql() -> dict[str, str]:
         # (operators/zorder.py:zorder_key_sql) — same IEEE-double op order
         "zorder_key": zorder_key_sql("events", ["user_id", "value"],
                                      bits=16, id_cols=["event_id"]),
+        "user_event_crosstab": """
+            SELECT user_id,
+                   SUM(COALESCE(CAST(event_type = 'click' AS BIGINT), 0))
+                     AS n_click,
+                   SUM(COALESCE(CAST(event_type = 'view' AS BIGINT), 0))
+                     AS n_view,
+                   SUM(COALESCE(CAST(event_type = 'purchase' AS BIGINT),
+                                0)) AS n_purchase,
+                   SUM(COALESCE(CAST(event_type = 'signup' AS BIGINT), 0))
+                     AS n_signup,
+                   SUM(COALESCE(CAST(event_type = 'error' AS BIGINT), 0))
+                     AS n_error
+            FROM events GROUP BY user_id
+        """,
         "value_moments": """
             WITH d AS (SELECT l_returnflag,
                               CAST(l_quantity AS DECIMAL(19,6)) AS x,

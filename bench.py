@@ -116,6 +116,7 @@ HEADLINE = [
     "value_histogram",
     "fuzzy_name_pairs",
     "value_moments",
+    "user_event_crosstab",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-

@@ -63,3 +63,32 @@ def corpus_report(
     )
     return out.select(*cols, "level", "n_docs", "total_words",
                       "total_chars", "avg_words_micro")
+
+
+def crosstab_counts(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    values: list[str],
+    prefix: str = "n_",
+) -> DataFrame:
+    """Contingency table with EXPLICIT pivot values: one row per
+    ``row_col``, one ``{prefix}{v}`` count column per v in ``values``
+    (rows whose ``col_col`` is outside ``values`` fall into none).
+
+    Always pass ``values``: Spark's .pivot() without them runs an extra
+    distinct job AND makes the output schema data-dependent — a
+    downstream-breaking property at 100 TB (a new category silently
+    adds a column).  With explicit values the whole thing is ONE
+    partial-agg pass of conditional sums, and absent combinations are
+    exact zeros, not nulls."""
+    if not values:
+        raise ValueError("crosstab_counts: explicit values required")
+    aggs = [
+        # coalesce the flag, not the sum: a group whose col_col is all
+        # null must count 0, and (null == v) is null, which sum skips
+        F.sum(F.coalesce((F.col(col_col) == F.lit(v)).cast("long"),
+                         F.lit(0))).alias(f"{prefix}{v}")
+        for v in values
+    ]
+    return df.groupBy(row_col).agg(*aggs)

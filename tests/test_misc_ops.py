@@ -194,3 +194,32 @@ def test_skew_report(spark):
     assert abs(x - 900 / (1000 / 51)) < 1e-9
     # uniform keys sit near 1x
     assert all(v[2] < 2 for k, v in rep.items() if k != "hot")
+
+
+def test_crosstab_counts(spark):
+    import duckdb
+    import pytest
+    from llmxmapreduce_spark.operators.report import crosstab_counts
+
+    rows = [(1, "a"), (1, "a"), (1, "b"), (2, "b"), (2, None),
+            (3, None), (4, "zzz")]          # zzz outside the vocabulary
+    df = spark.createDataFrame(rows, "k long, c string")
+    got = {r.k: (r.n_a, r.n_b) for r in
+           crosstab_counts(df, "k", "c", ["a", "b"]).collect()}
+    assert got == {1: (2, 1), 2: (0, 1), 3: (0, 0), 4: (0, 0)}
+    with pytest.raises(ValueError):
+        crosstab_counts(df, "k", "c", [])
+    # DuckDB twin on events
+    EV = "/root/testdata/sf0.001/events.parquet"
+    ev = spark.read.parquet(EV)
+    types = ["click", "view", "purchase", "signup", "error"]
+    got2 = sorted(tuple(r) for r in
+                  crosstab_counts(ev, "user_id", "event_type",
+                                  types).collect())
+    cols = ", ".join(
+        f"SUM(COALESCE(CAST(event_type = '{t}' AS BIGINT), 0)) AS n_{t}"
+        for t in types)
+    want = sorted(tuple(r) for r in duckdb.sql(
+        f"SELECT user_id, {cols} FROM '{EV}' GROUP BY user_id"
+    ).fetchall())
+    assert got2 == want
