@@ -213,6 +213,7 @@ def doc_logprob_sum(
     id_col: str = "doc_id",
     backoff: float = 0.4,
     scale: int = 6,
+    as_string: bool = False,
 ) -> DataFrame:
     """→ (id_col, n_scored, sum_log10p): the ORACLE-EXACT variant of
     :func:`doc_perplexity` — per-transition logprobs are rounded to
@@ -223,18 +224,26 @@ def doc_logprob_sum(
     ulp-reproducible across libms).  ``perplexity`` is the monotone map
     ``10^(−sum/n)`` of this output — ranking/filter decisions derived
     from either representation agree.  Same plan as doc_perplexity; the
-    decimal cast is a projection."""
+    decimal cast is a projection.
+
+    ``as_string=True`` emits the exact DECIMAL(38,6) sum as its string
+    rendering instead of a double: the final decimal→double cast is
+    engine/platform-dependent at one ulp (the moments.py convention —
+    "sums cross the oracle as strings"), so oracle-surface consumers
+    must never see the double."""
     scored = _scored_pairs(df, lm, text_col, id_col, backoff)
     agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_scored"),
         F.sum(F.col("lp").cast(f"decimal(20,{scale})")).alias("__s"),
     )
+    out_sum = (F.col("__s").cast("decimal(38,6)").cast("string")
+               if as_string else F.col("__s").cast("double"))
     return (
         df.select(id_col).join(agg, id_col, "left")
         .select(
             id_col,
             F.coalesce(F.col("n_scored"), F.lit(0)).alias("n_scored"),
-            F.col("__s").cast("double").alias("sum_log10p"),
+            out_sum.alias("sum_log10p"),
         )
     )
 

@@ -129,11 +129,19 @@ def classifier_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     portable: bool = False,
+    keep_dot: bool = False,
 ) -> DataFrame:
     """→ (id_col, n_grams, score) with score = sigmoid(Σ tf·w + b).
     The weight vector becomes a B-row DataFrame broadcast-joined to the
     per-doc bucket counts; docs with no grams score sigmoid(b) (bias
-    only — no evidence)."""
+    only — no evidence).
+
+    ``keep_dot=True`` appends the raw ``dot`` = Σ tf·w column (0.0 for
+    gram-less docs).  With dyadic-rational weights the dot is exact —
+    oracle surfaces compare it (integerized) instead of the sigmoid,
+    whose exp() differs between JVM StrictMath and C libms by ulps
+    that floor(·×10⁶) amplifies at bin boundaries rather than
+    absorbing (measured: driver hash-FAIL round 8)."""
     import pandas as pd
 
     w, b = weights
@@ -155,15 +163,15 @@ def classifier_scores(
              F.sum(F.col("c") * F.coalesce("w", F.lit(0.0))).alias("dot"))
     )
     z = F.col("dot") / F.col("n_grams") + F.lit(b)
-    return (
-        df.select(id_col).join(agg, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
-            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.coalesce(z, F.lit(b)))))
-            .alias("score"),
-        )
-    )
+    cols = [
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.coalesce(z, F.lit(b)))))
+        .alias("score"),
+    ]
+    if keep_dot:
+        cols.append(F.coalesce("dot", F.lit(0.0)).alias("dot"))
+    return df.select(id_col).join(agg, id_col, "left").select(*cols)
 
 
 def pareto_filter(
