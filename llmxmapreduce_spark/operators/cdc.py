@@ -68,6 +68,13 @@ def apply_cdc(
     cardinality, not change volume."""
     keys = [on] if isinstance(on, str) else list(on)
     latest = latest_changes(changes, on=keys, ts_cols=ts_cols)
+    # a null-key change row can never join (null == null is false) —
+    # untreated it emits a spurious all-null snapshot row through the
+    # full-outer join and a null-key delete can never apply (review
+    # finding), so null-key changes are dropped here: a CDC key is a
+    # primary key, and a null PK in the change log is upstream garbage
+    for k in keys:
+        latest = latest.filter(F.col(k).isNotNull())
     is_del = F.col(f"__c.{op_col}") == F.lit(delete_value)
     b = base.alias("__b")
     c = latest.alias("__c")

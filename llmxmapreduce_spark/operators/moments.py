@@ -38,11 +38,17 @@ def moment_stats(
     # decimal(19,6) inputs: the PRODUCT lands at decimal(38,12) with 26
     # integer digits of headroom — a (38,12) input would give the
     # product scale 24 and overflow the sum at corpus row counts
+    # try_cast: values past decimal(19,6) range (|x| >= 1e13) become null
+    # in EVERY ANSI mode (a plain cast nulls silently non-ANSI but throws
+    # under Spark 4's ANSI default) — then re-filter so n counts exactly
+    # the rows the sums cover (review finding: n/sums disagreed for
+    # overflow rows)
     d = df.filter(both).select(
         *keys,
-        F.col(x).cast("decimal(19,6)").alias("__x"),
-        F.col(y).cast("decimal(19,6)").alias("__y"),
+        F.col(x).try_cast("decimal(19,6)").alias("__x"),
+        F.col(y).try_cast("decimal(19,6)").alias("__y"),
     )
+    d = d.filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
     aggs = [
         F.count(F.lit(1)).alias("n"),
         F.sum("__x").cast("decimal(38,6)").alias("sum_x"),

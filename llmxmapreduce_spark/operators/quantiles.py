@@ -142,6 +142,9 @@ def histogram(
     if lo is None or hi is None:
         row = df.agg(F.min(F.col(col).cast("double")),
                      F.max(F.col(col).cast("double"))).collect()[0]
+        if (lo is None and row[0] is None) or (hi is None and row[1] is None):
+            raise ValueError(
+                "histogram: no non-null values to infer lo/hi")
         lo = float(row[0]) if lo is None else lo
         hi = float(row[1]) if hi is None else hi
     if not (hi > lo):

@@ -72,8 +72,15 @@ def asof_join(
     row.
 
     Right rows that tie on (key, ts) resolve deterministically to the
-    LAST one in ``value_cols``-struct order (max struct) — pre-dedup the
+    LAST one in ``(matched_ts, value_cols)``-struct order (max struct;
+    the payload struct is part of the window sort key) — pre-dedup the
     right side if ties are meaningful.
+
+    Null timestamps follow SQL comparison semantics (the DuckDB ASOF
+    oracle): right rows with null ``right_ts`` are never matched, and
+    left rows with null ``left_ts`` keep null right columns (review
+    finding: asc-nulls-first ordering used to surface a null-ts right
+    row as the "predecessor" of unmatched left rows).
     """
     keys = [on] if isinstance(on, str) else list(on)
     right_ts = right_ts or left_ts
@@ -90,7 +97,7 @@ def asof_join(
     )
     out_fields = [matched_ts] + [c + suffix for c in value_cols]
 
-    r2 = right.select(
+    r2 = right.filter(F.col(right_ts).isNotNull()).select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__ats"),
         F.lit(0).alias("__side"),
@@ -105,9 +112,14 @@ def asof_join(
         F.lit(None).cast(r2.schema["__p"].dataType).alias("__p"),
         *[F.col(c).alias("__l_" + c) for c in left.columns],
     )
+    # __p trails the sort key so (key, ts) ties resolve to a DETERMINISTIC
+    # right row: right rows sort before the left row they tie with
+    # (__side 0 < 1) in both directions, and among tied right rows
+    # last() takes the max payload struct (asc order ⇒ last = max)
     ordering = [F.col("__ats").asc(), F.col("__side").asc()] \
         if direction == "backward" \
         else [F.col("__ats").desc(), F.col("__side").asc()]
+    ordering.append(F.col("__p").asc())
     w = (Window.partitionBy(*keys).orderBy(*ordering)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     m = F.last("__p", ignorenulls=True).over(w)
@@ -116,6 +128,10 @@ def asof_join(
         r2.unionByName(l2)
         .withColumn("__m", m)
         .filter(F.col("__side") == 1)
+        # a null left ts never satisfies l.ts >= r.ts (or <=): null the
+        # match rather than whatever the null-ordering scan carried
+        .withColumn("__m", F.when(F.col("__ats").isNotNull(),
+                                  F.col("__m")))
     )
     if tolerance is not None:
         gap_ok = (

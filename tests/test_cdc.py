@@ -75,3 +75,19 @@ def test_matches_duckdb_twin(spark):
     """).fetchall())
     want = [(u, None if v is None else round(v, 9)) for u, v in want]
     assert got == want
+
+
+def test_null_key_changes_are_dropped(spark):
+    # review finding: a null-key change row never joins (null == null is
+    # false), so it used to emit a spurious all-null snapshot row; a
+    # null-key delete could never apply either
+    from llmxmapreduce_spark.operators.cdc import apply_cdc
+
+    base = spark.createDataFrame([(1, "a")], "id int, v string")
+    changes = spark.createDataFrame(
+        [(None, "x", 1, "upsert"), (None, None, 2, "delete"),
+         (2, "b", 3, "upsert")],
+        "id int, v string, ts int, op string")
+    got = sorted((r.id, r.v) for r in
+                 apply_cdc(base, changes, on="id").collect())
+    assert got == [(1, "a"), (2, "b")]       # no all-null row

@@ -51,3 +51,14 @@ def test_matches_duckdb_twin(spark):
                       ["event_type"])).fetchall())
     assert got == want
     assert len(got) >= 40        # 5 types x ~10 occupied bins
+
+
+def test_empty_input_raises_value_error(spark):
+    from llmxmapreduce_spark.operators.quantiles import histogram
+
+    empty = spark.createDataFrame([], "x double")
+    with pytest.raises(ValueError, match="no non-null values"):
+        histogram(empty, "x", bins=4)
+    allnull = spark.createDataFrame([(None,), (None,)], "x double")
+    with pytest.raises(ValueError, match="no non-null values"):
+        histogram(allnull, "x", bins=4)

@@ -60,3 +60,16 @@ def test_null_pairs_and_degenerate(spark):
                                   "x double, y double")
     r2 = with_corr_slope(moment_stats(const, "x", "y")).collect()[0]
     assert r2.corr is None and r2.slope is None    # zero x-variance
+
+
+def test_overflow_rows_leave_n_and_sums_consistent(spark):
+    # review finding: values past decimal(19,6) range null out in the
+    # cast while count(*) still included them, silently skewing corr
+    from llmxmapreduce_spark.operators.moments import moment_stats
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (1e14, 1.0), (3.0, 4.0)], "x double, y double")
+    row = moment_stats(df, "x", "y").collect()[0]
+    assert row["n"] == 2                      # overflow row excluded
+    assert float(row["sum_x"]) == 4.0
+    assert float(row["sum_y"]) == 6.0

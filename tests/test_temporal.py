@@ -153,3 +153,44 @@ def test_range_join_rejects_column_clash(spark):
     b = spark.createDataFrame([(0.0, 2.0, 9.0)], "x double, lo double, hi double")
     with pytest.raises(ValueError, match="overlapping"):
         range_join(a, b, "x", "lo", "hi")
+
+
+def test_asof_null_ts_rows_follow_sql_comparison_semantics(spark):
+    # review finding: a null-ts right row used to sort FIRST (asc nulls
+    # first) and last(ignorenulls) carried its payload as the "match"
+    # for left rows with no true predecessor; DuckDB ASOF (the oracle)
+    # never matches null ts on either side
+    left = spark.createDataFrame(
+        [(1, 10.0), (1, None), (2, 5.0)], "k int, t double")
+    right = spark.createDataFrame(
+        [(1, None, 42), (1, 99.0, 7), (2, 1.0, 3)],
+        "k int, t double, v int")
+    got = {(r.k, r.t): (r.t_r, r.v_r)
+           for r in asof_join(left, right, on="k", left_ts="t",
+                              value_cols=["v"]).collect()}
+    assert got[(1, 10.0)] == (None, None)   # null-ts right row ignored
+    assert got[(1, None)] == (None, None)   # null-ts left row unmatched
+    assert got[(2, 5.0)] == (1.0, 3)
+    # forward direction: null left ts must not pick up a payload via the
+    # desc-nulls-last scan either
+    fwd = {(r.k, r.t): (r.t_r, r.v_r)
+           for r in asof_join(left, right, on="k", left_ts="t",
+                              value_cols=["v"],
+                              direction="forward").collect()}
+    assert fwd[(1, None)] == (None, None)
+    assert fwd[(1, 10.0)] == (99.0, 7)
+
+
+def test_asof_tied_right_rows_resolve_to_max_payload(spark):
+    # docstring contract: (key, ts) ties resolve to the MAX payload
+    # struct in both directions (the payload is in the window sort key)
+    left = spark.createDataFrame([(1, 5.0), (1, 3.0)], "k int, t double")
+    right = spark.createDataFrame(
+        [(1, 4.0, 1), (1, 4.0, 9), (1, 4.0, 5)], "k int, t double, v int")
+    back = {r.t: r.v_r for r in asof_join(
+        left, right, on="k", left_ts="t", value_cols=["v"]).collect()}
+    assert back[5.0] == 9
+    fwd = {r.t: r.v_r for r in asof_join(
+        left, right, on="k", left_ts="t", value_cols=["v"],
+        direction="forward").collect()}
+    assert fwd[3.0] == 9
