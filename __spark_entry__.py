@@ -2783,6 +2783,47 @@ def _pagerank_oracle() -> str:
 # ---------------------------------------------------------------------------
 
 
+def q_v3_host_transcript(spark: SparkSession, sf: str) -> DataFrame:
+    """V3 MCP-host planner loop (pipelines/v3_host.py — parity with
+    reference host.py:31-120 decision loop + llm_search_mcp_server.py
+    file handoff): the deterministic MockPlanner drives the full
+    topic→survey tool sequence (search→group→skeleton→digest→refine→
+    writing) over this repo's distributed stages with the survey mock.
+    ROWS-GRADE board entry: the transcript is driver-side control flow
+    over LLM stages — not SQL-expressible — but the planner + mock make
+    the (step, round, action, tool) transcript exactly reproducible; the
+    e2e content path is pytest-gated in tests/test_v3_host.py."""
+    import hashlib
+    import tempfile
+
+    from llmxmapreduce_spark.llm.survey_mock import MockSurveyClient
+    from llmxmapreduce_spark.pipelines import v3_host as vh
+
+    def fake_search(query):
+        h = int(hashlib.md5(query.encode()).hexdigest()[:6], 16) % 100
+        return [{"url": f"https://x.test/{h}/{i}", "title": f"t{i}",
+                 "snippet": f"snippet {i} about {query}"}
+                for i in range(4)]
+
+    def fake_fetch(url):
+        n = int(url.rsplit("/", 1)[-1])
+        body = " ".join(f"word{i} the of and in" for i in range(40 + 10 * n))
+        return f"# Page {n}\n{body}"
+
+    topic = "graph analytics at scale"
+    host = vh.make_spark_host(
+        spark, tempfile.mkdtemp(prefix="v3host_"), vh.MockPlanner(topic),
+        MockSurveyClient, lambda: fake_search, lambda: fake_fetch,
+        top_n=6, snippet_threshold=0, similarity_threshold=0,
+        min_length=50, max_length=100000)
+    out = host.process_task(f"Write a survey about {topic}")
+    rows = [(i, op["round"], op["action"], op.get("tool_name", ""))
+            for i, op in enumerate(out["operation_history"])]
+    rows.append((len(rows), out["rounds_used"], "status", out["status"]))
+    return spark.createDataFrame(
+        rows, "step int, round int, action string, tool_name string")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2859,8 +2900,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_topk_per_group": q_t1_topk_per_group,
         "j3_star_join_agg": q_join_star_agg,
         "a7_cite_ratio": q_a7_cite_ratio,
-        "a5_topic_grouping": q_a5_topic_grouping,
+        # round-9 NEW: V3 host-loop planner transcript (rows-grade — the
+        # one reference surface that had no counterpart through r08)
+        "v3_host_transcript": q_v3_host_transcript,
         # ---- positions 51+: driver-green in r08, rotate back in r10 ----
+        "a5_topic_grouping": q_a5_topic_grouping,
         "p6_crawl_filter_backfill": q_p6_crawl_filter_backfill,
         "p7_bibkey_normalize": q_p7_bibkey,
         "p14_normalize_answer": q_p14_normalize_answer,

@@ -1,0 +1,223 @@
+"""V3 MCP-host planner-loop parity (pipelines/v3_host.py).
+
+Mirrors LLMxMapReduce_V3/src/mcp_host/host.py semantics: decision
+parsing (fenced JSON, brace repair, degradation to complete), tool-name
+action coercion, state-fed stage arguments, the crawl-results file
+handoff group_papers re-reads from disk, interaction rounds, error
+containment, and the full topic -> survey run under the deterministic
+mock planner."""
+
+import json
+import os
+
+import pytest
+
+from llmxmapreduce_spark.llm.survey_mock import MockSurveyClient
+from llmxmapreduce_spark.pipelines import v3_host as vh
+
+
+# ------------------------------------------------------------- parsing
+
+
+def test_parse_planner_response_variants():
+    fenced = "```json\n{\"action\": \"complete\", \"result\": \"ok\"}\n```"
+    assert vh.parse_planner_response(fenced)["result"] == "ok"
+    bare = '{"action": "call_tool", "tool_name": "web_search"}'
+    assert vh.parse_planner_response(bare)["tool_name"] == "web_search"
+    embedded = 'Thinking... {"action": "request_info", "message": "m"} done'
+    assert vh.parse_planner_response(embedded)["action"] == "request_info"
+    # brace repair (host.py:533-551)
+    assert vh.parse_planner_response(
+        '{"action": "complete", "result": "x"')["action"] == "complete"
+    assert vh.fix_brace_balance('{"a": {"b": 1}') == '{"a": {"b": 1}}'
+    # empty / unparseable degrade to complete, never raise
+    assert vh.parse_planner_response("")["action"] == "complete"
+    assert vh.parse_planner_response("None")["action"] == "complete"
+    assert vh.parse_planner_response("word salad")["action"] == "complete"
+
+
+def test_search_result_handoff_normalization(tmp_path):
+    # host.py:268-290: topic->title, crawl_progress->papers (content->txt),
+    # papers without a title dropped
+    p = tmp_path / "crawl_results_t.json"
+    p.write_text(json.dumps({
+        "topic": "quantum widgets",
+        "crawl_progress": [
+            {"title": "A", "content": "body a", "url": "u1"},
+            {"title": "", "content": "dropped", "url": "u2"},
+            {"title": "B", "content": "body b", "url": "u3"},
+        ]}))
+    data = vh.load_search_results(str(p))
+    assert data["title"] == "quantum widgets"
+    assert [q["title"] for q in data["papers"]] == ["A", "B"]
+    assert data["papers"][0]["txt"] == "body a"
+
+
+# ------------------------------------------------------- loop semantics
+
+
+def _stub_host(tmp_path, planner, **kw):
+    host = vh.V3Host(planner, str(tmp_path), **kw)
+    calls = []
+
+    def make(server, name):
+        def fn(h, args):
+            calls.append((name, dict(args)))
+            return {"tool": name}
+        return vh.ToolSpec(server, name, f"{name} tool"), fn
+
+    for server, name in vh.CANONICAL_SEQUENCE:
+        spec, fn = make(server, name)
+        host.register_tool(spec, fn)
+    return host, calls
+
+
+def test_tool_name_action_coercion_and_complete(tmp_path):
+    script = iter([
+        json.dumps({"action": "web_search", "arguments": {"topic": "t"}}),
+        json.dumps({"action": "complete", "result": "done"}),
+    ])
+    host, calls = _stub_host(tmp_path, lambda conv: next(script))
+    out = host.process_task("task")
+    assert out["status"] == "completed" and out["result"] == "done"
+    assert out["rounds_used"] == 2
+    assert calls == [("web_search", {"topic": "t"})]
+    assert out["operation_history"][0]["tool_name"] == "web_search"
+
+
+def test_state_fed_servers_ignore_planner_arguments(tmp_path):
+    # host.py:292-315: group/skeleton_init/digest take survey state, not
+    # planner args; skeleton_refine gets the hardcoded knobs
+    script = iter([
+        json.dumps({"action": "call_tool", "server_name": "group_server",
+                    "tool_name": "group_papers",
+                    "arguments": {"malicious": "x"}}),
+        json.dumps({"action": "call_tool",
+                    "server_name": "skeleton_refine_server",
+                    "tool_name": "skeleton_refine", "arguments": {}}),
+        json.dumps({"action": "complete", "result": "fin"}),
+    ])
+    host, calls = _stub_host(tmp_path, lambda conv: next(script))
+    host.process_task("task")
+    assert calls[0] == ("group_papers", {})            # args dropped
+    assert calls[1] == ("skeleton_refine", dict(vh.REFINE_ARGS))
+
+
+def test_none_tool_ends_task_and_errors_contained(tmp_path):
+    script = iter([
+        json.dumps({"action": "call_tool", "server_name": "search_server",
+                    "tool_name": "does_not_exist"}),
+        json.dumps({"action": "call_tool", "tool_name": None}),
+    ])
+    host, _ = _stub_host(tmp_path, lambda conv: next(script))
+    out = host.process_task("task")
+    assert out["status"] == "completed"
+    assert out["rounds_used"] == 2
+    assert out["operation_history"][0]["action"] == "error"
+
+
+def test_max_rounds_reached(tmp_path):
+    host, _ = _stub_host(
+        tmp_path,
+        lambda conv: json.dumps({"action": "request_info", "message": "?"}),
+        max_rounds=3)
+    out = host.process_task("task")
+    assert out["status"] == "max_rounds_reached"
+    assert out["rounds_used"] == 3
+    assert len(out["operation_history"]) == 3
+
+
+def test_interaction_rounds_bounded(tmp_path):
+    feedback = iter(["make it shorter", "tighter", "more", "even more"])
+    script = iter([
+        json.dumps({"action": "interaction",
+                    "server_name": "skeleton_refine_server"}),
+        json.dumps({"action": "complete", "result": "fin"}),
+    ])
+    host, _ = _stub_host(tmp_path, lambda conv: next(script),
+                         max_interaction_rounds=3,
+                         feedback_fn=lambda s: next(feedback))
+    host.state["all_skeleton"] = "# outline"
+    out = host.process_task("task")
+    op = out["operation_history"][0]
+    assert op["action"] == "interact"
+    assert op["interaction_rounds"] == 3               # bounded, not 4
+    assert host.state["interaction_feedback"] == [
+        "make it shorter", "tighter", "more"]
+
+
+def test_system_prompt_lists_servers_and_param_markers(tmp_path):
+    host, _ = _stub_host(tmp_path, lambda conv: "None")
+    host.register_tool(
+        vh.ToolSpec("search_server", "extra", "extra tool",
+                    [vh.ToolParam("topic", required=True,
+                                  description="the topic"),
+                     vh.ToolParam("top_n", "integer")]),
+        lambda h, a: {})
+    sp = host.system_prompt()
+    assert "**Search Server**" in sp and "**Writing Server**" in sp
+    assert "- topic: string (must) - the topic" in sp
+    assert "- top_n: integer (optional)" in sp
+
+
+def test_state_message_truncates_history(tmp_path):
+    host, _ = _stub_host(tmp_path, lambda conv: "None")
+    host.operation_history = [{
+        "round": 1, "action": "call_tool", "tool_name": "crawl_urls",
+        "result": {"blob": "x" * 500}}]
+    msg = host._current_state("task", "", 2)
+    line = [ln for ln in msg.splitlines() if "crawl_urls" in ln][0]
+    assert line.endswith("...") and len(line) < 300
+
+
+# ---------------------------------------------------- e2e with Spark
+
+
+def test_full_host_run_topic_to_survey(spark, tmp_path):
+    def fake_search(query):
+        return [{"url": f"https://x.test/{abs(hash(query)) % 100}/{i}",
+                 "title": f"t{i}", "snippet": f"snippet {i} about {query}"}
+                for i in range(4)]
+
+    def fake_fetch(url):
+        n = int(url.rsplit("/", 1)[-1])
+        body = " ".join(f"word{i} the of and in" for i in range(40 + 10 * n))
+        return f"# Page {n}\n{body}"
+
+    topic = "graph neural networks"
+    host = vh.make_spark_host(
+        spark, str(tmp_path), vh.MockPlanner(topic), MockSurveyClient,
+        lambda: fake_search, lambda: fake_fetch,
+        top_n=6, snippet_threshold=0, similarity_threshold=0,
+        min_length=50, max_length=100000)
+    out = host.process_task(f"Write a survey about {topic}")
+
+    assert out["status"] == "completed"
+    tools_run = [op["tool_name"] for op in out["operation_history"]
+                 if op["action"] == "call_tool"]
+    assert tools_run == [t for _s, t in vh.CANONICAL_SEQUENCE]
+
+    # the handoff file exists in the reference's shape
+    handoff = vh.search_result_path(str(tmp_path), topic)
+    data = json.loads(open(handoff).read())
+    assert data["topic"] == topic and data["crawl_progress"]
+
+    # stage snapshots persisted (host.py:319-322)
+    for t in ("group_papers", "skeleton_init", "digest_generation",
+              "skeleton_refine"):
+        assert os.path.exists(
+            os.path.join(str(tmp_path), topic, f"{t}_result.json"))
+
+    # the written survey has real content
+    final = json.loads(open(host.state["output_file"]).read())
+    assert final["title"] and len(final["content"]) > 100
+
+    # determinism: the mock planner + mock LLM make the transcript stable
+    host2 = vh.make_spark_host(
+        spark, str(tmp_path / "r2"), vh.MockPlanner(topic),
+        MockSurveyClient, lambda: fake_search, lambda: fake_fetch,
+        top_n=6, snippet_threshold=0, similarity_threshold=0,
+        min_length=50, max_length=100000)
+    out2 = host2.process_task(f"Write a survey about {topic}")
+    final2 = json.loads(open(host2.state["output_file"]).read())
+    assert final2["content"] == final["content"]
