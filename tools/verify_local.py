@@ -8,6 +8,7 @@ sorted).  Prints one line per query plus a first-diff detail on mismatch.
 
 Usage: python tools/verify_local.py [sf_dir] [query ...]
        python tools/verify_local.py --fingerprint [sf_dir] [query ...]
+       python tools/verify_local.py --exact [sf_dir] [query ...]
 
 ``--fingerprint`` replaces the collect-based compare with an AGGREGATE
 fingerprint computed inside each engine — count(*) plus the sum of a
@@ -22,6 +23,20 @@ SHORTEST decimal repr with zeros, C prints the exact binary expansion)
 — i.e. double columns fingerprint at 1e-6 truncation granularity.
 Supported column types: numeric/string/bool/timestamp (arrays/structs
 would need engine-specific stringification).
+
+``--exact`` closes the fingerprint's ulp blind spot (judge r8: the 1e-6
+floor cannot see the one-ulp class that fails the driver's exact hash):
+both sides stream every row through the SAME Python normalization
+(floats via shortest-roundtrip ``repr`` — full 17-significant-digit
+precision, so two doubles one ulp apart hash differently) and sum 60-bit
+md5 slices.  Nothing collects: the Spark side computes per-batch partial
+(n, fp) inside ``mapInPandas`` (distributed, Arrow-batched); the DuckDB
+side drains ``fetchmany`` batches through the identical function.  In-SQL
+exact rendering is IMPOSSIBLE to do portably — Spark's double→string and
+double→decimal go through Java's shortest repr while DuckDB renders the
+exact binary expansion, so their in-engine strings diverge past 16
+significant digits even for BIT-IDENTICAL doubles (measured); shared
+Python normalization is the only apples-to-apples exact surface.
 """
 
 from __future__ import annotations
@@ -104,14 +119,105 @@ def norm_cell(v):
     return str(v)
 
 
+def _exact_norm_cell(v):
+    """Exact normalization shared VERBATIM by both engines' streams:
+    floats through shortest-roundtrip repr (one-ulp-sensitive), numpy
+    scalars unwrapped first, NaT/NA → the null sentinel.  Float NaN is
+    normalized TO the null sentinel on both sides: pandas cannot
+    distinguish a null double from NaN inside an Arrow batch, so exact
+    mode deliberately conflates the two (no board query emits NaN as a
+    value)."""
+    if v is None:
+        return "\x00NULL"
+    item = getattr(v, "item", None)
+    if item is not None and type(v).__module__.startswith("numpy"):
+        v = v.item()
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float):
+        return "\x00NULL" if math.isnan(v) else repr(v)
+    if isinstance(v, bool):
+        return str(v)
+    s = str(v)
+    return "\x00NULL" if s in ("NaT", "<NA>") else s
+
+
+def _exact_batch_fp(rows_iter):
+    """(n, fp_sum) over an iterable of tuples via the shared norm."""
+    import hashlib
+
+    n = 0
+    fp = 0
+    for row in rows_iter:
+        s = "\x1f".join(_exact_norm_cell(v) for v in row)
+        fp += int(hashlib.md5(s.encode("utf-8", "surrogatepass"))
+                  .hexdigest()[:15], 16)
+        n += 1
+    return n, fp
+
+
+def spark_exact_fingerprint(sdf):
+    """Distributed exact fingerprint: per-Arrow-batch partial (n, fp)
+    inside mapInPandas, then one tiny agg.  Timestamps are stringified
+    Python-side (pandas Timestamp str == datetime str for the same
+    instant), so the normalization matches the DuckDB stream exactly."""
+    from pyspark.sql import functions as F
+
+    cols = sorted(sdf.columns)
+    dt = dict(sdf.dtypes)
+    int_cols = [c for c in cols
+                if dt[c] in ("tinyint", "smallint", "int", "bigint")]
+
+    def partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            # pandas silently promotes int columns with nulls to float64
+            # (5 → 5.0 → repr '5.0' ≠ DuckDB's '5'): pin them to
+            # nullable Int64 so integers stringify as integers
+            for c in int_cols:
+                pdf[c] = pdf[c].astype("Int64")
+            n, fp = _exact_batch_fp(
+                pdf[cols].itertuples(index=False, name=None))
+            yield pd.DataFrame({"n": [n], "fp": [str(fp)]})
+
+    part = sdf.mapInPandas(partials, "n long, fp string")
+    row = part.agg(F.sum("n").alias("n"),
+                   F.sum(F.col("fp").cast("decimal(38,0)")).alias("fp")) \
+        .collect()[0]
+    return int(row["n"] or 0), int(row["fp"] or 0)
+
+
+def duck_exact_fingerprint(con, osql: str, batch: int = 100_000):
+    """Same normalization over a streaming DuckDB cursor — fetchmany
+    batches, nothing materializes beyond one batch.  Columns reordered
+    to name-sorted to match the Spark side."""
+    res = con.execute(osql)
+    names = [d[0] for d in res.description]
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    n = 0
+    fp = 0
+    while True:
+        rows = res.fetchmany(batch)
+        if not rows:
+            break
+        bn, bfp = _exact_batch_fp(
+            tuple(r[i] for i in order) for r in rows)
+        n += bn
+        fp += bfp
+    return n, fp
+
+
 def norm_rows(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(tuple(norm_cell(r[i]) for i in idx) for r in rows)
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--fingerprint"]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--fingerprint", "--exact")]
     fingerprint = "--fingerprint" in sys.argv[1:]
+    exact = "--exact" in sys.argv[1:]
     sf = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a]
 
@@ -127,11 +233,13 @@ def main():
         if only and name not in only:
             continue
         t0 = time.time()
-        if fingerprint:
+        if fingerprint or exact:
+            tag = "XFP" if exact else "FP"
             osql = oracles.get(name)
             try:
                 sdf = fn(spark, sf)
-                sn, sfp = spark_fingerprint(sdf)
+                sn, sfp = (spark_exact_fingerprint(sdf) if exact
+                           else spark_fingerprint(sdf))
             except Exception as e:
                 print(f"FAIL {name}: spark error: {str(e)[:300]}")
                 n_fail += 1
@@ -141,17 +249,18 @@ def main():
                 n_pass += 1
                 continue
             try:
-                on, ofp = duck_fingerprint(con, osql)
+                on, ofp = (duck_exact_fingerprint(con, osql) if exact
+                           else duck_fingerprint(con, osql))
             except Exception as e:
                 print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
                 n_fail += 1
                 continue
             if (sn, sfp) == (on, ofp):
-                print(f"PASS-FP {name}: {sn} rows, fp {sfp % 10**12} "
+                print(f"PASS-{tag} {name}: {sn} rows, fp {sfp % 10**12} "
                       f"({time.time()-t0:.1f}s)")
                 n_pass += 1
             else:
-                print(f"FAIL {name}: fingerprint spark=({sn},{sfp}) "
+                print(f"FAIL {name}: {tag} fingerprint spark=({sn},{sfp}) "
                       f"duck=({on},{ofp})")
                 n_fail += 1
             continue
