@@ -2830,7 +2830,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # 92 entries, ORDERED because the driver's correctness gate runs only
+    # 93 entries, ORDERED because the driver's correctness gate runs only
     # the FIRST 50 (measured rounds 5-8).  Round-9 rotation (judge task
     # #2): every entry must eventually earn a driver-green row, so the
     # first 50 slots hold (a) the 3 queries whose oracle surface changed
