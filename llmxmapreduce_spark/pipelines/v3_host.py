@@ -452,6 +452,34 @@ class V3Host:
             "interaction_result": "Please go to the next step!"})
 
 
+def client_planner(client, max_chars: int = 60_000):
+    """Adapt an :class:`~llmxmapreduce_spark.llm.client.LLMClient`
+    (single-prompt ``complete``) to the host's ``conversation -> str``
+    planner seam — the deployment counterpart of MockPlanner (the
+    reference feeds its host LLM the same role-tagged message list via
+    RequestWrapper, host.py:437-448).  The conversation is flattened to
+    a role-tagged transcript, head-truncated to ``max_chars`` keeping
+    the SYSTEM message (the tool catalog) plus the newest turns — the
+    state message already summarizes older history, so dropping stale
+    middle turns loses nothing the loop depends on."""
+    def plan(conversation: list[dict[str, str]]) -> str:
+        system = [m for m in conversation if m["role"] == "system"]
+        rest = [m for m in conversation if m["role"] != "system"]
+        head = "\n\n".join(f"[{m['role'].upper()}]\n{m['content']}"
+                           for m in system)
+        tail_msgs: list[str] = []
+        used = len(head)
+        for m in reversed(rest):
+            block = f"[{m['role'].upper()}]\n{m['content']}"
+            if used + len(block) > max_chars and tail_msgs:
+                break
+            tail_msgs.append(block)
+            used += len(block)
+        prompt = "\n\n".join([head, *reversed(tail_msgs)])
+        return client.complete(prompt)
+    return plan
+
+
 class MockPlanner:
     """Deterministic planner walking :data:`CANONICAL_SEQUENCE` then
     completing — the mock LLM host.  Emits fenced-JSON replies (so the

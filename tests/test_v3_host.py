@@ -221,3 +221,41 @@ def test_full_host_run_topic_to_survey(spark, tmp_path):
     out2 = host2.process_task(f"Write a survey about {topic}")
     final2 = json.loads(open(host2.state["output_file"]).read())
     assert final2["content"] == final["content"]
+
+
+def test_client_planner_adapter(tmp_path):
+    """client_planner flattens the conversation for a single-prompt
+    LLMClient; a client that answers non-JSON degrades to a graceful
+    complete (the reference's parse fallback), never crashes the loop."""
+    seen = []
+
+    class ScriptedClient:
+        def complete(self, prompt):
+            seen.append(prompt)
+            if len(seen) == 1:
+                return ('{"action": "call_tool", "server_name": '
+                        '"search_server", "tool_name": "web_search", '
+                        '"arguments": {"topic": "t"}}')
+            return "free-form prose, not a decision"
+
+    host, calls = _stub_host(tmp_path, vh.client_planner(ScriptedClient()))
+    out = host.process_task("task")
+    assert calls == [("web_search", {"topic": "t"})]
+    assert out["status"] == "completed" and out["rounds_used"] == 2
+    # the flattened prompt carries the tool catalog + the state message
+    assert "[SYSTEM]" in seen[0] and "web_search" in seen[0]
+    assert "[USER]" in seen[0]
+
+
+def test_client_planner_truncation_keeps_system_and_newest():
+    class Echo:
+        def complete(self, prompt):
+            return prompt
+
+    conv = [{"role": "system", "content": "CATALOG"},
+            {"role": "user", "content": "old " * 2000},
+            {"role": "assistant", "content": "mid"},
+            {"role": "user", "content": "NEWEST STATE"}]
+    prompt = vh.client_planner(Echo(), max_chars=600)(conv)
+    assert "CATALOG" in prompt and "NEWEST STATE" in prompt
+    assert "old old" not in prompt            # stale middle dropped
