@@ -48,6 +48,8 @@ __all__ = [
     "ToolSpec",
     "V3Host",
     "MockPlanner",
+    "client_planner",
+    "load_unified_config",
     "fix_brace_balance",
     "parse_planner_response",
     "search_result_path",
@@ -450,6 +452,55 @@ class V3Host:
             "round": round_num, "action": "interact",
             "interaction_rounds": rounds,
             "interaction_result": "Please go to the next step!"})
+
+
+def load_unified_config(path: str) -> dict[str, Any]:
+    """Parse the reference's ``config/unified_config.json`` into the
+    knobs this host understands, so a V3 user's existing config file
+    drives :func:`make_spark_host` directly.  Field mapping (reference
+    host.py:40-44 + search server SERVER_CONFIG usage):
+
+    - ``analyse_settings.llm_host_max_rounds`` → ``max_rounds`` (host
+      default 10; shipped config 20)
+    - ``analyse_settings.max_interaction_rounds`` → interaction bound
+    - ``search_settings.default_top_n / default_similarity_threshold /
+      default_min_length / default_max_length`` → the crawl filter knobs
+    - ``search_settings.default_engine / default_each_query_result`` and
+      ``api_keys.search_engines.*`` → kwargs for
+      :mod:`sources.connectors` adapters (key PRESENCE only — the values
+      stay in the caller's config; placeholders like 'your_serpapi_key'
+      are treated as absent)
+
+    Model names / infer types / timeouts are out of engine scope (the
+    planner and stage clients are injected callables here) and pass
+    through untouched under ``"models"`` / ``"timeout_settings"``."""
+    with open(path, encoding="utf-8") as f:
+        cfg = json.load(f)
+    search = cfg.get("search_settings", {})
+    analyse = cfg.get("analyse_settings", {})
+    keys = cfg.get("api_keys", {}).get("search_engines", {})
+
+    def real(v):  # the shipped config ships 'your_*_key' placeholders
+        return v if isinstance(v, str) and v and not v.startswith("your_") \
+            else None
+
+    return {
+        "max_rounds": analyse.get("llm_host_max_rounds", 10),
+        "max_interaction_rounds": analyse.get("max_interaction_rounds", 3),
+        "top_n": search.get("default_top_n", 70),
+        "similarity_threshold": search.get("default_similarity_threshold",
+                                           30),
+        "min_length": search.get("default_min_length", 100),
+        "max_length": search.get("default_max_length", 20_000),
+        "connector": {
+            "engine": search.get("default_engine", "google"),
+            "each_query_result": search.get("default_each_query_result", 10),
+            "serpapi_key": real(keys.get("serpapi_key")),
+            "bing_subscription_key": real(keys.get("bing_subscription_key")),
+        },
+        "models": cfg.get("models", {}),
+        "timeout_settings": cfg.get("timeout_settings", {}),
+    }
 
 
 def client_planner(client, max_chars: int = 60_000):

@@ -259,3 +259,35 @@ def test_client_planner_truncation_keeps_system_and_newest():
     prompt = vh.client_planner(Echo(), max_chars=600)(conv)
     assert "CATALOG" in prompt and "NEWEST STATE" in prompt
     assert "old old" not in prompt            # stale middle dropped
+
+
+def test_load_unified_config_maps_reference_shape(tmp_path):
+    cfg = {
+        "api_keys": {"search_engines": {
+            "serpapi_key": "your_serpapi_key",       # placeholder = absent
+            "bing_subscription_key": "real-key-123"}},
+        "models": {"host_llm_model": "m"},
+        "search_settings": {"default_engine": "bing",
+                            "default_each_query_result": 7,
+                            "default_top_n": 70,
+                            "default_similarity_threshold": 30,
+                            "default_min_length": 100,
+                            "default_max_length": 20000},
+        "analyse_settings": {"max_interaction_rounds": 3,
+                             "llm_host_max_rounds": 20},
+        "timeout_settings": {"llm_request_timeout": 30},
+    }
+    p = tmp_path / "unified_config.json"
+    p.write_text(json.dumps(cfg))
+    got = vh.load_unified_config(str(p))
+    assert got["max_rounds"] == 20
+    assert got["top_n"] == 70 and got["max_length"] == 20000
+    assert got["connector"]["serpapi_key"] is None       # placeholder
+    assert got["connector"]["bing_subscription_key"] == "real-key-123"
+    assert got["connector"]["engine"] == "bing"
+    assert got["models"]["host_llm_model"] == "m"
+    # defaults when sections are missing
+    empty = tmp_path / "empty.json"
+    empty.write_text("{}")
+    d = vh.load_unified_config(str(empty))
+    assert d["max_rounds"] == 10 and d["min_length"] == 100
