@@ -2811,12 +2811,21 @@ def q_v3_host_transcript(spark: SparkSession, sf: str) -> DataFrame:
         return f"# Page {n}\n{body}"
 
     topic = "graph analytics at scale"
-    host = vh.make_spark_host(
-        spark, tempfile.mkdtemp(prefix="v3host_"), vh.MockPlanner(topic),
-        MockSurveyClient, lambda: fake_search, lambda: fake_fetch,
-        top_n=6, snippet_threshold=0, similarity_threshold=0,
-        min_length=50, max_length=100000)
-    out = host.process_task(f"Write a survey about {topic}")
+    # control-plane sizing: every stage here moves a handful of KB, so
+    # shuffles are sized to the work (the v2 board queries' convention)
+    # — at 32 partitions the empty-task scheduling dominated the wall
+    # (181 s cold → ~35 s)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        host = vh.make_spark_host(
+            spark, tempfile.mkdtemp(prefix="v3host_"), vh.MockPlanner(topic),
+            MockSurveyClient, lambda: fake_search, lambda: fake_fetch,
+            top_n=6, snippet_threshold=0, similarity_threshold=0,
+            min_length=50, max_length=100000)
+        out = host.process_task(f"Write a survey about {topic}")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     rows = [(i, op["round"], op["action"], op.get("tool_name", ""))
             for i, op in enumerate(out["operation_history"])]
     rows.append((len(rows), out["rounds_used"], "status", out["status"]))
