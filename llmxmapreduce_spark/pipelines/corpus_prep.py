@@ -67,6 +67,9 @@ class CorpusPrepConfig:
                                      # (min id wins); requires url_col
     url_col: str = "url"
     quality: bool = True
+    quality_rules: tuple = ("gopher", "c4")  # rulesets quality_filter runs
+                                     # (presets.py narrows this: pure-C4
+                                     # prep must not apply Gopher gates)
     quality_thresholds: dict = field(default_factory=dict)
     c4_line_filter: bool = False     # True: C4 §2.2 line REMOVAL feeds
                                      # forward (c4_clean_text becomes the
@@ -85,6 +88,9 @@ class CorpusPrepConfig:
                                      # near-dedup (RefinedWeb runs exact-
                                      # substring AFTER fuzzy dedup);
                                      # mode='fast' rolling-hash scan
+    neardup: bool = True             # False skips the MinHash fuzzy pass
+                                     # entirely (C4-style preps predate
+                                     # fuzzy dedup; exact dedup still runs)
     neardup_threshold: float = 0.7
     neardup_verify: str = "estimate"
     badwords: DataFrame | None = None  # one word/phrase per row ('word'):
@@ -178,7 +184,8 @@ def prep_documents(
         d = cut("url_curation", d)
     if cfg.quality:
         d = quality_filters.quality_filter(
-            d, text_col, keep_clean_text=cfg.c4_line_filter,
+            d, text_col, rules=cfg.quality_rules,
+            keep_clean_text=cfg.c4_line_filter,
             **cfg.quality_thresholds)
     if cfg.badwords is not None:
         from llmxmapreduce_spark.operators.url_filter import badwords_filter
@@ -215,11 +222,12 @@ def prep_documents(
         )
         d = cut("span_dedup", d)
 
-    pairs = minhash_dedup_pairs(
-        d, text_col=text_col, id_col=id_col,
-        threshold=cfg.neardup_threshold, verify=cfg.neardup_verify)
-    d = dedup_by_components(d, pairs, id_col=id_col)
-    d = cut("near_dedup", d)
+    if cfg.neardup:
+        pairs = minhash_dedup_pairs(
+            d, text_col=text_col, id_col=id_col,
+            threshold=cfg.neardup_threshold, verify=cfg.neardup_verify)
+        d = dedup_by_components(d, pairs, id_col=id_col)
+        d = cut("near_dedup", d)
 
     if cfg.substring_n:
         # ExactSubstr (Lee et al. 2107.06499) AFTER near-dedup — the
