@@ -400,6 +400,57 @@ def q_media_assets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual image near-dup pairs (operators/media_dedup.py) through
+    the REAL in-container PNG codec: every document becomes a
+    deterministic 9x8 grayscale PNG whose pixels are the md5 bytes of
+    its pair-group id (``doc_id // 2`` — even/odd twins share a group;
+    row y's pixels are the first 9 bytes of ``md5("<group>:<y>")``, so
+    images are near-uniform random per group and distinct groups land
+    ~32 bits apart, while the odd twin — perturbed by +5 at pixel
+    (0,0) — stays within Hamming distance 1: ONLY the planted pairs
+    survive the distance-3 cut, keeping the pair count linear in the
+    corpus at every sf).  Spark runs the full production machinery:
+    ``encode_png`` → ``image_hashes(png_decoder)`` (decode + integer
+    dhash inside mapInPandas; only 8-byte hashes shuffle) →
+    ``hamming_neardup_pairs`` (banded equi-join, pigeonhole recall 1.0
+    for distance ≤ bands−1, exact ``bit_count(xor)`` verify).  The
+    oracle replays the dhash closed form (9x8 image = one pixel per
+    box, so the grid IS the pixel field) and the identical banded join —
+    the whole surface is integers, per the repo's values convention.
+    Same roundtrip-as-oracle shape as ``warc_roundtrip``."""
+    from llmxmapreduce_spark.functions.png import encode_png, png_decoder
+    from llmxmapreduce_spark.operators import media_dedup
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                g = doc_id // 2
+                pert = 5 if doc_id % 2 == 1 else 0
+                flat = []
+                for y in range(8):
+                    hx = hashlib.md5(f"{g}:{y}".encode()).hexdigest()
+                    flat.extend(int(hx[2 * x:2 * x + 2], 16)
+                                for x in range(9))
+                flat[0] = (flat[0] + pert) % 256
+                px = bytes(flat)
+                rows.append({"asset_id": f"a{doc_id:09d}",
+                             "payload": encode_png(px, 9, 8, color_type=0)})
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    assets = d.mapInPandas(gen, schema="asset_id string, payload binary")
+    hashes = media_dedup.image_hashes(assets, decoder=png_decoder)
+    return media_dedup.hamming_neardup_pairs(
+        hashes, hash_col="dhash", bands=4, max_distance=3)
+
+
 def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     from llmxmapreduce_spark.operators import text_stats
 
@@ -2839,7 +2890,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # 93 entries, ORDERED because the driver's correctness gate runs only
+    # 94 entries, ORDERED because the driver's correctness gate runs only
     # the FIRST 50 (measured rounds 5-8).  Round-9 rotation (judge task
     # #2): every entry must eventually earn a driver-green row, so the
     # first 50 slots hold (a) the 3 queries whose oracle surface changed
@@ -2956,10 +3007,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_agg": q_range_join_agg,
         "zorder_key": q_zorder_key,
         "heavy_hitters": q_heavy_hitters,
+        # round-9 NEW (position 51+; first driver run lands with the r10
+        # rotation): perceptual image dedup through the real PNG codec
+        "image_neardup": q_image_neardup,
         # v2_survey_refdefaults stays OFF the board: it is a THROUGHPUT
         # line (bench.py HEADLINE), hash-gated by its golden-transcript
         # pytest (tests/test_v2_refdefaults.py) — no SQL oracle exists.
     }
+
+
+def _image_neardup_oracle() -> str:
+    """DuckDB replay of q_image_neardup: the 9x8 generated image has one
+    pixel per dhash box, so bit (r,c) is the closed-form comparison
+    pixel(c+1,r) > pixel(c,r) with pixel(x,y) = byte x of
+    md5("<group>:<y>") (+5 % 256 at (0,0) for odd docs).  Bit 63's
+    weight is −2^63 (signed BIGINT wrap, added LAST so no partial sum
+    overflows); band extraction (h >> s) & 65535 is shift-fill-agnostic,
+    identical in Spark/DuckDB/Python."""
+    def pix(x: int, y: int) -> str:
+        base = (f"CAST(CAST(('0x' || substr(m{y}, {2 * x + 1}, 2)) "
+                f"AS UBIGINT) AS BIGINT)")
+        if x == 0 and y == 0:
+            return (f"(({base} + (CASE WHEN doc_id % 2 = 1 THEN 5 "
+                    f"ELSE 0 END)) % 256)")
+        return base
+
+    terms = []
+    for r in range(8):
+        for c in range(8):
+            k = r * 8 + c
+            w = -(1 << 63) if k == 63 else (1 << k)
+            terms.append(f"(CASE WHEN {pix(c + 1, r)} > {pix(c, r)} "
+                         f"THEN CAST({w} AS BIGINT) ELSE 0 END)")
+    dh = "\n                 + ".join(terms)
+    rows_md5 = ",\n                   ".join(
+        f"md5(CAST(doc_id // 2 AS VARCHAR) || ':{y}') AS m{y}"
+        for y in range(8))
+    return f"""
+        WITH params AS (
+            SELECT doc_id,
+                   {rows_md5}
+            FROM documents),
+        hashes AS (
+            SELECT 'a' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS id,
+                   ({dh}) AS h
+            FROM params),
+        entries AS (
+            SELECT id, h, bb.band_id,
+                   (h >> (bb.band_id * 16)) & 65535 AS band_val
+            FROM hashes, (VALUES (0), (1), (2), (3)) AS bb(band_id))
+        SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+               CAST(bit_count(xor(l.h, r.h)) AS INT) AS distance
+        FROM entries l
+        JOIN entries r
+          ON l.band_id = r.band_id AND l.band_val = r.band_val
+         AND l.id < r.id
+        WHERE bit_count(xor(l.h, r.h)) <= 3
+    """
 
 
 _PUNCT_SQL = r"[!\"#$%&'()*+,./:;<=>?@\[\]^_`{|}~\\-]".replace("'", "''")
@@ -3959,6 +4063,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             HAVING COUNT(*) > (SELECT COUNT(*) FROM nn) / 257.0
         """,
+        "image_neardup": _image_neardup_oracle(),
         "events_session_windows": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
             m AS (SELECT user_id, t,

@@ -117,6 +117,7 @@ HEADLINE = [
     "fuzzy_name_pairs",
     "value_moments",
     "user_event_crosstab",
+    "image_neardup",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-

@@ -159,8 +159,18 @@ def dedup_by_components(
         df.select(F.col(id_col).alias("id"), F.col(keep_by).alias("__q")),
         "id",
     )
-    winners = scored.groupBy("component").agg(
-        F.expr("max_by(id, struct(__q, -id))").alias("__keep")
+    # argmax __q, ties → min id, without negating either column: a
+    # max_by(id, struct(__q, -id)) one-liner only works for ids/scores
+    # whose type supports unary minus, and both ids (strings) and scores
+    # (timestamps — "latest crawl wins") legitimately don't.  Both aggs
+    # are partial-agg friendly and sized by component count, not corpus.
+    best_q = scored.groupBy("component").agg(F.max("__q").alias("__mq"))
+    winners = (
+        scored.join(best_q, "component")
+        # null-safe: an all-null-score cluster still elects its min id
+        .filter(F.col("__q").eqNullSafe(F.col("__mq")))
+        .groupBy("component")
+        .agg(F.min("id").alias("__keep"))
     )
     losers = (
         scored.join(winners, "component")

@@ -1,0 +1,304 @@
+"""Perceptual media dedup: pure-integer hash primitives vs naive
+references, the cross-format showcase (same picture as PNG and JPEG —
+byte checksums differ, dhash pairs them), the banded Hamming join's
+exactness vs a brute-force all-pairs reference, degenerate-bucket
+guardrail, D8 decode sentinels, audio fingerprint robustness, and the
+e2e media_dedup canonicalization."""
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from llmxmapreduce_spark.functions.jpeg import encode_jpeg, jpeg_decoder
+from llmxmapreduce_spark.functions.png import encode_png, png_decoder
+from llmxmapreduce_spark.functions.wav import decode_wav, encode_wav
+from llmxmapreduce_spark.operators.media_dedup import (
+    ahash_bits, audio_fingerprint_bits, audio_hashes, box_mean_grid,
+    dhash_bits, hamming_neardup_pairs, image_hashes, media_dedup,
+    pixels_to_gray)
+
+
+def _rand_gray(w, h, seed):
+    rng = random.Random(seed)
+    return bytes(rng.randrange(256) for _ in range(w * h))
+
+
+def _rand_rgb(w, h, seed):
+    rng = random.Random(seed)
+    return bytes(rng.randrange(256) for _ in range(w * h * 3))
+
+
+def _ham(a, b):
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+# ---------------------------------------------------------------- primitives
+
+def test_pixels_to_gray_channel_inference():
+    # gray passes through
+    assert pixels_to_gray(2, 1, bytes([10, 200])) == [10, 200]
+    # gray+alpha takes channel 0
+    assert pixels_to_gray(2, 1, bytes([10, 255, 200, 0])) == [10, 200]
+    # rgb uses integer BT.601
+    px = bytes([255, 0, 0, 0, 255, 0])
+    assert pixels_to_gray(2, 1, px) == [(299 * 255) // 1000,
+                                        (587 * 255) // 1000]
+    # rgba ignores alpha
+    px4 = bytes([0, 0, 255, 9, 10, 10, 10, 9])
+    assert pixels_to_gray(2, 1, px4) == [(114 * 255) // 1000, 10]
+    with pytest.raises(ValueError):
+        pixels_to_gray(3, 1, bytes(4))        # not a whole plane count
+
+
+def test_box_mean_grid_matches_naive():
+    w, h = 29, 17
+    gray = list(_rand_gray(w, h, 7))
+    grid = box_mean_grid(gray, w, h, 9, 8)
+    for r in range(8):
+        y0, y1 = (r * h) // 8, ((r + 1) * h) // 8
+        for c in range(9):
+            x0, x1 = (c * w) // 9, ((c + 1) * w) // 9
+            vals = [gray[y * w + x] for y in range(y0, y1)
+                    for x in range(x0, x1)]
+            assert grid[r][c] == sum(vals) // len(vals)
+    with pytest.raises(ValueError):
+        box_mean_grid(gray, 5, 5, 9, 8)       # smaller than the grid
+
+
+def test_dhash_hand_computed_on_grid_sized_image():
+    # 9x8 image = one pixel per box; bit r*8+c = pix[c+1] > pix[c]
+    w, h = 9, 8
+    gray = _rand_gray(w, h, 3)
+    got = dhash_bits(w, h, gray)
+    want = 0
+    for r in range(8):
+        for c in range(8):
+            if gray[r * w + c + 1] > gray[r * w + c]:
+                want |= 1 << (r * 8 + c)
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert got == want
+
+
+def test_ahash_and_signed_wrap():
+    # image whose top-right boxes are bright → high bits set → negative
+    w, h = 8, 8
+    gray = bytes([255 if i >= 32 else 0 for i in range(64)])
+    a = ahash_bits(w, h, gray)
+    assert a < 0                               # bit 63 is set
+    # mean is 127 → exactly the bright half is above it
+    assert (a & ((1 << 64) - 1)) == sum(1 << i for i in range(32, 64))
+
+
+def test_dhash_stable_under_small_perturbation_and_rescale():
+    w, h = 40, 32
+    gray = _rand_gray(w, h, 11)
+    base = dhash_bits(w, h, gray)
+    pert = bytearray(gray)
+    for i in range(0, len(pert), 97):
+        pert[i] = min(255, pert[i] + 3)
+    assert _ham(base, dhash_bits(w, h, bytes(pert))) <= 6
+    # different image is far
+    other = dhash_bits(w, h, _rand_gray(w, h, 12))
+    assert _ham(base, other) > 10
+
+
+# ------------------------------------------------------- banded Hamming join
+
+def test_hamming_pairs_exact_vs_bruteforce(spark):
+    rng = random.Random(5)
+    n = 160
+    hashes = []
+    for i in range(n):
+        if i % 4 == 0 and i:
+            # perturb an earlier hash by 0-4 bit flips → planted neighbors
+            h = hashes[rng.randrange(i)][1]
+            for _ in range(rng.randrange(5)):
+                h ^= 1 << rng.randrange(64)
+        else:
+            h = rng.getrandbits(64)
+        hashes.append((f"a{i:03d}", h - (1 << 64) if h >= 1 << 63 else h))
+    df = spark.createDataFrame(hashes, "asset_id string, dhash long")
+    got = {(r.id_a, r.id_b, r.distance) for r in hamming_neardup_pairs(
+        df, bands=4, max_distance=3).collect()}
+    want = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = _ham(hashes[i][1], hashes[j][1])
+            if d <= 3:
+                a, b = sorted((hashes[i][0], hashes[j][0]))
+                want.add((a, b, d))
+    assert got == want and want              # exact, and non-trivial
+
+
+def test_hamming_pairs_guards(spark):
+    df = spark.createDataFrame([("a", 0), ("b", 1)],
+                               "asset_id string, dhash long")
+    with pytest.raises(ValueError):
+        hamming_neardup_pairs(df, bands=4, max_distance=4)   # pigeonhole
+    with pytest.raises(ValueError):
+        hamming_neardup_pairs(df, bands=5)                   # 5 ∤ 64
+    # null hashes never pair
+    df2 = spark.createDataFrame([("a", 7), ("b", 7), ("c", None)],
+                                "asset_id string, dhash long")
+    got = hamming_neardup_pairs(df2, bands=4, max_distance=1).collect()
+    assert [(r.id_a, r.id_b, r.distance) for r in got] == [("a", "b", 0)]
+
+
+def test_hamming_max_bucket_guardrail(spark):
+    # 50 identical hashes: without the cap → C(50,2) pairs; cap 10 drops
+    # every bucket (all four bands share one value) → no pairs.
+    rows = [(f"x{i:02d}", 12345) for i in range(50)]
+    df = spark.createDataFrame(rows, "asset_id string, dhash long")
+    assert hamming_neardup_pairs(df, bands=4, max_distance=1).count() == 1225
+    assert hamming_neardup_pairs(df, bands=4, max_distance=1,
+                                 max_bucket=10).count() == 0
+
+
+# --------------------------------------------------------- Spark image path
+
+def test_cross_format_perceptual_dup(spark):
+    """The LAION story: one picture, stored once as PNG and once as
+    JPEG.  Byte checksums differ; the perceptual hashes pair them."""
+    w, h = 64, 48
+    rgb = _rand_rgb(w, h, 21)
+    # smooth the random field so JPEG quantization noise stays local
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3).astype(np.int32)
+    for _ in range(3):
+        arr = (arr + np.roll(arr, 1, 0) + np.roll(arr, 1, 1)
+               + np.roll(arr, -1, 0) + np.roll(arr, -1, 1)) // 5
+    smooth = arr.astype(np.uint8).tobytes()
+    png_payload = encode_png(smooth, w, h, color_type=2)
+    jpg_payload = encode_jpeg(smooth, w, h, quality=92)
+    other = encode_png(_rand_gray(w, h, 99), w, h, color_type=0)
+
+    def dispatch(payload: bytes):
+        if payload[:2] == b"\xff\xd8":
+            return jpeg_decoder(payload)
+        return png_decoder(payload)
+
+    df = spark.createDataFrame(
+        [("png_a", png_payload), ("jpg_a", jpg_payload), ("png_b", other)],
+        "asset_id string, payload binary")
+    hashes = image_hashes(df, decoder=dispatch)
+    rows = {r.asset_id: r for r in hashes.collect()}
+    assert all(r.decode_ok for r in rows.values())
+    assert rows["png_a"].width == w and rows["png_a"].height == h
+    # same picture → tiny distance; different picture → far
+    assert _ham(rows["png_a"].dhash, rows["jpg_a"].dhash) <= 6
+    assert _ham(rows["png_a"].dhash, rows["png_b"].dhash) > 10
+    pairs = hamming_neardup_pairs(hashes, bands=8, max_distance=6).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {("jpg_a", "png_a")}
+
+
+def test_image_hashes_decode_sentinel(spark):
+    df = spark.createDataFrame(
+        [("ok", encode_png(_rand_gray(16, 16, 1), 16, 16, color_type=0)),
+         ("bad", b"not a png"), ("empty", None)],
+        "asset_id string, payload binary")
+    rows = {r.asset_id: r for r in
+            image_hashes(df, decoder=png_decoder).collect()}
+    assert rows["ok"].decode_ok and rows["ok"].dhash is not None
+    assert not rows["bad"].decode_ok and rows["bad"].dhash is None
+    assert "ValueError" in rows["bad"].decode_error
+    assert not rows["empty"].decode_ok and rows["empty"].n_bytes == 0
+
+
+def test_media_dedup_e2e(spark):
+    """Planted cluster of three re-encodings collapses to one survivor;
+    the unrelated asset and the undecodable asset survive untouched."""
+    w, h = 32, 32
+    gray = _rand_gray(w, h, 33)
+    variants = []
+    for i, delta in enumerate((0, 2, -2)):
+        px = bytes(min(255, max(0, b + delta)) for b in gray)
+        variants.append((f"v{i}", encode_png(px, w, h, color_type=0)))
+    assets = variants + [
+        ("solo", encode_png(_rand_gray(w, h, 44), w, h, color_type=0)),
+        ("broken", b"\x00\x01"),
+    ]
+    df = spark.createDataFrame(assets, "asset_id string, payload binary")
+    hashes = image_hashes(df, decoder=png_decoder)
+    kept = media_dedup(df, hashes, bands=8, max_distance=6)
+    ids = {r.asset_id for r in kept.select("asset_id").collect()}
+    assert "solo" in ids and "broken" in ids
+    assert len(ids & {"v0", "v1", "v2"}) == 1
+    assert min(ids & {"v0", "v1", "v2"}) == "v0"     # min-id representative
+    # keep_by policy: largest payload wins its cluster
+    kept2 = media_dedup(df.withColumn("sz", F.length("payload")), hashes,
+                        bands=8, max_distance=6, keep_by="sz")
+    ids2 = {r.asset_id for r in kept2.select("asset_id").collect()}
+    assert len(ids2 & {"v0", "v1", "v2"}) == 1
+
+
+# ----------------------------------------------------------------- audio
+
+def test_audio_fingerprint_volume_invariance_and_spark_path(spark):
+    t = np.arange(8_000)
+    beat = (np.sin(t / 30) * (1 + np.sign(np.sin(t / 500))) * 8_000)
+    clip = beat.astype(np.int16).reshape(-1, 1)
+    loud = (clip.astype(np.int32) * 2).clip(-32768, 32767).astype(np.int16)
+    other = (np.sin(t / 7) * 12_000 * np.sign(np.sin(t / 150 + 1))
+             ).astype(np.int16).reshape(-1, 1)
+    rows = [("quiet", encode_wav(clip, 16_000)),
+            ("loud", encode_wav(loud, 16_000)),
+            ("other", encode_wav(other, 16_000)),
+            ("noise", b"RIFFgarbage")]
+    df = spark.createDataFrame(rows, "asset_id string, payload binary")
+    hashes = audio_hashes(df, decoder=decode_wav)
+    out = {r.asset_id: r for r in hashes.collect()}
+    assert out["quiet"].decode_ok and out["quiet"].sample_rate == 16_000
+    assert not out["noise"].decode_ok
+    # volume scaling preserves the envelope shape exactly here
+    assert _ham(out["quiet"].fingerprint, out["loud"].fingerprint) <= 4
+    assert _ham(out["quiet"].fingerprint, out["other"].fingerprint) > 8
+    pairs = hamming_neardup_pairs(hashes, hash_col="fingerprint",
+                                  bands=8, max_distance=4).collect()
+    assert ("loud", "quiet") in {(p.id_a, p.id_b) for p in pairs}
+
+
+def test_auto_image_decoder_dispatch():
+    from llmxmapreduce_spark.operators.media_dedup import auto_image_decoder
+    w, h = 16, 16
+    gray = _rand_gray(w, h, 8)
+    pw, phh, _, ppx = auto_image_decoder(encode_png(gray, w, h, color_type=0))
+    assert (pw, phh, ppx) == (w, h, gray)
+    jw, jh, jc, _ = auto_image_decoder(encode_jpeg(
+        _rand_rgb(w, h, 9), w, h, quality=90))
+    assert (jw, jh, jc) == (w, h, 3)
+    with pytest.raises(ValueError):
+        auto_image_decoder(b"GIF89a notsupported")
+
+
+def test_hamming_dedup_incremental(spark):
+    """Cross-corpus dup dropped, within-shard cluster keeps min id,
+    clean + undecodable (null-hash) new assets pass through; empty
+    corpus degenerates to within-shard dedup."""
+    from llmxmapreduce_spark.operators.media_dedup import (
+        hamming_dedup_incremental)
+    corpus = spark.createDataFrame(
+        [("c0", 100), ("c1", 2048)], "asset_id string, dhash long")
+    # n0 ≈ c0 (distance 1); n1/n2 a within-shard pair; n3 clean; n4 broken
+    new_hashes = spark.createDataFrame(
+        [("n0", 101), ("n1", 7 << 32), ("n2", (7 << 32) | 2),
+         ("n3", -1), ("n4", None)],
+        "asset_id string, dhash long")
+    new_assets = new_hashes.selectExpr("asset_id", "dhash as payload_stub")
+    kept = {r.asset_id for r in hamming_dedup_incremental(
+        new_assets, new_hashes, corpus).collect()}
+    assert kept == {"n1", "n3", "n4"}
+    # empty corpus: only within-shard dedup applies
+    empty = spark.createDataFrame([], "asset_id string, dhash long")
+    kept2 = {r.asset_id for r in hamming_dedup_incremental(
+        new_assets, new_hashes, empty).collect()}
+    assert kept2 == {"n0", "n1", "n3", "n4"}
+
+
+def test_audio_fingerprint_guards():
+    with pytest.raises(ValueError):
+        audio_fingerprint_bits(np.zeros((10, 1), dtype=np.int32))  # too short
+    with pytest.raises(ValueError):
+        audio_fingerprint_bits(np.zeros((100, 1), dtype=np.int32),
+                               n_windows=65)

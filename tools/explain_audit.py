@@ -130,6 +130,11 @@ AUDITED = [
      "levenshtein verify — no cross join anywhere"),
     ("value_moments", "one projected scan → partial+final hash agg of "
      "six decimal sums; no joins, no window"),
+    ("image_neardup", "perceptual dedup: ONE mapInPandas chain (generate "
+     "→ PNG decode → integer dhash) off the projected doc_id scan — "
+     "payloads never shuffle, only 8-byte hashes; banded equi-join on "
+     "(band_id, band_val) with bit_count(xor) verify — a hash/sort-merge "
+     "join, never a nested-loop/cartesian"),
 ]
 
 
