@@ -451,6 +451,58 @@ def q_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
         hashes, hash_col="dhash", bands=4, max_distance=3)
 
 
+def q_video_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Video near-dup by frame-signature voting
+    (media_dedup.video_frame_hashes + video_neardup_pairs) through the
+    REAL framepack→PNG machinery: every document becomes a 6-frame
+    "video" whose frame images are md5-pixel 9x8 PNGs keyed by
+    (pair-group, frame-number); the odd twin's frame WINDOW is shifted
+    by one (frames 1-6 vs 0-5), so twins share 5 of 6 frames and pair
+    at containment 5/6 while distinct groups share none — the
+    clip-from-longer-video detection shape.  Spark decodes every frame
+    (framepack_extractor → PNG decode → integer dhash, payloads never
+    shuffle), band-joins frame hashes at distance 0, and votes per
+    video pair; the oracle replays the per-frame dhash closed form and
+    the same equality join + distinct-frame vote.  Integer-only
+    surface (overlap ratio dropped; the 1/2 threshold crosses the
+    oracle as matched·2 ≥ n)."""
+    from llmxmapreduce_spark.functions.png import encode_png
+    from llmxmapreduce_spark.operators import media_dedup
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                g = doc_id // 2
+                frames = []
+                for f in range(doc_id % 2, doc_id % 2 + 6):
+                    flat = []
+                    for y in range(8):
+                        hx = hashlib.md5(f"{g}:{f}:{y}".encode()).hexdigest()
+                        flat.extend(int(hx[2 * x:2 * x + 2], 16)
+                                    for x in range(9))
+                    frames.append(encode_png(bytes(flat), 9, 8,
+                                             color_type=0))
+                rows.append({
+                    "asset_id": f"a{doc_id:09d}",
+                    "payload": media_dedup.encode_framepack(frames)})
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    assets = d.mapInPandas(gen, schema="asset_id string, payload binary")
+    fh = media_dedup.video_frame_hashes(
+        assets, media_dedup.framepack_extractor)
+    pairs = media_dedup.video_neardup_pairs(
+        fh, bands=4, max_distance=0, min_overlap=0.5)
+    return pairs.select("id_a", "id_b", "matched_a", "matched_b",
+                        "n_a", "n_b")
+
+
 def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     from llmxmapreduce_spark.operators import text_stats
 
@@ -2890,7 +2942,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # 94 entries, ORDERED because the driver's correctness gate runs only
+    # 95 entries, ORDERED because the driver's correctness gate runs only
     # the FIRST 50 (measured rounds 5-8).  Round-9 rotation (judge task
     # #2): every entry must eventually earn a driver-green row, so the
     # first 50 slots hold (a) the 3 queries whose oracle surface changed
@@ -3008,8 +3060,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "heavy_hitters": q_heavy_hitters,
         # round-9 NEW (position 51+; first driver run lands with the r10
-        # rotation): perceptual image dedup through the real PNG codec
+        # rotation): perceptual media dedup through the real PNG codec
         "image_neardup": q_image_neardup,
+        "video_neardup": q_video_neardup,
         # v2_survey_refdefaults stays OFF the board: it is a THROUGHPUT
         # line (bench.py HEADLINE), hash-gated by its golden-transcript
         # pytest (tests/test_v2_refdefaults.py) — no SQL oracle exists.
@@ -3063,6 +3116,57 @@ def _image_neardup_oracle() -> str:
           ON l.band_id = r.band_id AND l.band_val = r.band_val
          AND l.id < r.id
         WHERE bit_count(xor(l.h, r.h)) <= 3
+    """
+
+
+def _video_neardup_oracle() -> str:
+    """DuckDB replay of q_video_neardup: per (doc, frame) the same
+    md5-pixel dhash closed form as _image_neardup_oracle (no pixel
+    perturbation — twins differ by frame WINDOW), then exact-hash frame
+    matches and the distinct-frame containment vote with the integer
+    cross-multiplied 1/2 threshold."""
+    def pix(x: int, y: int) -> str:
+        return (f"CAST(CAST(('0x' || substr(m{y}, {2 * x + 1}, 2)) "
+                f"AS UBIGINT) AS BIGINT)")
+
+    terms = []
+    for r in range(8):
+        for c in range(8):
+            k = r * 8 + c
+            w = -(1 << 63) if k == 63 else (1 << k)
+            terms.append(f"(CASE WHEN {pix(c + 1, r)} > {pix(c, r)} "
+                         f"THEN CAST({w} AS BIGINT) ELSE 0 END)")
+    dh = "\n                 + ".join(terms)
+    rows_md5 = ",\n                   ".join(
+        f"md5(CAST(doc_id // 2 AS VARCHAR) || ':' || CAST(f AS VARCHAR)"
+        f" || ':{y}') AS m{y}"
+        for y in range(8))
+    return f"""
+        WITH ks(k) AS (VALUES (0), (1), (2), (3), (4), (5)),
+        frames AS (
+            SELECT doc_id, (doc_id % 2) + ks.k AS f
+            FROM documents, ks),
+        fm AS (
+            SELECT doc_id, f,
+                   {rows_md5}
+            FROM frames),
+        hashes AS (
+            SELECT 'a' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS id,
+                   f, ({dh}) AS h
+            FROM fm),
+        matches AS (
+            SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+                   l.f AS fa, r.f AS fb
+            FROM hashes l JOIN hashes r ON l.h = r.h AND l.id < r.id),
+        votes AS (
+            SELECT id_a, id_b,
+                   CAST(COUNT(DISTINCT fa) AS INT) AS matched_a,
+                   CAST(COUNT(DISTINCT fb) AS INT) AS matched_b
+            FROM matches GROUP BY id_a, id_b)
+        SELECT id_a, id_b, matched_a, matched_b,
+               CAST(6 AS INT) AS n_a, CAST(6 AS INT) AS n_b
+        FROM votes
+        WHERE matched_a * 2 >= 6 OR matched_b * 2 >= 6
     """
 
 
@@ -4064,6 +4168,7 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(*) > (SELECT COUNT(*) FROM nn) / 257.0
         """,
         "image_neardup": _image_neardup_oracle(),
+        "video_neardup": _video_neardup_oracle(),
         "events_session_windows": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
             m AS (SELECT user_id, t,

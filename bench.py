@@ -118,6 +118,7 @@ HEADLINE = [
     "value_moments",
     "user_event_crosstab",
     "image_neardup",
+    "video_neardup",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-

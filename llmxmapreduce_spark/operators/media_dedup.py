@@ -46,6 +46,12 @@ Components
   per-shard cost, never corpus².
 - :func:`auto_image_decoder` — magic-byte PNG/JPEG dispatch so a mixed
   crawl hashes one picture identically across container formats.
+- :func:`video_frame_hashes` / :func:`video_neardup_pairs` — video
+  dedup by frame-signature voting: per-frame dhashes (injectable
+  ``frame_extractor`` seam; :func:`framepack_extractor` is the
+  in-container reference), banded frame matches, then a per-video-pair
+  containment vote — MinHash-LSH band voting one level up, with frame
+  hashes as the "shingles" of a video.
 
 100 TB design: hashing is one projected scan (payload → 8-byte hash,
 nothing else shuffles); candidate generation is an equi-join on
@@ -423,6 +429,172 @@ def media_dedup(
         max_distance=max_distance, max_bucket=max_bucket)
     return components.dedup_by_components(
         assets, pairs, id_col=id_col, keep_by=keep_by)
+
+
+FRAMEPACK_MAGIC = b"FPK1"
+
+
+def encode_framepack(frames: list[bytes]) -> bytes:
+    """Pack encoded frame images into the trivial length-prefixed
+    container (magic + u32 count + per-frame u32 length + bytes).  This
+    is the REFERENCE container for tests and the oracle board — real
+    video decode needs ffmpeg-class libraries, which follow the same
+    injectable-extractor seam as the image/audio codecs."""
+    import struct
+    out = [FRAMEPACK_MAGIC, struct.pack(">I", len(frames))]
+    for f in frames:
+        out.append(struct.pack(">I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def decode_framepack(payload: bytes) -> list[bytes]:
+    """Inverse of :func:`encode_framepack`; raises ``ValueError`` on
+    anything malformed (the D8 decode-failure contract)."""
+    import struct
+    if payload[:4] != FRAMEPACK_MAGIC:
+        raise ValueError("not a framepack (bad magic)")
+    n, = struct.unpack(">I", payload[4:8])
+    frames, pos = [], 8
+    for _ in range(n):
+        if pos + 4 > len(payload):
+            raise ValueError("framepack truncated (missing length)")
+        ln, = struct.unpack(">I", payload[pos:pos + 4])
+        pos += 4
+        if pos + ln > len(payload):
+            raise ValueError("framepack truncated (missing frame bytes)")
+        frames.append(payload[pos:pos + ln])
+        pos += ln
+    if pos != len(payload):
+        raise ValueError("framepack has trailing bytes")
+    return frames
+
+
+def framepack_extractor(payload: bytes):
+    """Drop-in ``frame_extractor`` for :func:`video_frame_hashes`:
+    framepack container → decoded frames via the PNG/JPEG magic-byte
+    dispatch."""
+    return [auto_image_decoder(f) for f in decode_framepack(payload)]
+
+
+VIDEO_FRAME_HASHES = T.StructType([
+    T.StructField("asset_id", T.StringType(), False),
+    T.StructField("n_frames", T.IntegerType(), True),
+    T.StructField("frame_idx", T.IntegerType(), True),
+    T.StructField("dhash", T.LongType(), True),
+    T.StructField("decode_ok", T.BooleanType(), False),
+    T.StructField("decode_error", T.StringType(), True),
+])
+
+
+def video_frame_hashes(assets: DataFrame, frame_extractor,
+                       id_col: str = "asset_id",
+                       payload_col: str = "payload",
+                       hash_w: int = 8, hash_h: int = 8) -> DataFrame:
+    """Video payloads → one (asset_id, frame_idx, dhash) row per frame.
+
+    ``frame_extractor(payload) -> [(width, height, _, pixels), ...]``
+    returns DECODED frames (sampled however the deployment likes — a
+    real one composes ffmpeg with ``multimodal.frame_sample_plan`` so
+    only keyframes/strided frames are decoded).  A failed asset yields
+    ONE sentinel row (``decode_ok=false``, null frame_idx/hash) so the
+    D8 dead-letter contract holds at the video level; per-frame decode
+    errors fail the whole asset (a half-decoded video is not a
+    signature).  Payloads never shuffle — per asset, the output is
+    ~20 bytes per frame."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in VIDEO_FRAME_HASHES.fields]
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                payload = r[payload_col] or b""
+                try:
+                    frames = frame_extractor(bytes(payload))
+                    for i, (w, h, _, px) in enumerate(frames):
+                        rows.append({
+                            "asset_id": r[id_col],
+                            "n_frames": len(frames), "frame_idx": i,
+                            "dhash": dhash_bits(w, h, px, hash_w, hash_h),
+                            "decode_ok": True, "decode_error": None})
+                except Exception as e:  # noqa: BLE001
+                    rows.append({
+                        "asset_id": r[id_col], "n_frames": None,
+                        "frame_idx": None, "dhash": None,
+                        "decode_ok": False,
+                        "decode_error": f"{type(e).__name__}: {e}"})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.mapInPandas(run, schema=VIDEO_FRAME_HASHES)
+
+
+def video_neardup_pairs(
+    frame_hashes: DataFrame,
+    id_col: str = "asset_id",
+    frame_col: str = "frame_idx",
+    hash_col: str = "dhash",
+    n_col: str = "n_frames",
+    bands: int = 4,
+    max_distance: int = 0,
+    min_overlap: float = 0.5,
+    bits: int = 64,
+    max_bucket: int | None = 100_000,
+) -> DataFrame:
+    """Video near-dup by frame-signature voting: two videos pair when
+    enough of one's frames perceptually match frames of the other —
+    (id_a, id_b, matched_a, matched_b, n_a, n_b, overlap).
+
+    Frame matches are the banded-Hamming machinery per FRAME (distance
+    ≤ ``max_distance``; 0 = exact dhash equality, which already absorbs
+    codec noise at the frame level); votes aggregate per video pair as
+    DISTINCT matched frame indices per side, and the pair survives when
+    ``greatest(matched_a/n_a, matched_b/n_b) ≥ min_overlap`` — the MAX
+    containment, so a clip cut from a longer video still pairs (its own
+    side's containment is high).  This is the same shape as MinHash LSH
+    band voting, one level up: frame hashes are the "shingles" of a
+    video.
+
+    Scale: the join is per-frame band equi-join (never videos²), the
+    vote is one partial-aggregable groupBy on (id_a, id_b); everything
+    that shuffles is ids + 8-byte hashes.  Frame counts ride along from
+    ``n_col`` (constant per asset), so no second scan.
+    """
+    _check_band_args(bands, max_distance, bits)
+    f = frame_hashes.select(
+        F.col(id_col).alias("vid"), F.col(frame_col).alias("fidx"),
+        F.col(hash_col).alias(hash_col), F.col(n_col).alias("nf"),
+    ).filter(F.col(hash_col).isNotNull() & F.col("fidx").isNotNull())
+    f = f.withColumn("id", F.concat_ws("#", "vid", "fidx"))
+    entries = _band_entries(f.select("id", hash_col), "id", hash_col,
+                            bands, bits, max_bucket)
+    # re-attach (vid, fidx, nf) — _band_entries keeps only (id, h, bands)
+    entries = entries.join(f.select("id", "vid", "fidx", "nf"), "id")
+    frame_pairs = (
+        entries.alias("l").join(
+            entries.alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.vid") < F.col("r.vid")),
+        )
+        .filter(F.bit_count(F.expr("l.h ^ r.h")) <= max_distance)
+        .select(F.col("l.vid").alias("id_a"), F.col("r.vid").alias("id_b"),
+                F.col("l.fidx").alias("fa"), F.col("r.fidx").alias("fb"),
+                F.col("l.nf").alias("n_a"), F.col("r.nf").alias("n_b"))
+        .distinct()
+    )
+    votes = frame_pairs.groupBy("id_a", "id_b", "n_a", "n_b").agg(
+        F.countDistinct("fa").cast("int").alias("matched_a"),
+        F.countDistinct("fb").cast("int").alias("matched_b"),
+    )
+    overlap = F.greatest(
+        F.col("matched_a") / F.col("n_a"),
+        F.col("matched_b") / F.col("n_b"))
+    return (
+        votes.withColumn("overlap", overlap)
+        .filter(F.col("overlap") >= min_overlap)
+        .select("id_a", "id_b", "matched_a", "matched_b",
+                F.col("n_a").cast("int").alias("n_a"),
+                F.col("n_b").cast("int").alias("n_b"), "overlap")
+    )
 
 
 def hamming_dedup_incremental(

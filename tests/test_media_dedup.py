@@ -296,6 +296,93 @@ def test_hamming_dedup_incremental(spark):
     assert kept2 == {"n0", "n1", "n3", "n4"}
 
 
+# ----------------------------------------------------------------- video
+
+def test_framepack_roundtrip_and_errors():
+    from llmxmapreduce_spark.operators.media_dedup import (
+        decode_framepack, encode_framepack)
+    frames = [b"abc", b"", b"\x00" * 10]
+    assert decode_framepack(encode_framepack(frames)) == frames
+    assert decode_framepack(encode_framepack([])) == []
+    packed = encode_framepack(frames)
+    with pytest.raises(ValueError):
+        decode_framepack(b"NOPE" + packed[4:])        # bad magic
+    with pytest.raises(ValueError):
+        decode_framepack(packed[:-2])                 # truncated frame
+    with pytest.raises(ValueError):
+        decode_framepack(packed + b"x")               # trailing bytes
+
+
+def test_video_neardup_vote_exact_vs_bruteforce(spark):
+    """Synthetic frame-hash rows: operator votes == brute-force
+    containment over exact hash matches."""
+    from llmxmapreduce_spark.operators.media_dedup import (
+        video_neardup_pairs)
+    rng = random.Random(17)
+    vids = {}
+    pool = [rng.getrandbits(63) for _ in range(40)]
+    for v in range(12):
+        k = rng.randrange(3, 8)
+        vids[f"v{v:02d}"] = [rng.choice(pool) for _ in range(k)]
+    rows = [(vid, i, h, len(hs))
+            for vid, hs in vids.items() for i, h in enumerate(hs)]
+    df = spark.createDataFrame(
+        rows, "asset_id string, frame_idx int, dhash long, n_frames int")
+    got = {(r.id_a, r.id_b): (r.matched_a, r.matched_b, r.n_a, r.n_b)
+           for r in video_neardup_pairs(df, min_overlap=0.5).collect()}
+    want = {}
+    names = sorted(vids)
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            ha, hb = vids[a], vids[b]
+            ma = len({ix for ix, h in enumerate(ha) if h in set(hb)})
+            mb = len({ix for ix, h in enumerate(hb) if h in set(ha)})
+            if ma and max(ma / len(ha), mb / len(hb)) >= 0.5:
+                want[(a, b)] = (ma, mb, len(ha), len(hb))
+    assert got == want and want
+
+
+def test_video_neardup_cross_codec_e2e(spark):
+    """Shifted-window clip detection: video B is frames 1-5 of video A
+    re-encoded as JPEG plus one new frame — the vote pairs A and B
+    through the codec change; an unrelated video and a broken payload
+    don't pair."""
+    from llmxmapreduce_spark.operators.media_dedup import (
+        encode_framepack, framepack_extractor, video_frame_hashes,
+        video_neardup_pairs)
+    w, h = 32, 32
+
+    def smooth_rgb(seed):
+        arr = np.frombuffer(_rand_rgb(w, h, seed), dtype=np.uint8) \
+            .reshape(h, w, 3).astype(np.int32)
+        for _ in range(3):
+            arr = (arr + np.roll(arr, 1, 0) + np.roll(arr, 1, 1)
+                   + np.roll(arr, -1, 0) + np.roll(arr, -1, 1)) // 5
+        return arr.astype(np.uint8).tobytes()
+
+    base = [smooth_rgb(100 + i) for i in range(6)]
+    vid_a = encode_framepack([encode_png(f, w, h, color_type=2)
+                              for f in base])
+    vid_b = encode_framepack(
+        [encode_jpeg(f, w, h, quality=92) for f in base[1:]]
+        + [encode_png(smooth_rgb(999), w, h, color_type=2)])
+    vid_c = encode_framepack([encode_png(smooth_rgb(200 + i), w, h,
+                                         color_type=2) for i in range(4)])
+    df = spark.createDataFrame(
+        [("A", vid_a), ("B", vid_b), ("C", vid_c), ("D", b"junk")],
+        "asset_id string, payload binary")
+    fh = video_frame_hashes(df, framepack_extractor)
+    rows = fh.collect()
+    assert {r.asset_id for r in rows if not r.decode_ok} == {"D"}
+    assert sum(1 for r in rows if r.asset_id == "A") == 6
+    pairs = video_neardup_pairs(fh, bands=8, max_distance=6,
+                                min_overlap=0.5).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {("A", "B")}
+    p = pairs[0]
+    assert p.matched_a == 5 and p.matched_b == 5
+    assert p.n_a == 6 and p.n_b == 6
+
+
 def test_audio_fingerprint_guards():
     with pytest.raises(ValueError):
         audio_fingerprint_bits(np.zeros((10, 1), dtype=np.int32))  # too short

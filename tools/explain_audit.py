@@ -135,6 +135,10 @@ AUDITED = [
      "payloads never shuffle, only 8-byte hashes; banded equi-join on "
      "(band_id, band_val) with bit_count(xor) verify — a hash/sort-merge "
      "join, never a nested-loop/cartesian"),
+    ("video_neardup", "frame-signature voting: one mapInPandas chain "
+     "(framepack → per-frame PNG decode → dhash rows, ~20 bytes/frame "
+     "out), per-frame band equi-join (never videos²), one "
+     "partial-aggregable (id_a, id_b) vote — hash joins only"),
 ]
 
 
