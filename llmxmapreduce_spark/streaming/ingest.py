@@ -105,6 +105,37 @@ def read_kept(spark, state_dir: str, schema) -> DataFrame:
     return spark.read.schema(schema).parquet(*paths)
 
 
+def _guard_fresh_checkpoint(spark, kept_path: str,
+                            checkpoint_dir: str, what: str) -> None:
+    """Refuse an EXISTING kept corpus with a FRESH checkpoint: epoch ids
+    would restart at 0 and the overwrite-scoped sink would silently
+    destroy prior admissions.  state_dir and checkpoint_dir are a unit."""
+    if _epoch_dirs(spark, kept_path):
+        jvm = spark._jvm
+        off = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(checkpoint_dir, "offsets"))
+        fs = off.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(off):
+            raise ValueError(
+                f"{what}: {kept_path} already holds admitted epochs but "
+                f"checkpoint {checkpoint_dir} has no progress — a fresh "
+                f"checkpoint would restart epoch ids at 0 and overwrite "
+                f"prior admissions. Reuse the original checkpoint_dir, "
+                f"or point state_dir at a new location.")
+
+
+def _prior_epochs(spark, kept_path: str, schema, epoch_id: int) -> DataFrame:
+    """Kept corpus = every epoch EXCEPT the in-flight one: on replay a
+    partial prior write of THIS epoch would otherwise dedup the batch
+    against itself and under-admit.  Exclusion matches on the path
+    SUFFIX (_epoch_dirs returns fully-qualified file:/ URIs)."""
+    prior = [p for p in _epoch_dirs(spark, kept_path)
+             if not p.endswith(f"/epoch={epoch_id}")]
+    if prior:
+        return spark.read.schema(schema).parquet(*prior)
+    return spark.createDataFrame([], schema)
+
+
 def run_incremental_neardup_ingest(
     stream: DataFrame,
     state_dir: str,
@@ -134,48 +165,98 @@ def run_incremental_neardup_ingest(
     spark = stream.sparkSession
     schema = stream.schema
 
-    # Pairing guard: an EXISTING kept corpus with a FRESH checkpoint
-    # means epoch ids will restart at 0 and the overwrite-scoped sink
-    # would silently DESTROY prior admissions (worse than the old append
-    # sink's double-admission).  The state_dir and checkpoint_dir are a
-    # unit — refuse the mismatch instead of overwriting (review repro).
-    if _epoch_dirs(spark, kept_path):
-        jvm = spark._jvm
-        off = jvm.org.apache.hadoop.fs.Path(
-            os.path.join(checkpoint_dir, "offsets"))
-        fs = off.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(off):
-            raise ValueError(
-                f"run_incremental_neardup_ingest: {kept_path} already "
-                f"holds admitted epochs but checkpoint {checkpoint_dir} "
-                f"has no progress — a fresh checkpoint would restart "
-                f"epoch ids at 0 and overwrite prior admissions. Reuse "
-                f"the original checkpoint_dir, or point state_dir at a "
-                f"new location.")
+    _guard_fresh_checkpoint(spark, kept_path, checkpoint_dir,
+                            "run_incremental_neardup_ingest")
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if pre_filter is not None:
             batch_df = pre_filter(batch_df)
         batch_df = batch_df.localCheckpoint(eager=True)  # used 3×: sig/bucket/verify
         own = os.path.join(kept_path, f"epoch={epoch_id}")
-        # corpus = every epoch EXCEPT the in-flight one: on replay a
-        # partial prior write of THIS epoch would otherwise dedup the
-        # batch against itself and under-admit (the mirror image of the
-        # old append path's double-admission).  Exclusion matches on the
-        # path SUFFIX: _epoch_dirs returns fully-qualified URIs
-        # (file:/…), so a bare-path equality check would never match.
-        prior = [p for p in _epoch_dirs(spark, kept_path)
-                 if not p.endswith(f"/epoch={epoch_id}")]
-        if prior:
-            corpus = spark.read.schema(schema).parquet(*prior)
-        else:
-            corpus = spark.createDataFrame([], schema)
+        corpus = _prior_epochs(spark, kept_path, schema, epoch_id)
         survivors = minhash_dedup_incremental(batch_df, corpus,
                                               **dedup_kwargs)
         survivors = survivors.localCheckpoint(eager=True)
         survivors.write.mode("overwrite").parquet(own)
         if on_batch is not None:
             on_batch(epoch_id, batch_df, survivors)
+
+    q = (
+        stream.writeStream
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def run_incremental_media_ingest(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    decoder,
+    id_col: str = "asset_id",
+    pre_filter: Callable[[DataFrame], DataFrame] | None = None,
+    on_batch: Callable[[int, DataFrame, DataFrame], None] | None = None,
+    admit_undecodable: bool = False,
+    bands: int = 4,
+    max_distance: int = 3,
+    max_bucket: int | None = 100_000,
+):
+    """The media mirror of :func:`run_incremental_neardup_ingest`:
+    per micro-batch, perceptually hash the incoming assets
+    (``media_dedup.image_hashes`` with the injectable ``decoder``), drop
+    anything within Hamming ``max_distance`` of the kept corpus or of a
+    surviving shard-mate (``hamming_dedup_incremental``), and admit the
+    rest.
+
+    One deliberate improvement over the text path: survivors are written
+    WITH their ``dhash`` column, so the hash is the PERSISTED admission
+    state — each asset is decoded exactly once, ever, and later batches
+    join against 8-byte hashes read straight from the kept corpus (the
+    text path re-derives corpus signatures per batch and documents the
+    tradeoff).  At 100 TB of media that difference is the whole decode
+    bill.
+
+    ``admit_undecodable=False`` (default) quarantines decode failures —
+    they are dropped from admission (report them via ``on_batch``, which
+    sees the full hashed batch).  With ``True`` they are admitted with a
+    null hash and never participate in dedup.
+
+    Same exactly-once epoch-directory contract, pairing guard, and
+    ``read_kept`` (pass the stream schema + ``dhash long``) as the text
+    ingest.
+    """
+    from llmxmapreduce_spark.operators import media_dedup
+
+    kept_path = os.path.join(state_dir, "kept")
+    spark = stream.sparkSession
+    out_schema = stream.schema.add("dhash", "long")
+
+    _guard_fresh_checkpoint(spark, kept_path, checkpoint_dir,
+                            "run_incremental_media_ingest")
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if pre_filter is not None:
+            batch_df = pre_filter(batch_df)
+        hashed = media_dedup.image_hashes(batch_df, decoder, id_col=id_col) \
+            .select(F.col("asset_id").alias(id_col), "dhash", "decode_ok")
+        batch2 = batch_df.join(hashed, id_col)
+        if not admit_undecodable:
+            batch2 = batch2.filter(F.col("decode_ok"))
+        batch2 = batch2.drop("decode_ok").localCheckpoint(eager=True)
+        own = os.path.join(kept_path, f"epoch={epoch_id}")
+        corpus = _prior_epochs(spark, kept_path, out_schema, epoch_id)
+        survivors = media_dedup.hamming_dedup_incremental(
+            batch2, batch2.select(id_col, "dhash"),
+            corpus.select(id_col, "dhash"), id_col=id_col,
+            bands=bands, max_distance=max_distance, max_bucket=max_bucket)
+        survivors = survivors.localCheckpoint(eager=True)
+        survivors.write.mode("overwrite").parquet(own)
+        if on_batch is not None:
+            on_batch(epoch_id, batch2, survivors)
 
     q = (
         stream.writeStream

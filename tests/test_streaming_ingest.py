@@ -299,3 +299,62 @@ def test_incremental_ingest_decontaminates_per_batch(spark, tmp_path):
         spark, str(tmp_path / "state"), SCHEMA).collect()}
     assert 950 not in kept_ids and 951 not in kept_ids
     assert len(kept_ids) > 0
+
+
+def test_incremental_media_ingest_hash_state(spark, tmp_path):
+    """Media mirror of the incremental ingest: perceptual near-dups are
+    refused admission against the kept corpus AND within a shard,
+    decode failures are quarantined, and the persisted rows carry their
+    dhash — the decode-once admission state."""
+    import random as _random
+
+    from llmxmapreduce_spark.functions.png import encode_png, png_decoder
+    from llmxmapreduce_spark.streaming.ingest import (
+        read_kept, run_incremental_media_ingest)
+
+    w, h = 24, 24
+    rng = _random.Random(9)
+
+    def img(seed):
+        r = _random.Random(seed)
+        return bytes(r.randrange(256) for _ in range(w * h))
+
+    def pert(px, d):
+        # constant brightness shift: dhash-invariant away from clipping
+        return bytes(min(255, max(0, b + d)) for b in px)
+
+    A, B, C, FF, G = (img(s) for s in (1, 2, 3, 4, 5))
+    png = lambda px: encode_png(px, w, h, color_type=0)  # noqa: E731
+    shards = [
+        [("a0", png(A)), ("b0", png(B))],
+        [("a1", png(pert(A, 2))), ("c0", png(C)),
+         ("f0", png(FF)), ("f1", png(pert(FF, 2))), ("x0", b"junk")],
+        [("a2", png(pert(A, -2))), ("g0", png(G))],
+    ]
+    src = str(tmp_path / "msrc")
+    import time
+    for rows in shards:
+        spark.createDataFrame(rows, "asset_id string, payload binary") \
+            .coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    stream = (spark.readStream.schema("asset_id string, payload binary")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    batches = []
+    run_incremental_media_ingest(
+        stream, str(tmp_path / "mstate"), str(tmp_path / "mckpt"),
+        decoder=png_decoder,
+        on_batch=lambda eid, b, s: batches.append(
+            sorted(r["asset_id"] for r in s.select("asset_id").collect())))
+    assert len(batches) == 3
+
+    out_schema = "asset_id string, payload binary, dhash long"
+    kept = read_kept(spark, str(tmp_path / "mstate"), out_schema).collect()
+    ids = sorted(r["asset_id"] for r in kept)
+    # near-dups of A (a1, a2) and of FF (f1) refused; junk quarantined
+    assert ids == ["a0", "b0", "c0", "f0", "g0"]
+    assert all(r["dhash"] is not None for r in kept)
+    # the persisted hash IS the admission state: recompute one and match
+    from llmxmapreduce_spark.operators.media_dedup import dhash_bits
+    by_id = {r["asset_id"]: r for r in kept}
+    assert by_id["b0"]["dhash"] == dhash_bits(w, h, B)
