@@ -1,0 +1,128 @@
+"""Media curation pipeline: the ``corpus_prep`` mirror for binary
+assets — metadata gates → exact dedup → decode-once perceptual hashing
+→ near-dedup → canonical survivors, with the same StageMetrics /
+localCheckpoint stage discipline.
+
+Stage order is the cost ladder a 100 TB media corpus forces:
+
+1. **Metadata gates first** (size bounds, media-type allowlist,
+   optionally :func:`multimodal.probe_media`-backfilled dimensions) —
+   pure Catalyst over catalog columns, drops the bulk of junk before
+   any byte of payload is decoded (the curate-by-metadata-before-
+   decoding rule from the MP4-probe work).
+2. **Exact dedup** next — a JVM-side md5 over the payload binary
+   (``multimodal.checksum``) and a min-id groupBy.  Byte-identical
+   copies are the cheapest duplicates to kill and every one killed is
+   a decode saved.
+3. **Decode + perceptual hash ONCE** (``media_dedup.image_hashes``
+   through the injectable decoder seam) — the only stage that touches
+   pixels; its output (8-byte hashes) is all that later stages
+   shuffle.  The returned frame carries ``dhash``/``ahash`` so a
+   downstream incremental ingest can reuse them as admission state.
+4. **Near-dedup** (banded Hamming → connected components → min-id or
+   best-``keep_by`` representative).
+
+Decode failures follow the D8 sentinel contract: quarantined from the
+kept output by default (they can't be near-deduped), surfaced in the
+returned report instead of silently dropped; ``admit_undecodable=True``
+keeps them with null hashes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from llmxmapreduce_spark.operators import media_dedup
+from llmxmapreduce_spark.operators.components import dedup_by_components
+from llmxmapreduce_spark.operators.stage_metrics import StageMetrics
+
+
+@dataclass
+class MediaPrepConfig:
+    decoder: object = None                   # default: auto_image_decoder
+    min_bytes: int = 1
+    max_bytes: int | None = None
+    media_types: list[str] | None = None     # None = no type gate
+    exact_dedup: bool = True
+    neardup: bool = True
+    bands: int = 4
+    max_distance: int = 3
+    max_bucket: int | None = 100_000
+    keep_by: str | None = None               # near-dup representative policy
+    admit_undecodable: bool = False
+    hash_w: int = 8
+    hash_h: int = 8
+    extra: dict = field(default_factory=dict)
+
+
+def _cut(sm: StageMetrics | None, name: str, df: DataFrame) -> DataFrame:
+    if sm is not None:
+        df = sm.observe(name, df)
+    df = df.localCheckpoint(eager=True)
+    if sm is not None:
+        sm.materialized(name)
+    return df
+
+
+def run_media_prep(
+    assets: DataFrame,
+    config: MediaPrepConfig | None = None,
+    stage_metrics: StageMetrics | None = None,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> tuple[DataFrame, DataFrame]:
+    """Curate a media-asset table; returns ``(kept, quarantined)``.
+
+    ``kept`` is the surviving assets WITH their ``dhash``/``ahash``
+    columns (decode-once admission state — feed it to
+    ``streaming.ingest.run_incremental_media_ingest``'s kept corpus or
+    persist it bucketed by hash for co-located incremental joins);
+    ``quarantined`` is the decode-failure rows with their error strings
+    (empty when ``admit_undecodable`` — they stay in ``kept`` with null
+    hashes).
+    """
+    cfg = config or MediaPrepConfig()
+    decoder = cfg.decoder or media_dedup.auto_image_decoder
+
+    # 1. metadata gates — no payload bytes touched
+    gated = assets.filter(F.length(F.col(payload_col)) >= cfg.min_bytes)
+    if cfg.max_bytes is not None:
+        gated = gated.filter(
+            F.length(F.col(payload_col)) <= cfg.max_bytes)
+    if cfg.media_types is not None and "media_type" in assets.columns:
+        gated = gated.filter(F.col("media_type").isin(cfg.media_types))
+    gated = _cut(stage_metrics, "metadata_gate", gated)
+
+    # 2. exact dedup on payload bytes (md5 groupBy, min-id winner)
+    if cfg.exact_dedup:
+        win = gated.groupBy(F.md5(F.col(payload_col)).alias("__sum")) \
+            .agg(F.min(id_col).alias(id_col)).drop("__sum")
+        gated = gated.join(win, id_col, "left_semi")
+        gated = _cut(stage_metrics, "exact_dedup", gated)
+
+    # 3. decode + hash once
+    hashes = media_dedup.image_hashes(
+        gated, decoder, id_col=id_col, payload_col=payload_col,
+        hash_w=cfg.hash_w, hash_h=cfg.hash_h)
+    hashes = _cut(stage_metrics, "perceptual_hash", hashes)
+    enriched = gated.join(
+        hashes.select(F.col("asset_id").alias(id_col), "dhash", "ahash",
+                      "decode_ok", "decode_error"), id_col)
+    quarantined = enriched.filter(~F.col("decode_ok")) \
+        .select(id_col, "decode_error")
+    if not cfg.admit_undecodable:
+        enriched = enriched.filter(F.col("decode_ok"))
+    enriched = enriched.drop("decode_ok", "decode_error")
+
+    # 4. perceptual near-dedup → canonical survivors
+    if cfg.neardup:
+        pairs = media_dedup.hamming_neardup_pairs(
+            enriched, id_col=id_col, hash_col="dhash", bands=cfg.bands,
+            max_distance=cfg.max_distance, max_bucket=cfg.max_bucket)
+        enriched = dedup_by_components(
+            enriched, pairs, id_col=id_col, keep_by=cfg.keep_by)
+    kept = _cut(stage_metrics, "neardup", enriched)
+    return kept, quarantined
