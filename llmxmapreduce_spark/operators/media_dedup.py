@@ -215,7 +215,8 @@ IMAGE_HASHES = T.StructType([
 
 def image_hashes(assets: DataFrame, decoder,
                  id_col: str = "asset_id", payload_col: str = "payload",
-                 hash_w: int = 8, hash_h: int = 8) -> DataFrame:
+                 hash_w: int = 8, hash_h: int = 8,
+                 with_ahash: bool = True) -> DataFrame:
     """Binary payloads → (dhash, ahash) rows via ``mapInPandas``.
 
     ``decoder(payload) -> (width, height, _, pixels)`` — the
@@ -225,6 +226,9 @@ def image_hashes(assets: DataFrame, decoder,
     the row flows on with ``decode_ok=false`` and null hashes.
     Payloads never leave the scan — the output is 8-byte hashes plus
     metadata, so at 100 TB only ~24 bytes/asset ever shuffle.
+    ``with_ahash=False`` skips the average-hash pass (null column) for
+    callers that dedup on dhash alone — one less full-pixel walk per
+    asset.
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -238,7 +242,8 @@ def image_hashes(assets: DataFrame, decoder,
                     w, h, _, px = decoder(bytes(payload))
                     out["width"], out["height"] = int(w), int(h)
                     out["dhash"] = dhash_bits(w, h, px, hash_w, hash_h)
-                    out["ahash"] = ahash_bits(w, h, px, hash_w, hash_h)
+                    if with_ahash:
+                        out["ahash"] = ahash_bits(w, h, px, hash_w, hash_h)
                 except NotImplementedError as e:
                     out["decode_ok"], out["decode_error"] = False, \
                         f"decode stub: {e}"
@@ -508,20 +513,25 @@ def video_frame_hashes(assets: DataFrame, frame_extractor,
             rows = []
             for r in pdf.to_dict("records"):
                 payload = r[payload_col] or b""
+                # per-asset staging list: a dhash failure on frame k must
+                # not leave frames 0..k-1 behind next to the sentinel —
+                # the whole asset fails or the whole asset hashes
+                arows = []
                 try:
                     frames = frame_extractor(bytes(payload))
                     for i, (w, h, _, px) in enumerate(frames):
-                        rows.append({
+                        arows.append({
                             "asset_id": r[id_col],
                             "n_frames": len(frames), "frame_idx": i,
                             "dhash": dhash_bits(w, h, px, hash_w, hash_h),
                             "decode_ok": True, "decode_error": None})
                 except Exception as e:  # noqa: BLE001
-                    rows.append({
+                    arows = [{
                         "asset_id": r[id_col], "n_frames": None,
                         "frame_idx": None, "dhash": None,
                         "decode_ok": False,
-                        "decode_error": f"{type(e).__name__}: {e}"})
+                        "decode_error": f"{type(e).__name__}: {e}"}]
+                rows.extend(arows)
             yield pd.DataFrame(rows, columns=cols)
 
     return assets.mapInPandas(run, schema=VIDEO_FRAME_HASHES)

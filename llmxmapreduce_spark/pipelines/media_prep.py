@@ -10,10 +10,10 @@ Stage order is the cost ladder a 100 TB media corpus forces:
    pure Catalyst over catalog columns, drops the bulk of junk before
    any byte of payload is decoded (the curate-by-metadata-before-
    decoding rule from the MP4-probe work).
-2. **Exact dedup** next — a JVM-side md5 over the payload binary
-   (``multimodal.checksum``) and a min-id groupBy.  Byte-identical
-   copies are the cheapest duplicates to kill and every one killed is
-   a decode saved.
+2. **Exact dedup** next — ``dedup.exact_dedup`` applied verbatim to
+   the payload bytes (md5 shuffle key, min-id representative,
+   ``normalize=False``).  Byte-identical copies are the cheapest
+   duplicates to kill and every one killed is a decode saved.
 3. **Decode + perceptual hash ONCE** (``media_dedup.image_hashes``
    through the injectable decoder seam) — the only stage that touches
    pixels; its output (8-byte hashes) is all that later stages
@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from llmxmapreduce_spark.operators import media_dedup
 from llmxmapreduce_spark.operators.components import dedup_by_components
+from llmxmapreduce_spark.operators.dedup import exact_dedup
 from llmxmapreduce_spark.operators.stage_metrics import StageMetrics
 
 
@@ -80,9 +81,11 @@ def run_media_prep(
     columns (decode-once admission state — feed it to
     ``streaming.ingest.run_incremental_media_ingest``'s kept corpus or
     persist it bucketed by hash for co-located incremental joins);
-    ``quarantined`` is the decode-failure rows with their error strings
-    (empty when ``admit_undecodable`` — they stay in ``kept`` with null
-    hashes).
+    ``quarantined`` ALWAYS lists the decode-failure rows with their
+    error strings (the dead-letter report).  With
+    ``admit_undecodable=True`` those rows additionally stay in ``kept``
+    with null hashes — ``quarantined`` is a report, not a partition, so
+    don't union it back into ``kept``.
     """
     cfg = config or MediaPrepConfig()
     decoder = cfg.decoder or media_dedup.auto_image_decoder
@@ -92,15 +95,21 @@ def run_media_prep(
     if cfg.max_bytes is not None:
         gated = gated.filter(
             F.length(F.col(payload_col)) <= cfg.max_bytes)
-    if cfg.media_types is not None and "media_type" in assets.columns:
+    if cfg.media_types is not None:
+        if "media_type" not in assets.columns:
+            raise ValueError(
+                "MediaPrepConfig.media_types is set but the input has no "
+                "media_type column — a silently skipped allowlist would "
+                "let every payload type into the decode stage")
         gated = gated.filter(F.col("media_type").isin(cfg.media_types))
     gated = _cut(stage_metrics, "metadata_gate", gated)
 
-    # 2. exact dedup on payload bytes (md5 groupBy, min-id winner)
+    # 2. exact dedup on payload bytes — the text operator verbatim
+    # (md5 key, min-id representative); normalize=False because byte
+    # payloads have no whitespace/case to fold
     if cfg.exact_dedup:
-        win = gated.groupBy(F.md5(F.col(payload_col)).alias("__sum")) \
-            .agg(F.min(id_col).alias(id_col)).drop("__sum")
-        gated = gated.join(win, id_col, "left_semi")
+        gated = exact_dedup(gated, text_col=payload_col, id_col=id_col,
+                            normalize=False)
         gated = _cut(stage_metrics, "exact_dedup", gated)
 
     # 3. decode + hash once

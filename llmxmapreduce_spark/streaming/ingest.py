@@ -221,19 +221,27 @@ def run_incremental_media_ingest(
     bill.
 
     ``admit_undecodable=False`` (default) quarantines decode failures —
-    they are dropped from admission (report them via ``on_batch``, which
-    sees the full hashed batch).  With ``True`` they are admitted with a
-    null hash and never participate in dedup.
+    they are dropped from admission.  ``on_batch(epoch_id, hashed_batch,
+    survivors)`` receives the FULL hashed batch including failures
+    (``decode_ok``/``dhash`` columns), so it is the dead-letter hook:
+    quarantined rows are reported there, never silently discarded.
+    With ``admit_undecodable=True`` failures are admitted with a null
+    hash and never participate in dedup.
 
     Same exactly-once epoch-directory contract, pairing guard, and
     ``read_kept`` (pass the stream schema + ``dhash long``) as the text
     ingest.
     """
+    from pyspark.sql import types as T
+
     from llmxmapreduce_spark.operators import media_dedup
 
     kept_path = os.path.join(state_dir, "kept")
     spark = stream.sparkSession
-    out_schema = stream.schema.add("dhash", "long")
+    # copy the field list: StructType.add mutates in place, and
+    # DataFrame.schema is cached — .add on it would graft a phantom
+    # dhash column onto the caller's stream
+    out_schema = T.StructType(list(stream.schema.fields)).add("dhash", "long")
 
     _guard_fresh_checkpoint(spark, kept_path, checkpoint_dir,
                             "run_incremental_media_ingest")
@@ -241,11 +249,15 @@ def run_incremental_media_ingest(
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if pre_filter is not None:
             batch_df = pre_filter(batch_df)
-        hashed = media_dedup.image_hashes(batch_df, decoder, id_col=id_col) \
+        # checkpoint before the double use (hash scan + join side) so the
+        # source files are read once per batch, as in the text path
+        batch_df = batch_df.localCheckpoint(eager=True)
+        hashed = media_dedup.image_hashes(
+            batch_df, decoder, id_col=id_col, with_ahash=False) \
             .select(F.col("asset_id").alias(id_col), "dhash", "decode_ok")
-        batch2 = batch_df.join(hashed, id_col)
-        if not admit_undecodable:
-            batch2 = batch2.filter(F.col("decode_ok"))
+        full = batch_df.join(hashed, id_col)
+        batch2 = full if admit_undecodable else \
+            full.filter(F.col("decode_ok"))
         batch2 = batch2.drop("decode_ok").localCheckpoint(eager=True)
         own = os.path.join(kept_path, f"epoch={epoch_id}")
         corpus = _prior_epochs(spark, kept_path, out_schema, epoch_id)
@@ -256,7 +268,7 @@ def run_incremental_media_ingest(
         survivors = survivors.localCheckpoint(eager=True)
         survivors.write.mode("overwrite").parquet(own)
         if on_batch is not None:
-            on_batch(epoch_id, batch2, survivors)
+            on_batch(epoch_id, full, survivors)
 
     q = (
         stream.writeStream

@@ -342,6 +342,24 @@ def test_video_neardup_vote_exact_vs_bruteforce(spark):
     assert got == want and want
 
 
+def test_video_partial_frame_failure_is_whole_asset(spark):
+    """A dhash failure mid-video must not leave earlier frames' rows
+    next to the sentinel: the whole asset fails as ONE sentinel row."""
+    from llmxmapreduce_spark.operators.media_dedup import (
+        encode_framepack, framepack_extractor, video_frame_hashes)
+    good = encode_png(_rand_gray(16, 16, 1), 16, 16, color_type=0)
+    tiny = encode_png(_rand_gray(4, 4, 2), 4, 4, color_type=0)  # < 9x8 grid
+    df = spark.createDataFrame(
+        [("mixed", encode_framepack([good, tiny, good])),
+         ("fine", encode_framepack([good]))],
+        "asset_id string, payload binary")
+    rows = video_frame_hashes(df, framepack_extractor).collect()
+    mixed = [r for r in rows if r.asset_id == "mixed"]
+    assert len(mixed) == 1 and not mixed[0].decode_ok
+    assert "smaller than hash grid" in mixed[0].decode_error
+    assert [r.decode_ok for r in rows if r.asset_id == "fine"] == [True]
+
+
 def test_video_neardup_cross_codec_e2e(spark):
     """Shifted-window clip detection: video B is frames 1-5 of video A
     re-encoded as JPEG plus one new frame — the vote pairs A and B

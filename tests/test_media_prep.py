@@ -76,6 +76,21 @@ def test_media_prep_stage_toggles(spark, planted):
     assert ids2 == ["keep_png", "near_jpg", "other_ok"]
 
 
+def test_media_prep_media_types_guard(spark, planted):
+    with pytest.raises(ValueError, match="media_type"):
+        run_media_prep(planted, MediaPrepConfig(media_types=["image"]))
+    # with the column present the gate applies
+    typed = planted.withColumn(
+        "media_type",
+        F.when(F.col("asset_id") == "other_ok", "video")
+        .otherwise("image"))
+    kept, _ = run_media_prep(
+        typed, MediaPrepConfig(min_bytes=8, media_types=["image"],
+                               bands=8, max_distance=6))
+    ids = {r.asset_id for r in kept.select("asset_id").collect()}
+    assert "other_ok" not in ids and "keep_png" in ids
+
+
 def test_media_prep_admit_undecodable_and_keep_by(spark, planted):
     kept, quarantined = run_media_prep(
         planted, MediaPrepConfig(min_bytes=8, admit_undecodable=True,

@@ -340,13 +340,21 @@ def test_incremental_media_ingest_hash_state(spark, tmp_path):
 
     stream = (spark.readStream.schema("asset_id string, payload binary")
               .option("maxFilesPerTrigger", "1").parquet(src))
-    batches = []
+    n_schema_fields = len(stream.schema.fields)
+    batches, dead = [], []
     run_incremental_media_ingest(
         stream, str(tmp_path / "mstate"), str(tmp_path / "mckpt"),
         decoder=png_decoder,
-        on_batch=lambda eid, b, s: batches.append(
-            sorted(r["asset_id"] for r in s.select("asset_id").collect())))
+        on_batch=lambda eid, b, s: (
+            batches.append(
+                sorted(r["asset_id"] for r in s.select("asset_id").collect())),
+            dead.extend(r["asset_id"] for r in
+                        b.filter(~b["decode_ok"]).collect())))
     assert len(batches) == 3
+    # on_batch is the dead-letter hook: the quarantined junk is visible
+    assert dead == ["x0"]
+    # the caller's stream schema must not grow a phantom dhash field
+    assert len(stream.schema.fields) == n_schema_fields
 
     out_schema = "asset_id string, payload binary, dhash long"
     kept = read_kept(spark, str(tmp_path / "mstate"), out_schema).collect()
