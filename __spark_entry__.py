@@ -503,6 +503,32 @@ def q_video_neardup(spark: SparkSession, sf: str) -> DataFrame:
                         "n_a", "n_b")
 
 
+def q_set_jaccard_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact set-similarity join (operators/setjoin.py — AllPairs/PPJoin
+    prefix filtering) at threshold 1/2 over synthetic 7-token sets:
+    even/odd twins share a 6-token window (`s<g>_1..6`), so J = 6/8 =
+    0.75 pairs them, and token namespaces (`s<g>_*`) keep distinct
+    groups at zero overlap — pair count linear in the corpus at every
+    sf.  Spark runs the full production machinery (df-order window,
+    prefix explode, token equi-join + length filter, exact
+    array_intersect verify); the oracle is the NAIVE all-shared-token
+    integer twin (completeness is exactly what prefix filtering must
+    preserve, so naive-vs-prefix equality IS the theorem under test).
+    Integer-only surface: 2·inter ≥ union cross-multiplied, the
+    `jaccard` double dropped."""
+    from llmxmapreduce_spark.operators import setjoin
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    toks = F.transform(
+        F.sequence(F.col("doc_id") % 2, F.col("doc_id") % 2 + 6),
+        lambda i: F.concat(F.lit("s"),
+                           F.expr("doc_id div 2").cast("string"),
+                           F.lit("_"), i.cast("string")))
+    out = setjoin.jaccard_join(
+        d.select("doc_id", toks.alias("tokens")), threshold=0.5)
+    return out.select("id_a", "id_b", "inter", "n_a", "n_b")
+
+
 def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     from llmxmapreduce_spark.operators import text_stats
 
@@ -2942,7 +2968,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # 95 entries, ORDERED because the driver's correctness gate runs only
+    # 96 entries, ORDERED because the driver's correctness gate runs only
     # the FIRST 50 (measured rounds 5-8).  Round-9 rotation (judge task
     # #2): every entry must eventually earn a driver-green row, so the
     # first 50 slots hold (a) the 3 queries whose oracle surface changed
@@ -3063,6 +3089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation): perceptual media dedup through the real PNG codec
         "image_neardup": q_image_neardup,
         "video_neardup": q_video_neardup,
+        "set_jaccard_join": q_set_jaccard_join,
         # v2_survey_refdefaults stays OFF the board: it is a THROUGHPUT
         # line (bench.py HEADLINE), hash-gated by its golden-transcript
         # pytest (tests/test_v2_refdefaults.py) — no SQL oracle exists.
@@ -4169,6 +4196,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "image_neardup": _image_neardup_oracle(),
         "video_neardup": _video_neardup_oracle(),
+        "set_jaccard_join": """
+            WITH ks(k) AS (VALUES (0), (1), (2), (3), (4), (5), (6)),
+            tok AS (
+                SELECT doc_id,
+                       's' || CAST(doc_id // 2 AS VARCHAR) || '_' ||
+                       CAST((doc_id % 2) + ks.k AS VARCHAR) AS tok
+                FROM documents, ks),
+            sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+            ov AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       COUNT(*) AS inter
+                FROM tok a JOIN tok b
+                  ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT ov.id_a, ov.id_b, CAST(inter AS INT) AS inter,
+                   CAST(sa.n AS INT) AS n_a, CAST(sb.n AS INT) AS n_b
+            FROM ov JOIN sz sa ON sa.doc_id = ov.id_a
+                    JOIN sz sb ON sb.doc_id = ov.id_b
+            WHERE 2 * inter >= sa.n + sb.n - inter
+        """,
         "events_session_windows": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
             m AS (SELECT user_id, t,

@@ -119,6 +119,7 @@ HEADLINE = [
     "user_event_crosstab",
     "image_neardup",
     "video_neardup",
+    "set_jaccard_join",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-

@@ -1,0 +1,126 @@
+"""Exact set-similarity join (AllPairs / PPJoin prefix filtering —
+Bayardo et al. WWW'07, Xiao et al. WWW'08): ALL pairs of documents
+whose token-set Jaccard meets a threshold, with no false negatives and
+no all-pairs comparison.
+
+Where this sits in the dedup ladder: MinHash+LSH (dedup.py) is the
+APPROXIMATE corpus-scale path — recall < 1 by construction, tunable via
+bands.  This operator is the EXACT path for the workloads that need a
+guarantee (entity resolution, eval-set leak auditing, legal-grade
+dedup): every qualifying pair is returned, priced by candidate count
+rather than n².
+
+The algorithm, Spark-first:
+
+1. **Global token order** = (document frequency asc, token asc) — rare
+   tokens first.  No global rank table is materialized: the (count,
+   token) PAIR is itself a total order, so ordering within each doc
+   needs only a token-keyed count join (partial-aggregated) and a
+   per-doc window — never an unpartitioned window.
+2. **Prefix**: a doc with n distinct tokens keeps its first
+   ``n - ceil(t·n) + 1`` tokens in that order.  Completeness proof
+   (the reason no pair is lost): let w be the smallest-ordered common
+   token of a qualifying pair (x, y).  J(x,y) ≥ t with the length
+   filter |y| ≥ t·|x| gives overlap o ≥ ceil(t·|x|).  If w were
+   outside x's prefix, x would hold ≥ prefix-length non-common tokens
+   below w, leaving ≤ ceil(t·|x|) − 1 slots for common tokens — less
+   than o.  Contradiction; w is in BOTH prefixes, so the prefix×prefix
+   equi-join on the token sees every qualifying pair.
+3. **Candidates**: prefix-exploded self-equi-join on the token with
+   the symmetric length filter (t·|x| ≤ |y| ∧ t·|y| ≤ |x|) — a hash
+   join on the token, never a cartesian.
+4. **Verify**: exact ``array_intersect`` on the candidate pairs only.
+
+Scale notes: the shuffles are (a) token counts (partial-agg), (b) one
+per-doc window Exchange on id, (c) the prefix join on the token key.
+Stopword-class tokens order LAST (max df), so they rarely enter short
+prefixes — the design reason prefix filtering beats naive token
+joins on Zipfian text.  Token arrays travel only to verify candidate
+pairs, mirroring ``dedup.jaccard_verify``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def jaccard_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with token-set Jaccard ≥ ``threshold`` →
+    (id_a, id_b, inter, n_a, n_b, jaccard), id_a < id_b.
+
+    Input tokens are treated as a SET (``array_distinct`` applied);
+    empty/null token arrays never pair.  ``threshold`` must be in
+    (0, 1]; dyadic thresholds (1/2, 3/4 …) make every boundary compare
+    exact in binary floats — the values-oracle board variant uses 1/2
+    and integer cross-multiplication for a float-free surface.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t = F.lit(float(threshold))
+    base = (
+        df.select(F.col(id_col).alias("id"),
+                  F.array_distinct(F.col(tokens_col)).alias("toks"))
+        .filter(F.col("toks").isNotNull() & (F.size("toks") > 0))
+    )
+    tok = base.select("id", F.explode("toks").alias("tok"))
+    cnt = tok.groupBy("tok").agg(F.count("*").alias("df_cnt"))
+    ranked = tok.join(cnt, "tok")
+    by_doc = Window.partitionBy("id")
+    order = by_doc.orderBy("df_cnt", "tok")
+    pos = (
+        ranked.withColumn("pos", F.row_number().over(order))
+        .withColumn("n", F.count("*").over(by_doc))
+    )
+    prefix = pos.filter(
+        F.col("pos") <= F.col("n") - F.ceil(t * F.col("n")) + 1)
+    l, r = prefix.alias("l"), prefix.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.tok") == F.col("r.tok"))
+            & (F.col("l.id") < F.col("r.id"))
+            & (t * F.col("l.n") <= F.col("r.n"))
+            & (t * F.col("r.n") <= F.col("l.n")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("toks").alias("ta"),
+                    F.size("toks").alias("n_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"),
+                    F.size("toks").alias("n_b"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.col("n_a") + F.col("n_b") - F.col("inter")
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .withColumn("inter", inter)
+        .withColumn("n_union", union)
+        .filter(F.col("inter") >= t * F.col("n_union"))
+        .select("id_a", "id_b", "inter", "n_a", "n_b",
+                (F.col("inter") / F.col("n_union")).alias("jaccard"))
+    )
+
+
+def jaccard_text_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Convenience wrapper: whitespace-tokenize ``text_col`` (the
+    repo-wide ``\\s+`` split convention) and run :func:`jaccard_join`
+    on the word sets."""
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    toks = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "")
+    return jaccard_join(
+        df.select(F.col(id_col), toks.alias("__toks")),
+        id_col=id_col, tokens_col="__toks", threshold=threshold)

@@ -1,0 +1,128 @@
+"""Exact set-similarity join (operators/setjoin.py): completeness of
+the prefix filter vs a brute-force all-pairs reference (the theorem the
+module proves must hold in code), threshold-boundary exactness, input
+hygiene (duplicate tokens, nulls, empties), a DuckDB naive twin on real
+document text, and partitioning invariance."""
+
+import random
+from itertools import combinations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from llmxmapreduce_spark.operators.setjoin import (jaccard_join,
+                                                   jaccard_text_join)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _brute(sets, t):
+    out = {}
+    for (ia, sa), (ib, sb) in combinations(sorted(sets.items()), 2):
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        if union and inter / union >= t:
+            out[(ia, ib)] = (inter, len(sa), len(sb))
+    return out
+
+
+def _rand_sets(n_docs=80, vocab=120, seed=3):
+    rng = random.Random(seed)
+    toks = [f"w{i:03d}" for i in range(vocab)]
+    # Zipf-ish: low-index tokens far more common (stress the df-order)
+    sets = {}
+    for d in range(n_docs):
+        k = rng.randrange(3, 14)
+        s = {toks[min(int(rng.expovariate(1 / 20)), vocab - 1)]
+             for _ in range(k)}
+        if d % 5 == 0 and d:
+            # planted near-copy of an earlier doc with 0-2 swaps
+            s = set(sets[d - 1])
+            for _ in range(rng.randrange(3)):
+                if s:
+                    s.discard(rng.choice(sorted(s)))
+                s.add(toks[rng.randrange(vocab)])
+        sets[d] = s
+    return sets
+
+
+@pytest.mark.parametrize("t", [0.5, 0.7, 0.9])
+def test_matches_bruteforce_all_thresholds(spark, t):
+    sets = _rand_sets()
+    rows = [(d, sorted(s)) for d, s in sets.items()]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    got = {(r.id_a, r.id_b): (r.inter, r.n_a, r.n_b)
+           for r in jaccard_join(df, threshold=t).collect()}
+    want = _brute(sets, t)
+    assert got == want
+    if t == 0.5:
+        assert want            # the fixture must actually have pairs
+
+
+def test_threshold_boundary_and_duplicates(spark):
+    rows = [
+        (1, ["a", "b", "c", "d"]),
+        (2, ["a", "b", "c", "x", "x"]),   # dup token: set size 4
+        (3, ["p", "q"]),
+        (4, None),
+        (5, []),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    # J(1,2) on sets = 3/5 = 0.6: included at exactly t=0.6, not at 0.61
+    at = {(r.id_a, r.id_b)
+          for r in jaccard_join(df, threshold=0.6).collect()}
+    assert at == {(1, 2)}
+    assert jaccard_join(df, threshold=0.61).count() == 0
+    with pytest.raises(ValueError):
+        jaccard_join(df, threshold=0.0)
+
+
+def test_jaccard_value_and_partition_invariance(spark):
+    sets = _rand_sets(n_docs=40, seed=9)
+    rows = [(d, sorted(s)) for d, s in sets.items()]
+    want = None
+    for parts in (1, 7):
+        df = spark.createDataFrame(
+            rows, "doc_id long, tokens array<string>").repartition(parts)
+        out = jaccard_join(df, threshold=0.5)
+        got = sorted((r.id_a, r.id_b, r.inter, round(r.jaccard, 9))
+                     for r in out.collect())
+        if want is None:
+            want = got
+        assert got == want, f"parts={parts}"
+    assert all(j >= 0.5 for _, _, _, j in want)
+
+
+def test_text_join_matches_duckdb_naive_twin(spark):
+    df = spark.read.parquet(DOCS).limit(120).select("doc_id", "text")
+    got = sorted((r.id_a, r.id_b, r.inter, r.n_a, r.n_b)
+                 for r in jaccard_text_join(df, threshold=0.5).collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW d AS SELECT doc_id, text FROM '{DOCS}' "
+            f"WHERE doc_id IN (SELECT doc_id FROM '{DOCS}' LIMIT 120)")
+    want = sorted(tuple(r) for r in con.sql(r"""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, t.w AS tok
+            FROM d, UNNEST(string_split_regex(trim(lower(text)), '\s+'))
+                 AS t(w)
+            WHERE t.w <> ''),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        ov AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   COUNT(*) AS inter
+            FROM tok a JOIN tok b
+              ON a.tok = b.tok AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT ov.id_a, ov.id_b, CAST(inter AS INT),
+               CAST(sa.n AS INT) AS n_a, CAST(sb.n AS INT) AS n_b
+        FROM ov JOIN sz sa ON sa.doc_id = ov.id_a
+                JOIN sz sb ON sb.doc_id = ov.id_b
+        WHERE 2 * inter >= sa.n + sb.n - inter
+    """).fetchall())
+    # the spark limit(120) and duckdb LIMIT may pick different rows if
+    # parquet order differed — both read the same single file in order
+    assert got == want
+    assert len(got) >= 0

@@ -139,6 +139,11 @@ AUDITED = [
      "(framepack → per-frame PNG decode → dhash rows, ~20 bytes/frame "
      "out), per-frame band equi-join (never videos²), one "
      "partial-aggregable (id_a, id_b) vote — hash joins only"),
+    ("set_jaccard_join", "exact AllPairs/PPJoin: token-count join "
+     "(partial-agg) + ONE per-doc window Exchange for the df-order "
+     "prefix, candidate equi-join on the token with the length filter, "
+     "array_intersect verify on candidates only — no cartesian, no "
+     "unpartitioned window"),
 ]
 
 
