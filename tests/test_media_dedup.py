@@ -157,6 +157,25 @@ def test_hamming_max_bucket_guardrail(spark):
                                  max_bucket=10).count() == 0
 
 
+def test_hamming_pairs_on_simhash64(spark):
+    """The generic banded join composes with the text layer: near-dup
+    texts pair straight off simhash64_fast — a fully-JVM text near-dup
+    path (no shingle arrays, no python) complementing MinHash."""
+    from llmxmapreduce_spark.operators.dedup import simhash64_fast
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    rows = [(1, base), (2, base.replace("green", "blue")),
+            (3, "completely different words about spark shuffles and "
+                "catalyst optimizer internals at massive scale today")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hashed = simhash64_fast(df)
+    pairs = hamming_neardup_pairs(
+        hashed, id_col="doc_id", hash_col="simhash",
+        bands=8, max_distance=7).collect()
+    got = {(p.id_a, p.id_b) for p in pairs}
+    assert (1, 2) in got and not any(3 in p for p in got)
+
+
 # --------------------------------------------------------- Spark image path
 
 def test_cross_format_perceptual_dup(spark):
