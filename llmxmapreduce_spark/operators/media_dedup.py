@@ -607,16 +607,51 @@ def video_neardup_pairs(
     )
 
 
+def hamming_state_entries(hashes: DataFrame, id_col: str = "asset_id",
+                          hash_col: str = "dhash", bands: int = 4,
+                          bits: int = 64) -> DataFrame:
+    """(id, h, band_key) rows with the (band_id, band_val) pair FOLDED
+    into one integer join key (``band_id << band_bits | band_val``) —
+    the persistable form of the banded index, bucketable on a single
+    column."""
+    band_bits = bits // bands
+    entries = _band_entries(hashes, id_col, hash_col, bands, bits, None)
+    return entries.select(
+        "id", "h",
+        (F.col("band_id").cast("long") * (1 << band_bits)
+         + F.col("band_val")).alias("band_key"))
+
+
+def write_hamming_state(hashes: DataFrame, name: str,
+                        id_col: str = "asset_id", hash_col: str = "dhash",
+                        bands: int = 4, bits: int = 64,
+                        num_buckets: int = 64,
+                        path: str | None = None) -> None:
+    """Persist a kept corpus's banded Hamming index as a BUCKETED
+    catalog table (``sources.bucketed.write_bucketed`` on ``band_key``).
+
+    This is the pay-the-shuffle-once layout for continuous media
+    ingestion: the corpus side of every future shard-vs-corpus band
+    join is pre-partitioned on the join key, so only the (small) shard
+    side shuffles — the 100 TB corpus's entries never move again.
+    Read it back with ``sources.bucketed.read_bucketed`` and pass it to
+    :func:`hamming_dedup_incremental` as ``corpus_entries``."""
+    from llmxmapreduce_spark.sources.bucketed import write_bucketed
+    entries = hamming_state_entries(hashes, id_col, hash_col, bands, bits)
+    write_bucketed(entries, name, "band_key", num_buckets, path=path)
+
+
 def hamming_dedup_incremental(
     new_assets: DataFrame,
     new_hashes: DataFrame,
-    corpus_hashes: DataFrame,
+    corpus_hashes: DataFrame | None = None,
     id_col: str = "asset_id",
     hash_col: str = "dhash",
     bands: int = 4,
     max_distance: int = 3,
     bits: int = 64,
     max_bucket: int | None = 100_000,
+    corpus_entries: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a NEW media shard against the already-kept corpus AND
     within itself; returns the surviving ``new_assets`` rows — the
@@ -632,17 +667,40 @@ def hamming_dedup_incremental(
     transitivity as the batch path).  Undecodable new assets (null
     hash) pass through: decode failure is a curation decision, not a
     dedup one.
+
+    ``corpus_entries`` (instead of ``corpus_hashes``): a PRE-BANDED
+    persisted index in the :func:`hamming_state_entries` shape —
+    typically ``read_bucketed(spark, name)`` of a
+    :func:`write_hamming_state` table.  The shard side then joins on
+    the single ``band_key`` the state is bucketed on, so the corpus
+    side contributes NO Exchange: only the shard shuffles
+    (plan-pinned in tests).  Exactly one of the two corpus arguments
+    must be provided.
     """
     _check_band_args(bands, max_distance, bits)
-    ne = _band_entries(new_hashes, id_col, hash_col, bands, bits, max_bucket)
-    ce = _band_entries(corpus_hashes, id_col, hash_col, bands, bits,
-                       max_bucket)
+    if (corpus_hashes is None) == (corpus_entries is None):
+        raise ValueError(
+            "provide exactly one of corpus_hashes / corpus_entries")
+    if corpus_entries is not None:
+        band_bits = bits // bands
+        ne = hamming_state_entries(new_hashes, id_col, hash_col,
+                                   bands, bits)
+        ce = corpus_entries
+        if max_bucket is not None:
+            ce = (ce.withColumn(
+                "__bn",
+                F.count("*").over(Window.partitionBy("band_key")))
+                .filter(F.col("__bn") <= max_bucket).drop("__bn"))
+        join_cond = (F.col("l.band_key") == F.col("r.band_key"))
+    else:
+        ne = _band_entries(new_hashes, id_col, hash_col, bands, bits,
+                           max_bucket)
+        ce = _band_entries(corpus_hashes, id_col, hash_col, bands, bits,
+                           max_bucket)
+        join_cond = ((F.col("l.band_id") == F.col("r.band_id"))
+                     & (F.col("l.band_val") == F.col("r.band_val")))
     vs_corpus = (
-        ne.alias("l").join(
-            ce.alias("r"),
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_val") == F.col("r.band_val")),
-        )
+        ne.alias("l").join(ce.alias("r"), join_cond)
         .filter(F.bit_count(F.expr("l.h ^ r.h")) <= max_distance)
         .select(F.col("l.id").alias(id_col))
         .distinct()

@@ -420,6 +420,61 @@ def test_video_neardup_cross_codec_e2e(spark):
     assert p.n_a == 6 and p.n_b == 6
 
 
+def test_hamming_incremental_bucketed_state(spark, tmp_path):
+    """The persisted banded index: same survivors as the on-the-fly
+    corpus path, and the corpus side of the band join reads its
+    bucketed layout — only the shard shuffles."""
+    from llmxmapreduce_spark.operators.media_dedup import (
+        hamming_dedup_incremental, hamming_state_entries,
+        write_hamming_state)
+    from llmxmapreduce_spark.sources.bucketed import read_bucketed
+    corpus = spark.createDataFrame(
+        [("c0", 100), ("c1", 2048), ("c2", -1)],
+        "asset_id string, dhash long")
+    new_hashes = spark.createDataFrame(
+        [("n0", 101), ("n1", 7 << 32), ("n2", (7 << 32) | 2),
+         ("n3", 4095)], "asset_id string, dhash long")
+    new_assets = new_hashes.select("asset_id")
+    try:
+        write_hamming_state(corpus, "t_ham_state", num_buckets=8,
+                            path=str(tmp_path / "hamstate"))
+        ce = read_bucketed(spark, "t_ham_state")
+        kept_state = {r.asset_id for r in hamming_dedup_incremental(
+            new_assets, new_hashes, corpus_entries=ce).collect()}
+        kept_plain = {r.asset_id for r in hamming_dedup_incremental(
+            new_assets, new_hashes, corpus).collect()}
+        assert kept_state == kept_plain == {"n1", "n3"}
+        # plan pin on the band join itself: bucketed corpus scan, and
+        # the only Exchange is the shard side's.  At test size the
+        # corpus would broadcast (which also avoids shuffling it) —
+        # force the SMJ/SHJ path the real corpus-sized join takes.
+        from llmxmapreduce_spark.sources.bucketed import (
+            enable_full_bucketed_scan)
+        prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        prev = enable_full_bucketed_scan(spark)
+        try:
+            ne = hamming_state_entries(new_hashes)
+            j = ne.alias("l").join(ce.alias("r"),
+                                   F.expr("l.band_key = r.band_key"))
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan, plan
+            n_exchange = sum("Exchange" in ln for ln in plan.splitlines())
+            assert n_exchange == 1, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+            for k, v in prev.items():
+                spark.conf.set(k, v)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ham_state")
+    # exactly one corpus argument
+    with pytest.raises(ValueError):
+        hamming_dedup_incremental(new_assets, new_hashes)
+    with pytest.raises(ValueError):
+        hamming_dedup_incremental(new_assets, new_hashes, corpus,
+                                  corpus_entries=corpus)
+
+
 def test_audio_fingerprint_guards():
     with pytest.raises(ValueError):
         audio_fingerprint_bits(np.zeros((10, 1), dtype=np.int32))  # too short
