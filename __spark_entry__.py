@@ -529,6 +529,32 @@ def q_set_jaccard_join(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("id_a", "id_b", "inter", "n_a", "n_b")
 
 
+def q_set_containment_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Directional set-containment join (setjoin.containment_join) at
+    the DYADIC threshold 3/4 (boundary compares exact in binary
+    floats): even docs carry 12 namespaced tokens `s<g>_0..11`, odd
+    docs the 5-token subset `s<g>_0..4` — containment(odd→even) = 1
+    pairs each odd doc into its group's even doc, the reverse direction
+    5/12 fails, and token namespaces keep cross-group overlap at zero
+    (linear output).  Spark runs the asymmetric prefix machinery
+    (inner-side prefix, outer-side full tokens + size prune); the
+    oracle is the naive shared-token integer twin with the 4·inter ≥
+    3·n_inner cross-multiplied filter — naive-vs-prefix equality IS the
+    completeness proof, as in `set_jaccard_join`."""
+    from llmxmapreduce_spark.operators import setjoin
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    n_tok = F.when(F.col("doc_id") % 2 == 0, F.lit(12)).otherwise(F.lit(5))
+    toks = F.transform(
+        F.sequence(F.lit(0), n_tok - 1),
+        lambda i: F.concat(F.lit("s"),
+                           F.expr("doc_id div 2").cast("string"),
+                           F.lit("_"), i.cast("string")))
+    out = setjoin.containment_join(
+        d.select("doc_id", toks.alias("tokens")), threshold=0.75)
+    return out.select("id_inner", "id_outer", "inter", "n_inner", "n_outer")
+
+
 def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     from llmxmapreduce_spark.operators import text_stats
 
@@ -2968,7 +2994,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # 96 entries, ORDERED because the driver's correctness gate runs only
+    # 97 entries, ORDERED because the driver's correctness gate runs only
     # the FIRST 50 (measured rounds 5-8).  Round-9 rotation (judge task
     # #2): every entry must eventually earn a driver-green row, so the
     # first 50 slots hold (a) the 3 queries whose oracle surface changed
@@ -3090,6 +3116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_neardup": q_image_neardup,
         "video_neardup": q_video_neardup,
         "set_jaccard_join": q_set_jaccard_join,
+        "set_containment_join": q_set_containment_join,
         # v2_survey_refdefaults stays OFF the board: it is a THROUGHPUT
         # line (bench.py HEADLINE), hash-gated by its golden-transcript
         # pytest (tests/test_v2_refdefaults.py) — no SQL oracle exists.
@@ -4215,6 +4242,29 @@ def oracle_sql() -> dict[str, str]:
             FROM ov JOIN sz sa ON sa.doc_id = ov.id_a
                     JOIN sz sb ON sb.doc_id = ov.id_b
             WHERE 2 * inter >= sa.n + sb.n - inter
+        """,
+        "set_containment_join": """
+            WITH ks(k) AS (
+                SELECT * FROM generate_series(0, 11) AS g(k)),
+            tok AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0 THEN 12 ELSE 5 END AS n,
+                       's' || CAST(doc_id // 2 AS VARCHAR) || '_' ||
+                       CAST(ks.k AS VARCHAR) AS tok
+                FROM documents, ks
+                WHERE ks.k < CASE WHEN doc_id % 2 = 0 THEN 12 ELSE 5 END),
+            ov AS (
+                SELECT a.doc_id AS id_inner, b.doc_id AS id_outer,
+                       ANY_VALUE(a.n) AS n_inner, ANY_VALUE(b.n) AS n_outer,
+                       COUNT(*) AS inter
+                FROM tok a JOIN tok b
+                  ON a.tok = b.tok AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2)
+            SELECT id_inner, id_outer, CAST(inter AS INT) AS inter,
+                   CAST(n_inner AS INT) AS n_inner,
+                   CAST(n_outer AS INT) AS n_outer
+            FROM ov
+            WHERE 4 * inter >= 3 * n_inner
         """,
         "events_session_windows": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),

@@ -120,6 +120,7 @@ HEADLINE = [
     "image_neardup",
     "video_neardup",
     "set_jaccard_join",
+    "set_containment_join",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-

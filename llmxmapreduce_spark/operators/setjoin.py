@@ -107,6 +107,91 @@ def jaccard_join(
     )
 
 
+def containment_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    threshold: float = 0.8,
+    outer_df: DataFrame | None = None,
+) -> DataFrame:
+    """Directional set containment: all ordered pairs where
+    ``|inner ∩ outer| / |inner| ≥ threshold`` →
+    (id_inner, id_outer, inter, n_inner, n_outer, containment).
+
+    The asymmetric complement of :func:`jaccard_join`: a 40-token quote
+    inside a 4 000-token page has Jaccard ≈ 0.01 but containment 1.0 —
+    this is the subset/quote/eval-leak detection shape at set level
+    (the n-gram ``decontamination`` module is the positional version).
+
+    Prefix filtering adapts: only the INNER side prunes to its
+    ``n − ceil(t·n) + 1`` rarest tokens (same completeness argument —
+    a qualifying pair shares ≥ ceil(t·|inner|) tokens, more than fit
+    outside the prefix); the outer side joins with ALL its tokens,
+    because containment puts no upper bound on the outer size.  The
+    only outer-side prune is ``|outer| ≥ ceil(t·|inner|)``.
+
+    ``outer_df``: optional second table for the two-corpus audit
+    (inner = benchmark/eval sets, outer = the training corpus);
+    defaults to ``df`` itself with self-pairs excluded.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t = F.lit(float(threshold))
+
+    def prep(d: DataFrame) -> DataFrame:
+        return (
+            d.select(F.col(id_col).alias("id"),
+                     F.array_distinct(F.col(tokens_col)).alias("toks"))
+            .filter(F.col("toks").isNotNull() & (F.size("toks") > 0))
+        )
+
+    inner = prep(df)
+    outer = prep(outer_df if outer_df is not None else df)
+    itok = inner.select("id", F.explode("toks").alias("tok"))
+    otok = outer.select("id", F.explode("toks").alias("tok"))
+    # df-order from the OUTER (corpus) side — that's where frequency
+    # lives; unseen inner tokens order first (df 0), which is safe:
+    # ordering only affects WHICH prefix tokens are kept, not
+    # completeness, since any total order works for the proof
+    cnt = otok.groupBy("tok").agg(F.count("*").alias("df_cnt"))
+    ranked = itok.join(cnt, "tok", "left") \
+        .withColumn("df_cnt", F.coalesce("df_cnt", F.lit(0)))
+    by_doc = Window.partitionBy("id")
+    pos = (
+        ranked.withColumn("pos",
+                          F.row_number().over(by_doc.orderBy("df_cnt", "tok")))
+        .withColumn("n", F.count("*").over(by_doc))
+    )
+    prefix = pos.filter(
+        F.col("pos") <= F.col("n") - F.ceil(t * F.col("n")) + 1)
+    osz = otok.withColumn("n", F.count("*").over(Window.partitionBy("id")))
+    cand = (
+        prefix.alias("l").join(
+            osz.alias("r"),
+            (F.col("l.tok") == F.col("r.tok"))
+            & (F.col("l.id") != F.col("r.id"))
+            & (F.col("r.n") >= F.ceil(t * F.col("l.n"))),
+        )
+        .select(F.col("l.id").alias("id_inner"),
+                F.col("r.id").alias("id_outer"))
+        .distinct()
+    )
+    a = inner.select(F.col("id").alias("id_inner"),
+                     F.col("toks").alias("ta"),
+                     F.size("toks").alias("n_inner"))
+    b = outer.select(F.col("id").alias("id_outer"),
+                     F.col("toks").alias("tb"),
+                     F.size("toks").alias("n_outer"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    return (
+        cand.join(a, "id_inner").join(b, "id_outer")
+        .withColumn("inter", inter)
+        .filter(F.col("inter") >= t * F.col("n_inner"))
+        .select("id_inner", "id_outer", "inter", "n_inner", "n_outer",
+                (F.col("inter") / F.col("n_inner")).alias("containment"))
+    )
+
+
 def jaccard_text_join(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -96,6 +96,56 @@ def test_jaccard_value_and_partition_invariance(spark):
     assert all(j >= 0.5 for _, _, _, j in want)
 
 
+def _brute_containment(inner_sets, outer_sets, t, same=False):
+    out = {}
+    for ia, sa in inner_sets.items():
+        for ib, sb in outer_sets.items():
+            if (same and ia == ib) or not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter / len(sa) >= t:
+                out[(ia, ib)] = (inter, len(sa), len(sb))
+    return out
+
+
+def test_containment_matches_bruteforce(spark):
+    from llmxmapreduce_spark.operators.setjoin import containment_join
+    sets = _rand_sets(n_docs=50, seed=21)
+    # plant a small quote inside a big doc: Jaccard tiny, containment 1
+    sets[100] = set(list(sorted(sets[7]))[:3]) if len(sets[7]) >= 3 else \
+        {"q1", "q2"}
+    sets[101] = sets[100] | {f"big{i}" for i in range(40)}
+    rows = [(d, sorted(s)) for d, s in sets.items()]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    for t in (0.8, 1.0):
+        got = {(r.id_inner, r.id_outer): (r.inter, r.n_inner, r.n_outer)
+               for r in containment_join(df, threshold=t).collect()}
+        want = _brute_containment(sets, sets, t, same=True)
+        assert got == want, f"t={t}"
+    # the planted quote is found at containment 1.0 where Jaccard ≈ 0.07
+    assert (100, 101) in _brute_containment(sets, sets, 1.0, same=True)
+
+
+def test_containment_two_table_mode(spark):
+    from llmxmapreduce_spark.operators.setjoin import containment_join
+    bench = {0: {"a", "b", "c"}, 1: {"x", "y", "z", "w"}}
+    corpus = {10: {"a", "b", "c", "d", "e", "f"},      # contains bench 0
+              11: {"x", "y", "q", "r"},                # 2/4 of bench 1
+              12: {"m", "n"}}
+    bdf = spark.createDataFrame([(d, sorted(s)) for d, s in bench.items()],
+                                "doc_id long, tokens array<string>")
+    cdf = spark.createDataFrame([(d, sorted(s)) for d, s in corpus.items()],
+                                "doc_id long, tokens array<string>")
+    got = {(r.id_inner, r.id_outer): round(r.containment, 6)
+           for r in containment_join(bdf, outer_df=cdf,
+                                     threshold=0.75).collect()}
+    assert got == {(0, 10): 1.0}
+    got_low = {(r.id_inner, r.id_outer)
+               for r in containment_join(bdf, outer_df=cdf,
+                                         threshold=0.5).collect()}
+    assert got_low == {(0, 10), (1, 11)}
+
+
 def test_text_join_matches_duckdb_naive_twin(spark):
     df = spark.read.parquet(DOCS).limit(120).select("doc_id", "text")
     got = sorted((r.id_a, r.id_b, r.inter, r.n_a, r.n_b)

@@ -144,6 +144,9 @@ AUDITED = [
      "prefix, candidate equi-join on the token with the length filter, "
      "array_intersect verify on candidates only — no cartesian, no "
      "unpartitioned window"),
+    ("set_containment_join", "directional containment: inner-side "
+     "prefix only (outer joins all tokens + size prune), same "
+     "token-keyed hash joins — no cartesian"),
 ]
 
 
