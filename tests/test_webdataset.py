@@ -1,0 +1,109 @@
+"""WebDataset tar shards (sources/webdataset.py): write→read roundtrip
+with metadata, byte-determinism of shards, sample adjacency + member
+order inside the tar, shard sizing, duplicate-key guard, and the e2e
+composition media_prep → write_webdataset."""
+
+import hashlib
+import json
+import os
+import random
+import tarfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from llmxmapreduce_spark.functions.png import encode_png
+from llmxmapreduce_spark.sources.webdataset import (read_webdataset,
+                                                    write_webdataset)
+
+
+def _assets(spark, n=25, seed=4):
+    rng = random.Random(seed)
+    rows = [(f"a{i:04d}",
+             encode_png(bytes(rng.randrange(256) for _ in range(64)),
+                        8, 8, color_type=0),
+             "png", f"src{i % 3}", i)
+            for i in range(n)]
+    return spark.createDataFrame(
+        rows, "asset_id string, payload binary, ext string, "
+              "source string, rank long")
+
+
+def test_roundtrip_with_metadata(spark, tmp_path):
+    df = _assets(spark)
+    out = str(tmp_path / "wds")
+    manifest = write_webdataset(df, out, samples_per_shard=10,
+                                ext_col="ext")
+    assert manifest["n_samples"] == 25 and manifest["n_shards"] == 3
+    assert os.path.exists(os.path.join(out, "_manifest.json"))
+    back = read_webdataset(spark, out)
+    rows = {r.key: r for r in back.collect()}
+    assert len(rows) == 25
+    orig = {r.asset_id: r for r in df.collect()}
+    for k, r in rows.items():
+        assert bytes(r.payload) == bytes(orig[k].payload)
+        assert r.ext == "png" and r.n_extra_members == 0
+        meta = json.loads(r.meta_json)
+        assert meta == {"source": orig[k].source, "rank": orig[k].rank}
+
+
+def test_shards_are_byte_deterministic(spark, tmp_path):
+    df = _assets(spark, n=12)
+    sums = []
+    for run in ("x", "y"):
+        out = str(tmp_path / f"wds_{run}")
+        write_webdataset(df.repartition(5 if run == "x" else 2), out,
+                         samples_per_shard=6, ext_col="ext")
+        digest = {}
+        for f in sorted(os.listdir(out)):
+            if f.endswith(".tar"):
+                with open(os.path.join(out, f), "rb") as fh:
+                    digest[f] = hashlib.md5(fh.read()).hexdigest()
+        sums.append(digest)
+    assert sums[0] == sums[1] and len(sums[0]) == 2
+
+
+def test_member_order_sample_adjacent(spark, tmp_path):
+    df = _assets(spark, n=8)
+    out = str(tmp_path / "wds_order")
+    write_webdataset(df, out, samples_per_shard=100, ext_col="ext")
+    tars = [f for f in os.listdir(out) if f.endswith(".tar")]
+    assert len(tars) == 1
+    with tarfile.open(os.path.join(out, tars[0])) as tf:
+        names = [m.name for m in tf]
+    # keys ascending; payload member immediately before its json
+    keys = [n.split(".")[0] for n in names]
+    assert keys == sorted(keys)
+    for i in range(0, len(names), 2):
+        assert names[i].endswith(".png") and names[i + 1].endswith(".json")
+        assert names[i].split(".")[0] == names[i + 1].split(".")[0]
+
+
+def test_duplicate_key_guard(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("dup", b"a"), ("dup", b"b")], "asset_id string, payload binary")
+    with pytest.raises(Exception, match="duplicate sample key"):
+        write_webdataset(df, str(tmp_path / "wds_dup"),
+                         samples_per_shard=10)
+
+
+def test_media_prep_to_webdataset_e2e(spark, tmp_path):
+    """The full media story: curate (near-dup collapse) → shard."""
+    from llmxmapreduce_spark.pipelines.media_prep import (MediaPrepConfig,
+                                                          run_media_prep)
+    rng = random.Random(7)
+    px_a = bytes(rng.randrange(256) for _ in range(256))
+    px_b = bytes(rng.randrange(256) for _ in range(256))
+    base = encode_png(px_a, 16, 16, color_type=0)
+    df = spark.createDataFrame(
+        [("k0", base), ("k1", base),
+         ("k2", encode_png(px_b, 16, 16, color_type=0))],
+        "asset_id string, payload binary")
+    kept, _ = run_media_prep(df, MediaPrepConfig(min_bytes=8))
+    out = str(tmp_path / "wds_e2e")
+    manifest = write_webdataset(kept, out, samples_per_shard=10)
+    assert manifest["n_samples"] == 2          # exact dup collapsed
+    back = read_webdataset(spark, out)
+    metas = {r.key: json.loads(r.meta_json) for r in back.collect()}
+    assert set(metas) == {"k0", "k2"}
+    assert all("dhash" in m for m in metas.values())   # admission state rides
