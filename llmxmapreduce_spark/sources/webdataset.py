@@ -137,21 +137,38 @@ def write_webdataset(
     return manifest
 
 
-def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
-    """Tar shards → one row per sample:
-    (shard, key, ext, payload, meta_json).
+def stream_webdataset(spark: SparkSession, path: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming twin of :func:`read_webdataset` (the ``stream_warc``
+    pattern): tar shards LANDING in ``path`` become micro-batches of
+    sample rows, plus ``ingest_ts`` (shard file mtime) for
+    watermarking.  Compose with
+    ``streaming.ingest.run_incremental_media_ingest`` for the full
+    accreting media pipeline: land shards → decode-once hash →
+    perceptual dedup vs the kept corpus → admit.  The file-source
+    checkpoint remembers consumed shards, so restarts resume with only
+    new arrivals."""
+    reader = (spark.readStream.format("binaryFile")
+              .schema("path string, modificationTime timestamp, "
+                      "length long, content binary")
+              .option("pathGlobFilter", "*.tar"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.load(path)
+    return src.select("path", "modificationTime", "content").mapInPandas(
+        _parse_tars(with_ts=True),
+        schema=(_SAMPLE_SCHEMA + ", ingest_ts timestamp"))
 
-    One ``binaryFile`` task per tar (the WARC pattern); members are
-    walked sequentially and grouped by basename — the payload member is
-    the first non-``.json`` member, the ``.json`` member rides along as
-    a string for ``json_ops.parse_json`` downstream.  Unknown extra
-    members per sample are counted, not dropped silently.
-    """
-    bins = spark.read.format("binaryFile").load(
-        os.path.join(path, "*.tar"))
 
+_SAMPLE_SCHEMA = ("shard string, key string, ext string, payload binary, "
+                  "meta_json string, n_extra_members int")
+
+
+def _parse_tars(with_ts: bool = False):
     def parse(batches):
         import pandas as pd
+        cols = ["shard", "key", "ext", "payload", "meta_json",
+                "n_extra_members"] + (["ingest_ts"] if with_ts else [])
         for pdf in batches:
             out = []
             for r in pdf.to_dict("records"):
@@ -179,15 +196,27 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
                             s["extra"] += 1
                 for base in order:
                     s = samples[base]
-                    out.append({
-                        "shard": shard, "key": base, "ext": s["ext"],
-                        "payload": s["payload"], "meta_json": s["meta"],
-                        "n_extra_members": s["extra"]})
-            yield pd.DataFrame(
-                out, columns=["shard", "key", "ext", "payload",
-                              "meta_json", "n_extra_members"])
+                    row = {"shard": shard, "key": base, "ext": s["ext"],
+                           "payload": s["payload"], "meta_json": s["meta"],
+                           "n_extra_members": s["extra"]}
+                    if with_ts:
+                        row["ingest_ts"] = r["modificationTime"]
+                    out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+    return parse
 
+
+def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
+    """Tar shards → one row per sample:
+    (shard, key, ext, payload, meta_json).
+
+    One ``binaryFile`` task per tar (the WARC pattern); members are
+    walked sequentially and grouped by basename — the payload member is
+    the first non-``.json`` member, the ``.json`` member rides along as
+    a string for ``json_ops.parse_json`` downstream.  Unknown extra
+    members per sample are counted, not dropped silently.
+    """
+    bins = spark.read.format("binaryFile").load(
+        os.path.join(path, "*.tar"))
     return bins.select("path", "content").mapInPandas(
-        parse,
-        schema=("shard string, key string, ext string, payload binary, "
-                "meta_json string, n_extra_members int"))
+        _parse_tars(with_ts=False), schema=_SAMPLE_SCHEMA)

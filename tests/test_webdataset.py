@@ -107,3 +107,34 @@ def test_media_prep_to_webdataset_e2e(spark, tmp_path):
     metas = {r.key: json.loads(r.meta_json) for r in back.collect()}
     assert set(metas) == {"k0", "k2"}
     assert all("dhash" in m for m in metas.values())   # admission state rides
+
+
+def test_stream_webdataset_micro_batches(spark, tmp_path):
+    """stream ≡ batch over landing shards, one micro-batch per tar."""
+    import time
+
+    from llmxmapreduce_spark.sources.webdataset import stream_webdataset
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    for i, n in enumerate((4, 3)):
+        df = _assets(spark, n=n, seed=40 + i).withColumn(
+            "asset_id", F.concat(F.lit(f"b{i}_"), F.col("asset_id")))
+        write_webdataset(df, str(tmp_path / f"stage{i}"),
+                         samples_per_shard=100, ext_col="ext")
+        tars = [f for f in os.listdir(str(tmp_path / f"stage{i}"))
+                if f.endswith(".tar")]
+        os.rename(os.path.join(str(tmp_path / f"stage{i}"), tars[0]),
+                  os.path.join(land, f"landed-{i}.tar"))
+        time.sleep(1.1)
+    stream = stream_webdataset(spark, land, max_files_per_trigger=1)
+    q = (stream.writeStream.format("memory").queryName("wds_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.table("wds_stream").collect()
+    assert len(got) == 7
+    assert all(r.ingest_ts is not None for r in got)
+    batch = read_webdataset(spark, land).collect()
+    assert {(r.key, bytes(r.payload)) for r in got} == \
+           {(r.key, bytes(r.payload)) for r in batch}
