@@ -124,6 +124,52 @@ def connected_components(
     )
 
 
+def component_size_report(
+    pairs: DataFrame,
+    n_total: int | None = None,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Duplication datasheet from a near-dup pair list → one row per
+    cluster size: (cluster_size, n_clusters, n_members, n_removed).
+
+    ``n_removed`` = members − clusters is what dedup will delete at
+    that size; summing the column gives the corpus's duplicate count,
+    and with ``n_total`` (corpus row count) a singleton row
+    (cluster_size=1) is added so the report partitions the whole
+    corpus — the "how duplicated is my crawl" number that belongs in
+    every release datasheet next to ``report.corpus_report``.
+    Cost: the connected-components rounds plus one tiny two-level
+    aggregation (cluster sizes, then size-of-size)."""
+    comp = connected_components(pairs, src, dst)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    rep = (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .withColumn("n_members",
+                    F.col("cluster_size") * F.col("n_clusters"))
+        .withColumn("n_removed", F.col("n_members") - F.col("n_clusters"))
+    )
+    if n_total is not None:
+        spark = pairs.sparkSession
+        n_in_clusters = comp.count()
+        singles = int(n_total) - n_in_clusters
+        if singles < 0:
+            raise ValueError(
+                f"n_total={n_total} is smaller than the {n_in_clusters} "
+                f"ids that appear in pairs")
+        one = spark.createDataFrame(
+            [(1, singles, singles, 0)],
+            "cluster_size bigint, n_clusters bigint, n_members bigint, "
+            "n_removed bigint")
+        rep = one.unionByName(rep.select(
+            F.col("cluster_size").cast("bigint"),
+            F.col("n_clusters").cast("bigint"),
+            F.col("n_members").cast("bigint"),
+            F.col("n_removed").cast("bigint")))
+    return rep.orderBy("cluster_size")
+
+
 def dedup_by_components(
     df: DataFrame,
     pairs: DataFrame,

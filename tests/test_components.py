@@ -171,3 +171,22 @@ def test_dedup_by_components_keep_by_deterministic(spark):
                dedup_by_components(df.repartition(7), pairs,
                                    keep_by="score").collect())
     assert a == b
+
+
+def test_component_size_report(spark):
+    from llmxmapreduce_spark.operators.components import (
+        component_size_report)
+    # clusters: {1,2,3} (size 3), {10,11} (size 2), {20,21} (size 2)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long")
+    rep = {r.cluster_size: (r.n_clusters, r.n_members, r.n_removed)
+           for r in component_size_report(pairs).collect()}
+    assert rep == {2: (2, 4, 2), 3: (1, 3, 2)}
+    # with the corpus total, singletons complete the partition
+    rep2 = {r.cluster_size: (r.n_clusters, r.n_members, r.n_removed)
+            for r in component_size_report(pairs, n_total=12).collect()}
+    assert rep2 == {1: (5, 5, 0), 2: (2, 4, 2), 3: (1, 3, 2)}
+    assert sum(m for _, m, _ in rep2.values()) == 12
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="smaller"):
+        component_size_report(pairs, n_total=3).collect()
