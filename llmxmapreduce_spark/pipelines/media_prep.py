@@ -47,6 +47,8 @@ class MediaPrepConfig:
     min_bytes: int = 1
     max_bytes: int | None = None
     media_types: list[str] | None = None     # None = no type gate
+    min_width: int | None = None             # catalog-column gates (LAION
+    min_height: int | None = None            # drops tiny images pre-decode)
     exact_dedup: bool = True
     neardup: bool = True
     bands: int = 4
@@ -102,6 +104,17 @@ def run_media_prep(
                 "media_type column — a silently skipped allowlist would "
                 "let every payload type into the decode stage")
         gated = gated.filter(F.col("media_type").isin(cfg.media_types))
+    for bound, col in ((cfg.min_width, "width"),
+                       (cfg.min_height, "height")):
+        if bound is not None:
+            if col not in assets.columns:
+                raise ValueError(
+                    f"MediaPrepConfig.min_{col} is set but the input has "
+                    f"no {col} column — run multimodal.probe_media first "
+                    f"or drop the bound")
+            # null dimensions fail the gate: an unprobed asset can't
+            # prove it meets the bound
+            gated = gated.filter(F.col(col) >= bound)
     gated = _cut(stage_metrics, "metadata_gate", gated)
 
     # 2. exact dedup on payload bytes — the text operator verbatim

@@ -104,3 +104,26 @@ def test_media_prep_admit_undecodable_and_keep_by(spark, planted):
                                keep_by="sz"))
     ids2 = {r.asset_id for r in kept2.select("asset_id").collect()}
     assert len(ids2 & {"keep_png", "xact_dup", "near_jpg"}) == 1
+
+
+def test_media_prep_dimension_gates(spark, planted):
+    with pytest.raises(ValueError, match="min_width"):
+        run_media_prep(planted, MediaPrepConfig(min_width=32))
+    dims = planted.withColumn(
+        "width",
+        F.when(F.col("asset_id") == "other_ok", 16).otherwise(64)
+    ).withColumn("height", F.lit(64))
+    kept, _ = run_media_prep(
+        dims, MediaPrepConfig(min_bytes=8, min_width=32, min_height=32,
+                              bands=8, max_distance=6))
+    ids = {r.asset_id for r in kept.select("asset_id").collect()}
+    assert "other_ok" not in ids and "keep_png" in ids
+    # null dimensions fail the gate (unprobed assets can't prove size)
+    dims2 = planted.withColumn(
+        "width", F.when(F.col("asset_id") == "keep_png",
+                        F.lit(None).cast("int")).otherwise(F.lit(64)))
+    kept2, _ = run_media_prep(
+        dims2, MediaPrepConfig(min_bytes=8, min_width=32,
+                               bands=8, max_distance=6))
+    ids2 = {r.asset_id for r in kept2.select("asset_id").collect()}
+    assert "keep_png" not in ids2
