@@ -555,6 +555,26 @@ def q_set_containment_join(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("id_inner", "id_outer", "inter", "n_inner", "n_outer")
 
 
+def q_connected_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components (operators/components.py — alternating
+    large-star/small-star, the canonicalization engine under every
+    near-dup dedup in the repo) on a planted chain graph with a CLOSED
+    FORM: edges (v, v+1) for every doc_id with v % 5 != 4, so
+    components are exactly the 5-blocks [5k, 5k+4] clipped to the
+    present id range — label(v) = max(5·(v div 5), min_doc_id).  The
+    Spark side runs the real iterative machinery to its fixpoint; the
+    oracle evaluates the closed form over the same node set (edge
+    endpoints, including the one phantom node past max doc_id when its
+    block continues).  Integer-only surface, linear rows."""
+    from llmxmapreduce_spark.operators import components
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    edges = (d.filter(F.col("doc_id") % 5 != 4)
+             .select(F.col("doc_id").alias("id_a"),
+                     (F.col("doc_id") + 1).alias("id_b")))
+    return components.connected_components(edges).orderBy("id")
+
+
 def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     from llmxmapreduce_spark.operators import text_stats
 
@@ -2994,7 +3014,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # 97 entries, ORDERED because the driver's correctness gate runs only
+    # 98 entries, ORDERED because the driver's correctness gate runs only
     # the FIRST 50 (measured rounds 5-8).  Round-9 rotation (judge task
     # #2): every entry must eventually earn a driver-green row, so the
     # first 50 slots hold (a) the 3 queries whose oracle surface changed
@@ -3117,6 +3137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_neardup": q_video_neardup,
         "set_jaccard_join": q_set_jaccard_join,
         "set_containment_join": q_set_containment_join,
+        "connected_components": q_connected_components,
         # v2_survey_refdefaults stays OFF the board: it is a THROUGHPUT
         # line (bench.py HEADLINE), hash-gated by its golden-transcript
         # pytest (tests/test_v2_refdefaults.py) — no SQL oracle exists.
@@ -4265,6 +4286,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_outer AS INT) AS n_outer
             FROM ov
             WHERE 4 * inter >= 3 * n_inner
+        """,
+        "connected_components": """
+            WITH e AS (
+                SELECT doc_id AS u, doc_id + 1 AS v
+                FROM documents WHERE doc_id % 5 <> 4),
+            nodes AS (
+                SELECT u AS id FROM e UNION SELECT v FROM e),
+            m AS (SELECT MIN(doc_id) AS mn FROM documents)
+            SELECT id,
+                   GREATEST(5 * (id // 5), (SELECT mn FROM m))
+                       AS component
+            FROM nodes
+            ORDER BY id
         """,
         "events_session_windows": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),

@@ -121,6 +121,7 @@ HEADLINE = [
     "video_neardup",
     "set_jaccard_join",
     "set_containment_join",
+    "connected_components",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-
