@@ -2709,7 +2709,8 @@ def _bm25_oracle() -> str:
                      * 1000000.0) AS BIGINT) AS cm
             FROM q JOIN post p USING(term) JOIN idf i USING(term)
             CROSS JOIN st),
-        s AS (SELECT query_id, doc_id, sum(cm) AS score_micro
+        s AS (SELECT query_id, doc_id,
+                     CAST(sum(cm) AS BIGINT) AS score_micro
               FROM contrib GROUP BY ALL),
         r AS (SELECT query_id, doc_id,
                      CAST(row_number() OVER (PARTITION BY query_id
@@ -3493,7 +3494,7 @@ def _dsir_oracle(n_buckets: int = 2048, alpha: float = 1.0) -> str:
         agg AS (SELECT doc_id, sum(c) AS n_grams,
                        sum(CAST(c AS DECIMAL(10,0)) * lrd) AS lw
                 FROM db JOIN lr USING (bucket) GROUP BY doc_id)
-        SELECT r.doc_id, coalesce(a.n_grams, 0) AS n_grams,
+        SELECT r.doc_id, CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
                coalesce(CAST(CAST(a.lw AS DECIMAL(38,8)) AS VARCHAR),
                         '0.00000000') AS log_weight
         FROM (SELECT doc_id FROM documents WHERE doc_id % 19 <> 0) r
@@ -3515,7 +3516,7 @@ def _classifier_oracle(n_buckets: int = 2048) -> str:
                        sum(db.c * coalesce(wt.w, 0.0)) AS dot
                 FROM db LEFT JOIN wt ON db.bucket = wt.bucket
                 GROUP BY db.doc_id)
-        SELECT s.doc_id, coalesce(a.n_grams, 0) AS n_grams,
+        SELECT s.doc_id, CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
                CAST(round(coalesce(a.dot, 0.0) * 64.0) AS BIGINT)
                  AS dot_x64
         FROM (SELECT doc_id FROM documents WHERE doc_id % 19 <> 0) s
@@ -4038,18 +4039,22 @@ def oracle_sql() -> dict[str, str]:
         # (operators/zorder.py:zorder_key_sql) — same IEEE-double op order
         "zorder_key": zorder_key_sql("events", ["user_id", "value"],
                                      bits=16, id_cols=["event_id"]),
+        # r10: every SUM is CAST back to BIGINT — DuckDB's SUM(int)
+        # returns HUGEINT, which the driver's pandas fetch renders as
+        # float64 ('6.0' vs Spark's '6'): the r9 hash-FAIL class.
         "user_event_crosstab": """
             SELECT user_id,
-                   SUM(COALESCE(CAST(event_type = 'click' AS BIGINT), 0))
-                     AS n_click,
-                   SUM(COALESCE(CAST(event_type = 'view' AS BIGINT), 0))
-                     AS n_view,
-                   SUM(COALESCE(CAST(event_type = 'purchase' AS BIGINT),
-                                0)) AS n_purchase,
-                   SUM(COALESCE(CAST(event_type = 'signup' AS BIGINT), 0))
-                     AS n_signup,
-                   SUM(COALESCE(CAST(event_type = 'error' AS BIGINT), 0))
-                     AS n_error
+                   CAST(SUM(COALESCE(CAST(event_type = 'click' AS BIGINT),
+                                     0)) AS BIGINT) AS n_click,
+                   CAST(SUM(COALESCE(CAST(event_type = 'view' AS BIGINT),
+                                     0)) AS BIGINT) AS n_view,
+                   CAST(SUM(COALESCE(CAST(event_type = 'purchase'
+                                          AS BIGINT),
+                                     0)) AS BIGINT) AS n_purchase,
+                   CAST(SUM(COALESCE(CAST(event_type = 'signup' AS BIGINT),
+                                     0)) AS BIGINT) AS n_signup,
+                   CAST(SUM(COALESCE(CAST(event_type = 'error' AS BIGINT),
+                                     0)) AS BIGINT) AS n_error
             FROM events GROUP BY user_id
         """,
         "value_moments": """
@@ -4120,8 +4125,9 @@ def oracle_sql() -> dict[str, str]:
                          THEN 1 ELSE 0 END AS f
                   FROM e)
             SELECT event_id, user_id,
-                   SUM(f) OVER (PARTITION BY user_id ORDER BY t
-                                ROWS UNBOUNDED PRECEDING) AS session_idx
+                   CAST(SUM(f) OVER (PARTITION BY user_id ORDER BY t
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS session_idx
             FROM m
         """,
         "rolling_value_stats": """
@@ -4154,7 +4160,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE text IS NOT NULL),
             uni AS (SELECT unnest(lt) AS w FROM lists),
             uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
-            n AS (SELECT SUM(c) AS n_tokens FROM uc),
+            n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uc),
             pairs AS (SELECT unnest(list_zip(lt[1:len(lt)-1],
                                              lt[2:len(lt)])) AS p
                       FROM lists WHERE len(lt) >= 2),
@@ -4168,10 +4174,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_extract_agg": """
             SELECT event_type, COUNT(*) AS n,
-                   SUM(CASE WHEN props IS NOT NULL
-                             AND TRY_CAST(props AS JSON) IS NULL
-                            THEN 1 ELSE 0 END) AS n_corrupt,
-                   SUM(CAST(props::JSON ->> 'k' AS BIGINT)) AS sum_k,
+                   CAST(SUM(CASE WHEN props IS NOT NULL
+                                  AND TRY_CAST(props AS JSON) IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_corrupt,
+                   CAST(SUM(CAST(props::JSON ->> 'k' AS BIGINT))
+                        AS BIGINT) AS sum_k,
                    MIN(CAST(props::JSON ->> 'k' AS BIGINT)) AS min_k,
                    MAX(CAST(props::JSON ->> 'k' AS BIGINT)) AS max_k
             FROM events GROUP BY event_type

@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Audit every board entry's RESULT SURFACE for engine-portable types.
+
+Round-10 root-cause instrument for the driver-only hash divergence
+(7 entries failed r9's driver gate while passing the local gate in both
+collect-exact and one-ulp-exact modes).  Measured on this box
+(duckdb 1.0.0): DuckDB's *pandas* fetch path (`fetchdf`/`df()`) renders
+
+  - HUGEINT  (the result type of SUM over any integer column)  -> float64
+  - DECIMAL                                                    -> float64
+  - so a logically-integer `SUM(x) = 6` stringifies as '6.0' in a
+    pandas-mode normalizer while Spark's bigint renders '6'.
+
+`fetchall()` (what tools/verify_local.py uses) returns Python ints for
+both — which is exactly why the divergence is invisible locally: the
+local gate and the driver gate normalize through DIFFERENT fetch paths.
+
+Every r9 driver hash-FAIL has an uncast SUM/HUGEINT (or decimal) column
+on its oracle surface; every r8/r9 driver PASS casts sums to
+BIGINT/DOUBLE/VARCHAR.  This tool makes that rule mechanical:
+
+  RISKY duckdb result types: HUGEINT, UHUGEINT, UBIGINT, DECIMAL(...),
+    FLOAT/REAL (float32 repr differs from float64), DATE (datetime.date
+    vs pandas Timestamp midnight), TIME, INTERVAL, BLOB, LIST/STRUCT/MAP
+    (engine-specific stringification).
+  RISKY spark result types: decimal(...), float, date, array/struct/map,
+    binary.
+
+Usage: python tools/audit_oracle_types.py [sf_dir] [query ...]
+Prints one line per query: OK or the flagged (column, type) pairs.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from llmxmapreduce_spark import TABLES  # noqa: E402
+
+RISKY_DUCK = re.compile(
+    r"^(HUGEINT|UHUGEINT|UBIGINT|DECIMAL|FLOAT|REAL|DATE$|TIME|INTERVAL"
+    r"|BLOB|.*\[\]$|STRUCT|MAP|UNION)", re.I)
+RISKY_SPARK = re.compile(
+    r"^(decimal|float$|date$|array|struct|map|binary)", re.I)
+
+
+def main():
+    args = sys.argv[1:]
+    sf = args[0] if args and "/" in args[0] else "/root/testdata/sf0.001"
+    only = [a for a in args if "/" not in a]
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    oracles = entrymod.oracle_sql()
+    qs = entrymod.queries()
+
+    spark = None
+    check_spark = "--spark" in sys.argv
+    if check_spark:
+        from llmxmapreduce_spark.session import get_spark
+        spark = get_spark("audit_types")
+
+    n_flag = 0
+    for name in qs:
+        if only and name not in only:
+            continue
+        flags = []
+        osql = oracles.get(name)
+        if osql is not None:
+            try:
+                desc = con.execute(
+                    f"DESCRIBE SELECT * FROM ({osql}) t").fetchall()
+            except Exception as e:
+                print(f"ERR  {name}: duckdb describe: {str(e)[:160]}")
+                n_flag += 1
+                continue
+            for cname, ctype, *_ in desc:
+                if RISKY_DUCK.match(ctype):
+                    flags.append(f"duck:{cname}:{ctype}")
+        if check_spark:
+            try:
+                sdf = qs[name](spark, sf)
+                for cname, ctype in sdf.dtypes:
+                    if RISKY_SPARK.match(ctype):
+                        flags.append(f"spark:{cname}:{ctype}")
+            except Exception as e:
+                print(f"ERR  {name}: spark: {str(e)[:160]}")
+                n_flag += 1
+                continue
+        if flags:
+            print(f"FLAG {name}: {', '.join(flags)}")
+            n_flag += 1
+        else:
+            print(f"OK   {name}")
+    print(f"\n{n_flag} flagged")
+    return 1 if n_flag else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

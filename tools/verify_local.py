@@ -9,6 +9,18 @@ sorted).  Prints one line per query plus a first-diff detail on mismatch.
 Usage: python tools/verify_local.py [sf_dir] [query ...]
        python tools/verify_local.py --fingerprint [sf_dir] [query ...]
        python tools/verify_local.py --exact [sf_dir] [query ...]
+       python tools/verify_local.py --pandas [sf_dir] [query ...]
+
+``--pandas`` replays the DRIVER's presumed fetch convention (round-10
+root cause): Spark results via ``toPandas()`` and oracle results via
+DuckDB ``fetchdf()``, both stringified from the PANDAS values.  DuckDB's
+pandas path renders HUGEINT (= SUM over any integer column) and DECIMAL
+as float64 — so an uncast ``SUM(x) = 6`` stringifies '6.0' against
+Spark's bigint '6'.  That class passes the collect/fetchall modes below
+(Python ints both sides) and fails only on the driver — exactly the 7
+r9 hash-FAILs, all of which carried an uncast SUM/HUGEINT oracle column
+(tools/audit_oracle_types.py flags the class statically).  A board entry
+is portable only if it passes BOTH --exact and --pandas.
 
 ``--fingerprint`` replaces the collect-based compare with an AGGREGATE
 fingerprint computed inside each engine — count(*) plus the sum of a
@@ -213,11 +225,33 @@ def norm_rows(cols, rows):
     return sorted(tuple(norm_cell(r[i]) for i in idx) for r in rows)
 
 
+def _pandas_norm_cell(v):
+    """Stringify a PANDAS cell the way a naive driver normalizer would:
+    float64 NaN (which pandas also uses for SQL NULL in promoted int
+    columns) -> the null sentinel; everything else via str().  float64
+    5.0 deliberately renders '5.0' — surfacing the HUGEINT/DECIMAL
+    promotion class this mode exists to catch."""
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float) and math.isnan(v):
+        return "\x00NULL"
+    s = str(v)
+    return "\x00NULL" if s in ("NaT", "<NA>", "None") else s
+
+
+def pandas_norm_rows(pdf):
+    cols = sorted(pdf.columns)
+    return sorted(
+        tuple(_pandas_norm_cell(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None))
+
+
 def main():
     args = [a for a in sys.argv[1:]
-            if a not in ("--fingerprint", "--exact")]
+            if a not in ("--fingerprint", "--exact", "--pandas")]
     fingerprint = "--fingerprint" in sys.argv[1:]
     exact = "--exact" in sys.argv[1:]
+    pandas_mode = "--pandas" in sys.argv[1:]
     sf = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a]
 
@@ -233,6 +267,48 @@ def main():
         if only and name not in only:
             continue
         t0 = time.time()
+        if pandas_mode:
+            osql = oracles.get(name)
+            try:
+                spdf = fn(spark, sf).toPandas()
+            except Exception as e:
+                print(f"FAIL {name}: spark error: {str(e)[:300]}")
+                n_fail += 1
+                continue
+            if osql is None:
+                print(f"ROWS-ONLY {name}: {len(spdf)} rows "
+                      f"({time.time()-t0:.1f}s)")
+                n_pass += 1
+                continue
+            try:
+                opdf = con.execute(osql).fetchdf()
+            except Exception as e:
+                print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+                n_fail += 1
+                continue
+            problems = []
+            if len(spdf) != len(opdf):
+                problems.append(f"rows {len(spdf)} vs {len(opdf)}")
+            if sorted(spdf.columns) != sorted(opdf.columns):
+                problems.append(f"cols {sorted(spdf.columns)} vs "
+                                f"{sorted(opdf.columns)}")
+            if not problems:
+                a, b = pandas_norm_rows(spdf), pandas_norm_rows(opdf)
+                if a != b:
+                    ndiff = sum(1 for x, y in zip(a, b) if x != y)
+                    first = next(((x, y) for x, y in zip(a, b)
+                                  if x != y), None)
+                    problems.append(
+                        f"values: {ndiff}/{len(a)} rows differ; "
+                        f"first: spark={first[0]} duck={first[1]}")
+            if problems:
+                print(f"FAIL {name}: {'; '.join(problems)}")
+                n_fail += 1
+            else:
+                print(f"PASS-PD {name}: {len(spdf)} rows "
+                      f"({time.time()-t0:.1f}s)")
+                n_pass += 1
+            continue
         if fingerprint or exact:
             tag = "XFP" if exact else "FP"
             osql = oracles.get(name)
