@@ -447,8 +447,12 @@ def q_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
 
     assets = d.mapInPandas(gen, schema="asset_id string, payload binary")
     hashes = media_dedup.image_hashes(assets, decoder=png_decoder)
+    # max_bucket=None: the DuckDB oracle has no bucket cap, so a hot
+    # band bucket at very large sf must not be dropped Spark-side only
+    # (round-9 review); the board runs at bounded sf anyway
     return media_dedup.hamming_neardup_pairs(
-        hashes, hash_col="dhash", bands=4, max_distance=3)
+        hashes, hash_col="dhash", bands=4, max_distance=3,
+        max_bucket=None)
 
 
 def q_video_neardup(spark: SparkSession, sf: str) -> DataFrame:
@@ -497,8 +501,9 @@ def q_video_neardup(spark: SparkSession, sf: str) -> DataFrame:
     assets = d.mapInPandas(gen, schema="asset_id string, payload binary")
     fh = media_dedup.video_frame_hashes(
         assets, media_dedup.framepack_extractor)
+    # max_bucket=None mirrors the uncapped oracle (round-9 review)
     pairs = media_dedup.video_neardup_pairs(
-        fh, bands=4, max_distance=0, min_overlap=0.5)
+        fh, bands=4, max_distance=0, min_overlap=0.5, max_bucket=None)
     return pairs.select("id_a", "id_b", "matched_a", "matched_b",
                         "n_a", "n_b")
 
@@ -1715,14 +1720,50 @@ def q_sequence_packing_bpe(spark: SparkSession, sf: str) -> DataFrame:
     (functions/text.token_count_bpe_ish) instead of whitespace words —
     the pluggable-tokenizer path (packing.resolve_token_counter; real
     trainers pack BPE tokens, which exceed word counts by the
-    subword-split factor).  Pluggability gated in
-    tests/test_mixing_packing.py::test_pack_sequences_pluggable_tokenizer."""
+    subword-split factor).
+
+    VALUES-GRADE LEDGER SURFACE (r10 — the warc_roundtrip
+    roundtrip-as-oracle shape): the FFD bin ASSIGNMENT is inherently
+    sequential per bucket and stays pytest-gated
+    (tests/test_mixing_packing.py), but the packing LEDGER is exactly
+    recomputable in SQL from the input: per truncation class,
+    (n_docs, sum_tokens) must equal the input's token census — FFD
+    assigns every doc exactly once and never alters a length — while
+    `n_overfull` (non-truncated bins over budget) is provably 0 and
+    `ffd_ok` (truncated class: one bin per oversized doc; packed class:
+    ceil(T/max) <= bins <= floor(2T/max) + n_buckets, the classic
+    at-most-one-half-empty-bin-per-bucket argument) is provably TRUE —
+    so the oracle emits the recomputed census next to the invariant
+    constants, and any packing bug (dropped/duplicated doc, overfilled
+    bin, degenerate bin explosion) breaks the hash."""
     from llmxmapreduce_spark.functions.text import token_count_bpe_ish
     from llmxmapreduce_spark.operators import packing
 
+    max_tokens, n_buckets = 2048, 32
     d = load_table(spark, sf, "documents").select("doc_id", "text")
-    return packing.pack_sequences(d, max_tokens=2048,
-                                  tokenizer=token_count_bpe_ish)
+    counter = packing.resolve_token_counter(token_count_bpe_ish)
+    counted = d.select("doc_id", counter(F.col("text")).alias("n_tokens"))
+    a = packing.pack_assignments(counted, max_tokens=max_tokens,
+                                 n_buckets=n_buckets)
+    per_seq = a.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("docs_in_seq"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.max("truncated").alias("truncated"))
+    return per_seq.groupBy("truncated").agg(
+        F.sum("docs_in_seq").cast("bigint").alias("n_docs"),
+        F.sum("seq_tokens").cast("bigint").alias("sum_tokens"),
+        F.sum(F.when(~F.col("truncated")
+                     & (F.col("seq_tokens") > max_tokens), 1)
+              .otherwise(0)).cast("bigint").alias("n_overfull"),
+        F.when(
+            F.max("truncated"),
+            F.count(F.lit(1)) == F.sum("docs_in_seq"))
+        .otherwise(
+            (F.count(F.lit(1))
+             >= F.ceil(F.sum("seq_tokens") / F.lit(max_tokens)))
+            & (F.count(F.lit(1))
+               <= F.floor(F.sum("seq_tokens") * 2 / F.lit(max_tokens))
+               + F.lit(n_buckets))).alias("ffd_ok"))
 
 
 def q_corpus_prep_e2e(spark: SparkSession, sf: str) -> DataFrame:
@@ -3009,94 +3050,71 @@ def q_v3_host_transcript(spark: SparkSession, sf: str) -> DataFrame:
         rows, "step int, round int, action string, tool_name string")
 
 
+def q_diag_fetch_norm(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-10 driver-normalization probe (judge task #1, after the
+    root cause): constant rows whose value classes render IDENTICALLY
+    under the two plausible per-side fetch conventions — Python objects
+    (collect/fetchall: 7 → '7') and pandas (toPandas/fetchdf: a nullable
+    BIGINT column promotes to float64 on BOTH engines, 7 → '7.0') — but
+    DIFFERENTLY if the driver MIXES conventions across sides (Spark
+    collect '7' vs DuckDB fetchdf '7.0').  The r9 hash-FAIL class
+    (uncast HUGEINT/DECIMAL oracle surfaces, fixed this round by
+    CAST AS BIGINT — tools/audit_oracle_types.py) diverges under any
+    pandas-fetched oracle; this probe closes the remaining ambiguity:
+    green here + green on the 7 fixed entries ⇒ per-side conventions
+    are consistent and the BIGINT/DOUBLE/VARCHAR/BOOLEAN surface
+    contract is sufficient; red here ⇒ the driver mixes conventions and
+    every nullable numeric surface needs COALESCE next round."""
+    return spark.createDataFrame(
+        [("r1", 7, 0.5, True, "x"),
+         ("r2", None, 2.25, False, None),
+         ("r3", 9007199254740993, -0.0, True, "yé")],
+        "probe string, v_bigint bigint, v_double double, v_bool boolean,"
+        " v_str string")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # 98 entries, ORDERED because the driver's correctness gate runs only
-    # the FIRST 50 (measured rounds 5-8).  Round-9 rotation (judge task
-    # #2): every entry must eventually earn a driver-green row, so the
-    # first 50 slots hold (a) the 3 queries whose oracle surface changed
-    # this round (de-floated — must be re-proven on the driver's box),
-    # (b) the 31 entries that had NEVER been driver-run as of r08 (the
-    # session-4 analytics layer + the corpus-build/ordering/ranking
-    # components), (c) the 11 entries last driver-green in r07, and (d) 5
-    # of the 42 r08-green entries, oldest first.  The remaining 37
-    # r08-green entries sit at 51+ and rotate back in round 10 — each is
-    # still pytest-gated and passes tools/verify_local.py locally every
-    # round, so rotation trades DRIVER re-confirmation breadth for
-    # coverage of the never-confirmed, not correctness.
+    # 99 entries, ORDERED because the driver's correctness gate runs only
+    # the FIRST 50 (measured rounds 5-9).  Round-10 window (judge tasks
+    # #1-#4): (a) the 7 r9 hash-FAILs, fixed this round — root cause was
+    # uncast HUGEINT oracle surfaces diverging under a pandas-mode
+    # driver fetch (tools/audit_oracle_types.py; every SUM now CAST AS
+    # BIGINT) — kept in-window so the fix is driver-proven; (b) the two
+    # formerly-no_oracle entries with their new values-grade oracles;
+    # (c) the diag_fetch_norm convention probe; (d) the 5 r9-added
+    # entries that have never seen a driver run; (e) 35 of the 43
+    # r08-green entries owed a r10 rotation slot.  The 8 most-confirmed
+    # r08-greens (7 consecutive green rounds each) slip to r11 — window
+    # demand this round is 58 > 50 — and sit first in the 51+ tail;
+    # r11's rotation demand is then exactly 49 (41 r9-greens + these 8),
+    # closing the two-round cycle.  Ledger: COVERAGE.md.
     return {
-        # (a) oracle surface de-floated this round — re-prove on driver
-        "ccnet_perplexity": q_ccnet_perplexity_board,
+        # (a) r9 hash-FAILs, oracle surfaces fixed (HUGEINT → BIGINT) —
+        # each passes verify_local in collect, --exact AND --pandas mode
         "dsir_weights": q_dsir_weights_board,
         "quality_classifier": q_quality_classifier_board,
-        # (b) never driver-run before round 9
-        "funnel_steps": q_funnel_steps,
-        "retention_cohorts": q_retention_cohorts,
-        "resample_locf": q_resample_locf,
-        "scd2_intervals": q_scd2_intervals,
         "json_extract_agg": q_json_extract_agg,
-        "dq_report": q_dq_report,
-        "group_quantiles": q_group_quantiles,
         "bigram_stats": q_bigram_stats,
         "event_sessions": q_event_sessions,
-        "rolling_value_stats": q_rolling_value_stats,
-        "cdc_snapshot": q_cdc_snapshot,
-        "bloom_semi_join": q_bloom_semi_join,
-        "value_histogram": q_value_histogram,
-        "fuzzy_name_pairs": q_fuzzy_name_pairs,
-        "value_moments": q_value_moments,
         "user_event_crosstab": q_user_event_crosstab,
-        "substring_dedup": q_substring_dedup,
-        "holdout_split": q_holdout_split,
-        "split_scrub": q_split_scrub,
-        "warc_roundtrip": q_warc_roundtrip,
-        "line_dedup": q_line_dedup,
-        "corpus_report": q_corpus_report,
-        "corpus_shuffle": q_corpus_shuffle,
-        "curriculum_order": q_curriculum_order,
-        "interleave_sources": q_interleave_sources,
         "bm25_topk": q_bm25_topk,
-        "kmeans_lloyd": q_kmeans_lloyd,
-        "pagerank_bipartite": q_pagerank_bipartite,
-        "stratified_sample_n": q_stratified_sample_n,
-        "pq_encode": q_pq_encode,
-        # rows/fingerprint-grade (FFD bin assignment is sequential per
-        # bucket — not SQL-expressible; ledger invariants are pytest-gated
-        # in tests/test_mixing_packing.py)
+        # (b) formerly no_oracle — values-grade oracles added r10
         "sequence_packing_bpe": q_sequence_packing_bpe,
-        # (c) last driver-green r07 — longest-unconfirmed green entries
-        "p13_extract_answer": q_p13_extract_answer,
-        "p15_sentence_count": q_p15_sentence_count,
-        "p16_token_counts": q_p16_token_counts,
-        "t3_topn": q_t3_topn,
-        "t6_limit": q_t6_limit,
-        "t2_best_of": q_t2_best_of,
-        "c6_hash_batches": q_c6_hash_batches,
-        "p11_str2list": q_p11_str2list,
-        "a8_nonzero_avg": q_a8_nonzero_avg,
-        "events_sliding_window": q_events_sliding,
-        "skeleton_nodes": q_skeleton_nodes,
-        # (d) r08-green rotation fillers (oldest first-green)
-        "q1_pricing_summary": q_pricing_summary,
-        "t1_topk_per_group": q_t1_topk_per_group,
-        "j3_star_join_agg": q_join_star_agg,
-        "a7_cite_ratio": q_a7_cite_ratio,
-        # round-9 NEW: V3 host-loop planner transcript (rows-grade — the
-        # one reference surface that had no counterpart through r08)
         "v3_host_transcript": q_v3_host_transcript,
-        # ---- positions 51+: driver-green in r08, rotate back in r10 ----
-        "a5_topic_grouping": q_a5_topic_grouping,
-        "p6_crawl_filter_backfill": q_p6_crawl_filter_backfill,
-        "p7_bibkey_normalize": q_p7_bibkey,
-        "p14_normalize_answer": q_p14_normalize_answer,
-        "p1_filter_informative": q_p1_filter_informative,
-        "p3_strip_citations": q_p3_strip_citations,
-        "exact_dedup": q_exact_dedup,
-        "events_tumbling_window": q_events_tumbling,
+        # (c) driver fetch-convention probe
+        "diag_fetch_norm": q_diag_fetch_norm,
+        # (d) added r9 post-rotation — first driver run
+        "image_neardup": q_image_neardup,
+        "video_neardup": q_video_neardup,
+        "set_jaccard_join": q_set_jaccard_join,
+        "set_containment_join": q_set_containment_join,
+        "connected_components": q_connected_components,
+        # (e) r08-green entries rotating back (35 of 43)
         "skeleton_roundtrip": q_skeleton_roundtrip,
         "j1_alignment_mismatches": q_j1_alignment,
         "a3_digest_merge": q_a3_digest_merge,
@@ -3132,13 +3150,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_agg": q_range_join_agg,
         "zorder_key": q_zorder_key,
         "heavy_hitters": q_heavy_hitters,
-        # round-9 NEW (position 51+; first driver run lands with the r10
-        # rotation): perceptual media dedup through the real PNG codec
-        "image_neardup": q_image_neardup,
-        "video_neardup": q_video_neardup,
-        "set_jaccard_join": q_set_jaccard_join,
-        "set_containment_join": q_set_containment_join,
-        "connected_components": q_connected_components,
+        # ---- positions 51+ ----
+        # the 8 r08-greens slipped to r11 (7 consecutive green rounds
+        # each — the most-confirmed entries on the board)
+        "a5_topic_grouping": q_a5_topic_grouping,
+        "p6_crawl_filter_backfill": q_p6_crawl_filter_backfill,
+        "p7_bibkey_normalize": q_p7_bibkey,
+        "p14_normalize_answer": q_p14_normalize_answer,
+        "p1_filter_informative": q_p1_filter_informative,
+        "p3_strip_citations": q_p3_strip_citations,
+        "exact_dedup": q_exact_dedup,
+        "events_tumbling_window": q_events_tumbling,
+        # r9-green entries (rotate back in r11)
+        "ccnet_perplexity": q_ccnet_perplexity_board,
+        "funnel_steps": q_funnel_steps,
+        "retention_cohorts": q_retention_cohorts,
+        "resample_locf": q_resample_locf,
+        "scd2_intervals": q_scd2_intervals,
+        "dq_report": q_dq_report,
+        "group_quantiles": q_group_quantiles,
+        "rolling_value_stats": q_rolling_value_stats,
+        "cdc_snapshot": q_cdc_snapshot,
+        "bloom_semi_join": q_bloom_semi_join,
+        "value_histogram": q_value_histogram,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "value_moments": q_value_moments,
+        "substring_dedup": q_substring_dedup,
+        "holdout_split": q_holdout_split,
+        "split_scrub": q_split_scrub,
+        "warc_roundtrip": q_warc_roundtrip,
+        "line_dedup": q_line_dedup,
+        "corpus_report": q_corpus_report,
+        "corpus_shuffle": q_corpus_shuffle,
+        "curriculum_order": q_curriculum_order,
+        "interleave_sources": q_interleave_sources,
+        "kmeans_lloyd": q_kmeans_lloyd,
+        "pagerank_bipartite": q_pagerank_bipartite,
+        "stratified_sample_n": q_stratified_sample_n,
+        "pq_encode": q_pq_encode,
+        "p13_extract_answer": q_p13_extract_answer,
+        "p15_sentence_count": q_p15_sentence_count,
+        "p16_token_counts": q_p16_token_counts,
+        "t3_topn": q_t3_topn,
+        "t6_limit": q_t6_limit,
+        "t2_best_of": q_t2_best_of,
+        "c6_hash_batches": q_c6_hash_batches,
+        "p11_str2list": q_p11_str2list,
+        "a8_nonzero_avg": q_a8_nonzero_avg,
+        "events_sliding_window": q_events_sliding,
+        "skeleton_nodes": q_skeleton_nodes,
+        "q1_pricing_summary": q_pricing_summary,
+        "t1_topk_per_group": q_t1_topk_per_group,
+        "j3_star_join_agg": q_join_star_agg,
+        "a7_cite_ratio": q_a7_cite_ratio,
         # v2_survey_refdefaults stays OFF the board: it is a THROUGHPUT
         # line (bench.py HEADLINE), hash-gated by its golden-transcript
         # pytest (tests/test_v2_refdefaults.py) — no SQL oracle exists.
@@ -4632,8 +4696,63 @@ def oracle_sql() -> dict[str, str]:
                    refined_outline_has_section, section_rediggested,
                    n_block_cycles_scored)
         """,
-        # ------- round-8 promotions (ported from the pytest DuckDB twins;
-        # sequence_packing_bpe is deliberately absent → rows-only) -------
+        # r10: the packing LEDGER recomputed from the input's BPE-ish
+        # token census (p16's n_bpe twin) + the two FFD invariant
+        # constants (proofs in q_sequence_packing_bpe's docstring);
+        # the bin assignment itself stays pytest-gated.
+        "sequence_packing_bpe": r"""
+            WITH t AS (
+              SELECT coalesce(CAST(LENGTH(REGEXP_EXTRACT_ALL(text,
+                       '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS BIGINT), 0)
+                     AS n
+              FROM documents)
+            SELECT n > 2048 AS truncated,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n) AS BIGINT) AS sum_tokens,
+                   CAST(0 AS BIGINT) AS n_overfull,
+                   TRUE AS ffd_ok
+            FROM t GROUP BY 1
+        """,
+        # r10: driver fetch-convention probe (q_diag_fetch_norm docstring)
+        "diag_fetch_norm": """
+            SELECT * FROM (VALUES
+                ('r1', CAST(7 AS BIGINT), CAST(0.5 AS DOUBLE),
+                 TRUE, 'x'),
+                ('r2', CAST(NULL AS BIGINT), CAST(2.25 AS DOUBLE),
+                 FALSE, CAST(NULL AS VARCHAR)),
+                ('r3', CAST(9007199254740993 AS BIGINT),
+                 CAST('-0.0' AS DOUBLE), TRUE, 'yé')
+            ) AS t(probe, v_bigint, v_double, v_bool, v_str)
+        """,
+        # r10: frozen golden transcript (the v2_survey_pipeline VALUES
+        # pattern) — the MockPlanner loop is sf-independent and
+        # determinism-pinned in tests/test_v3_host.py, so the 10-row
+        # (step, round, action, tool) sequence is a constant.
+        "v3_host_transcript": """
+            SELECT * FROM (VALUES
+                (CAST(0 AS INTEGER), CAST(1 AS INTEGER),
+                 'call_tool', 'topic_expansion'),
+                (CAST(1 AS INTEGER), CAST(2 AS INTEGER),
+                 'call_tool', 'generate_search_queries'),
+                (CAST(2 AS INTEGER), CAST(3 AS INTEGER),
+                 'call_tool', 'web_search'),
+                (CAST(3 AS INTEGER), CAST(4 AS INTEGER),
+                 'call_tool', 'crawl_urls'),
+                (CAST(4 AS INTEGER), CAST(5 AS INTEGER),
+                 'call_tool', 'group_papers'),
+                (CAST(5 AS INTEGER), CAST(6 AS INTEGER),
+                 'call_tool', 'skeleton_init'),
+                (CAST(6 AS INTEGER), CAST(7 AS INTEGER),
+                 'call_tool', 'digest_generation'),
+                (CAST(7 AS INTEGER), CAST(8 AS INTEGER),
+                 'call_tool', 'skeleton_refine'),
+                (CAST(8 AS INTEGER), CAST(9 AS INTEGER),
+                 'call_tool', 'writing'),
+                (CAST(9 AS INTEGER), CAST(10 AS INTEGER),
+                 'status', 'completed')
+            ) AS t(step, round, action, tool_name)
+        """,
+        # ------- round-8 promotions (ported from the pytest DuckDB twins) -------
         "ccnet_perplexity": _ccnet_oracle(),
         "dsir_weights": _dsir_oracle(),
         "quality_classifier": _classifier_oracle(),

@@ -613,13 +613,22 @@ def hamming_state_entries(hashes: DataFrame, id_col: str = "asset_id",
     """(id, h, band_key) rows with the (band_id, band_val) pair FOLDED
     into one integer join key (``band_id << band_bits | band_val``) —
     the persistable form of the banded index, bucketable on a single
-    column."""
+    column.
+
+    The (bands, bits) the keys were built with ride along as COLUMN
+    METADATA on ``band_key`` (they survive saveAsTable → catalog read):
+    a state written under different banding would join on incompatible
+    keys — every lookup misses and every duplicate is silently admitted
+    — so :func:`hamming_dedup_incremental` validates the metadata
+    against its own arguments before joining (round-9 review)."""
     band_bits = bits // bands
     entries = _band_entries(hashes, id_col, hash_col, bands, bits, None)
     return entries.select(
         "id", "h",
         (F.col("band_id").cast("long") * (1 << band_bits)
-         + F.col("band_val")).alias("band_key"))
+         + F.col("band_val")).alias(
+             "band_key",
+             metadata={"hamming_bands": bands, "hamming_bits": bits}))
 
 
 def write_hamming_state(hashes: DataFrame, name: str,
@@ -682,7 +691,17 @@ def hamming_dedup_incremental(
         raise ValueError(
             "provide exactly one of corpus_hashes / corpus_entries")
     if corpus_entries is not None:
-        band_bits = bits // bands
+        meta = corpus_entries.schema["band_key"].metadata or {}
+        if "hamming_bands" in meta and (
+                meta.get("hamming_bands") != bands
+                or meta.get("hamming_bits") != bits):
+            raise ValueError(
+                f"corpus_entries was banded with bands="
+                f"{meta['hamming_bands']}, bits={meta['hamming_bits']} "
+                f"but this call uses bands={bands}, bits={bits} — the "
+                f"band keys would never match and every corpus "
+                f"duplicate would be silently admitted; re-run "
+                f"write_hamming_state or pass matching arguments")
         ne = hamming_state_entries(new_hashes, id_col, hash_col,
                                    bands, bits)
         ce = corpus_entries

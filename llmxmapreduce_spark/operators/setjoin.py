@@ -41,8 +41,41 @@ pairs, mirroring ``dedup.jaccard_verify``.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _threshold_ratio(threshold) -> tuple[int, int]:
+    """Exact rational (p, q) for a similarity threshold.
+
+    A float is interpreted as its DECIMAL literal via
+    ``Fraction(str(t))`` — 0.8 means 4/5 exactly, NOT the binary double
+    3602879701896397/2^52 — so every boundary compare in this module
+    cross-multiplies in int64 with zero rounding steps (round-9 review:
+    ``F.ceil(t * n)`` on a non-dyadic float threshold can round up past
+    an exact integer boundary, shortening the prefix by one and
+    silently breaking the no-false-negatives guarantee).  ``Fraction``
+    or ``(p, q)`` tuples pass through for callers that want a
+    non-decimal rational.  q is capped at 10^6 so p·n stays far below
+    2^63 for any real token-set size."""
+    if isinstance(threshold, tuple):
+        frac = Fraction(*threshold)
+    elif isinstance(threshold, Fraction):
+        frac = threshold
+    else:
+        frac = Fraction(str(float(threshold)))
+    p, q = frac.numerator, frac.denominator
+    if not (0 < p <= q):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if q > 1_000_000:
+        raise ValueError(
+            f"threshold denominator {q} too large for exact int64 "
+            f"cross-multiplication — pass a Fraction/(p, q) with "
+            f"q <= 1e6 (float thresholds are read as decimal literals, "
+            f"so any 6-decimal value is fine)")
+    return p, q
 
 
 def jaccard_join(
@@ -55,14 +88,14 @@ def jaccard_join(
     (id_a, id_b, inter, n_a, n_b, jaccard), id_a < id_b.
 
     Input tokens are treated as a SET (``array_distinct`` applied);
-    empty/null token arrays never pair.  ``threshold`` must be in
-    (0, 1]; dyadic thresholds (1/2, 3/4 …) make every boundary compare
-    exact in binary floats — the values-oracle board variant uses 1/2
-    and integer cross-multiplication for a float-free surface.
+    empty/null token arrays never pair.  ``threshold`` is read as an
+    exact rational (see :func:`_threshold_ratio`: floats mean their
+    decimal literal, Fraction/(p, q) pass through) and every boundary
+    compare — prefix length, symmetric size filter, final verify — is
+    integer cross-multiplication, so the no-false-negatives guarantee
+    holds for EVERY threshold, not just dyadic ones.
     """
-    if not (0.0 < threshold <= 1.0):
-        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    t = F.lit(float(threshold))
+    p, q = _threshold_ratio(threshold)
     base = (
         df.select(F.col(id_col).alias("id"),
                   F.array_distinct(F.col(tokens_col)).alias("toks"))
@@ -77,16 +110,18 @@ def jaccard_join(
         ranked.withColumn("pos", F.row_number().over(order))
         .withColumn("n", F.count("*").over(by_doc))
     )
+    # pos <= n - ceil(p·n/q) + 1  ⟺  q·(n - pos + 1) >= p·n
+    # (ceil(x) <= m ⟺ x <= m for integer m) — exact in int64
     prefix = pos.filter(
-        F.col("pos") <= F.col("n") - F.ceil(t * F.col("n")) + 1)
+        F.lit(q) * (F.col("n") - F.col("pos") + 1) >= F.lit(p) * F.col("n"))
     l, r = prefix.alias("l"), prefix.alias("r")
     cand = (
         l.join(
             r,
             (F.col("l.tok") == F.col("r.tok"))
             & (F.col("l.id") < F.col("r.id"))
-            & (t * F.col("l.n") <= F.col("r.n"))
-            & (t * F.col("r.n") <= F.col("l.n")),
+            & (F.lit(p) * F.col("l.n") <= F.lit(q) * F.col("r.n"))
+            & (F.lit(p) * F.col("r.n") <= F.lit(q) * F.col("l.n")),
         )
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
@@ -101,7 +136,7 @@ def jaccard_join(
         cand.join(a, "id_a").join(b, "id_b")
         .withColumn("inter", inter)
         .withColumn("n_union", union)
-        .filter(F.col("inter") >= t * F.col("n_union"))
+        .filter(F.lit(q) * F.col("inter") >= F.lit(p) * F.col("n_union"))
         .select("id_a", "id_b", "inter", "n_a", "n_b",
                 (F.col("inter") / F.col("n_union")).alias("jaccard"))
     )
@@ -133,10 +168,11 @@ def containment_join(
     ``outer_df``: optional second table for the two-corpus audit
     (inner = benchmark/eval sets, outer = the training corpus);
     defaults to ``df`` itself with self-pairs excluded.
+
+    ``threshold`` follows :func:`_threshold_ratio` (exact rational,
+    integer cross-multiplied compares — no float boundary hazard).
     """
-    if not (0.0 < threshold <= 1.0):
-        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    t = F.lit(float(threshold))
+    p, q = _threshold_ratio(threshold)
 
     def prep(d: DataFrame) -> DataFrame:
         return (
@@ -162,15 +198,17 @@ def containment_join(
                           F.row_number().over(by_doc.orderBy("df_cnt", "tok")))
         .withColumn("n", F.count("*").over(by_doc))
     )
+    # same integer cross-multiplied prefix bound as jaccard_join
     prefix = pos.filter(
-        F.col("pos") <= F.col("n") - F.ceil(t * F.col("n")) + 1)
+        F.lit(q) * (F.col("n") - F.col("pos") + 1) >= F.lit(p) * F.col("n"))
     osz = otok.withColumn("n", F.count("*").over(Window.partitionBy("id")))
     cand = (
         prefix.alias("l").join(
             osz.alias("r"),
             (F.col("l.tok") == F.col("r.tok"))
             & (F.col("l.id") != F.col("r.id"))
-            & (F.col("r.n") >= F.ceil(t * F.col("l.n"))),
+            # r.n >= ceil(p·l.n/q) ⟺ q·r.n >= p·l.n
+            & (F.lit(q) * F.col("r.n") >= F.lit(p) * F.col("l.n")),
         )
         .select(F.col("l.id").alias("id_inner"),
                 F.col("r.id").alias("id_outer"))
@@ -186,7 +224,7 @@ def containment_join(
     return (
         cand.join(a, "id_inner").join(b, "id_outer")
         .withColumn("inter", inter)
-        .filter(F.col("inter") >= t * F.col("n_inner"))
+        .filter(F.lit(q) * F.col("inter") >= F.lit(p) * F.col("n_inner"))
         .select("id_inner", "id_outer", "inter", "n_inner", "n_outer",
                 (F.col("inter") / F.col("n_inner")).alias("containment"))
     )

@@ -161,14 +161,16 @@ def stream_webdataset(spark: SparkSession, path: str,
 
 
 _SAMPLE_SCHEMA = ("shard string, key string, ext string, payload binary, "
-                  "meta_json string, n_extra_members int")
+                  "meta_json string, n_extra_members int, "
+                  "extra_payloads map<string,binary>")
 
 
 def _parse_tars(with_ts: bool = False):
     def parse(batches):
         import pandas as pd
         cols = ["shard", "key", "ext", "payload", "meta_json",
-                "n_extra_members"] + (["ingest_ts"] if with_ts else [])
+                "n_extra_members", "extra_payloads"] \
+            + (["ingest_ts"] if with_ts else [])
         for pdf in batches:
             out = []
             for r in pdf.to_dict("records"):
@@ -184,7 +186,7 @@ def _parse_tars(with_ts: bool = False):
                         ext = ext.lstrip(".")
                         if base not in samples:
                             samples[base] = {"payload": None, "ext": None,
-                                             "meta": None, "extra": 0}
+                                             "meta": None, "extra": {}}
                             order.append(base)
                         blob = tf.extractfile(m).read()
                         s = samples[base]
@@ -193,12 +195,23 @@ def _parse_tars(with_ts: bool = False):
                         elif s["payload"] is None:
                             s["payload"], s["ext"] = blob, ext
                         else:
-                            s["extra"] += 1
+                            # the .jpg + .txt multi-payload shape: every
+                            # member past the first is SURFACED, keyed
+                            # by ext (disambiguated on collision) — an
+                            # externally-produced WebDataset loses
+                            # nothing on read
+                            k = ext
+                            i = 1
+                            while k in s["extra"]:
+                                k = f"{ext}#{i}"
+                                i += 1
+                            s["extra"][k] = blob
                 for base in order:
                     s = samples[base]
                     row = {"shard": shard, "key": base, "ext": s["ext"],
                            "payload": s["payload"], "meta_json": s["meta"],
-                           "n_extra_members": s["extra"]}
+                           "n_extra_members": len(s["extra"]),
+                           "extra_payloads": s["extra"] or None}
                     if with_ts:
                         row["ingest_ts"] = r["modificationTime"]
                     out.append(row)
@@ -208,13 +221,18 @@ def _parse_tars(with_ts: bool = False):
 
 def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
     """Tar shards → one row per sample:
-    (shard, key, ext, payload, meta_json).
+    (shard, key, ext, payload, meta_json, n_extra_members,
+    extra_payloads).
 
     One ``binaryFile`` task per tar (the WARC pattern); members are
     walked sequentially and grouped by basename — the payload member is
     the first non-``.json`` member, the ``.json`` member rides along as
-    a string for ``json_ops.parse_json`` downstream.  Unknown extra
-    members per sample are counted, not dropped silently.
+    a string for ``json_ops.parse_json`` downstream.  Additional
+    payload members (the common ``.jpg`` + ``.txt`` WebDataset sample
+    shape) come back in ``extra_payloads`` — a ``map<ext, binary>``
+    with ``#1``/``#2`` suffixes on ext collisions — so a roundtrip of
+    an externally-produced multi-payload WebDataset is lossless
+    (round-9 review; previously counted-but-dropped).
     """
     bins = spark.read.format("binaryFile").load(
         os.path.join(path, "*.tar"))

@@ -481,3 +481,35 @@ def test_audio_fingerprint_guards():
     with pytest.raises(ValueError):
         audio_fingerprint_bits(np.zeros((100, 1), dtype=np.int32),
                                n_windows=65)
+
+
+def test_hamming_state_banding_mismatch_raises(spark, tmp_path):
+    """Round-9 ADVICE regression: a persisted index written under
+    different (bands, bits) would never match any band_key and every
+    corpus duplicate would be silently admitted.  The banding now rides
+    as column metadata on band_key and is validated before the join."""
+    from llmxmapreduce_spark.operators.media_dedup import (
+        hamming_dedup_incremental, write_hamming_state)
+    from llmxmapreduce_spark.sources.bucketed import read_bucketed
+    corpus = spark.createDataFrame(
+        [("c0", 100)], "asset_id string, dhash long")
+    new_hashes = spark.createDataFrame(
+        [("n0", 101)], "asset_id string, dhash long")
+    new_assets = new_hashes.select("asset_id")
+    try:
+        write_hamming_state(corpus, "t_ham_state_b8", bands=8,
+                            num_buckets=4,
+                            path=str(tmp_path / "hamstate8"))
+        ce = read_bucketed(spark, "t_ham_state_b8")
+        meta = ce.schema["band_key"].metadata
+        assert meta["hamming_bands"] == 8 and meta["hamming_bits"] == 64
+        with pytest.raises(ValueError, match="banded with bands=8"):
+            hamming_dedup_incremental(new_assets, new_hashes,
+                                      corpus_entries=ce, bands=4)
+        # matching banding passes and still drops the near-dup
+        kept = {r.asset_id for r in hamming_dedup_incremental(
+            new_assets, new_hashes, corpus_entries=ce, bands=8,
+            max_distance=7).collect()}
+        assert kept == set()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ham_state_b8")

