@@ -455,6 +455,59 @@ def q_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
         max_bucket=None)
 
 
+def q_media_prep_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """BENCH line (judge task #8): the media-curation e2e pipeline
+    (pipelines/media_prep.py run_media_prep) over the q_image_neardup
+    synthetic corpus plus planted junk — metadata gates → exact md5
+    dedup → decode-once dhash/ahash through the REAL PNG codec → banded
+    near-dedup → canonical survivor.  Prices the full cost ladder the
+    way corpus_prep_e2e prices the text side; correctness is gated by
+    tests/test_media_prep.py (planted-lane fixtures)."""
+    from llmxmapreduce_spark.functions.png import encode_png, png_decoder
+    from llmxmapreduce_spark.operators import media_dedup  # noqa: F401
+    from llmxmapreduce_spark.pipelines.media_prep import (MediaPrepConfig,
+                                                          run_media_prep)
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id % 13 == 0:
+                    # planted junk lane: sub-min_bytes payload, gated
+                    # before any decode
+                    rows.append({"asset_id": f"junk{doc_id:09d}",
+                                 "payload": b"xx"})
+                    continue
+                g = doc_id // 2
+                pert = 5 if doc_id % 2 == 1 else 0
+                flat = []
+                for y in range(8):
+                    hx = hashlib.md5(f"{g}:{y}".encode()).hexdigest()
+                    flat.extend(int(hx[2 * x:2 * x + 2], 16)
+                                for x in range(9))
+                flat[0] = (flat[0] + pert) % 256
+                rows.append({"asset_id": f"a{doc_id:09d}",
+                             "payload": encode_png(bytes(flat), 9, 8,
+                                                   color_type=0)})
+                if doc_id % 17 == 0:
+                    # planted exact-dup lane: byte-identical twin killed
+                    # by the md5 stage (a decode saved per kill)
+                    rows.append({"asset_id": f"dup{doc_id:09d}",
+                                 "payload": rows[-1]["payload"]})
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    assets = d.mapInPandas(gen, schema="asset_id string, payload binary")
+    cfg = MediaPrepConfig(decoder=png_decoder, min_bytes=16)
+    kept, _quarantined = run_media_prep(assets, cfg)
+    return kept
+
+
 def q_video_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """Video near-dup by frame-signature voting
     (media_dedup.video_frame_hashes + video_neardup_pairs) through the
@@ -3423,6 +3476,15 @@ def _cosine_neardup_oracle() -> str:
     """
 
 
+# mirror of html_clean._INLINE_TAG_RE (inline tags removed before block
+# segmentation — r10 jusText-faithful fragmentation fix); RE2-safe
+def _inline_tag_sql() -> str:
+    from llmxmapreduce_spark.operators.html_clean import _INLINE_TAG_RE
+    return _INLINE_TAG_RE
+
+
+_INLINE_TAG_SQL = _inline_tag_sql()
+
 _STOPWORDS_SQL = "['" + "', '".join(
     "the a an and or but if then of in on at to for with by from as is are was"
     " were be been this that these those it its he she they we you i not no".split()
@@ -4497,8 +4559,10 @@ def oracle_sql() -> dict[str, str]:
                            string_split(
                              regexp_replace(
                                regexp_replace(
-                                 regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-                                 '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                                 regexp_replace(
+                                   regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                                   '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                                 '{_INLINE_TAG_SQL}', '', 'g'),
                                '<[^>]*>', chr(10), 'g'),
                              chr(10)),
                            b -> trim(b)),

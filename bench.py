@@ -122,6 +122,8 @@ HEADLINE = [
     "set_jaccard_join",
     "set_containment_join",
     "connected_components",
+    "media_prep_e2e",
+    "v3_host_e2e",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-
@@ -192,6 +194,11 @@ BENCH_ONLY = {
     "token_encode": entrymod.q_token_encode,
     "url_filters": entrymod.q_url_filters,
     "pq_adc_topk": entrymod.q_pq_adc_topk,
+    # r10 (judge task #8): the two e2e pipelines that shipped test-gated
+    # only — media curation (corpus_prep's binary mirror) and the V3
+    # MCP-host loop (sf-independent control plane + distributed stages)
+    "media_prep_e2e": entrymod.q_media_prep_e2e,
+    "v3_host_e2e": entrymod.q_v3_host_transcript,
 }
 
 

@@ -69,9 +69,22 @@ def strip_noise(html: Column) -> Column:
     return F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
 
 
+# Inline (phrasing-level) elements do NOT break text flow — jusText and
+# every DOM-based extractor segments on BLOCK-level tags only, so
+# "the <b>quick</b> fox" is ONE block, not three fragments the length
+# floor would kill (round-9 divergence record: fragmented prose was the
+# documented structural-divergence case).  RE2 ∩ Java dialect: no
+# backreferences, non-capturing group only.
+INLINE_TAGS = ("a|abbr|b|bdi|bdo|cite|code|data|dfn|em|i|kbd|mark|q|s"
+               "|samp|small|span|strong|sub|sup|time|u|var|wbr")
+_INLINE_TAG_RE = rf"(?i)</?(?:{INLINE_TAGS})(?:\s[^>]*)?>"
+
+
 def _blocks(html: Column) -> Column:
-    """Tag boundaries become block separators; empty blocks dropped."""
-    text = F.regexp_replace(strip_noise(html), r"<[^>]*>", "\n")
+    """Tag boundaries become block separators (inline tags removed
+    in-place first — they don't split); empty blocks dropped."""
+    text = F.regexp_replace(strip_noise(html), _INLINE_TAG_RE, "")
+    text = F.regexp_replace(text, r"<[^>]*>", "\n")
     # NB: F.transform(arr, F.trim) would pass the element INDEX as trim's
     # second (trimStr) argument — always use an explicit single-arg lambda.
     return F.filter(

@@ -147,3 +147,79 @@ def test_extract_with_library_rejects_unknown_algorithm(spark):
     df = spark.createDataFrame([("<p>x</p>",)], "html string")
     with pytest.raises(ValueError, match="unknown algorithm"):
         hx.extract_with_library(df, algorithm="boilerpipe")
+
+
+# Hostile fixture corpus (round-10, judge task #7): the cases where the
+# stateless density gate is KNOWN weakest vs jusText's context-sensitive
+# reclassification (html_extrator.py:120-160).  Labels = what jusText
+# would keep.  Each fixture isolates one divergence mechanism.
+_F1 = ("The results of the experiment were consistent with what the"
+       " theory had predicted for all of the configurations that were"
+       " tested in the second phase of the study.")
+_H1 = ("The methodology section describes how the data was collected"
+       " from the production systems over a period of several months.")
+_H2 = ("These findings suggest that the optimizer is able to adapt to"
+       " the workload characteristics without manual tuning of any of"
+       " the parameters.")
+
+HOSTILE_FIXTURES = [
+    # inline markup fragments prose: FIXED in r10 (inline tags no
+    # longer split blocks) — expected agreement 1.0
+    ("fragmented_prose",
+     "<html><body><nav>Home | About | Contact</nav>"
+     "<p>The results of the <b>experiment</b> were consistent with what"
+     " the <a href='/t'>theory</a> had predicted for all of the"
+     " configurations that were <em>tested</em> in the second phase of"
+     " the study.</p></body></html>",
+     [_F1]),
+    # short near-good interjection between good paragraphs: jusText's
+    # context pass rescues it, the stateless gate drops it (4 tokens,
+    # zero stopwords — "He agreed entirely." would SURVIVE the gate,
+    # density 1/3 >= 0.32, which itself is a measured rescue)
+    ("interjection",
+     "<html><body>"
+     f"<p>{_H1}</p>"
+     "<p>Quite remarkable results indeed.</p>"
+     f"<p>{_H2}</p>"
+     "</body></html>",
+     [_H1, "Quite remarkable results indeed.", _H2]),
+    # heading adjacent to good content: jusText keeps headings within
+    # max_heading_distance of good blocks, the gate drops them
+    ("heading_rescue",
+     "<html><body>"
+     "<h2>Experimental Results</h2>"
+     f"<p>{_H1}</p>"
+     "</body></html>",
+     ["Experimental Results", _H1]),
+]
+
+
+def test_hostile_fixture_agreement_measured(spark):
+    """The divergence record the COVERAGE.md P17 table publishes: on the
+    corpus built from the gate's KNOWN structural weaknesses, measure
+    per-fixture agreement and pin the floors.
+
+    - fragmented_prose: 1.0 (r10 fix — inline tags no longer split
+      blocks, so inline-markup prose survives the length floor; before
+      the fix this fixture scored 0.0: every fragment died)
+    - interjection / heading_rescue: the context-sensitive rescue is
+      structurally impossible for a stateless per-block gate — measured
+      agreement stays high (the lost blocks are short) but < 1.0;
+      pinned >= 0.8 each, with the LOSS asserted too so the record
+      stays honest if the gate ever silently changes."""
+    rows = [(name, html, " ".join(label))
+            for name, html, label in HOSTILE_FIXTURES]
+    df = spark.createDataFrame(rows,
+                               "name string, html string, label string")
+    got = df.select(
+        "name",
+        hx.extraction_agreement(
+            hc.extract_main_content(F.col("html")),
+            F.col("label")).alias("agreement")).collect()
+    ag = {r["name"]: r["agreement"] for r in got}
+    assert ag["fragmented_prose"] == 1.0, ag
+    assert 0.8 <= ag["interjection"] < 1.0, ag
+    assert 0.8 <= ag["heading_rescue"] < 1.0, ag
+    # the average over the hostile corpus — the COVERAGE.md number
+    avg = sum(ag.values()) / len(ag)
+    assert avg >= 0.9, ag
