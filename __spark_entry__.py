@@ -3103,6 +3103,40 @@ def q_v3_host_transcript(spark: SparkSession, sf: str) -> DataFrame:
         rows, "step int, round int, action string, tool_name string")
 
 
+def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog distinct sketch (operators/hll.py): the per-lang
+    register table for distinct doc_ids — persistable/mergeable
+    cardinality state (daily sketches roll up to monthly via max per
+    register, no rescan).  One hash projection + one (lang, register)
+    partial-agg max; shuffle rows bounded by groups × 2^p, never by the
+    corpus.  VALUES-GRADE: the register table is pure integers derived
+    from the portable md5 hash — the oracle recomputes every register
+    and rho with the same div/mod/bin() arithmetic (the estimate, a
+    double fold over the registers, stays an engine-side advisory
+    column gated by tests/test_hll.py accuracy bounds)."""
+    from llmxmapreduce_spark.operators.hll import hll_sketch
+
+    d = load_table(spark, sf, "documents").select("lang", "doc_id")
+    return hll_sketch(d, "doc_id", by="lang", p=8, portable=True)
+
+
+def q_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """BENCH line: the watermarked stream-stream interval join's batch
+    twin (streaming/joins.py interval_join — identical Catalyst
+    predicate, stream≡batch test-pinned) over events: each purchase
+    attributed to the same user's view events within the following
+    hour.  One key shuffle per side; streaming state would be bounded
+    by rate × (watermark + bound), never corpus size."""
+    from llmxmapreduce_spark.streaming.joins import interval_join
+
+    ev = load_table(spark, sf, "events")
+    views = ev.filter(F.col("event_type") == "view") \
+        .select("user_id", F.col("event_id").alias("view_id"), "ts")
+    buys = ev.filter(F.col("event_type") == "purchase") \
+        .select("user_id", F.col("event_id").alias("purchase_id"), "ts")
+    return interval_join(views, buys, "user_id", max_delay="1 hour")
+
+
 def q_diag_fetch_norm(spark: SparkSession, sf: str) -> DataFrame:
     """Round-10 driver-normalization probe (judge task #1, after the
     root cause): constant rows whose value classes render IDENTICALLY
@@ -3132,7 +3166,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # 99 entries, ORDERED because the driver's correctness gate runs only
+    # 100 entries, ORDERED because the driver's correctness gate runs only
     # the FIRST 50 (measured rounds 5-9).  Round-10 window (judge tasks
     # #1-#4): (a) the 7 r9 hash-FAILs, fixed this round — root cause was
     # uncast HUGEINT oracle surfaces diverging under a pandas-mode
@@ -3256,6 +3290,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_topk_per_group": q_t1_topk_per_group,
         "j3_star_join_agg": q_join_star_agg,
         "a7_cite_ratio": q_a7_cite_ratio,
+        # round-10 NEW (position 51+; first driver run lands with the
+        # r11 rotation): mergeable HLL cardinality sketch
+        "hll_distinct": q_hll_distinct,
         # v2_survey_refdefaults stays OFF the board: it is a THROUGHPUT
         # line (bench.py HEADLINE), hash-gated by its golden-transcript
         # pytest (tests/test_v2_refdefaults.py) — no SQL oracle exists.
@@ -3474,6 +3511,11 @@ def _cosine_neardup_oracle() -> str:
         SELECT id_a, id_b, dot / (sqrt(na) * sqrt(nb)) AS cosine
         FROM pairs WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.9
     """
+
+
+def _hll_oracle() -> str:
+    from llmxmapreduce_spark.operators.hll import hll_sketch_sql
+    return hll_sketch_sql("documents", "doc_id", "lang", p=8)
 
 
 # mirror of html_clean._INLINE_TAG_RE (inline tags removed before block
@@ -4777,6 +4819,8 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS ffd_ok
             FROM t GROUP BY 1
         """,
+        # r10: HLL register table (generated mirror, operators/hll.py)
+        "hll_distinct": _hll_oracle(),
         # r10: driver fetch-convention probe (q_diag_fetch_norm docstring)
         "diag_fetch_norm": """
             SELECT * FROM (VALUES

@@ -124,6 +124,8 @@ HEADLINE = [
     "connected_components",
     "media_prep_e2e",
     "v3_host_e2e",
+    "hll_distinct",
+    "interval_join",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-
@@ -199,6 +201,9 @@ BENCH_ONLY = {
     # MCP-host loop (sf-independent control plane + distributed stages)
     "media_prep_e2e": entrymod.q_media_prep_e2e,
     "v3_host_e2e": entrymod.q_v3_host_transcript,
+    # r10 scale extensions: mergeable HLL cardinality state + the
+    # stream-stream interval join's batch twin
+    "interval_join": entrymod.q_interval_join,
 }
 
 

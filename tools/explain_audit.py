@@ -363,6 +363,21 @@ def main() -> int:
          "word hashes, O(words) numpy per doc); downstream "
          "groupBy/join/mask shape identical, output test-pinned equal "
          "(3.6x at sf0.1 n=13, gap grows with n)"),
+        ("hll_distinct", entrymod.q_hll_distinct,
+         "HLL register table: one hash projection + one (group, "
+         "register) partial+final max agg — map-side combine eats the "
+         "corpus, shuffle rows bounded by groups x 2^p; no UDFs, no "
+         "window"),
+        ("interval_join", entrymod.q_interval_join,
+         "stream-stream interval join's batch twin: one key shuffle "
+         "per side into a single SortMergeJoin with the pure-Catalyst "
+         "time-range predicate; streaming state = rate x (watermark + "
+         "bound)"),
+        ("media_prep_e2e", entrymod.q_media_prep_e2e,
+         "media curation cost ladder: metadata gates BEFORE any "
+         "decode, exact md5 dedup kills byte-twins pre-decode, one "
+         "mapInPandas decode+hash pass, banded Hamming join ships "
+         "8-byte hashes only"),
     ]
     # Round 8 promoted these names onto the oracle board with exact-value
     # BOARD VARIANTS (__spark_entry__.py q_*_board); the bench entry keeps
