@@ -3120,6 +3120,24 @@ def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return hll_sketch(d, "doc_id", by="lang", p=8, portable=True)
 
 
+def q_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC source/sink (sources/columnar.py): documents written as
+    sorted zstd ORC and read back — the warc_roundtrip shape for the
+    second columnar format (Hive/Trino interchange).  Values-grade:
+    the output is re-derived entirely from the bytes that went through
+    the ORC writer/reader; oracle = identity projection.  Pushdown/
+    pruning plan pins live in tests/test_columnar.py."""
+    import tempfile
+
+    from llmxmapreduce_spark.sources.columnar import read_orc, write_orc
+
+    d = load_table(spark, sf, "documents") \
+        .select("doc_id", "source", "lang", "n_chars", "text")
+    path = tempfile.mkdtemp(prefix="orc_rt_")
+    write_orc(d, path, n_files=4, sort_col="doc_id")
+    return read_orc(spark, path)
+
+
 def q_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     """BENCH line: the watermarked stream-stream interval join's batch
     twin (streaming/joins.py interval_join — identical Catalyst
@@ -3166,7 +3184,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # 100 entries, ORDERED because the driver's correctness gate runs only
+    # 101 entries, ORDERED because the driver's correctness gate runs only
     # the FIRST 50 (measured rounds 5-9).  Round-10 window (judge tasks
     # #1-#4): (a) the 7 r9 hash-FAILs, fixed this round — root cause was
     # uncast HUGEINT oracle surfaces diverging under a pandas-mode
@@ -3291,8 +3309,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_star_join_agg": q_join_star_agg,
         "a7_cite_ratio": q_a7_cite_ratio,
         # round-10 NEW (position 51+; first driver run lands with the
-        # r11 rotation): mergeable HLL cardinality sketch
+        # r11 rotation): mergeable HLL cardinality sketch + ORC format
         "hll_distinct": q_hll_distinct,
+        "orc_roundtrip": q_orc_roundtrip,
         # v2_survey_refdefaults stays OFF the board: it is a THROUGHPUT
         # line (bench.py HEADLINE), hash-gated by its golden-transcript
         # pytest (tests/test_v2_refdefaults.py) — no SQL oracle exists.
@@ -4821,6 +4840,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         # r10: HLL register table (generated mirror, operators/hll.py)
         "hll_distinct": _hll_oracle(),
+        # r10: ORC write→read roundtrip; oracle = identity projection
+        # (the warc_roundtrip convention)
+        "orc_roundtrip": """
+            SELECT doc_id, source, lang, n_chars, text FROM documents
+        """,
         # r10: driver fetch-convention probe (q_diag_fetch_norm docstring)
         "diag_fetch_norm": """
             SELECT * FROM (VALUES
