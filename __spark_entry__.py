@@ -3138,6 +3138,20 @@ def q_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return read_orc(spark, path)
 
 
+def q_cms_user_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch (operators/sketches.py cms_sketch): the
+    per-user event-frequency sketch table — bounded (depth × width)
+    MERGEABLE state, the point-frequency companion of `heavy_hitters`
+    (which keys) and `hll_distinct` (how many keys).  One partial-agg
+    groupBy over (d, cell); the table is pure integers derived from the
+    portable md5 double-hashing family, recomputed bit-for-bit by the
+    oracle."""
+    from llmxmapreduce_spark.operators.sketches import cms_sketch
+
+    ev = load_table(spark, sf, "events").select("user_id")
+    return cms_sketch(ev, "user_id", width=256, depth=3)
+
+
 def q_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     """BENCH line: the watermarked stream-stream interval join's batch
     twin (streaming/joins.py interval_join — identical Catalyst
@@ -3184,7 +3198,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # 101 entries, ORDERED because the driver's correctness gate runs only
+    # 102 entries, ORDERED because the driver's correctness gate runs only
     # the FIRST 50 (measured rounds 5-9).  Round-10 window (judge tasks
     # #1-#4): (a) the 7 r9 hash-FAILs, fixed this round — root cause was
     # uncast HUGEINT oracle surfaces diverging under a pandas-mode
@@ -3312,6 +3326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r11 rotation): mergeable HLL cardinality sketch + ORC format
         "hll_distinct": q_hll_distinct,
         "orc_roundtrip": q_orc_roundtrip,
+        "cms_user_counts": q_cms_user_counts,
         # v2_survey_refdefaults stays OFF the board: it is a THROUGHPUT
         # line (bench.py HEADLINE), hash-gated by its golden-transcript
         # pytest (tests/test_v2_refdefaults.py) — no SQL oracle exists.
@@ -3535,6 +3550,11 @@ def _cosine_neardup_oracle() -> str:
 def _hll_oracle() -> str:
     from llmxmapreduce_spark.operators.hll import hll_sketch_sql
     return hll_sketch_sql("documents", "doc_id", "lang", p=8)
+
+
+def _cms_oracle() -> str:
+    from llmxmapreduce_spark.operators.sketches import cms_sketch_sql
+    return cms_sketch_sql("events", "user_id", width=256, depth=3)
 
 
 # mirror of html_clean._INLINE_TAG_RE (inline tags removed before block
@@ -4845,6 +4865,8 @@ def oracle_sql() -> dict[str, str]:
         "orc_roundtrip": """
             SELECT doc_id, source, lang, n_chars, text FROM documents
         """,
+        # r10: Count-Min table (generated mirror, operators/sketches.py)
+        "cms_user_counts": _cms_oracle(),
         # r10: driver fetch-convention probe (q_diag_fetch_norm docstring)
         "diag_fetch_norm": """
             SELECT * FROM (VALUES

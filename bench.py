@@ -126,6 +126,8 @@ HEADLINE = [
     "v3_host_e2e",
     "hll_distinct",
     "interval_join",
+    "cms_user_counts",
+    "orc_roundtrip",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-

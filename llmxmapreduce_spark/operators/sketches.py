@@ -130,3 +130,118 @@ def heavy_hitters(df: DataFrame, col: str, capacity: int = 1024,
         .filter(F.col("freq") > F.lit(threshold))
     )
     return exact.select(F.col("key").alias(key_name), "freq")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — point-frequency
+# estimates with bounded, MERGEABLE, persistable state: the frequency
+# companion of the HLL register table (operators/hll.py) and the
+# Misra-Gries summary above.  MG answers "which keys are heavy"; CMS
+# answers "how often did THIS key occur" for any key, with one-sided
+# error: est >= true always, est <= true + eps*N with probability
+# 1 - delta for width = ceil(e/eps), depth = ceil(ln(1/delta)).
+#
+# Spark-first: counts are ONE groupBy over (depth, cell) — the sketch
+# table is depth*width bigint rows regardless of corpus size, built
+# with partial aggregation (map-side combine eats the corpus).  Two
+# sketches MERGE by cellwise addition (union + groupBy-sum), so daily
+# sketches roll up like the HLL registers.  Row hashes use the
+# Kirsch-Mitzelmacher double-hashing family h1 + d*h2 (the bloom_join
+# convention) over the portable md5 slice, so the whole table is
+# engine-exact and can cross a values-grade oracle.
+# ---------------------------------------------------------------------------
+
+
+def cms_sketch(df: DataFrame, col: str, width: int = 2048,
+               depth: int = 5, by: list[str] | str | None = None,
+               weight_col: str | None = None) -> DataFrame:
+    """→ ``(by..., d, cell, cnt)`` — the Count-Min table for ``col``
+    (optionally weighted by ``weight_col``); nulls skipped.  Only
+    non-empty cells materialize (sparse; ≤ depth × min(width, distinct)
+    rows per group)."""
+    if width < 2 or depth < 1:
+        raise ValueError(f"need width >= 2, depth >= 1 "
+                         f"(got {width}, {depth})")
+    by = [by] if isinstance(by, str) else (by or [])
+    s = F.col(col).cast("string")
+    h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    rows = (df.filter(F.col(col).isNotNull())
+            .select(*by, h.alias("__h"),
+                    (F.col(weight_col).cast("long") if weight_col
+                     else F.lit(1)).alias("w"))
+            # h2 via integer DIV — floor(h/width) through a double
+            # would lose low bits past 2^53 and diverge from the
+            # oracle's exact `//`
+            .select(*by,
+                    (F.col("__h") % F.lit(width)).alias("h1"),
+                    (F.expr(f"__h DIV {width}") % F.lit(width - 1) + 1)
+                    .alias("h2"), "w")
+            .select(*by, F.explode(F.sequence(F.lit(0),
+                                              F.lit(depth - 1))).alias("d"),
+                    "h1", "h2", "w")
+            .select(*by, "d",
+                    ((F.col("h1") + F.col("d") * F.col("h2"))
+                     % F.lit(width)).alias("cell"), "w"))
+    return rows.groupBy(*by, "d", "cell").agg(F.sum("w").alias("cnt"))
+
+
+def cms_merge(*sketches: DataFrame,
+              by: list[str] | str | None = None) -> DataFrame:
+    """Cellwise addition — CMS tables built with the same (width,
+    depth) merge exactly (linearity of the counters)."""
+    by = [by] if isinstance(by, str) else (by or [])
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*by, "d", "cell").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_query(sketch: DataFrame, keys: DataFrame, col: str,
+              width: int = 2048, depth: int = 5,
+              by: list[str] | str | None = None) -> DataFrame:
+    """Point-frequency estimates for ``keys[col]`` →
+    ``(by..., col, freq_est)`` where ``freq_est = min over depth rows``
+    (the CMS estimator; >= true count always).  The key side re-derives
+    its cells with the identical hash family and joins the (tiny)
+    sketch — broadcast when it fits."""
+    by = [by] if isinstance(by, str) else (by or [])
+    s = F.col(col).cast("string")
+    h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    probes = (keys.filter(F.col(col).isNotNull())
+              .select(*by, F.col(col), h.alias("__h"))
+              .select(*by, col,
+                      (F.col("__h") % F.lit(width)).alias("h1"),
+                      (F.expr(f"__h DIV {width}") % F.lit(width - 1) + 1)
+                      .alias("h2"))
+              .select(*by, col,
+                      F.explode(F.sequence(F.lit(0),
+                                           F.lit(depth - 1))).alias("d"),
+                      "h1", "h2")
+              .select(*by, col, "d",
+                      ((F.col("h1") + F.col("d") * F.col("h2"))
+                       % F.lit(width)).alias("cell")))
+    joined = probes.join(F.broadcast(sketch), [*by, "d", "cell"], "left") \
+        .fillna(0, subset=["cnt"])
+    return joined.groupBy(*by, col).agg(F.min("cnt").alias("freq_est"))
+
+
+def cms_sketch_sql(table: str, col: str, width: int = 2048,
+                   depth: int = 5) -> str:
+    """DuckDB twin of the ungrouped ``cms_sketch`` — the sketch table is
+    pure integers, so it IS a values-grade oracle surface."""
+    h = (f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15)) "
+         f"AS UBIGINT)")
+    return f"""
+        WITH hashed AS (
+            SELECT CAST({h} % {width} AS BIGINT) AS h1,
+                   CAST(({h} // {width}) % {width - 1} + 1 AS BIGINT)
+                     AS h2
+            FROM {table} WHERE {col} IS NOT NULL),
+        cells AS (
+            SELECT d.range AS d,
+                   CAST((h1 + d.range * h2) % {width} AS BIGINT) AS cell
+            FROM hashed, range({depth}) d)
+        SELECT CAST(d AS INTEGER) AS d, cell,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY d, cell
+    """
