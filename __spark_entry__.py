@@ -3138,6 +3138,28 @@ def q_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return read_orc(spark, path)
 
 
+def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-vertex triangle counts (operators/triangles.py — the
+    degree-ordered-orientation formulation, Suri & Vassilvitskii
+    WWW'11) on a deterministic chord graph over doc_ids: within each
+    10-id community, edges (i, i+1) and (i, i+2), so every consecutive
+    trio closes a triangle — counts are linear in the corpus and the
+    oracle replays the naive 3-way equi-join.  The Spark side runs the
+    REAL operator (orientation caps out-degree at O(√m); one degree
+    agg + wedge join + closing-edge probe; no cartesian, plan-pinned
+    in tests)."""
+    from llmxmapreduce_spark.operators.triangles import triangle_count
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    e1 = d.filter(F.col("doc_id") % 10 < 9).select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") + 1).alias("dst"))
+    e2 = d.filter(F.col("doc_id") % 10 < 8).select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") + 2).alias("dst"))
+    return triangle_count(e1.unionByName(e2))
+
+
 def q_cms_user_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Count-Min sketch (operators/sketches.py cms_sketch): the
     per-user event-frequency sketch table — bounded (depth × width)
@@ -3198,7 +3220,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # 102 entries, ORDERED because the driver's correctness gate runs only
+    # 103 entries, ORDERED because the driver's correctness gate runs only
     # the FIRST 50 (measured rounds 5-9).  Round-10 window (judge tasks
     # #1-#4): (a) the 7 r9 hash-FAILs, fixed this round — root cause was
     # uncast HUGEINT oracle surfaces diverging under a pandas-mode
@@ -3327,6 +3349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "orc_roundtrip": q_orc_roundtrip,
         "cms_user_counts": q_cms_user_counts,
+        "triangle_count": q_triangle_count,
         # v2_survey_refdefaults stays OFF the board: it is a THROUGHPUT
         # line (bench.py HEADLINE), hash-gated by its golden-transcript
         # pytest (tests/test_v2_refdefaults.py) — no SQL oracle exists.
@@ -4867,6 +4890,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         # r10: Count-Min table (generated mirror, operators/sketches.py)
         "cms_user_counts": _cms_oracle(),
+        # r10: per-vertex triangle counts — the oracle is the naive
+        # 3-way equi-join over the same deterministic chord graph
+        # (edges already canonical lo<hi by construction)
+        "triangle_count": """
+            WITH e AS (
+                SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+                WHERE doc_id % 10 < 9
+                UNION ALL
+                SELECT doc_id, doc_id + 2 FROM documents
+                WHERE doc_id % 10 < 8),
+            t AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+            roles AS (
+                SELECT x AS n FROM t
+                UNION ALL SELECT y FROM t
+                UNION ALL SELECT z FROM t)
+            SELECT n, COUNT(*) AS n_triangles FROM roles GROUP BY n
+        """,
         # r10: driver fetch-convention probe (q_diag_fetch_norm docstring)
         "diag_fetch_norm": """
             SELECT * FROM (VALUES

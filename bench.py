@@ -128,6 +128,7 @@ HEADLINE = [
     "interval_join",
     "cms_user_counts",
     "orc_roundtrip",
+    "triangle_count",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-
