@@ -3127,13 +3127,19 @@ def q_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     the output is re-derived entirely from the bytes that went through
     the ORC writer/reader; oracle = identity projection.  Pushdown/
     pruning plan pins live in tests/test_columnar.py."""
+    import os
     import tempfile
 
     from llmxmapreduce_spark.sources.columnar import read_orc, write_orc
 
     d = load_table(spark, sf, "documents") \
         .select("doc_id", "source", "lang", "n_chars", "text")
-    path = tempfile.mkdtemp(prefix="orc_rt_")
+    # ONE stable scratch dir, overwritten per invocation — a fresh
+    # mkdtemp per call leaked a full zstd copy of documents every
+    # bench/verify run (r10 review).  Board queries run on local[*];
+    # on a real cluster this path would need shared storage.
+    path = os.path.join(tempfile.gettempdir(),
+                        f"orc_rt_board_{os.path.basename(sf.rstrip('/'))}")
     write_orc(d, path, n_files=4, sort_col="doc_id")
     return read_orc(spark, path)
 

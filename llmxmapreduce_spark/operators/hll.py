@@ -66,10 +66,19 @@ def _hash64(cols, portable: bool):
     """Non-negative 63-bit integer hash of the value columns."""
     if portable:
         # md5 → 15 hex chars → 60-bit int (engine-portable; mirrors
-        # verify_local's fingerprint building block)
-        s = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+        # verify_local's fingerprint building block).  Each column is
+        # null-coalesced to a sentinel BEFORE concat_ws: concat_ws
+        # silently drops nulls, so ('x', NULL) and (NULL, 'x') would
+        # otherwise hash identically and undercount (r10 review).
+        s = F.concat_ws("\x1f", *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+            for c in cols])
         return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-    h = F.xxhash64(*[F.col(c) for c in cols])
+    # xxhash64 SKIPS null arguments (the hash is unchanged), so the
+    # multi-column form needs the same sentinel discipline as above
+    h = (F.xxhash64(*[F.coalesce(F.col(c).cast("string"),
+                                 F.lit("\x00NULL")) for c in cols])
+         if len(cols) > 1 else F.xxhash64(F.col(cols[0])))
     # clear the sign bit so shifts/mods behave identically everywhere
     return F.abs(h) - F.when(h == F.lit(-(1 << 63)),
                              F.lit(-(1 << 63))).otherwise(F.lit(0))
@@ -112,18 +121,40 @@ def hll_sketch(
     # suffix, 1-based; all-zero suffix -> SUFFIX_BITS + 1.
     rho = F.when(suffix == 0, F.lit(SUFFIX_BITS + 1)).otherwise(
         F.lit(SUFFIX_BITS) + 1 - F.length(F.bin(suffix)))
-    keyed = src.select(*by, reg.alias("register"),
+    # p rides as column metadata (the media_dedup band_key convention,
+    # r10 review): a register table estimated or merged under a
+    # DIFFERENT p silently produces garbage (m_nonempty > m → negative
+    # empty-register count), so the consumers below validate it.
+    keyed = src.select(*by,
+                       reg.alias("register", metadata={"hll_p": p}),
                        rho.cast("int").alias("rho"))
     return keyed.groupBy(*by, "register").agg(
         F.max("rho").alias("max_rho"))
 
 
+def _check_p(sketch: DataFrame, p: int, what: str) -> None:
+    meta = sketch.schema["register"].metadata or {}
+    if "hll_p" in meta and meta["hll_p"] != p:
+        raise ValueError(
+            f"{what}: sketch was built with p={meta['hll_p']} but this "
+            f"call uses p={p} — register spaces are incompatible and "
+            f"the result would be silently wrong")
+
+
 def hll_merge(*sketches: DataFrame,
               by: list[str] | str | None = None) -> DataFrame:
-    """Union register tables (same ``p``!) and keep the max per
-    register — the mergeability that makes daily sketches roll up to
-    monthly without rescanning."""
+    """Union register tables and keep the max per register — the
+    mergeability that makes daily sketches roll up to monthly without
+    rescanning.  All inputs must carry the same ``hll_p`` metadata
+    (validated; register spaces under different p are incompatible)."""
     by = [by] if isinstance(by, str) else (by or [])
+    metas = [(s.schema["register"].metadata or {}).get("hll_p")
+             for s in sketches]
+    known = {m for m in metas if m is not None}
+    if len(known) > 1:
+        raise ValueError(
+            f"hll_merge: sketches built with different p values "
+            f"{sorted(known)} cannot merge")
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
@@ -140,8 +171,11 @@ def hll_estimate(
 
     Classic estimator with the linear-counting small-range correction;
     ``n_distinct_est`` is a rounded bigint (the consumer-facing number —
-    the register table remains the exact, portable artifact)."""
+    the register table remains the exact, portable artifact).  ``p``
+    is validated against the sketch's ``hll_p`` metadata when
+    present."""
     by = [by] if isinstance(by, str) else (by or [])
+    _check_p(sketch, p, "hll_estimate")
     m = 1 << p
     alpha = hll_alpha(m)
     agg = sketch.groupBy(*by).agg(

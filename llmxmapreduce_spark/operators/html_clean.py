@@ -77,7 +77,11 @@ def strip_noise(html: Column) -> Column:
 # backreferences, non-capturing group only.
 INLINE_TAGS = ("a|abbr|b|bdi|bdo|cite|code|data|dfn|em|i|kbd|mark|q|s"
                "|samp|small|span|strong|sub|sup|time|u|var|wbr")
-_INLINE_TAG_RE = rf"(?i)</?(?:{INLINE_TAGS})(?:\s[^>]*)?>"
+# (?:[\s/][^>]*)? also matches space-less self-closed forms (<wbr/>,
+# <b/>) — with only (?:\s[^>]*)? they fell through to the block split
+# and re-fragmented prose (r10 review); still anchored so longer tag
+# names (<i...> vs <img>, <s...> vs <script>) can't false-match.
+_INLINE_TAG_RE = rf"(?i)</?(?:{INLINE_TAGS})(?:[\s/][^>]*)?>"
 
 
 def _blocks(html: Column) -> Column:

@@ -697,7 +697,8 @@ def hamming_dedup_incremental(
                 or meta.get("hamming_bits") != bits):
             raise ValueError(
                 f"corpus_entries was banded with bands="
-                f"{meta['hamming_bands']}, bits={meta['hamming_bits']} "
+                f"{meta.get('hamming_bands')}, "
+                f"bits={meta.get('hamming_bits')} "
                 f"but this call uses bands={bands}, bits={bits} — the "
                 f"band keys would never match and every corpus "
                 f"duplicate would be silently admitted; re-run "

@@ -180,16 +180,45 @@ def cms_sketch(df: DataFrame, col: str, width: int = 2048,
                                               F.lit(depth - 1))).alias("d"),
                     "h1", "h2", "w")
             .select(*by, "d",
+                    # (width, depth) ride as column metadata so
+                    # cms_query/cms_merge can validate compatibility —
+                    # a mismatched query hash space returns freq_est=0
+                    # for genuinely frequent keys with no error
+                    # (r10 review)
                     ((F.col("h1") + F.col("d") * F.col("h2"))
-                     % F.lit(width)).alias("cell"), "w"))
+                     % F.lit(width)).alias(
+                         "cell", metadata={"cms_width": width,
+                                           "cms_depth": depth}),
+                    "w"))
     return rows.groupBy(*by, "d", "cell").agg(F.sum("w").alias("cnt"))
+
+
+def _check_cms(sketch: DataFrame, width: int, depth: int,
+               what: str) -> None:
+    meta = sketch.schema["cell"].metadata or {}
+    if "cms_width" in meta and (meta["cms_width"] != width
+                                or meta.get("cms_depth") != depth):
+        raise ValueError(
+            f"{what}: sketch was built with width="
+            f"{meta['cms_width']}, depth={meta.get('cms_depth')} but "
+            f"this call uses width={width}, depth={depth} — hash "
+            f"spaces are incompatible and estimates would be silently "
+            f"wrong")
 
 
 def cms_merge(*sketches: DataFrame,
               by: list[str] | str | None = None) -> DataFrame:
     """Cellwise addition — CMS tables built with the same (width,
-    depth) merge exactly (linearity of the counters)."""
+    depth) merge exactly (linearity of the counters); dimensions are
+    validated via the ``cms_width``/``cms_depth`` column metadata."""
     by = [by] if isinstance(by, str) else (by or [])
+    dims = {((s.schema["cell"].metadata or {}).get("cms_width"),
+             (s.schema["cell"].metadata or {}).get("cms_depth"))
+            for s in sketches}
+    dims.discard((None, None))
+    if len(dims) > 1:
+        raise ValueError(f"cms_merge: incompatible sketch dimensions "
+                         f"{sorted(dims)}")
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
@@ -203,8 +232,10 @@ def cms_query(sketch: DataFrame, keys: DataFrame, col: str,
     ``(by..., col, freq_est)`` where ``freq_est = min over depth rows``
     (the CMS estimator; >= true count always).  The key side re-derives
     its cells with the identical hash family and joins the (tiny)
-    sketch — broadcast when it fits."""
+    sketch — broadcast when it fits.  (width, depth) are validated
+    against the sketch's column metadata when present."""
     by = [by] if isinstance(by, str) else (by or [])
+    _check_cms(sketch, width, depth, "cms_query")
     s = F.col(col).cast("string")
     h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
     probes = (keys.filter(F.col(col).isNotNull())

@@ -44,22 +44,45 @@ def canonical_edges(edges: DataFrame, src: str = "src",
         F.greatest(src, dst).alias("hi")).distinct()
 
 
-def _oriented(edges: DataFrame) -> DataFrame:
-    """(u, v) with u ordered before v by (degree, id) — the total order
-    that makes every triangle's wedge unique and caps out-degree."""
-    ce = canonical_edges(edges)
-    deg = (ce.select(F.col("lo").alias("n"))
-           .unionByName(ce.select(F.col("hi").alias("n")))
-           .groupBy("n").agg(F.count(F.lit(1)).alias("deg")))
+def _degrees(ce: DataFrame) -> DataFrame:
+    """(n, deg) over a CANONICAL edge set."""
+    return (ce.select(F.col("lo").alias("n"))
+            .unionByName(ce.select(F.col("hi").alias("n")))
+            .groupBy("n").agg(F.count(F.lit(1)).alias("deg")))
+
+
+def _triangles_from_canonical(ce: DataFrame,
+                              deg: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts from a canonical edge set + its
+    degree table (shared internals so triangle_count and
+    clustering_coefficient each canonicalize and count degrees exactly
+    ONCE — r10 review: the public wrappers used to re-canonicalize and
+    re-aggregate, roughly doubling the shuffle bill)."""
     e = (ce.join(deg.withColumnRenamed("n", "lo")
                  .withColumnRenamed("deg", "dlo"), "lo")
          .join(deg.withColumnRenamed("n", "hi")
                .withColumnRenamed("deg", "dhi"), "hi"))
     fwd = (F.col("dlo") < F.col("dhi")) | (
         (F.col("dlo") == F.col("dhi")) & (F.col("lo") < F.col("hi")))
-    return e.select(
+    o = e.select(
         F.when(fwd, F.col("lo")).otherwise(F.col("hi")).alias("u"),
         F.when(fwd, F.col("hi")).otherwise(F.col("lo")).alias("v"))
+    a, b = o.alias("a"), o.alias("b")
+    wedges = (a.join(b, (F.col("a.u") == F.col("b.u"))
+                     & (F.col("a.v") < F.col("b.v")))
+              .select(F.col("a.u").alias("apex"),
+                      F.col("a.v").alias("x"),
+                      F.col("b.v").alias("y")))
+    # the closing edge may be oriented either way — probe canonically;
+    # oriented rows are already unique edges, so a least/greatest
+    # projection suffices (no distinct)
+    closing = o.select(F.least("u", "v").alias("x"),
+                       F.greatest("u", "v").alias("y"))
+    tris = wedges.join(closing, ["x", "y"])
+    return (tris.select(F.col("apex").alias("n"))
+            .unionByName(tris.select(F.col("x").alias("n")))
+            .unionByName(tris.select(F.col("y").alias("n")))
+            .groupBy("n").agg(F.count(F.lit(1)).alias("n_triangles")))
 
 
 def triangle_count(edges: DataFrame, src: str = "src",
@@ -67,23 +90,8 @@ def triangle_count(edges: DataFrame, src: str = "src",
     """→ one row per vertex ``(n, n_triangles)`` for every vertex in at
     least one triangle (vertices in none are absent — left-join and
     coalesce 0 downstream if a dense surface is wanted)."""
-    o = _oriented(canonical_edges(edges, src, dst)
-                  .selectExpr("lo as src", "hi as dst"))
-    a, b = o.alias("a"), o.alias("b")
-    wedges = (a.join(b, (F.col("a.u") == F.col("b.u"))
-                     & (F.col("a.v") < F.col("b.v")))
-              .select(F.col("a.u").alias("apex"),
-                      F.col("a.v").alias("x"),
-                      F.col("b.v").alias("y")))
-    # the closing edge may be oriented either way — probe canonically
-    closing = canonical_edges(o, "u", "v").selectExpr("lo as x", "hi as y")
-    tris = wedges.join(closing, ["x", "y"])
-    per_vertex = (tris.select(F.col("apex").alias("n"))
-                  .unionByName(tris.select(F.col("x").alias("n")))
-                  .unionByName(tris.select(F.col("y").alias("n")))
-                  .groupBy("n").agg(F.count(F.lit(1))
-                                    .alias("n_triangles")))
-    return per_vertex
+    ce = canonical_edges(edges, src, dst)
+    return _triangles_from_canonical(ce, _degrees(ce))
 
 
 def clustering_coefficient(edges: DataFrame, src: str = "src",
@@ -92,10 +100,8 @@ def clustering_coefficient(edges: DataFrame, src: str = "src",
     coeff = 2·triangles / (deg·(deg−1)) — the hub-vs-cluster separator
     from the module docstring.  Vertices with no triangles get 0.0."""
     ce = canonical_edges(edges, src, dst)
-    deg = (ce.select(F.col("lo").alias("n"))
-           .unionByName(ce.select(F.col("hi").alias("n")))
-           .groupBy("n").agg(F.count(F.lit(1)).alias("deg")))
-    t = triangle_count(ce, "lo", "hi")
+    deg = _degrees(ce)
+    t = _triangles_from_canonical(ce, deg)
     return (deg.filter(F.col("deg") >= 2)
             .join(t, "n", "left")
             .select("n", "deg",

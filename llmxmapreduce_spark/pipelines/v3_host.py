@@ -680,9 +680,16 @@ def make_spark_host(
         # full texts go to parquet EXECUTOR-SIDE — the distributed half
         # of the handoff; a pathological crawl can't OOM the driver
         ordered.write.mode("overwrite").parquet(pq_path)
+        # the preview below reads BACK the just-written parquet: a
+        # second action on `ordered` would re-run the whole crawl
+        # pipeline — every page fetched twice, and a flaky page would
+        # make the JSON transcript diverge from the parquet that
+        # group_papers actually consumes (round-10 review)
+        written = spark.read.parquet(pq_path) \
+            .orderBy(F.col("similarity").desc(), F.col("url").asc())
         # the reference-shape JSON transcript keeps only a bounded
         # preview of each page (title/url/similarity + capped content)
-        rows = ordered.select(
+        rows = written.select(
             "title", "url", "similarity",
             F.substring("txt", 1, txt_preview_chars).alias("preview"),
             (F.length("txt") > txt_preview_chars).alias("truncated"),

@@ -84,3 +84,17 @@ def test_nulls_and_partition_invariance(spark):
     assert s1 == s2
     # two increments of "a" on depth=2 -> exactly 2 cells of cnt 2
     assert sorted(c for *_k, c in s1) == [2, 2]
+
+
+def test_dimensions_metadata_validated(spark):
+    """r10 review: cms_query under mismatched (width, depth) silently
+    returned freq_est=0; dimensions now ride as column metadata."""
+    df = spark.createDataFrame([("a",)], "k string")
+    sk = cms_sketch(df, "k", width=256, depth=3)
+    assert sk.schema["cell"].metadata == {"cms_width": 256,
+                                          "cms_depth": 3}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="built with width=256"):
+        cms_query(sk, df, "k", width=2048, depth=5)
+    with _pytest.raises(ValueError, match="incompatible"):
+        cms_merge(sk, cms_sketch(df, "k", width=128, depth=3))

@@ -87,3 +87,28 @@ def test_p_guard(spark):
     df = spark.createDataFrame([("a",)], "v string")
     with pytest.raises(ValueError, match="p must be"):
         hll_sketch(df, "v", p=3)
+
+
+def test_p_metadata_validated(spark):
+    """r10 review: a register table estimated/merged under a different
+    p silently produced garbage; p now rides as column metadata and is
+    validated."""
+    df = spark.createDataFrame([(f"x{i}",) for i in range(50)],
+                               "v string")
+    s12 = hll_sketch(df, "v", p=12)
+    assert s12.schema["register"].metadata["hll_p"] == 12
+    with pytest.raises(ValueError, match="built with p=12"):
+        hll_estimate(s12, p=8)
+    s8 = hll_sketch(df, "v", p=8)
+    with pytest.raises(ValueError, match="different p"):
+        hll_merge(s12, s8)
+
+
+def test_multicolumn_null_tuples_distinct(spark):
+    """r10 review: concat_ws drops nulls, so ('x', NULL) and (NULL,
+    'x') used to hash identically; the sentinel keeps them distinct."""
+    df = spark.createDataFrame(
+        [("x", None), (None, "x"), ("x", "x")], "a string, b string")
+    est = hll_estimate(hll_sketch(df, ["a", "b"], p=10), p=10) \
+        .collect()[0]
+    assert est.n_distinct_est == 3

@@ -223,3 +223,21 @@ def test_hostile_fixture_agreement_measured(spark):
     # the average over the hostile corpus — the COVERAGE.md number
     avg = sum(ag.values()) / len(ag)
     assert avg >= 0.9, ag
+
+
+def test_selfclosed_inline_tags_do_not_fragment(spark):
+    """r10 review: <wbr/> / <b/> (space-less self-closed) fell through
+    the inline-tag strip and re-fragmented prose; <img>/<script>/<br>
+    must still split (they are not phrasing-inline in the gate's
+    model)."""
+    html = ("<html><body><p>The results of the experiment<wbr/> were "
+            "consistent with what the theory had predicted for the "
+            "configurations that were tested.</p></body></html>")
+    out = _extract(spark, html)
+    assert "experiment were consistent" in out
+    # <img> is NOT treated as inline: it still breaks blocks
+    html2 = ("<p>The first part of the sentence that is long enough"
+             "<img src='x'> and the second part of the sentence here"
+             "</p>")
+    out2 = _extract(spark, html2)
+    assert "enough and the second" not in out2

@@ -42,16 +42,21 @@ import duckdb  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 from llmxmapreduce_spark import TABLES  # noqa: E402
 
+# NB: TIME is anchored (TIMESTAMP is a SAFE type — it stringifies
+# identically on both fetch paths); DATE is risky (datetime.date vs
+# pandas Timestamp-at-midnight render differently).
 RISKY_DUCK = re.compile(
-    r"^(HUGEINT|UHUGEINT|UBIGINT|DECIMAL|FLOAT|REAL|DATE$|TIME|INTERVAL"
-    r"|BLOB|.*\[\]$|STRUCT|MAP|UNION)", re.I)
+    r"^(HUGEINT|UHUGEINT|UBIGINT|DECIMAL|FLOAT|REAL|DATE$|TIME$|TIMETZ$"
+    r"|INTERVAL|BLOB|.*\[\]$|STRUCT|MAP|UNION)", re.I)
 RISKY_SPARK = re.compile(
     r"^(decimal|float$|date$|array|struct|map|binary)", re.I)
 
 
 def main():
-    args = sys.argv[1:]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf = args[0] if args and "/" in args[0] else "/root/testdata/sf0.001"
+    # flags must not leak into the name filter: "--spark" in `only`
+    # used to skip EVERY query and false-green the audit (r10 review)
     only = [a for a in args if "/" not in a]
 
     con = duckdb.connect()
