@@ -3166,6 +3166,26 @@ def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     return triangle_count(e1.unionByName(e2))
 
 
+def q_langid_predict(spark: SparkSession, sf: str) -> DataFrame:
+    """Trainable char-trigram Naive Bayes language ID
+    (operators/langid.py) — the learned upgrade of P18's stopword
+    heuristic: train on the doc_id%19==0 labeled slice (lang column),
+    predict the rest.  Two training aggregates + a bounded top-V cut;
+    scoring is one gram explode + broadcast model join + per-(doc,lang)
+    DECIMAL sum + an exact two-agg argmax.  VALUES-GRADE: logprobs
+    quantized to DECIMAL(20,8) (the ccnet convention), so the
+    prediction is a pure decimal function of the corpus — the oracle
+    replays the full train→score pipeline."""
+    from llmxmapreduce_spark.operators.langid import (langid_predict,
+                                                      train_langid)
+
+    d = load_table(spark, sf, "documents").select("doc_id", "lang",
+                                                  "text")
+    model = train_langid(d.filter(F.col("doc_id") % 19 == 0),
+                         vocab_size=800, min_count=2)
+    return langid_predict(d.filter(F.col("doc_id") % 19 != 0), model)
+
+
 def q_cms_user_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Count-Min sketch (operators/sketches.py cms_sketch): the
     per-user event-frequency sketch table — bounded (depth × width)
@@ -3226,7 +3246,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # 103 entries, ORDERED because the driver's correctness gate runs only
+    # 104 entries, ORDERED because the driver's correctness gate runs only
     # the FIRST 50 (measured rounds 5-9).  Round-10 window (judge tasks
     # #1-#4): (a) the 7 r9 hash-FAILs, fixed this round — root cause was
     # uncast HUGEINT oracle surfaces diverging under a pandas-mode
@@ -3356,6 +3376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": q_orc_roundtrip,
         "cms_user_counts": q_cms_user_counts,
         "triangle_count": q_triangle_count,
+        "langid_predict": q_langid_predict,
         # v2_survey_refdefaults stays OFF the board: it is a THROUGHPUT
         # line (bench.py HEADLINE), hash-gated by its golden-transcript
         # pytest (tests/test_v2_refdefaults.py) — no SQL oracle exists.
@@ -3584,6 +3605,13 @@ def _hll_oracle() -> str:
 def _cms_oracle() -> str:
     from llmxmapreduce_spark.operators.sketches import cms_sketch_sql
     return cms_sketch_sql("events", "user_id", width=256, depth=3)
+
+
+def _langid_oracle() -> str:
+    from llmxmapreduce_spark.operators.langid import langid_sql
+    return langid_sql("documents", vocab_size=800, min_count=2,
+                      where="doc_id % 19 = 0",
+                      score_where="doc_id % 19 <> 0")
 
 
 # mirror of html_clean._INLINE_TAG_RE (inline tags removed before block
@@ -4896,6 +4924,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # r10: Count-Min table (generated mirror, operators/sketches.py)
         "cms_user_counts": _cms_oracle(),
+        # r10: full train→score langid replay (generated mirror,
+        # operators/langid.py)
+        "langid_predict": _langid_oracle(),
         # r10: per-vertex triangle counts — the oracle is the naive
         # 3-way equi-join over the same deterministic chord graph
         # (edges already canonical lo<hi by construction)

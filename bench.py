@@ -129,6 +129,7 @@ HEADLINE = [
     "cms_user_counts",
     "orc_roundtrip",
     "triangle_count",
+    "langid_predict",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-

@@ -1,0 +1,205 @@
+"""Trainable character-n-gram language identification — the learned
+upgrade of ``text_stats.lang_id``'s stopword heuristic (P18), the
+fastText/CLD shape expressed in Catalyst.
+
+Model: multinomial Naive Bayes over the top-V character n-grams.
+Training is two aggregates — (label, gram) counts and per-label
+totals — plus one bounded top-V cut; the model is a V×L table of
+add-one-smoothed log10 probabilities, small enough to broadcast
+(V=5000, L≤50 → 250k rows).  Scoring is one gram explode + one
+broadcast join + one (doc, lang) partial-agg sum, then an exact
+argmax — text never shuffles, only 8-byte-ish gram rows do.
+
+Cross-engine exactness (the repo's values convention): log10 values are
+rounded to DECIMAL(20,8) at model build (the ccnet/dsir pattern — a
+one-ulp libm difference at magnitude ~10 is 1e-15, far below the 1e-8
+quantum), per-doc scores are exact DECIMAL sums of (count × logp), and
+the argmax tie-breaks on (score desc, lang asc) — so the prediction is
+a pure integer/decimal function of the corpus, reproducible in DuckDB
+(:func:`langid_sql` generates the twin).
+
+Out-of-vocabulary grams score the per-label floor log10(1/(N_l + V + 1))
+— Laplace mass for the unseen bucket — times the doc's OOV gram count,
+so two languages' scores stay comparable for any document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["char_ngrams", "train_langid", "langid_predict", "langid_sql"]
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Lowercased character n-grams (array<string>); null/short text →
+    empty array.  Whitespace runs collapse to one space first so
+    formatting doesn't shift every gram."""
+    s = F.lower(F.regexp_replace(F.coalesce(text, F.lit("")),
+                                 r"\s+", " "))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1),
+                                          F.lit(0)))
+    return F.when(F.length(s) < n, F.array().cast("array<string>")) \
+        .otherwise(F.transform(idx, lambda i: F.substring(s, i, n)))
+
+
+def train_langid(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    n: int = 3,
+    vocab_size: int = 5_000,
+    min_count: int = 2,
+) -> DataFrame:
+    """→ the model table ``(gram, lang, logp)`` + one floor row per
+    language (``gram = NULL``, the OOV log-prob).  Deterministic:
+    vocabulary = top ``vocab_size`` grams by (total count desc, gram
+    asc); logp = log10((c + 1) / (N_lang + V + 1)) rounded to
+    DECIMAL(20,8)."""
+    grams = df.filter(F.col(label_col).isNotNull()).select(
+        F.col(label_col).alias("lang"),
+        F.explode(char_ngrams(F.col(text_col), n)).alias("gram"))
+    lg = grams.groupBy("lang", "gram").agg(
+        F.count(F.lit(1)).alias("c"))
+    vocab = (lg.groupBy("gram").agg(F.sum("c").alias("total"))
+             .filter(F.col("total") >= min_count)
+             .orderBy(F.col("total").desc(), F.col("gram").asc())
+             .limit(vocab_size).select("gram"))
+    v = vocab.count()
+    totals = lg.groupBy("lang").agg(F.sum("c").alias("n_l"))
+
+    def _logp(c_expr):
+        return F.round(
+            F.log10(c_expr.cast("double")
+                    / (F.col("n_l") + F.lit(v + 1)).cast("double")),
+            8).cast("decimal(20,8)")
+
+    in_vocab = (vocab.crossJoin(totals)
+                .join(lg, ["gram", "lang"], "left")
+                .select("gram", "lang", "n_l",
+                        F.coalesce("c", F.lit(0)).alias("c")))
+    model = in_vocab.select(
+        "gram", "lang", _logp(F.col("c") + 1).alias("logp"))
+    floor = totals.select(
+        F.lit(None).cast("string").alias("gram"), "lang",
+        _logp(F.lit(1)).alias("logp"))
+    return model.unionByName(floor)
+
+
+def langid_predict(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """→ ``(id_col, lang_pred)`` — argmax language per document under
+    the model; documents with NO grams (null/short text) predict null.
+    One explode + one broadcast model join + one partial-agg sum per
+    (doc, lang); ties break (score desc, lang asc)."""
+    in_vocab = model.filter(F.col("gram").isNotNull())
+    floor = model.filter(F.col("gram").isNull()) \
+        .select("lang", F.col("logp").alias("floor_logp"))
+    dg = df.select(id_col,
+                   F.explode(char_ngrams(F.col(text_col), n))
+                   .alias("gram")) \
+        .groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    # per (doc, gram): in-vocab rows join L model rows; OOV grams join
+    # nothing and fall to the floor via the per-doc OOV count below
+    hit = (dg.join(F.broadcast(in_vocab), "gram")
+           .groupBy(id_col, "lang")
+           .agg(F.sum(F.col("c").cast("decimal(10,0)") * F.col("logp"))
+                .cast("decimal(38,8)").alias("s_hit"),
+                F.sum("c").alias("c_hit")))
+    totals = dg.groupBy(id_col).agg(F.sum("c").alias("c_all"))
+    scored = (totals.crossJoin(F.broadcast(floor))
+              .join(hit, [id_col, "lang"], "left")
+              .select(id_col, "lang",
+                      (F.coalesce(F.col("s_hit"),
+                                  F.lit(0).cast("decimal(38,8)"))
+                       + (F.col("c_all")
+                          - F.coalesce(F.col("c_hit"), F.lit(0)))
+                       .cast("decimal(10,0)") * F.col("floor_logp"))
+                      .cast("decimal(38,8)").alias("score")))
+    # exact (score desc, lang asc) argmax, window-free: max score per
+    # doc, then min lang among the max-score rows (the two-agg argmax
+    # convention from dedup_by_components)
+    top_score = scored.groupBy(id_col).agg(
+        F.max("score").alias("score"))
+    best = (scored.join(top_score, [id_col, "score"])
+            .groupBy(id_col).agg(F.min("lang").alias("lang_pred")))
+    return df.select(id_col).distinct() \
+        .join(best, id_col, "left")
+
+
+def langid_sql(table: str, id_col: str = "doc_id",
+               text_col: str = "text", label_col: str = "lang",
+               n: int = 3, vocab_size: int = 5_000,
+               min_count: int = 2, where: str = "TRUE",
+               score_where: str = "TRUE") -> str:
+    """DuckDB twin: train on ``table WHERE {where}`` and predict for
+    ``table WHERE {score_where}`` — the full train→score replay.
+    ``where``/``score_where`` may reference id/label columns only
+    (they run against the normalized-text CTE)."""
+    g = (f"[substr(s, i, {n}) for i in range(1, len(s) - {n} + 2)]")
+    norm = (f"lower(regexp_replace(coalesce({text_col}, ''), "
+            f"'\\s+', ' ', 'g'))")
+    return f"""
+        WITH src AS (SELECT {id_col}, {label_col}, {norm} AS s
+                     FROM {table}),
+        tg AS (SELECT {label_col} AS lang, unnest({g}) AS gram
+               FROM src WHERE {where}
+                 AND len(s) >= {n} AND {label_col} IS NOT NULL),
+        lg AS (SELECT lang, gram, count(*) AS c FROM tg
+               GROUP BY lang, gram),
+        vocab AS (SELECT gram FROM (
+            SELECT gram, sum(c) AS total FROM lg GROUP BY gram
+            HAVING sum(c) >= {min_count}
+            ORDER BY total DESC, gram ASC LIMIT {vocab_size})),
+        v AS (SELECT count(*) AS v FROM vocab),
+        totals AS (SELECT lang, sum(c) AS n_l FROM lg GROUP BY lang),
+        model AS (
+            SELECT vocab.gram, t.lang,
+                   CAST(round(log10(CAST(coalesce(lg.c, 0) + 1 AS DOUBLE)
+                        / CAST(t.n_l + (SELECT v FROM v) + 1 AS DOUBLE)),
+                        8) AS DECIMAL(20,8)) AS logp
+            FROM vocab CROSS JOIN totals t
+            LEFT JOIN lg ON lg.gram = vocab.gram AND lg.lang = t.lang),
+        floor AS (
+            SELECT lang,
+                   CAST(round(log10(1.0
+                        / CAST(n_l + (SELECT v FROM v) + 1 AS DOUBLE)),
+                        8) AS DECIMAL(20,8)) AS floor_logp
+            FROM totals),
+        dg AS (SELECT {id_col}, gram, count(*) AS c FROM (
+            SELECT {id_col}, unnest({g}) AS gram
+            FROM src WHERE {score_where}
+              AND len(s) >= {n})
+            GROUP BY {id_col}, gram),
+        hit AS (SELECT dg.{id_col}, m.lang,
+                       sum(CAST(dg.c AS DECIMAL(10,0)) * m.logp)
+                         AS s_hit,
+                       sum(dg.c) AS c_hit
+                FROM dg JOIN model m ON dg.gram = m.gram
+                GROUP BY dg.{id_col}, m.lang),
+        tot AS (SELECT {id_col}, sum(c) AS c_all FROM dg
+                GROUP BY {id_col}),
+        scored AS (
+            SELECT t.{id_col}, f.lang,
+                   CAST(coalesce(h.s_hit, CAST(0 AS DECIMAL(38,8)))
+                        + CAST(t.c_all - coalesce(h.c_hit, 0)
+                               AS DECIMAL(10,0)) * f.floor_logp
+                        AS DECIMAL(38,8)) AS score
+            FROM tot t CROSS JOIN floor f
+            LEFT JOIN hit h ON h.{id_col} = t.{id_col}
+                           AND h.lang = f.lang),
+        top AS (SELECT {id_col}, max(score) AS score FROM scored
+                GROUP BY {id_col}),
+        best AS (SELECT s.{id_col}, min(s.lang) AS lang_pred
+                 FROM scored s JOIN top USING ({id_col}, score)
+                 GROUP BY s.{id_col})
+        SELECT d.{id_col}, b.lang_pred
+        FROM (SELECT DISTINCT {id_col} FROM src
+              WHERE {score_where}) d
+        LEFT JOIN best b USING ({id_col})
+    """

@@ -1,0 +1,75 @@
+"""Trainable char-n-gram language ID (operators/langid.py): planted
+separation on held-out text, the exact DuckDB train→score twin on the
+documents table, short/null-text null predictions, and partitioning
+invariance."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+from llmxmapreduce_spark import load_table
+from llmxmapreduce_spark.operators.langid import (char_ngrams,
+                                                  langid_predict,
+                                                  langid_sql,
+                                                  train_langid)
+
+SF = "/root/testdata/sf0.001"
+
+_EN = ["the system was configured to run the analysis of the data",
+       "we found that the results were consistent with the theory",
+       "this guide explains how the cluster can be deployed there"]
+_FR = ["le système a été configuré pour exécuter cette analyse des",
+       "nous avons constaté que les résultats étaient cohérents avec",
+       "ce guide explique comment le cluster peut être déployé ici"]
+
+
+def test_planted_separation(spark):
+    train = spark.createDataFrame(
+        [(i, "en", t) for i, t in enumerate(_EN[:2])]
+        + [(i + 10, "fr", t) for i, t in enumerate(_FR[:2])],
+        "doc_id long, lang string, text string")
+    model = train_langid(train, vocab_size=500, min_count=1)
+    test = spark.createDataFrame(
+        [(100, _EN[2]), (101, _FR[2]), (102, None), (103, "ab")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.lang_pred
+           for r in langid_predict(test, model).collect()}
+    assert got[100] == "en" and got[101] == "fr"
+    assert got[102] is None and got[103] is None   # no grams → null
+
+
+def test_twin_matches_duckdb(spark):
+    d = load_table(spark, SF, "documents") \
+        .select("doc_id", "lang", "text")
+    model = train_langid(d.filter(F.col("doc_id") % 19 == 0),
+                         vocab_size=800, min_count=2)
+    got = {r.doc_id: r.lang_pred for r in langid_predict(
+        d.filter(F.col("doc_id") % 19 != 0), model).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{SF}/documents.parquet'")
+    want = dict(con.execute(langid_sql(
+        "documents", vocab_size=800, min_count=2,
+        where="doc_id % 19 = 0",
+        score_where="doc_id % 19 <> 0")).fetchall())
+    assert len(got) == len(want) > 100
+    assert got == want
+
+
+def test_partition_invariance(spark):
+    d = load_table(spark, SF, "documents") \
+        .select("doc_id", "lang", "text").limit(300)
+    m = train_langid(d, vocab_size=300, min_count=1)
+    p1 = {r.doc_id: r.lang_pred
+          for r in langid_predict(d, m).collect()}
+    p2 = {r.doc_id: r.lang_pred
+          for r in langid_predict(d.repartition(13), m).collect()}
+    assert p1 == p2 and len(p1) == 300
+
+
+def test_char_ngrams_shape(spark):
+    df = spark.createDataFrame(
+        [("A  b\tC",), ("ab",), (None,)], "t string")
+    got = [r.g for r in df.select(
+        char_ngrams(F.col("t"), 3).alias("g")).collect()]
+    assert got[0] == ["a b", " b ", "b c"]
+    assert got[1] == [] and got[2] == []
