@@ -3258,8 +3258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r08-green entries owed a r10 rotation slot.  The 8 most-confirmed
     # r08-greens (7 consecutive green rounds each) slip to r11 — window
     # demand this round is 58 > 50 — and sit first in the 51+ tail;
-    # r11's rotation demand is then exactly 49 (41 r9-greens + these 8),
-    # closing the two-round cycle.  Ledger: COVERAGE.md.
+    # r11's rotation demand is 54 (41 r9-greens + these 8 + the 5 r10
+    # additions hll/orc/cms/triangles/langid) — 4 fresh-r10 greens will
+    # roll to r12.  Ledger: COVERAGE.md.
     return {
         # (a) r9 hash-FAILs, oracle surfaces fixed (HUGEINT → BIGINT) —
         # each passes verify_local in collect, --exact AND --pandas mode
