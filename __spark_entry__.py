@@ -3166,6 +3166,22 @@ def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     return triangle_count(e1.unionByName(e2))
 
 
+def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling without replacement (mixing.weighted_sample_n,
+    Efraimidis-Spirakis A-ES): top-50 docs per lang with inclusion
+    probability ∝ n_chars — the quality-aware companion of
+    stratified_sample_n.  Draw = md5(id#seed); key = log10(u)/w
+    quantized to DECIMAL(28,8) (libm convention); rank-limited window
+    (WindowGroupLimit below the shuffle).  Oracle replays the identical
+    draw/key/cut."""
+    from llmxmapreduce_spark.operators.mixing import weighted_sample_n
+
+    d = load_table(spark, sf, "documents") \
+        .select("doc_id", "lang", "n_chars")
+    return weighted_sample_n(d, 50, "n_chars", by="lang") \
+        .select("lang", "doc_id", "n_chars")
+
+
 def q_langid_predict(spark: SparkSession, sf: str) -> DataFrame:
     """Trainable char-trigram Naive Bayes language ID
     (operators/langid.py) — the learned upgrade of P18's stopword
@@ -3246,7 +3262,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # 104 entries, ORDERED because the driver's correctness gate runs only
+    # 105 entries, ORDERED because the driver's correctness gate runs only
     # the FIRST 50 (measured rounds 5-9).  Round-10 window (judge tasks
     # #1-#4): (a) the 7 r9 hash-FAILs, fixed this round — root cause was
     # uncast HUGEINT oracle surfaces diverging under a pandas-mode
@@ -3378,6 +3394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_user_counts": q_cms_user_counts,
         "triangle_count": q_triangle_count,
         "langid_predict": q_langid_predict,
+        "weighted_sample": q_weighted_sample,
         # v2_survey_refdefaults stays OFF the board: it is a THROUGHPUT
         # line (bench.py HEADLINE), hash-gated by its golden-transcript
         # pytest (tests/test_v2_refdefaults.py) — no SQL oracle exists.
@@ -3613,6 +3630,12 @@ def _langid_oracle() -> str:
     return langid_sql("documents", vocab_size=800, min_count=2,
                       where="doc_id % 19 = 0",
                       score_where="doc_id % 19 <> 0")
+
+
+def _weighted_sample_oracle() -> str:
+    from llmxmapreduce_spark.operators.mixing import weighted_sample_sql
+    return weighted_sample_sql("documents", 50, "n_chars", by="lang",
+                               cols="lang, doc_id, n_chars")
 
 
 # mirror of html_clean._INLINE_TAG_RE (inline tags removed before block
@@ -4928,6 +4951,8 @@ def oracle_sql() -> dict[str, str]:
         # r10: full train→score langid replay (generated mirror,
         # operators/langid.py)
         "langid_predict": _langid_oracle(),
+        # r10: A-ES weighted sample (generated mirror, operators/mixing.py)
+        "weighted_sample": _weighted_sample_oracle(),
         # r10: per-vertex triangle counts — the oracle is the naive
         # 3-way equi-join over the same deterministic chord graph
         # (edges already canonical lo<hi by construction)

@@ -130,6 +130,7 @@ HEADLINE = [
     "orc_roundtrip",
     "triangle_count",
     "langid_predict",
+    "weighted_sample",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-

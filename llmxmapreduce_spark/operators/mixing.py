@@ -93,6 +93,84 @@ def sample_n_per_stratum(
     )
 
 
+def weighted_sample_n(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    by: str | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, distributed: exactly
+    min(n, |stratum|) rows per stratum with inclusion probability
+    proportional to ``weight_col`` — the Efraimidis-Spirakis A-ES
+    scheme (IPL 2006): each row draws u ~ U(0,1) and the top-n by
+    u^(1/w) IS a weighted sample without replacement.
+
+    This is the quality-aware companion of :func:`sample_n_per_stratum`
+    (uniform): "keep the best-looking 100k docs per source, sampled in
+    proportion to their quality score, reproducibly."
+
+    Portability (values-grade): u derives from md5(id#seed) (a pure
+    function of the row — stable across partitioning, engines, reruns);
+    the ranking key uses the monotone transform log10(u)/w quantized to
+    DECIMAL(28,8) (the ccnet libm convention: a one-ulp log10
+    difference is ~1e-16, far below the 1e-8 quantum), ties broken by
+    id.  Selection is a rank-limited window per stratum —
+    WindowGroupLimit keeps a hot stratum's shuffle at n·partitions
+    rows.  Rows with null/non-positive weight never qualify (P(pick) is
+    proportional to w; w ≤ 0 means "never") — they are filtered, not
+    errored, so a quality score of 0 composes naturally."""
+    if n <= 0:
+        raise ValueError("weighted_sample_n: n must be positive")
+    from pyspark.sql import Window
+
+    u_int = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.col(id_col).cast("string"),
+                              F.lit(str(seed)))), 1, 15),
+        16, 10,
+    ).cast("decimal(38,0)")
+    # u in (0, 1]: (h + 1) / 2^60 — never 0, so log10 is finite.
+    # cast-THEN-add mirrors the SQL twin exactly (the two orders can
+    # differ by an ulp near 2^60; harmless under the 1e-8 quantum, but
+    # identical expressions cost nothing)
+    u = (u_int.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    key = F.round(F.log10(u) / F.col(weight_col).cast("double"), 8) \
+        .cast("decimal(28,8)")
+    src = df.filter(F.col(weight_col).isNotNull()
+                    & (F.col(weight_col) > 0)) \
+        .withColumn("__k", key)
+    part = [by] if by else []
+    w = Window.partitionBy(*part).orderBy(
+        F.col("__k").desc(), F.col(id_col).asc())
+    return (src.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n)
+            .drop("__rn", "__k"))
+
+
+def weighted_sample_sql(table: str, n: int, weight_col: str,
+                        id_col: str = "doc_id", by: str = "source",
+                        seed: int = 42,
+                        cols: str | None = None) -> str:
+    """DuckDB twin of :func:`weighted_sample_n` (grouped form) — the
+    identical md5 draw, quantized-log key, and rank cut."""
+    cols = cols or f"{by}, {id_col}"
+    h = (f"CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR) || '#' || "
+         f"'{seed}'), 1, 15)) AS UBIGINT)")
+    key = (f"CAST(round(log10((CAST({h} AS DOUBLE) + 1) / {float(1 << 60)!r})"
+           f" / CAST({weight_col} AS DOUBLE), 8) AS DECIMAL(28,8))")
+    return f"""
+        SELECT {cols} FROM (
+            SELECT {cols},
+                   row_number() OVER (PARTITION BY {by}
+                       ORDER BY {key} DESC, {id_col} ASC) AS rn
+            FROM {table}
+            WHERE {weight_col} IS NOT NULL AND {weight_col} > 0)
+        WHERE rn <= {n}
+    """
+
+
 def mixture_plan(
     counts: dict,
     weights: dict,

@@ -344,3 +344,56 @@ class TestSampleNPerStratum:
 
         with _pytest.raises(ValueError, match="positive"):
             sample_n_per_stratum(self._df(spark), "source", 0)
+
+
+def test_weighted_sample_exact_n_and_steering(spark):
+    """A-ES weighted sampling (mixing.weighted_sample_n): exact sizes,
+    weight steering (10x-weighted rows overrepresented ~proportionally),
+    determinism under repartition, non-positive weights excluded."""
+    from llmxmapreduce_spark.operators.mixing import weighted_sample_n
+
+    df = spark.range(4_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2 == 0).alias("heavy"),
+        F.when(F.col("id") % 2 == 0, 10.0).otherwise(1.0).alias("w"),
+        F.lit("s").alias("src"))
+    got = weighted_sample_n(df, 400, "w", by="src")
+    rows = got.collect()
+    assert len(rows) == 400
+    n_heavy = sum(1 for r in rows if r.heavy)
+    # E[heavy] = 400 * 10/(10+1) ≈ 364; allow generous noise
+    assert 320 <= n_heavy <= 395, n_heavy
+    # determinism + partition invariance
+    got2 = {r.doc_id for r in
+            weighted_sample_n(df.repartition(13), 400, "w",
+                              by="src").collect()}
+    assert got2 == {r.doc_id for r in rows}
+    # zero/negative/null weights never qualify
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, None), (4, 5.0)],
+        "doc_id long, w double").withColumn("src", F.lit("s"))
+    kept = {r.doc_id for r in
+            weighted_sample_n(df2, 10, "w", by="src").collect()}
+    assert kept == {4}
+
+
+def test_weighted_sample_matches_duckdb_twin(spark):
+    import duckdb
+
+    from llmxmapreduce_spark import load_table
+    from llmxmapreduce_spark.operators.mixing import (weighted_sample_n,
+                                                      weighted_sample_sql)
+
+    sfd = "/root/testdata/sf0.001"
+    d = load_table(spark, sfd, "documents") \
+        .select("doc_id", "lang", "n_chars")
+    got = {(r.lang, r.doc_id) for r in
+           weighted_sample_n(d, 20, "n_chars", by="lang")
+           .select("lang", "doc_id").collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sfd}/documents.parquet'")
+    want = set(con.execute(weighted_sample_sql(
+        "documents", 20, "n_chars", by="lang",
+        cols="lang, doc_id")).fetchall())
+    assert got == want and len(got) > 50
