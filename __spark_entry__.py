@@ -3166,6 +3166,20 @@ def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     return triangle_count(e1.unionByName(e2))
 
 
+def q_kway_split(spark: SparkSession, sf: str) -> DataFrame:
+    """K-way keyed split (operators/splits.py kway_split):
+    train/val/test 70/15/15 keyed on source — all rows of a key land
+    one side (leakage-safe, Lee 2107.06499 §6.2), growth-stable,
+    dict-order independent (sorted-name cuts).  Pure projection, no
+    Exchange; the oracle replays the identical md5 bucket + cut
+    ladder."""
+    from llmxmapreduce_spark.operators.splits import kway_split
+
+    d = load_table(spark, sf, "documents").select("doc_id", "source")
+    return kway_split(d, {"train": 0.7, "val": 0.15, "test": 0.15},
+                      key_col="source", portable=True)
+
+
 def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Weighted sampling without replacement (mixing.weighted_sample_n,
     Efraimidis-Spirakis A-ES): top-50 docs per lang with inclusion
@@ -3262,7 +3276,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # 105 entries, ORDERED because the driver's correctness gate runs only
+    # 106 entries, ORDERED because the driver's correctness gate runs only
     # the FIRST 50 (measured rounds 5-9).  Round-10 window (judge tasks
     # #1-#4): (a) the 7 r9 hash-FAILs, fixed this round — root cause was
     # uncast HUGEINT oracle surfaces diverging under a pandas-mode
@@ -3395,6 +3409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "langid_predict": q_langid_predict,
         "weighted_sample": q_weighted_sample,
+        "kway_split": q_kway_split,
         # v2_survey_refdefaults stays OFF the board: it is a THROUGHPUT
         # line (bench.py HEADLINE), hash-gated by its golden-transcript
         # pytest (tests/test_v2_refdefaults.py) — no SQL oracle exists.
@@ -3636,6 +3651,13 @@ def _weighted_sample_oracle() -> str:
     from llmxmapreduce_spark.operators.mixing import weighted_sample_sql
     return weighted_sample_sql("documents", 50, "n_chars", by="lang",
                                cols="lang, doc_id, n_chars")
+
+
+def _kway_split_oracle() -> str:
+    from llmxmapreduce_spark.operators.splits import kway_split_sql
+    return kway_split_sql("documents",
+                          {"train": 0.7, "val": 0.15, "test": 0.15},
+                          key_col="source", cols="doc_id, source")
 
 
 # mirror of html_clean._INLINE_TAG_RE (inline tags removed before block
@@ -4953,6 +4975,8 @@ def oracle_sql() -> dict[str, str]:
         "langid_predict": _langid_oracle(),
         # r10: A-ES weighted sample (generated mirror, operators/mixing.py)
         "weighted_sample": _weighted_sample_oracle(),
+        # r10: k-way keyed split (generated mirror, operators/splits.py)
+        "kway_split": _kway_split_oracle(),
         # r10: per-vertex triangle counts — the oracle is the naive
         # 3-way equi-join over the same deterministic chord graph
         # (edges already canonical lo<hi by construction)

@@ -131,6 +131,7 @@ HEADLINE = [
     "triangle_count",
     "langid_predict",
     "weighted_sample",
+    "kway_split",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-

@@ -74,3 +74,76 @@ def holdout_split(
     return df.withColumn(
         split_col,
         F.when(b < F.lit(cut), F.lit("heldout")).otherwise(F.lit("train")))
+
+
+def kway_split(
+    df: DataFrame,
+    fracs: dict[str, float],
+    key_col: str = "doc_id",
+    seed: int = 42,
+    portable: bool = False,
+    split_col: str = "split",
+) -> DataFrame:
+    """K-way keyed split — ``holdout_split`` generalized to the
+    train/val/test (or any named-fraction) release shape: ``fracs``
+    maps split name → fraction, summing to 1.0 (±1e-9).
+
+    Same contract as the 2-way split: one bucket draw per KEY, so all
+    rows of a key land in one split (near-dups/same-site pages can't
+    straddle sides, Lee et al. 2107.06499 §6.2), assignments are
+    growth-stable (adding corpus never flips existing keys), and
+    different seeds give independent splits.  Cut points accumulate in
+    SORTED NAME order so the assignment is independent of dict
+    ordering: bucket ∈ [cut_{i-1}, cut_i) → name_i."""
+    if not fracs:
+        raise ValueError("kway_split: fracs must be non-empty")
+    total = sum(fracs.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"kway_split: fractions must sum to 1.0, "
+                         f"got {total}")
+    if any(f < 0 for f in fracs.values()):
+        raise ValueError("kway_split: fractions must be non-negative")
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00NULL"))
+    b = split_bucket(key, seed=seed, portable=portable)
+    names = sorted(fracs)
+    expr = None
+    prev = 0
+    acc = 0.0
+    for name in names[:-1]:
+        acc += fracs[name]
+        cut = int(round(acc * _DENOM))
+        cond = (b >= F.lit(prev)) & (b < F.lit(cut))
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+        prev = cut
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(
+        F.lit(names[-1]))
+    return df.withColumn(split_col, expr)
+
+
+def kway_split_sql(table: str, fracs: dict[str, float],
+                   key_col: str = "doc_id", seed: int = 42,
+                   cols: str = "*") -> str:
+    """DuckDB twin of ``kway_split(portable=True)``; ``cols`` is the
+    projection of TABLE columns to carry (the bucket itself never
+    surfaces)."""
+    h = (f"CAST(('0x' || substr(md5(coalesce(CAST({key_col} AS VARCHAR),"
+         f" chr(0) || 'NULL') || chr(31) || '{seed}'), 1, 15)) "
+         f"AS UBIGINT) % {_DENOM}")
+    names = sorted(fracs)
+    acc = 0.0
+    branches = []
+    prev = 0
+    for name in names[:-1]:
+        acc += fracs[name]
+        cut = int(round(acc * _DENOM))
+        branches.append(f"WHEN b >= {prev} AND b < {cut} "
+                        f"THEN '{name}'")
+        prev = cut
+    case = ("CASE " + " ".join(branches) + f" ELSE '{names[-1]}' END"
+            if branches else f"'{names[-1]}'")
+    outer = "* EXCLUDE (b)" if cols.strip() == "*" else cols
+    return f"""
+        SELECT {outer}, {case} AS split
+        FROM (SELECT {cols}, {h} AS b FROM {table})
+    """

@@ -89,3 +89,68 @@ def test_plan_is_exchange_free(spark):
     plan = holdout_split(docs, 0.2, "source") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_kway_split_properties(spark):
+    """K-way keyed split (splits.kway_split): partition of the corpus,
+    key cohesion, growth stability, fraction convergence, dict-order
+    independence, and guards."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from llmxmapreduce_spark.operators.splits import kway_split
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 5_000).alias("key"), F.col("id").alias("row_id"))
+    fracs = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = kway_split(df, fracs, key_col="key")
+    # every row assigned exactly one split; all rows of a key agree
+    per_key = out.groupBy("key").agg(
+        F.countDistinct("split").alias("n")).collect()
+    assert all(r.n == 1 for r in per_key)
+    counts = {r.split: r.c for r in out.groupBy("split")
+              .agg(F.count(F.lit(1)).alias("c")).collect()}
+    n = sum(counts.values())
+    assert n == 20_000
+    assert abs(counts["train"] / n - 0.8) < 0.03
+    assert abs(counts.get("val", 0) / n - 0.1) < 0.03
+    # dict-order independence (sorted-name cuts)
+    out2 = kway_split(df, {"test": 0.1, "train": 0.8, "val": 0.1},
+                      key_col="key")
+    assert {tuple(r) for r in out.collect()} == \
+        {tuple(r) for r in out2.collect()}
+    # growth stability: adding rows never flips existing keys
+    grown = kway_split(df.unionByName(
+        spark.range(5).select((F.col("id") + 90_000).alias("key"),
+                              F.col("id").alias("row_id"))),
+        fracs, key_col="key")
+    base = {(r.key, r.row_id): r.split for r in out.collect()}
+    after = {(r.key, r.row_id): r.split for r in grown.collect()
+             if (r.key, r.row_id) in base}
+    assert base == after
+    with _pytest.raises(ValueError, match="sum to 1.0"):
+        kway_split(df, {"a": 0.5, "b": 0.4}, key_col="key")
+    with _pytest.raises(ValueError, match="non-empty"):
+        kway_split(df, {}, key_col="key")
+
+
+def test_kway_split_matches_duckdb(spark):
+    import duckdb
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from llmxmapreduce_spark import load_table
+    from llmxmapreduce_spark.operators.splits import (kway_split,
+                                                      kway_split_sql)
+
+    sfd = "/root/testdata/sf0.001"
+    d = load_table(spark, sfd, "documents").select("doc_id", "source")
+    fracs = {"train": 0.7, "val": 0.15, "test": 0.15}
+    got = {(r.doc_id, r.split) for r in
+           kway_split(d, fracs, portable=True)
+           .select("doc_id", "split").collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sfd}/documents.parquet'")
+    want = set(con.execute(kway_split_sql(
+        "documents", fracs, cols="doc_id")).fetchall())
+    assert got == want and len(got) > 400
