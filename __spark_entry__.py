@@ -3166,6 +3166,87 @@ def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     return triangle_count(e1.unionByName(e2))
 
 
+def q_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Label-propagation communities (operators/labelprop.py) — the
+    dense-group splitter connected_components can't be (one bridge
+    edge merges a CC; LPA needs a neighbor MAJORITY).  3 synchronous
+    min-tie rounds with self-vote over the part↔supplier bipartite
+    graph from `lineitem` (supplier ids offset by 1e12; symmetric
+    edges; multi-edges = integer vote weights).  Every round is
+    integer voting + an exact argmax, so the ITERATIVE computation is
+    values-grade vs the unrolled DuckDB replay (the pagerank oracle
+    pattern).  Gated by tests/test_labelprop.py (pure-python reference
+    equivalence, planted two-clique recovery, bipartite damping,
+    repartition determinism)."""
+    from llmxmapreduce_spark.operators import labelprop as lp
+
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    supp = (F.col("l_suppkey") + F.lit(10**12)).cast("long")
+    part = F.col("l_partkey").cast("long")
+    fwd = li.select(part.alias("src"), supp.alias("dst"))
+    rev = li.select(supp.alias("src"), part.alias("dst"))
+    return lp.label_propagation(fwd.union(rev), n_iter=3).orderBy("node")
+
+
+def _lpa_oracle_sql(edges_sql: str, n_iter: int = 3) -> str:
+    """Unrolled n-round synchronous min-tie LPA with self-vote in
+    DuckDB — the same integer recurrence as labelprop.label_propagation
+    (module contract), one CTE pair per round.  AS MATERIALIZED for the
+    same reason as _pagerank_oracle_sql: without it the unrolled
+    self-reference re-evaluates exponentially."""
+    parts = [f"""
+        WITH e AS MATERIALIZED ({edges_sql}),
+        l0 AS MATERIALIZED (
+            SELECT node, node AS label FROM (
+                SELECT src AS node FROM e
+                UNION SELECT dst FROM e))"""]
+    for i in range(n_iter):
+        parts.append(f""",
+        v{i} AS MATERIALIZED (
+            SELECT node, label, count(*) AS cnt FROM (
+                SELECT e.dst AS node, l.label
+                FROM e JOIN l{i} l ON e.src = l.node
+                UNION ALL
+                SELECT node, label FROM l{i})
+            GROUP BY node, label),
+        l{i + 1} AS MATERIALIZED (
+            SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                           ORDER BY cnt DESC, label ASC) AS rn
+                FROM v{i}) WHERE rn = 1)""")
+    parts.append(f"""
+        SELECT node, CAST(label AS BIGINT) AS label
+        FROM l{n_iter} ORDER BY node""")
+    return "".join(parts)
+
+
+def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-salted two-phase aggregation (operators/skew.py
+    salted_aggregate) over the most skew-hostile key shape in the
+    dataset — 3 l_returnflag values across all of `lineitem`, the case
+    where one reducer owns a third of the table.  The board entry
+    driver-proves the rewrite is SEMANTICS-PRESERVING: the oracle is
+    the plain one-shuffle GROUP BY.  Exact surface: count + integral
+    bigint sum + double max (order-independent).  Gated by
+    tests/test_misc_ops.py salting tests."""
+    from llmxmapreduce_spark.operators.skew import salted_aggregate
+
+    li = load_table(spark, sf, "lineitem")
+    out = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "n_rows": (F.count(F.lit(1)), F.sum("n_rows")),
+            "sum_qty": (F.sum(F.col("l_quantity").cast("long")),
+                        F.sum("sum_qty")),
+            "max_price": (F.max("l_extendedprice"), F.max("max_price")),
+        },
+        n_salt=16,
+    )
+    return out.orderBy("l_returnflag")
+
+
 def q_kway_split(spark: SparkSession, sf: str) -> DataFrame:
     """K-way keyed split (operators/splits.py kway_split):
     train/val/test 70/15/15 keyed on source — all rows of a key land
@@ -3410,6 +3491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_predict": q_langid_predict,
         "weighted_sample": q_weighted_sample,
         "kway_split": q_kway_split,
+        "label_propagation": q_label_propagation,
+        "salted_agg": q_salted_agg,
         # v2_survey_refdefaults stays OFF the board: it is a THROUGHPUT
         # line (bench.py HEADLINE), hash-gated by its golden-transcript
         # pytest (tests/test_v2_refdefaults.py) — no SQL oracle exists.
@@ -4997,6 +5080,28 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT y FROM t
                 UNION ALL SELECT z FROM t)
             SELECT n, COUNT(*) AS n_triangles FROM roles GROUP BY n
+        """,
+        # r10: 3-round LPA on the part↔supplier bipartite graph —
+        # unrolled integer recurrence (the pagerank oracle pattern)
+        "label_propagation": _lpa_oracle_sql("""
+            SELECT l_partkey AS src,
+                   l_suppkey + CAST(1000000000000 AS BIGINT) AS dst
+            FROM lineitem
+            UNION ALL
+            SELECT l_suppkey + CAST(1000000000000 AS BIGINT), l_partkey
+            FROM lineitem
+        """, n_iter=3),
+        # r10: salted two-phase agg vs the plain GROUP BY — the driver
+        # gate as the semantics-preservation proof for the skew rewrite
+        "salted_agg": """
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   MAX(l_extendedprice) AS max_price
+            FROM lineitem
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
         """,
         # r10: driver fetch-convention probe (q_diag_fetch_norm docstring)
         "diag_fetch_norm": """

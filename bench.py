@@ -132,6 +132,8 @@ HEADLINE = [
     "langid_predict",
     "weighted_sample",
     "kway_split",
+    "label_propagation",
+    "salted_agg",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-

@@ -1,0 +1,146 @@
+"""Label-propagation community detection (scale extension).
+
+Connected components (operators/components.py) answers "which docs are
+transitively linked"; label propagation answers the finer question a
+curation pipeline asks of a link or near-dup-pair graph: "which DENSE
+groups exist inside a blob" — a hub page or boilerplate template links
+two otherwise-unrelated clusters into one component, while LPA keeps
+them apart because membership needs a *majority* of your neighbors, not
+one stray edge.  Used as the domain-clustering signal (group hosts by
+who links whom) and as the splitter for over-merged near-dup components.
+
+Algorithm (synchronous, deterministic — the module CONTRACT, which the
+board oracle unrolls verbatim in SQL):
+
+- node set = distinct(src) ∪ distinct(dst); initial label(v) = v.
+- one round: every edge row (s, d) casts one vote of label(s) onto d
+  (multi-edges = repeated votes = integer weights), and every node
+  casts one self-vote of its own current label (the standard
+  oscillation damper for synchronous LPA — without it a bipartite
+  graph flips sides forever).
+- new label(v) = the label with the MAX total votes; ties break to the
+  MIN label.  All updates apply simultaneously.
+
+Raghavan et al. (2007) run this asynchronously with random visit order
+and random tie-breaks; the synchronous min-tie variant trades a little
+convergence speed for bit-determinism — the property every operator in
+this repo holds so results are engine-replayable (cf. kmeans.py,
+pagerank.py).
+
+Directed-vote convention: an edge row votes src→dst only.  For the
+usual undirected semantics pass both directions (``union`` of the
+reversed frame), exactly like pagerank's board query.
+
+Scale notes (100 TB case):
+- Per round: one join keyed on src (edges × labels), one aggregate on
+  (node, label), one argmax aggregate on node — all partial-agg
+  friendly, no window function in the hot path (the argmax is
+  ``min(struct(-cnt, label))``, a two-level hash aggregate, NOT a
+  row_number sort).
+- The edge frame is reused every round → persisted once up front,
+  unpersisted on exit.
+- Labels are localCheckpoint'ed per round: iterative self-referential
+  plans otherwise grow exponentially (same lineage cut as
+  components.py / pagerank.py).
+- Shuffles carry (id, id) / (id, label, cnt) only — never payload text.
+- Convergence mode detects a fixpoint with an O(n) changed-count
+  aggregate, never a driver-side collect of labels.
+
+Correctness: tests/test_labelprop.py pins a pure-python reference on
+planted two-clique graphs, multi-edge weighting, the self-vote damper
+on a bipartite graph, and determinism under repartition; the board
+entry ``label_propagation`` crosses 3 rounds on the lineitem
+part↔supplier graph against an unrolled DuckDB replay (values-grade,
+integer-only — the pagerank oracle pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int | None = None,
+    max_iter: int = 20,
+    node_out: str = "node",
+    label_out: str = "label",
+) -> DataFrame:
+    """→ (node_out, label_out): one row per node appearing in ``edges``.
+
+    ``n_iter`` fixed runs exactly that many synchronous rounds (the
+    oracle-replayable mode); ``n_iter=None`` iterates to a fixpoint
+    (no label changed) bounded by ``max_iter``.
+    """
+    if n_iter is not None and n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    e.persist()
+    try:
+        nodes = (
+            e.select(F.col("__s").alias("__n"))
+            .union(e.select(F.col("__d").alias("__n")))
+            .distinct()
+        )
+        labels = nodes.select("__n", F.col("__n").alias("__l"))
+        labels = labels.localCheckpoint(eager=True)
+
+        rounds = n_iter if n_iter is not None else max_iter
+        for _ in range(rounds):
+            new_labels = _one_round(e, labels)
+            new_labels = new_labels.localCheckpoint(eager=True)
+            if n_iter is None:
+                n_changed = (
+                    labels.withColumnRenamed("__l", "__prev")
+                    .join(new_labels, "__n")
+                    .filter(F.col("__prev") != F.col("__l"))
+                    .count()
+                )
+                if n_changed == 0:
+                    labels = new_labels
+                    break
+            labels = new_labels
+        return labels.select(
+            F.col("__n").alias(node_out), F.col("__l").alias(label_out)
+        )
+    finally:
+        e.unpersist()
+
+
+def _one_round(e: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous vote round (contract in the module docstring)."""
+    edge_votes = (
+        e.join(labels, e["__s"] == labels["__n"])
+        .select(F.col("__d").alias("__n"), "__l")
+    )
+    votes = (
+        edge_votes.unionByName(labels.select("__n", "__l"))
+        .groupBy("__n", "__l")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    # argmax(cnt), ties -> min label: a hash aggregate over a struct
+    # whose lexicographic MIN is (max cnt, min label).  No window sort.
+    return (
+        votes.groupBy("__n")
+        .agg(F.min(F.struct((-F.col("__cnt")).alias("nc"),
+                            F.col("__l").alias("l"))).alias("__m"))
+        .select("__n", F.col("__m.l").alias("__l"))
+    )
+
+
+def community_sizes(
+    labels: DataFrame,
+    label_col: str = "label",
+) -> DataFrame:
+    """Datasheet companion (cf. components.component_size_report): one
+    row per community size with how many communities have it."""
+    per_label = labels.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("n_members"))
+    return (
+        per_label.groupBy("n_members")
+        .agg(F.count(F.lit(1)).alias("n_communities"))
+        .orderBy(F.col("n_members").desc())
+    )
