@@ -3221,6 +3221,60 @@ def _lpa_oracle_sql(edges_sql: str, n_iter: int = 3) -> str:
     return "".join(parts)
 
 
+def q_qdigest_values(spark: SparkSession, sf: str) -> DataFrame:
+    """q-digest quantile sketch (operators/qdigest.py) over
+    `events.value` on the k=10 universe [0, 1024), tau=50 — the
+    rank/quantile member of the mergeable-sketch family (MG which
+    keys, HLL how many, CMS how often, q-digest WHERE the distribution
+    sits).  The only corpus-scale shuffle is the leaf groupBy (output
+    bounded by the universe); the 10 compression levels shuffle
+    geometrically-shrinking tables.  VALUES-GRADE: the deterministic
+    sibling-pair compression is a pure-integer function of the value
+    multiset, replayed unrolled by the oracle (the pagerank/LPA
+    pattern).  Gated by tests/test_qdigest.py (python reference ≡,
+    tau bound, rank-error bounds, merge rollup, repartition
+    determinism)."""
+    from llmxmapreduce_spark.operators import qdigest as qd
+
+    ev = load_table(spark, sf, "events").select(
+        F.floor(F.col("value")).alias("v"))
+    return qd.qdigest(ev, "v", k=10, tau=50).orderBy("node")
+
+
+def _qdigest_oracle_sql(values_sql: str, k: int = 10, tau: int = 50) -> str:
+    """Unrolled bottom-up q-digest compression in DuckDB — the same
+    integer recurrence as qdigest._compress (module contract), one CTE
+    trio per level; values_sql yields one pre-universe column v (the
+    oracle clamps like the engine does)."""
+    top = (1 << k) - 1
+    parts = [f"""
+        WITH vals AS MATERIALIZED ({values_sql}),
+        cur{k} AS MATERIALIZED (
+            SELECT {1 << k} + least(greatest(CAST(v AS BIGINT), 0), {top})
+                       AS node,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM vals GROUP BY 1)"""]
+    for lvl in range(k, 0, -1):
+        parts.append(f""",
+        fam{lvl} AS MATERIALIZED (
+            SELECT node // 2 AS p, CAST(SUM(cnt) AS BIGINT) AS s
+            FROM cur{lvl} GROUP BY node // 2),
+        keep{lvl} AS (
+            SELECT c.node, c.cnt FROM cur{lvl} c
+            JOIN fam{lvl} f ON c.node // 2 = f.p WHERE f.s > {tau}),
+        cur{lvl - 1} AS MATERIALIZED (
+            SELECT p AS node, s AS cnt FROM fam{lvl}
+            WHERE s <= {tau} AND s > 0)""")
+    union = "\n            UNION ALL ".join(
+        [f"SELECT node, cnt FROM keep{lvl}" for lvl in range(k, 0, -1)]
+        + ["SELECT node, cnt FROM cur0"])
+    parts.append(f"""
+        SELECT node, cnt FROM (
+            {union}
+        ) ORDER BY node""")
+    return "".join(parts)
+
+
 def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Skew-salted two-phase aggregation (operators/skew.py
     salted_aggregate) over the most skew-hostile key shape in the
@@ -3493,6 +3547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kway_split": q_kway_split,
         "label_propagation": q_label_propagation,
         "salted_agg": q_salted_agg,
+        "qdigest_values": q_qdigest_values,
         # v2_survey_refdefaults stays OFF the board: it is a THROUGHPUT
         # line (bench.py HEADLINE), hash-gated by its golden-transcript
         # pytest (tests/test_v2_refdefaults.py) — no SQL oracle exists.
@@ -5103,6 +5158,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag
             ORDER BY l_returnflag
         """,
+        # r10: q-digest sketch table — unrolled compression recurrence
+        "qdigest_values": _qdigest_oracle_sql(
+            "SELECT floor(value) AS v FROM events", k=10, tau=50),
         # r10: driver fetch-convention probe (q_diag_fetch_norm docstring)
         "diag_fetch_norm": """
             SELECT * FROM (VALUES

@@ -134,6 +134,7 @@ HEADLINE = [
     "kway_split",
     "label_propagation",
     "salted_agg",
+    "qdigest_values",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-

@@ -1,0 +1,146 @@
+"""q-digest — pure-python recurrence equivalence, count conservation,
+the tau bound on non-leaf nodes, quantile rank-error bounds, merge
+rollup, determinism under repartition, DuckDB unrolled twin."""
+
+import random
+from collections import Counter, defaultdict
+
+import duckdb
+import pytest
+
+from llmxmapreduce_spark.operators import qdigest as qd
+
+
+def _ref_qdigest(values, k, tau):
+    """Sibling-pair bottom-up compression (module contract)."""
+    top = (1 << k) - 1
+    nodes = Counter((1 << k) + min(max(int(v), 0), top) for v in values)
+    return _ref_compress(nodes, k, tau)
+
+
+def _ref_compress(nodes, k, tau):
+    kept = Counter()
+    carry = Counter()
+    for lvl in range(k, 0, -1):
+        cur = Counter({n: c for n, c in nodes.items()
+                       if (1 << lvl) <= n < (1 << (lvl + 1))})
+        cur.update(carry)
+        fams = defaultdict(int)
+        for n, c in cur.items():
+            fams[n >> 1] += c
+        for n, c in cur.items():
+            if fams[n >> 1] > tau:
+                kept[n] += c
+        carry = Counter({p: s for p, s in fams.items() if 0 < s <= tau})
+    root = nodes.get(1, 0) + carry.get(1, 0)
+    if root > 0:
+        kept[1] += root
+    return dict(kept)
+
+
+def _build(spark, values, k, tau, n_parts=None, **kw):
+    df = spark.createDataFrame([(int(v),) for v in values], "v long")
+    if n_parts:
+        df = df.repartition(n_parts)
+    d = qd.qdigest(df, "v", k=k, tau=tau, **kw)
+    return {r["node"]: r["cnt"] for r in d.collect()}
+
+
+RNG = random.Random(42)
+ZIPFISH = [min(int(RNG.paretovariate(1.2)), 255) for _ in range(2000)]
+UNIFORM = [RNG.randrange(256) for _ in range(500)]
+
+
+@pytest.mark.parametrize("values,k,tau", [
+    (UNIFORM, 8, 16),
+    (ZIPFISH, 8, 50),
+    ([0] * 100, 4, 8),              # single hot leaf > tau
+    ([0, 15], 4, 100),              # everything collapses to the root
+    (list(range(16)), 4, 1),        # tau=1: nothing merges above leaves
+    ([7], 3, 5),                    # singleton
+])
+def test_matches_reference(spark, values, k, tau):
+    assert _build(spark, values, k, tau) == _ref_qdigest(values, k, tau)
+
+
+def test_count_conserved_and_tau_bound(spark):
+    k, tau = 8, 30
+    d = _build(spark, ZIPFISH, k, tau)
+    assert sum(d.values()) == len(ZIPFISH)
+    nonleaf = {n: c for n, c in d.items() if n < (1 << k)}
+    assert nonleaf, "compression should produce internal nodes"
+    assert all(c <= tau for c in nonleaf.values())
+
+
+def test_quantile_rank_bounds(spark):
+    k, tau = 8, 20
+    df = spark.createDataFrame([(v,) for v in ZIPFISH], "v long")
+    dig = qd.qdigest(df, "v", k=k, tau=tau)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    out = {r["q"]: (r["est"], r["rank_target"])
+           for r in qd.qdigest_quantiles(dig, qs, k=k).collect()}
+    svals = sorted(min(max(v, 0), 255) for v in ZIPFISH)
+    for q in qs:
+        est, target = out[q]
+        at_most = sum(1 for v in svals if v <= est)
+        assert at_most >= target          # digest never under-covers
+        below = sum(1 for v in svals if v < est)
+        assert below <= target + k * tau  # ...and overshoots boundedly
+
+
+def test_merge_rollup(spark):
+    k, tau = 8, 25
+    a, b = ZIPFISH[:1200], ZIPFISH[1200:]
+    da = qd.qdigest(spark.createDataFrame([(v,) for v in a], "v long"),
+                    "v", k=k, tau=tau)
+    db = qd.qdigest(spark.createDataFrame([(v,) for v in b], "v long"),
+                    "v", k=k, tau=tau)
+    m = qd.qdigest_merge(da, db, k=k, tau=tau)
+    rows = {r["node"]: r["cnt"] for r in m.collect()}
+    assert sum(rows.values()) == len(ZIPFISH)
+    # merged estimates stay within the composed 2-way bound
+    est = {r["q"]: (r["est"], r["rank_target"]) for r in
+           qd.qdigest_quantiles(m, [0.5, 0.9], k=k).collect()}
+    svals = sorted(min(max(v, 0), 255) for v in ZIPFISH)
+    for q, (e, target) in est.items():
+        at_most = sum(1 for v in svals if v <= e)
+        assert at_most >= target
+        below = sum(1 for v in svals if v < e)
+        assert below <= target + 2 * k * tau
+
+
+def test_deterministic_under_repartition(spark):
+    a = _build(spark, ZIPFISH, 8, 30, n_parts=1)
+    b = _build(spark, ZIPFISH, 8, 30, n_parts=13)
+    assert a == b
+
+
+def test_clamp_folds_and_strict_raises(spark):
+    d = _build(spark, [-5, 999], 4, 100)          # folds to leaves 0, 15
+    assert sum(d.values()) == 2
+    with pytest.raises(Exception, match="out of universe"):
+        _build(spark, [999], 4, 100, clamp=False)
+
+
+def test_bad_params_raise(spark):
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError, match="k must be"):
+        qd.qdigest(df, "v", k=0, tau=4)
+    with pytest.raises(ValueError, match="tau must be"):
+        qd.qdigest(df, "v", k=4, tau=0)
+    with pytest.raises(ValueError, match="at least one"):
+        qd.qdigest_merge(k=4, tau=4)
+
+
+def test_duckdb_unrolled_twin(spark):
+    """The board oracle's unrolled recurrence reproduces the engine."""
+    import __spark_entry__ as entry
+
+    k, tau = 6, 9
+    vals = [min(v, 63) for v in ZIPFISH[:800]]
+    got = _build(spark, vals, k, tau)
+    rows = ",".join(f"({v})" for v in vals)
+    sql = entry._qdigest_oracle_sql(
+        f"SELECT v FROM (VALUES {rows}) t(v)", k=k, tau=tau)
+    want = dict(duckdb.connect().execute(sql).fetchall())
+    assert got == want
