@@ -3275,6 +3275,33 @@ def _qdigest_oracle_sql(values_sql: str, k: int = 10, tau: int = 50) -> str:
     return "".join(parts)
 
 
+PATTERN_HITS_LIST = [
+    "data window", "fast merge", "agg join", "table part",
+    "table", "customer", "scan query", "a a",
+]
+
+
+def q_pattern_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """Aho-Corasick multi-pattern substring matching
+    (operators/textmatch.py) — the blocklist class badwords_filter
+    (whole-token) can't express: one O(len) scan per document,
+    INDEPENDENT of pattern count (a 50k-entry blocklist prices like an
+    8-entry one; regex alternation is O(len × N) and a patterns×docs
+    join is a cartesian).  Automaton broadcast once; only (doc_id,
+    pattern) hit rows shuffle.  The fixed 8-pattern inventory includes
+    nested pairs ("table" ⊂ "table part") so output links are
+    exercised on the real corpus; oracle = the contains() cross
+    replay, tractable exactly because the board list is small.  Gated
+    by tests/test_textmatch.py (naive-scan reference on adversarial
+    overlap corpora, case folding, plan-shape pattern-count
+    independence)."""
+    from llmxmapreduce_spark.operators.textmatch import match_patterns
+
+    d = load_table(spark, sf, "documents")
+    return match_patterns(d, PATTERN_HITS_LIST) \
+        .orderBy("doc_id", "pattern")
+
+
 def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Skew-salted two-phase aggregation (operators/skew.py
     salted_aggregate) over the most skew-hostile key shape in the
@@ -3548,6 +3575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "salted_agg": q_salted_agg,
         "qdigest_values": q_qdigest_values,
+        "pattern_hits": q_pattern_hits,
         # v2_survey_refdefaults stays OFF the board: it is a THROUGHPUT
         # line (bench.py HEADLINE), hash-gated by its golden-transcript
         # pytest (tests/test_v2_refdefaults.py) — no SQL oracle exists.
@@ -5158,6 +5186,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag
             ORDER BY l_returnflag
         """,
+        # r10: Aho-Corasick hits vs the contains() cross replay (the
+        # oracle may join patterns×docs — it runs at bounded sf; the
+        # engine path is the single-scan automaton)
+        "pattern_hits": (
+            "SELECT d.doc_id, p.pat AS pattern\n"
+            "FROM documents d\n"
+            "JOIN (VALUES "
+            + ",".join(f"('{p}')" for p in PATTERN_HITS_LIST)
+            + ") p(pat)\n"
+            "  ON contains(lower(d.text), p.pat)\n"
+            "ORDER BY d.doc_id, p.pat"
+        ),
         # r10: q-digest sketch table — unrolled compression recurrence
         "qdigest_values": _qdigest_oracle_sql(
             "SELECT floor(value) AS v FROM events", k=10, tau=50),

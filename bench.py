@@ -135,6 +135,7 @@ HEADLINE = [
     "label_propagation",
     "salted_agg",
     "qdigest_values",
+    "pattern_hits",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-

@@ -171,6 +171,22 @@ def weighted_sample_sql(table: str, n: int, weight_col: str,
     """
 
 
+def temperature_weights(counts: dict, alpha: float = 0.7) -> dict:
+    """Multinomial temperature-sampling weights: w_s ∝ n_s^alpha,
+    normalized — the GPT-3 / Llama / XLM-R data-mixing recipe
+    (alpha=1 proportional to size, alpha=0 uniform over sources,
+    alpha≈0.7 the usual low-resource upweighting).  Pure driver
+    arithmetic; feed the result to :func:`mixture_plan`."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    present = {s: n for s, n in counts.items() if n and n > 0}
+    if not present:
+        raise ValueError("temperature_weights: no non-empty sources")
+    raw = {s: float(n) ** alpha for s, n in present.items()}
+    tot = sum(raw.values())
+    return {s: w / tot for s, w in raw.items()}
+
+
 def mixture_plan(
     counts: dict,
     weights: dict,

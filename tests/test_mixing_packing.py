@@ -33,6 +33,28 @@ def test_mixture_plan_math():
         mixing.mixture_plan(counts, {"absent": 1.0}, 10)
 
 
+def test_temperature_weights():
+    counts = {"web": 1000, "code": 100, "books": 0, "none": None}
+    w1 = mixing.temperature_weights(counts, alpha=1.0)
+    assert w1 == {"web": pytest.approx(1000 / 1100),
+                  "code": pytest.approx(100 / 1100)}   # empty sources drop
+    w0 = mixing.temperature_weights(counts, alpha=0.0)
+    assert w0 == {"web": pytest.approx(0.5), "code": pytest.approx(0.5)}
+    w = mixing.temperature_weights(counts, alpha=0.7)
+    assert w["web"] / w["code"] == pytest.approx(10 ** 0.7)
+    assert sum(w.values()) == pytest.approx(1.0)
+    # the recipe composes with mixture_plan
+    plan = mixing.mixture_plan({"web": 1000, "code": 100},
+                               mixing.temperature_weights(
+                                   {"web": 1000, "code": 100}, 0.0),
+                               target_rows=200)
+    assert plan == {"web": pytest.approx(0.1), "code": pytest.approx(1.0)}
+    with pytest.raises(ValueError, match="alpha"):
+        mixing.temperature_weights(counts, alpha=1.5)
+    with pytest.raises(ValueError, match="no non-empty"):
+        mixing.temperature_weights({"a": 0})
+
+
 def test_stratified_sample_composition_and_determinism(spark):
     docs = load_table(spark, SF, "documents")
     sources = [r[0] for r in docs.select("source").distinct().collect()]
