@@ -77,7 +77,14 @@ def label_propagation(
     """
     if n_iter is not None and n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
-    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    # Persist edges HASH-PARTITIONED on the join key: at gate scale the
+    # label table broadcasts (AQE picks BroadcastHashJoin, edges never
+    # shuffle), but once labels outgrow the broadcast threshold the
+    # join falls back to a shuffled strategy — and a pre-partitioned
+    # cached edge frame keeps that fallback zero-Exchange on the big
+    # side for EVERY round instead of re-shuffling |E| per iteration.
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")) \
+        .repartition("__s")
     e.persist()
     try:
         nodes = (

@@ -147,6 +147,20 @@ AUDITED = [
     ("set_containment_join", "directional containment: inner-side "
      "prefix only (outer joins all tokens + size prune), same "
      "token-keyed hash joins — no cartesian"),
+    ("label_propagation", "3 synchronous LPA rounds: per round one "
+     "src-keyed hash join (edges persisted once) + (node,label) "
+     "partial agg + struct-argmax agg — NO window sort; labels "
+     "localCheckpoint'ed so the iterative plan stays flat"),
+    ("qdigest_values", "q-digest build: ONE corpus-scale partial-agg "
+     "groupBy (leaf counts, bounded by the universe), then k=10 "
+     "compression levels over geometrically-shrinking tables — every "
+     "join AQE-broadcastable"),
+    ("pattern_hits", "Aho-Corasick: a single mapInPandas scan, no "
+     "join, no regex alternation — plan shape independent of pattern "
+     "count; only (id, pattern) hit rows move"),
+    ("salted_agg", "skew rewrite: (key, salt) partial agg then key "
+     "final agg — two small shuffles instead of one skewed one; "
+     "map-side combine still eats the corpus"),
 ]
 
 
