@@ -3253,7 +3253,7 @@ def _qdigest_oracle_sql(values_sql: str, k: int = 10, tau: int = 50) -> str:
             SELECT {1 << k} + least(greatest(CAST(v AS BIGINT), 0), {top})
                        AS node,
                    CAST(count(*) AS BIGINT) AS cnt
-            FROM vals GROUP BY 1)"""]
+            FROM vals WHERE v IS NOT NULL GROUP BY 1)"""]
     for lvl in range(k, 0, -1):
         parts.append(f""",
         fam{lvl} AS MATERIALIZED (

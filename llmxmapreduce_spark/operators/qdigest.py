@@ -63,12 +63,18 @@ def qdigest(
     """Build a q-digest over integer values in [0, 2^k) → (node, cnt).
 
     ``clamp`` folds out-of-range values onto the universe edges (the
-    CMS/HLL convention: a sketch never drops rows silently); with
-    ``clamp=False`` out-of-range rows raise at execution time via a
-    failing cast — callers who pre-validate keep an exact surface.
+    CMS/HLL convention for PRESENT values); with ``clamp=False``
+    out-of-range rows raise at execution time via a failing cast —
+    callers who pre-validate keep an exact surface.  NULL values are
+    dropped first on BOTH paths (the SQL-aggregate convention, and the
+    only NULL semantics both engines express identically: Spark's
+    least/greatest SKIP nulls where DuckDB's return the other operand,
+    so a clamped NULL would land on OPPOSITE universe edges — review
+    repro).
     """
     _check_universe(k, tau)
     top = (1 << k) - 1
+    df = df.filter(F.col(col).isNotNull())
     v = F.col(col).cast("long")
     if clamp:
         v = F.greatest(F.lit(0), F.least(F.lit(top), v))
@@ -91,7 +97,19 @@ def _compress(nodes: DataFrame, k: int, tau: int) -> DataFrame:
     (node, cnt) table with nodes in heap positions [1, 2^{k+1}) —
     handles digests-of-digests (merge path), where counts already sit
     at internal nodes."""
-    kept: list[DataFrame] = []
+    # Lazy universe guard (zero extra jobs): any node outside
+    # [1, 2^{k+1}) — e.g. a digest built with a LARGER k merged under
+    # the wrong one — would silently vanish from the level filters
+    # below; instead it raises at execution time (review repro:
+    # k-mismatch merges lost counts with no error).
+    bad = nodes.filter(
+        (F.col("node") < 1) | (F.col("node") >= F.lit(1 << (k + 1))))
+    guard = bad.select(
+        F.raise_error(F.concat(
+            F.lit(f"qdigest: node outside universe for k={k}: "),
+            F.col("node").cast("string"))).cast("long").alias("node"),
+        F.lit(0).cast("long").alias("cnt"))
+    kept: list[DataFrame] = [guard]
     carry = None
     for lvl in range(k, 0, -1):
         lo, hi = 1 << lvl, 1 << (lvl + 1)

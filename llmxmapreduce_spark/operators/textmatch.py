@@ -36,8 +36,9 @@ inventories, case folding, and unicode; the board entry
 ``pattern_hits`` crosses the engine against a DuckDB contains() twin.
 """
 
-from __future__ import annotations
-
+# NOTE: no `from __future__ import annotations` here — it stringifies
+# every annotation, and pandas_udf infers its eval type from the REAL
+# pd.Series hints on the scalar UDF in contains_any.
 from collections import deque
 from typing import Iterator
 
@@ -142,18 +143,27 @@ def contains_any(
     df: DataFrame,
     patterns: list[str],
     text_col: str = "text",
-    id_col: str = "doc_id",
     out_col: str = "has_match",
     case_insensitive: bool = True,
 ) -> DataFrame:
     """All input columns + a boolean ``out_col`` — the filter-gate
-    shape (drop or keep documents touching the blocklist).  Implemented
-    as a left-semi-style join against the hit set so the text column
-    never re-scans; rows with no hit get False."""
-    hits = (match_patterns(df, patterns, text_col=text_col,
-                           id_col=id_col,
-                           case_insensitive=case_insensitive)
-            .select(id_col).distinct()
-            .withColumn(out_col, F.lit(True)))
-    return (df.join(hits, id_col, "left")
-            .fillna({out_col: False}))
+    shape (drop or keep documents touching the blocklist).  ONE
+    Arrow-batched pass appending the boolean map-side: no join, no
+    shuffle, no second corpus scan (the first cut of this ran
+    match_patterns + distinct + join — twice the I/O for a value
+    derivable in place, review repro).  Only the text column crosses
+    the Arrow boundary; every other column stays JVM-side."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ac = AhoCorasick(patterns, case_insensitive=case_insensitive)
+    bc = df.sparkSession.sparkContext.broadcast(ac)
+
+    @pandas_udf("boolean")
+    def hit(texts: pd.Series) -> pd.Series:
+        a = bc.value
+        return pd.Series([
+            bool(a.match_ids(t)) if isinstance(t, str) else False
+            for t in texts])
+
+    return df.withColumn(out_col, hit(F.col(text_col)))

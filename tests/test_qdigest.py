@@ -122,6 +122,35 @@ def test_clamp_folds_and_strict_raises(spark):
         _build(spark, [999], 4, 100, clamp=False)
 
 
+def test_null_values_dropped_both_paths(spark):
+    """NULLs drop (SQL-aggregate convention) — the one semantics both
+    engines share: Spark least/greatest SKIP nulls, DuckDB's return the
+    other operand, so a clamped NULL would land on OPPOSITE edges."""
+    df = spark.createDataFrame([(0,), (None,), (15,), (None,)], "v long")
+    d = {r["node"]: r["cnt"]
+         for r in qd.qdigest(df, "v", k=4, tau=1).collect()}
+    assert sum(d.values()) == 2
+    strict = {r["node"]: r["cnt"]
+              for r in qd.qdigest(df, "v", k=4, tau=1,
+                                  clamp=False).collect()}
+    assert strict == d
+    # and the board oracle agrees (NULL never reaches the clamp)
+    import __spark_entry__ as entry
+    sql = entry._qdigest_oracle_sql(
+        "SELECT v FROM (VALUES (0),(NULL),(15),(NULL)) t(v)", k=4, tau=1)
+    assert dict(duckdb.connect().execute(sql).fetchall()) == d
+
+
+def test_merge_with_wrong_k_raises(spark):
+    """A digest built under a larger universe must ERROR under a
+    smaller k, not silently drop its deep leaves."""
+    df = spark.createDataFrame([(3000,)] * 5 + [(3001,)] * 5, "v long")
+    d12 = qd.qdigest(df, "v", k=12, tau=4)
+    assert max(r["node"] for r in d12.collect()) >= 1 << 12  # leaves kept
+    with pytest.raises(Exception, match="outside universe for k=10"):
+        qd.qdigest_merge(d12, k=10, tau=4).collect()
+
+
 def test_bad_params_raise(spark):
     df = spark.createDataFrame([(1,)], "v long")
     with pytest.raises(ValueError, match="k must be"):

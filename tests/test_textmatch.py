@@ -75,6 +75,10 @@ def test_contains_any_gate(spark):
     out = {r["doc_id"]: r["has_match"]
            for r in contains_any(df, ["badword"]).collect()}
     assert out == {1: False, 2: True, 3: False}
+    # one-pass shape: no join, no shuffle — the boolean is map-side
+    plan = contains_any(df, ["badword"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
 
 
 def test_pattern_count_independence_shape(spark):
