@@ -21,6 +21,23 @@ def _naive(text, patterns, ci=True):
 NESTED = ["a", "ab", "aba", "bab", "abab", "ba"]
 
 
+def test_automaton_matches_naive_hypothesis():
+    """Property: AC ≡ naive scan for arbitrary unicode text and
+    pattern inventories (pure-python, no Spark round-trip)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    pat = st.text(alphabet="abcde é中", min_size=1, max_size=5)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(pat, min_size=1, max_size=8),
+           st.text(alphabet="abcde é中", max_size=60))
+    def prop(pats, text):
+        assert AhoCorasick(pats).match(text) == _naive(text, pats)
+
+    prop()
+
+
 def test_automaton_matches_naive_randomized():
     rng = random.Random(7)
     pats = ["".join(rng.choice("ab") for _ in range(rng.randint(1, 4)))
