@@ -167,8 +167,16 @@ def jaccard_verify(
         F.col(id_col).alias("id_b"), F.col(shingles_col).alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
+    # SHUFFLE_HASH, never broadcast: the shingle frame is CORPUS-sized
+    # by definition (one array per document), but its cached-relation
+    # size ESTIMATE can look broadcastable — at sf5 Spark picked a
+    # BroadcastHashJoin here and the driver-side build OOM'd
+    # ('Not enough memory to build and broadcast', fresh-session
+    # repro).  A shuffled hash join holds only one partition of
+    # arrays per task and needs no sort on the array column.
     return (
-        pairs.join(a, "id_a").join(b, "id_b")
+        pairs.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
         .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -246,6 +246,21 @@ def pandas_norm_rows(pdf):
         for row in pdf[cols].itertuples(index=False, name=None))
 
 
+def _release_session_state(spark) -> None:
+    """Between queries: drop cached frames AND localCheckpointed RDDs.
+    Board queries persist/checkpoint internally (LPA labels, edge
+    frames, digest merges, incremental indexes); without a sweep-side
+    release the 110-query board accumulates every query's state in
+    storage memory until a later broadcast build OOMs (sf5 repro:
+    `minhash_lsh_neardup` failed at sweep position 37 with 'Not enough
+    memory to build and broadcast', fresh-session single run passes).
+    getPersistentRDDs is the only handle to localCheckpoint blocks —
+    catalog.clearCache() alone covers just the DataFrame cache."""
+    spark.catalog.clearCache()
+    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        jrdd.unpersist()
+
+
 def main():
     args = [a for a in sys.argv[1:]
             if a not in ("--fingerprint", "--exact", "--pandas")]
@@ -266,6 +281,7 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        _release_session_state(spark)
         t0 = time.time()
         if pandas_mode:
             osql = oracles.get(name)
