@@ -3319,7 +3319,13 @@ def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
         ["l_returnflag"],
         {
             "n_rows": (F.count(F.lit(1)), F.sum("n_rows")),
-            "sum_qty": (F.sum(F.col("l_quantity").cast("long")),
+            # floor() then cast on BOTH engine and oracle sides: Spark's
+            # cast('long') truncates toward zero while DuckDB's CAST AS
+            # BIGINT rounds half-even, so a raw double→bigint cast only
+            # agrees while the generated quantities happen to be integral
+            # (r10 advice) — flooring first makes the conversion
+            # semantics identical by construction for any input.
+            "sum_qty": (F.sum(F.floor(F.col("l_quantity")).cast("long")),
                         F.sum("sum_qty")),
             "max_price": (F.max("l_extendedprice"), F.max("max_price")),
         },
@@ -3409,6 +3415,153 @@ def q_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     return interval_join(views, buys, "user_id", max_delay="1 hour")
 
 
+# ---------------------------------------------------------------------------
+# Round-11 board compaction: merged slots.
+#
+# The board grew to 110 entries against the driver's 50-slot window, so the
+# two-round-green rotation promise was arithmetically broken (r10 verdict,
+# task #2).  These nine entries each collapse TWO single-operator board
+# slots into one oracle-bearing slot, either by computing both surfaces in
+# one scan (same table, same row set) or by a discriminator-column UNION
+# (schemas harmonized, every branch's value expressions byte-identical to
+# the retired standalone entry so the proven value surfaces carry over).
+# The retired standalone functions stay below — bench.py keeps pricing
+# them (regression continuity) and tests keep pinning their plans.
+# Board arithmetic after compaction: 100 entries = two 50-slot windows,
+# so every entry is driver-confirmed at least every second round.
+# ---------------------------------------------------------------------------
+
+
+def q_p15_p16_text_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Merged slot: P15 sentence split + P16 token counting (reference:
+    LLMxMapReduce_V2 utils sentence/token helpers) — same per-doc row
+    set, ONE documents scan instead of the two the standalone entries
+    paid."""
+    d = load_table(spark, sf, "documents")
+    s = F.concat(
+        F.substring("text", 1, 80), F.lit(". "),
+        F.substring("text", 81, 80), F.lit("! "),
+        F.substring("text", 161, 80), F.lit("? tail"),
+    )
+    return d.select(
+        "doc_id",
+        F.size(X.sentence_split(s)).cast("long").alias("n_sentences"),
+        X.token_count_ws(F.col("text")).alias("n_ws"),
+        X.token_count_estimate(F.col("text")).alias("n_est"),
+        X.token_count_bpe_ish(F.col("text")).alias("n_bpe"),
+    )
+
+
+def q_p7_p14_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Merged slot: P7 bibkey normalization + P14 answer normalization —
+    both pure-Catalyst string ladders over the same documents scan."""
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        X.normalize_bibkey(F.substring("text", 1, 50)).alias("bibkey"),
+        X.normalize_answer(F.substring("text", 1, 100)).alias("norm"),
+    )
+
+
+def q_p1_p3_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Merged slot: P1 informative filter + P3 citation stripping, as a
+    discriminator UNION (different row sets: P1 filters, P3 projects)."""
+    a = q_p1_filter_informative(spark, sf).select(
+        F.lit("p1").alias("op"), "doc_id",
+        F.lit(None).cast("string").alias("cleaned"))
+    b = q_p3_strip_citations(spark, sf).select(
+        F.lit("p3").alias("op"), "doc_id", "cleaned")
+    return a.unionByName(b)
+
+
+def q_p11_p13_strlist(spark: SparkSession, sf: str) -> DataFrame:
+    """Merged slot: P11 str2list/list2str + P13 answer extraction."""
+    a = q_p11_str2list(spark, sf).select(
+        F.lit("p11").alias("op"), F.col("p_partkey").alias("k"),
+        F.col("items").alias("s1"), F.col("canonical").alias("s2"))
+    b = q_p13_extract_answer(spark, sf).select(
+        F.lit("p13").alias("op"), F.col("doc_id").alias("k"),
+        F.col("answer").alias("s1"), F.lit(None).cast("string").alias("s2"))
+    return a.unionByName(b)
+
+
+def q_t3_t6_order_limit(spark: SparkSession, sf: str) -> DataFrame:
+    """Merged slot: T3 url top-n + T6 data_num limit — both
+    TakeOrderedAndProject shapes (no global sort; plan pinned in
+    tests/test_plans.py against the standalone functions)."""
+    a = q_t3_topn(spark, sf).select(
+        F.lit("t3").alias("op"), F.col("p_partkey").alias("k"),
+        F.col("p_name").alias("s"), F.col("p_retailprice").alias("v"))
+    b = q_t6_limit(spark, sf).select(
+        F.lit("t6").alias("op"), F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").cast("string").alias("s"),
+        F.lit(None).cast("double").alias("v"))
+    return a.unionByName(b)
+
+
+def q_t1_t2_topk_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Merged slot: T1 _prune_top_k (top-5 per group, seeded tie-break)
+    + T2 best-of (argmax per group) — one window shuffle each, unioned
+    under a discriminator."""
+    a = q_t1_topk_per_group(spark, sf).select(
+        F.lit("t1").alias("op"), F.col("o_orderpriority").alias("grp"),
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("val"),
+        F.col("rn"))
+    b = q_t2_best_of(spark, sf).select(
+        F.lit("t2").alias("op"), F.col("event_type").alias("grp"),
+        F.col("event_id").alias("k"), F.col("value").alias("val"),
+        F.lit(None).cast("int").alias("rn"))
+    return a.unionByName(b)
+
+
+def q_a7_a8_ratio_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Merged slot: A7 cite_ratio + A8 nonzero averaging — both
+    partial-agg ratio rollups, unioned under a discriminator."""
+    a = q_a7_cite_ratio(spark, sf).select(
+        F.lit("a7").alias("op"), F.col("n_name").alias("grp"),
+        F.col("cite_ratio").alias("ratio"),
+        F.col("n_customers").alias("n"))
+    b = q_a8_nonzero_avg(spark, sf).select(
+        F.lit("a8").alias("op"), F.col("event_type").alias("grp"),
+        F.col("avg_nonzero_value").alias("ratio"),
+        F.col("n_nonzero").alias("n"))
+    return a.unionByName(b)
+
+
+def q_events_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Merged slot: tumbling + sliding windowed aggregation over events
+    (batch twins of the Structured Streaming queries in streaming/)."""
+    a = q_events_tumbling(spark, sf).select(
+        F.lit("tumble").alias("op"),
+        F.col("bucket_start").alias("w_start"),
+        "event_type", "n_events", "sum_value")
+    b = q_events_sliding(spark, sf).select(
+        F.lit("slide").alias("op"),
+        F.col("window_start").alias("w_start"),
+        "event_type", "n_events",
+        F.lit(None).cast("double").alias("sum_value"))
+    return a.unionByName(b)
+
+
+def q_moments_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Merged slot: exact moment statistics (operators/moments.py) +
+    equi-width histogram (operators/quantiles.py) — the two
+    one-pass-profile surfaces, unioned under a discriminator.  Moment
+    sums stay DECIMAL-rendered-as-string (the 29-digit decimal→double
+    cast disagrees by one ulp between engines — see q_value_moments)."""
+    a = q_value_moments(spark, sf).select(
+        F.lit("mom").alias("op"), F.col("l_returnflag").alias("grp"),
+        F.lit(None).cast("long").alias("bin"), F.col("n"),
+        F.lit(None).cast("double").alias("bin_lo"),
+        "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2")
+    b = q_value_histogram(spark, sf).select(
+        F.lit("hist").alias("op"), F.col("event_type").alias("grp"),
+        F.col("bin"), F.col("n_rows").alias("n"), F.col("bin_lo"),
+        *[F.lit(None).cast("string").alias(c)
+          for c in ("sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2")])
+    return a.unionByName(b)
+
+
 def q_diag_fetch_norm(spark: SparkSession, sf: str) -> DataFrame:
     """Round-10 driver-normalization probe (judge task #1, after the
     root cause): constant rows whose value classes render IDENTICALLY
@@ -3438,24 +3591,78 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # 106 entries, ORDERED because the driver's correctness gate runs only
-    # the FIRST 50 (measured rounds 5-9).  Round-10 window (judge tasks
-    # #1-#4): (a) the 7 r9 hash-FAILs, fixed this round — root cause was
-    # uncast HUGEINT oracle surfaces diverging under a pandas-mode
-    # driver fetch (tools/audit_oracle_types.py; every SUM now CAST AS
-    # BIGINT) — kept in-window so the fix is driver-proven; (b) the two
-    # formerly-no_oracle entries with their new values-grade oracles;
-    # (c) the diag_fetch_norm convention probe; (d) the 5 r9-added
-    # entries that have never seen a driver run; (e) 35 of the 43
-    # r08-green entries owed a r10 rotation slot.  The 8 most-confirmed
-    # r08-greens (7 consecutive green rounds each) slip to r11 — window
-    # demand this round is 58 > 50 — and sit first in the 51+ tail;
-    # r11's rotation demand is 54 (41 r9-greens + these 8 + the 5 r10
-    # additions hll/orc/cms/triangles/langid) — 4 fresh-r10 greens will
-    # roll to r12.  Ledger: COVERAGE.md.
+    # 100 entries after the round-11 board compaction (9 merged slots +
+    # the retired diag probe), ORDERED because the driver's correctness
+    # gate runs only the FIRST 50 (measured rounds 5-10).  Round-11
+    # window (judge tasks #1-#2): (a) the 11 round-10 additions that
+    # have never seen a driver row; (b) the 9 merged compaction slots —
+    # new names, so never driver-run, though every branch expression is
+    # a proven-green standalone entry; (c) the 3 surviving r08-greens
+    # slipped from the r10 window (the other 5 were consumed by merges);
+    # (d) 27 longest-unconfirmed r9 greens.  q1_pricing_summary (8 green
+    # rounds, the most-confirmed entry on the board) rolls to r12, whose
+    # window is then EXACTLY positions 51-100 — with the board frozen at
+    # 100 = 2 windows, every entry is driver-confirmed every second
+    # round from here on and the rotation debt the r10 verdict flagged
+    # is structurally closed.  Ledger: COVERAGE.md.
     return {
-        # (a) r9 hash-FAILs, oracle surfaces fixed (HUGEINT → BIGINT) —
-        # each passes verify_local in collect, --exact AND --pandas mode
+        # (a) never driver-run round-10 additions
+        "hll_distinct": q_hll_distinct,
+        "orc_roundtrip": q_orc_roundtrip,
+        "cms_user_counts": q_cms_user_counts,
+        "triangle_count": q_triangle_count,
+        "langid_predict": q_langid_predict,
+        "weighted_sample": q_weighted_sample,
+        "kway_split": q_kway_split,
+        "label_propagation": q_label_propagation,
+        "salted_agg": q_salted_agg,
+        "qdigest_values": q_qdigest_values,
+        "pattern_hits": q_pattern_hits,
+        # (b) round-11 merged compaction slots (2 retired entries each)
+        "p15_p16_text_counts": q_p15_p16_text_counts,
+        "p7_p14_normalize": q_p7_p14_normalize,
+        "p1_p3_scrub": q_p1_p3_scrub,
+        "p11_p13_strlist": q_p11_p13_strlist,
+        "t3_t6_order_limit": q_t3_t6_order_limit,
+        "t1_t2_topk_best": q_t1_t2_topk_best,
+        "a7_a8_ratio_stats": q_a7_a8_ratio_stats,
+        "events_windows": q_events_windows,
+        "moments_histogram": q_moments_histogram,
+        # (c) r08-greens slipped out of the r10 window
+        "a5_topic_grouping": q_a5_topic_grouping,
+        "p6_crawl_filter_backfill": q_p6_crawl_filter_backfill,
+        "exact_dedup": q_exact_dedup,
+        # (d) longest-unconfirmed r9 greens
+        "ccnet_perplexity": q_ccnet_perplexity_board,
+        "funnel_steps": q_funnel_steps,
+        "retention_cohorts": q_retention_cohorts,
+        "resample_locf": q_resample_locf,
+        "scd2_intervals": q_scd2_intervals,
+        "dq_report": q_dq_report,
+        "group_quantiles": q_group_quantiles,
+        "rolling_value_stats": q_rolling_value_stats,
+        "cdc_snapshot": q_cdc_snapshot,
+        "bloom_semi_join": q_bloom_semi_join,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "substring_dedup": q_substring_dedup,
+        "holdout_split": q_holdout_split,
+        "split_scrub": q_split_scrub,
+        "warc_roundtrip": q_warc_roundtrip,
+        "line_dedup": q_line_dedup,
+        "corpus_report": q_corpus_report,
+        "corpus_shuffle": q_corpus_shuffle,
+        "curriculum_order": q_curriculum_order,
+        "interleave_sources": q_interleave_sources,
+        "kmeans_lloyd": q_kmeans_lloyd,
+        "pagerank_bipartite": q_pagerank_bipartite,
+        "stratified_sample_n": q_stratified_sample_n,
+        "pq_encode": q_pq_encode,
+        "c6_hash_batches": q_c6_hash_batches,
+        "skeleton_nodes": q_skeleton_nodes,
+        "j3_star_join_agg": q_join_star_agg,
+        # ---- positions 51+ (the r12 window: q1 rolled + the 49 r10
+        # greens, every one driver-confirmed in CORRECTNESS_r10.json) ----
+        "q1_pricing_summary": q_pricing_summary,
         "dsir_weights": q_dsir_weights_board,
         "quality_classifier": q_quality_classifier_board,
         "json_extract_agg": q_json_extract_agg,
@@ -3463,18 +3670,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "user_event_crosstab": q_user_event_crosstab,
         "bm25_topk": q_bm25_topk,
-        # (b) formerly no_oracle — values-grade oracles added r10
         "sequence_packing_bpe": q_sequence_packing_bpe,
         "v3_host_transcript": q_v3_host_transcript,
-        # (c) driver fetch-convention probe
-        "diag_fetch_norm": q_diag_fetch_norm,
-        # (d) added r9 post-rotation — first driver run
         "image_neardup": q_image_neardup,
         "video_neardup": q_video_neardup,
         "set_jaccard_join": q_set_jaccard_join,
         "set_containment_join": q_set_containment_join,
         "connected_components": q_connected_components,
-        # (e) r08-green entries rotating back (35 of 43)
         "skeleton_roundtrip": q_skeleton_roundtrip,
         "j1_alignment_mismatches": q_j1_alignment,
         "a3_digest_merge": q_a3_digest_merge,
@@ -3510,76 +3712,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_agg": q_range_join_agg,
         "zorder_key": q_zorder_key,
         "heavy_hitters": q_heavy_hitters,
-        # ---- positions 51+ ----
-        # the 8 r08-greens slipped to r11 (7 consecutive green rounds
-        # each — the most-confirmed entries on the board)
-        "a5_topic_grouping": q_a5_topic_grouping,
-        "p6_crawl_filter_backfill": q_p6_crawl_filter_backfill,
-        "p7_bibkey_normalize": q_p7_bibkey,
-        "p14_normalize_answer": q_p14_normalize_answer,
-        "p1_filter_informative": q_p1_filter_informative,
-        "p3_strip_citations": q_p3_strip_citations,
-        "exact_dedup": q_exact_dedup,
-        "events_tumbling_window": q_events_tumbling,
-        # r9-green entries (rotate back in r11)
-        "ccnet_perplexity": q_ccnet_perplexity_board,
-        "funnel_steps": q_funnel_steps,
-        "retention_cohorts": q_retention_cohorts,
-        "resample_locf": q_resample_locf,
-        "scd2_intervals": q_scd2_intervals,
-        "dq_report": q_dq_report,
-        "group_quantiles": q_group_quantiles,
-        "rolling_value_stats": q_rolling_value_stats,
-        "cdc_snapshot": q_cdc_snapshot,
-        "bloom_semi_join": q_bloom_semi_join,
-        "value_histogram": q_value_histogram,
-        "fuzzy_name_pairs": q_fuzzy_name_pairs,
-        "value_moments": q_value_moments,
-        "substring_dedup": q_substring_dedup,
-        "holdout_split": q_holdout_split,
-        "split_scrub": q_split_scrub,
-        "warc_roundtrip": q_warc_roundtrip,
-        "line_dedup": q_line_dedup,
-        "corpus_report": q_corpus_report,
-        "corpus_shuffle": q_corpus_shuffle,
-        "curriculum_order": q_curriculum_order,
-        "interleave_sources": q_interleave_sources,
-        "kmeans_lloyd": q_kmeans_lloyd,
-        "pagerank_bipartite": q_pagerank_bipartite,
-        "stratified_sample_n": q_stratified_sample_n,
-        "pq_encode": q_pq_encode,
-        "p13_extract_answer": q_p13_extract_answer,
-        "p15_sentence_count": q_p15_sentence_count,
-        "p16_token_counts": q_p16_token_counts,
-        "t3_topn": q_t3_topn,
-        "t6_limit": q_t6_limit,
-        "t2_best_of": q_t2_best_of,
-        "c6_hash_batches": q_c6_hash_batches,
-        "p11_str2list": q_p11_str2list,
-        "a8_nonzero_avg": q_a8_nonzero_avg,
-        "events_sliding_window": q_events_sliding,
-        "skeleton_nodes": q_skeleton_nodes,
-        "q1_pricing_summary": q_pricing_summary,
-        "t1_topk_per_group": q_t1_topk_per_group,
-        "j3_star_join_agg": q_join_star_agg,
-        "a7_cite_ratio": q_a7_cite_ratio,
-        # round-10 NEW (position 51+; first driver run lands with the
-        # r11 rotation): mergeable HLL cardinality sketch + ORC format
-        "hll_distinct": q_hll_distinct,
-        "orc_roundtrip": q_orc_roundtrip,
-        "cms_user_counts": q_cms_user_counts,
-        "triangle_count": q_triangle_count,
-        "langid_predict": q_langid_predict,
-        "weighted_sample": q_weighted_sample,
-        "kway_split": q_kway_split,
-        "label_propagation": q_label_propagation,
-        "salted_agg": q_salted_agg,
-        "qdigest_values": q_qdigest_values,
-        "pattern_hits": q_pattern_hits,
         # v2_survey_refdefaults stays OFF the board: it is a THROUGHPUT
         # line (bench.py HEADLINE), hash-gated by its golden-transcript
         # pytest (tests/test_v2_refdefaults.py) — no SQL oracle exists.
     }
+
 
 
 def _image_neardup_oracle() -> str:
@@ -4146,7 +4283,7 @@ def oracle_sql() -> dict[str, str]:
     from llmxmapreduce_spark.operators.retention import retention_sql
     from llmxmapreduce_spark.operators.zorder import zorder_key_sql
 
-    return {
+    o = {
         # generated mirror (operators/constraints.py:constraints_sql)
         "dq_report": constraints_sql("documents", _DQ_RULES),
         # generated mirror (operators/quantiles.py:quantiles_sql) — the
@@ -5179,7 +5316,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_agg": """
             SELECT l_returnflag,
                    CAST(COUNT(*) AS BIGINT) AS n_rows,
-                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)
                        AS sum_qty,
                    MAX(l_extendedprice) AS max_price
             FROM lineitem
@@ -5267,3 +5404,125 @@ def oracle_sql() -> dict[str, str]:
         "curriculum_order": _curriculum_order_oracle(),
         "interleave_sources": _interleave_sources_oracle(),
     }
+
+    # --- Round-11 board compaction: merged slots (see queries()) -----------
+    # Each merged oracle is COMPOSED from the retired standalone oracles as
+    # subqueries, so the value expressions the driver already proved green
+    # carry over byte-identically; the retired keys are then dropped from
+    # the board.  The retired SQL strings above stay as the building blocks.
+    o["p15_p16_text_counts"] = f"""
+        SELECT a.doc_id, a.n_sentences, b.n_ws, b.n_est, b.n_bpe
+        FROM ({o['p15_sentence_count']}) a
+        JOIN ({o['p16_token_counts']}) b USING (doc_id)
+    """
+    o["p7_p14_normalize"] = f"""
+        SELECT a.doc_id, a.bibkey, b.norm
+        FROM ({o['p7_bibkey_normalize']}) a
+        JOIN ({o['p14_normalize_answer']}) b USING (doc_id)
+    """
+    o["p1_p3_scrub"] = f"""
+        SELECT 'p1' AS op, doc_id, CAST(NULL AS VARCHAR) AS cleaned
+        FROM ({o['p1_filter_informative']})
+        UNION ALL
+        SELECT 'p3' AS op, doc_id, cleaned FROM ({o['p3_strip_citations']})
+    """
+    o["p11_p13_strlist"] = f"""
+        SELECT 'p11' AS op, p_partkey AS k, items AS s1, canonical AS s2
+        FROM ({o['p11_str2list']})
+        UNION ALL
+        SELECT 'p13' AS op, doc_id AS k, answer AS s1,
+               CAST(NULL AS VARCHAR) AS s2
+        FROM ({o['p13_extract_answer']})
+    """
+    o["t3_t6_order_limit"] = f"""
+        SELECT 't3' AS op, p_partkey AS k, p_name AS s, p_retailprice AS v
+        FROM ({o['t3_topn']})
+        UNION ALL
+        SELECT 't6' AS op, o_orderkey AS k, CAST(o_custkey AS VARCHAR) AS s,
+               CAST(NULL AS DOUBLE) AS v
+        FROM ({o['t6_limit']})
+    """
+    o["t1_t2_topk_best"] = f"""
+        SELECT 't1' AS op, o_orderpriority AS grp, o_orderkey AS k,
+               o_totalprice AS val, rn
+        FROM ({o['t1_topk_per_group']})
+        UNION ALL
+        SELECT 't2' AS op, event_type AS grp, event_id AS k, value AS val,
+               CAST(NULL AS INT) AS rn
+        FROM ({o['t2_best_of']})
+    """
+    o["a7_a8_ratio_stats"] = f"""
+        SELECT 'a7' AS op, n_name AS grp, cite_ratio AS ratio,
+               n_customers AS n
+        FROM ({o['a7_cite_ratio']})
+        UNION ALL
+        SELECT 'a8' AS op, event_type AS grp, avg_nonzero_value AS ratio,
+               n_nonzero AS n
+        FROM ({o['a8_nonzero_avg']})
+    """
+    o["events_windows"] = f"""
+        SELECT 'tumble' AS op, bucket_start AS w_start, event_type,
+               n_events, sum_value
+        FROM ({o['events_tumbling_window']})
+        UNION ALL
+        SELECT 'slide' AS op, window_start AS w_start, event_type,
+               n_events, CAST(NULL AS DOUBLE) AS sum_value
+        FROM ({o['events_sliding_window']})
+    """
+    o["moments_histogram"] = f"""
+        SELECT 'mom' AS op, l_returnflag AS grp, CAST(NULL AS BIGINT) AS bin,
+               n, CAST(NULL AS DOUBLE) AS bin_lo,
+               sum_x, sum_y, sum_xy, sum_x2, sum_y2
+        FROM ({o['value_moments']})
+        UNION ALL
+        SELECT 'hist' AS op, event_type AS grp, bin, n_rows AS n, bin_lo,
+               CAST(NULL AS VARCHAR) AS sum_x, CAST(NULL AS VARCHAR) AS sum_y,
+               CAST(NULL AS VARCHAR) AS sum_xy,
+               CAST(NULL AS VARCHAR) AS sum_x2, CAST(NULL AS VARCHAR) AS sum_y2
+        FROM ({o['value_histogram']})
+    """
+    for retired in _RETIRED_BOARD_KEYS:
+        del o[retired]
+    return o
+
+
+# Board slots retired by the round-11 compaction (merged above, plus the
+# diag_fetch_norm convention probe whose question the r10 green answered
+# for good).  The standalone Spark functions stay defined — bench.py keeps
+# pricing the production shapes and tests/test_plans.py keeps pinning
+# their physical plans.
+_RETIRED_BOARD_KEYS = (
+    "p15_sentence_count", "p16_token_counts",
+    "p7_bibkey_normalize", "p14_normalize_answer",
+    "p1_filter_informative", "p3_strip_citations",
+    "p11_str2list", "p13_extract_answer",
+    "t3_topn", "t6_limit",
+    "t1_topk_per_group", "t2_best_of",
+    "a7_cite_ratio", "a8_nonzero_avg",
+    "events_tumbling_window", "events_sliding_window",
+    "value_moments", "value_histogram",
+    "diag_fetch_norm",
+)
+
+# name → production-shaped callable for the retired slots, so bench.py and
+# plan tooling resolve the historical names without the board carrying them.
+RETIRED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "p15_sentence_count": q_p15_sentence_count,
+    "p16_token_counts": q_p16_token_counts,
+    "p7_bibkey_normalize": q_p7_bibkey,
+    "p14_normalize_answer": q_p14_normalize_answer,
+    "p1_filter_informative": q_p1_filter_informative,
+    "p3_strip_citations": q_p3_strip_citations,
+    "p11_str2list": q_p11_str2list,
+    "p13_extract_answer": q_p13_extract_answer,
+    "t3_topn": q_t3_topn,
+    "t6_limit": q_t6_limit,
+    "t1_topk_per_group": q_t1_topk_per_group,
+    "t2_best_of": q_t2_best_of,
+    "a7_cite_ratio": q_a7_cite_ratio,
+    "a8_nonzero_avg": q_a8_nonzero_avg,
+    "events_tumbling_window": q_events_tumbling,
+    "events_sliding_window": q_events_sliding,
+    "value_moments": q_value_moments,
+    "value_histogram": q_value_histogram,
+}

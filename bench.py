@@ -228,7 +228,8 @@ def main() -> int:
     runs: dict[str, list[float]] = {}
     spread: dict[str, float] = {}
     for name in HEADLINE:
-        fn = BENCH_ONLY.get(name) or queries.get(name)
+        fn = (BENCH_ONLY.get(name) or queries.get(name)
+              or entrymod.RETIRED_QUERIES.get(name))
         if fn is None:
             continue
         samples: list[float] = []

@@ -92,13 +92,29 @@ def label_propagation(
             .union(e.select(F.col("__d").alias("__n")))
             .distinct()
         )
+        sc = e.sparkSession.sparkContext
+
+        def _pinned_ids() -> set:
+            return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+        def _release(ids: set) -> None:
+            jmap = sc._jsc.getPersistentRDDs()
+            for rid in ids:
+                if jmap.containsKey(rid):
+                    jmap.get(rid).unpersist()
+
+        base = _pinned_ids()
         labels = nodes.select("__n", F.col("__n").alias("__l"))
         labels = labels.localCheckpoint(eager=True)
+        prev_ids = _pinned_ids() - base
 
         rounds = n_iter if n_iter is not None else max_iter
         for _ in range(rounds):
+            base = _pinned_ids()
             new_labels = _one_round(e, labels)
             new_labels = new_labels.localCheckpoint(eager=True)
+            new_ids = _pinned_ids() - base
+            converged = False
             if n_iter is None:
                 n_changed = (
                     labels.withColumnRenamed("__l", "__prev")
@@ -106,10 +122,22 @@ def label_propagation(
                     .filter(F.col("__prev") != F.col("__l"))
                     .count()
                 )
-                if n_changed == 0:
-                    labels = new_labels
-                    break
+                converged = n_changed == 0
+            # The new round's checkpoint is materialized (eager=True) and
+            # the convergence count above was the LAST read of the old
+            # round's blocks — release them now, or every call leaks |V|
+            # storage-memory blocks per round for the session's lifetime
+            # (r10 advice; the verify-sweep fix only covered the gate
+            # harness, not library callers).  Only ids this loop's own
+            # localCheckpoint created are touched, so caller/session
+            # caches are safe; the old frame is never read again, so the
+            # truncated-lineage caveat doesn't bite.  Only the FINAL
+            # frame's blocks stay alive for the caller.
+            _release(prev_ids)
+            prev_ids = new_ids
             labels = new_labels
+            if converged:
+                break
         return labels.select(
             F.col("__n").alias(node_out), F.col("__l").alias(label_out)
         )

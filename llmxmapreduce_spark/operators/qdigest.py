@@ -183,6 +183,15 @@ def qdigest_quantiles(
     construction (module scale notes)."""
     from pyspark.sql import Window
 
+    # r10 advice: q > 1 makes rank_target exceed n so the filter never
+    # matches and that quantile SILENTLY disappears from the output;
+    # q <= 0 is silently coerced to rank 1.  Both are caller bugs —
+    # fail loudly instead of dropping/bending the request.
+    bad = [q for q in qs if not (0.0 < float(q) <= 1.0)]
+    if bad:
+        raise ValueError(
+            f"qdigest_quantiles: quantiles must satisfy 0 < q <= 1, got {bad}")
+
     lo, hi = _node_bounds(k)
     b = digest.select("node", "cnt", lo.alias("lo"), hi.alias("hi"))
     w = Window.orderBy("hi", "lo").rowsBetween(

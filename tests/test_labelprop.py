@@ -114,3 +114,22 @@ def test_duckdb_unrolled_twin(spark):
         f"SELECT * FROM (VALUES {rows}) t(src, dst)", n_iter=3)
     want = dict(con.execute(sql).fetchall())
     assert got == want
+
+
+def test_intermediate_checkpoints_released(spark):
+    """r10 advice: each round's localCheckpoint must release the previous
+    round's blocks — library callers outside the verify sweep would
+    otherwise accumulate |V| storage blocks per round per call.  Only
+    the FINAL labels frame's blocks (and nothing from earlier rounds or
+    the unpersisted edge cache) may stay pinned after a call."""
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    df = spark.createDataFrame(TWO_CLIQUES, "src long, dst long")
+    labels = lp.label_propagation(df, n_iter=4)
+    labels.count()
+    after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    leaked = after - before
+    # exactly the final frame's checkpoint (1 RDD), not one per round
+    assert len(leaked) <= 1, (
+        f"{len(leaked)} RDDs left pinned by a 4-round LPA call; "
+        "intermediate round checkpoints are leaking")

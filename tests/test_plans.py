@@ -8,14 +8,15 @@ SF = "/root/testdata/sf0.001"
 
 
 def plan_of(spark, name):
-    df = entrymod.queries()[name](spark, SF)
+    fn = entrymod.queries().get(name) or entrymod.RETIRED_QUERIES[name]
+    df = fn(spark, SF)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
 def test_filter_pushdown_reaches_scan(spark):
     # p1 filter on documents: doc_id % 7 <> 0 can't push, but the scan must
     # prune columns (only doc_id + text needed).
-    df = entrymod.queries()["p7_bibkey_normalize"](spark, SF)
+    df = entrymod.RETIRED_QUERIES["p7_bibkey_normalize"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema" in plan
     # column pruning: n_chars/source/lang must NOT be read

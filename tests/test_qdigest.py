@@ -173,3 +173,19 @@ def test_duckdb_unrolled_twin(spark):
         f"SELECT v FROM (VALUES {rows}) t(v)", k=k, tau=tau)
     want = dict(duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+def test_quantiles_rejects_out_of_range_qs(spark):
+    """r10 advice: q outside (0, 1] must raise, not silently vanish
+    (q > 1: rank_target > n so the filter never matches) or be coerced
+    (q <= 0 used to clamp to rank 1)."""
+    import pytest
+
+    from llmxmapreduce_spark.operators.qdigest import (qdigest,
+                                                       qdigest_quantiles)
+
+    df = spark.range(100).selectExpr("id AS x")
+    d = qdigest(df, "x", k=16, tau=8)
+    for bad in ([1.5], [0.0], [-0.1], [0.5, 2.0]):
+        with pytest.raises(ValueError, match="0 < q <= 1"):
+            qdigest_quantiles(d, bad, k=16)

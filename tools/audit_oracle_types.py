@@ -52,13 +52,11 @@ RISKY_SPARK = re.compile(
     r"^(decimal|float$|date$|array|struct|map|binary)", re.I)
 
 
-def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf = args[0] if args and "/" in args[0] else "/root/testdata/sf0.001"
-    # flags must not leak into the name filter: "--spark" in `only`
-    # used to skip EVERY query and false-green the audit (r10 review)
-    only = [a for a in args if "/" not in a]
-
+def audit(sf: str = "/root/testdata/sf0.001", only=None,
+          spark=None) -> list[str]:
+    """Importable core (pytest-gated via tests/test_oracle_types.py):
+    returns one "name: flag, flag" line per flagged/erroring entry —
+    empty list == the whole board is surface-portable."""
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
@@ -66,13 +64,7 @@ def main():
     oracles = entrymod.oracle_sql()
     qs = entrymod.queries()
 
-    spark = None
-    check_spark = "--spark" in sys.argv
-    if check_spark:
-        from llmxmapreduce_spark.session import get_spark
-        spark = get_spark("audit_types")
-
-    n_flag = 0
+    problems: list[str] = []
     for name in qs:
         if only and name not in only:
             continue
@@ -83,30 +75,53 @@ def main():
                 desc = con.execute(
                     f"DESCRIBE SELECT * FROM ({osql}) t").fetchall()
             except Exception as e:
-                print(f"ERR  {name}: duckdb describe: {str(e)[:160]}")
-                n_flag += 1
+                problems.append(f"{name}: duckdb describe: {str(e)[:160]}")
                 continue
             for cname, ctype, *_ in desc:
                 if RISKY_DUCK.match(ctype):
                     flags.append(f"duck:{cname}:{ctype}")
-        if check_spark:
+        if spark is not None:
             try:
                 sdf = qs[name](spark, sf)
                 for cname, ctype in sdf.dtypes:
                     if RISKY_SPARK.match(ctype):
                         flags.append(f"spark:{cname}:{ctype}")
             except Exception as e:
-                print(f"ERR  {name}: spark: {str(e)[:160]}")
-                n_flag += 1
+                problems.append(f"{name}: spark: {str(e)[:160]}")
                 continue
         if flags:
-            print(f"FLAG {name}: {', '.join(flags)}")
-            n_flag += 1
+            problems.append(f"{name}: {', '.join(flags)}")
+    return problems
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf = args[0] if args and "/" in args[0] else "/root/testdata/sf0.001"
+    # flags must not leak into the name filter: "--spark" in `only`
+    # used to skip EVERY query and false-green the audit (r10 review)
+    only = [a for a in args if "/" not in a]
+
+    spark = None
+    if "--spark" in sys.argv:
+        from llmxmapreduce_spark.session import get_spark
+        spark = get_spark("audit_types")
+
+    problems = audit(sf, only=only, spark=spark)
+    bad = {p.split(":")[0] for p in problems}
+    for name in entrymod.queries():
+        if only and name not in only:
+            continue
+        if name in bad:
+            kind = "ERR " if any(
+                p.startswith(f"{name}: duckdb describe:")
+                or p.startswith(f"{name}: spark:") for p in problems) else "FLAG"
+            line = next(p for p in problems if p.startswith(f"{name}:"))
+            print(f"{kind} {line}")
         else:
             print(f"OK   {name}")
-    print(f"\n{n_flag} flagged")
-    return 1 if n_flag else 0
+    print(f"\n{len(problems)} flagged")
+    return 1 if problems else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    raise SystemExit(main())

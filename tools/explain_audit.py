@@ -184,8 +184,9 @@ def main() -> int:
         return lines
 
     for name, why in AUDITED:
+        fn = qs.get(name) or entrymod.RETIRED_QUERIES[name]
         out += [f"## {name}", "", f"*Intent: {why}*", "", "```",
-                *fmt(qs[name](spark, sf)), "```", ""]
+                *fmt(fn(spark, sf)), "```", ""]
 
     # Production hyperplane bucket for cosine near-dup (not a board query —
     # the board twin uses signbits so DuckDB can mirror it; production

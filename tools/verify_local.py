@@ -255,7 +255,16 @@ def _release_session_state(spark) -> None:
     `minhash_lsh_neardup` failed at sweep position 37 with 'Not enough
     memory to build and broadcast', fresh-session single run passes).
     getPersistentRDDs is the only handle to localCheckpoint blocks —
-    catalog.clearCache() alone covers just the DataFrame cache."""
+    catalog.clearCache() alone covers just the DataFrame cache.
+
+    INVARIANT (r10 advice): this sweep unpersists localCheckpointed RDDs
+    whose lineage is TRUNCATED — Spark cannot recompute them afterwards
+    ('Checkpoint block ... not found' on next access).  That is safe
+    here only because the gate fully materializes each query's rows
+    (collect / toPandas / streamed fingerprint) BEFORE the next
+    iteration's sweep runs.  Any future cross-query reuse of a returned
+    DataFrame would fail unrecoverably — materialize first, or keep the
+    frame's blocks out of the sweep."""
     spark.catalog.clearCache()
     for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
         jrdd.unpersist()
