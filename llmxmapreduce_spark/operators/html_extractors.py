@@ -15,6 +15,10 @@ gate in :mod:`html_clean` (oracle-checked).  This module provides:
   the tiktoken seam in packing.
 - :func:`extract_with_library` — the distributed wrapper: one
   ``mapInPandas`` pass, the library object built once per partition.
+  ``algorithm="justext_py"`` selects the dependency-free
+  context-sensitive reimplementation in :mod:`justext` (always
+  available — the r11 default for crawled HTML; the library seams stay
+  for deployments that install the real packages).
 - :func:`extraction_agreement` — token-set Jaccard between two
   extraction columns, pure Catalyst: the measure used to quantify how
   far the density gate diverges from the reference extractors on a
@@ -138,15 +142,24 @@ def extract_with_library(
     first."""
     import pandas as pd
 
-    if algorithm not in ("justext", "resiliparse"):
+    if algorithm not in ("justext", "justext_py", "resiliparse"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                        for f in df.schema.fields)
     schema = f"{fields}, {out_col} string"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        fn = (justext_paragraphs if algorithm == "justext"
-              else resiliparse_paragraphs)
+        if algorithm == "justext_py":
+            # dependency-free context-sensitive reimplementation
+            # (operators/justext.py) — always available
+            from llmxmapreduce_spark.operators.justext import (
+                justext_extract_py)
+
+            def fn(html, lang=lang, **kw):
+                return justext_extract_py(html, lang=lang, **kw)
+        else:
+            fn = (justext_paragraphs if algorithm == "justext"
+                  else resiliparse_paragraphs)
         for pdf in batches:
             texts = []
             for html in pdf[html_col]:
