@@ -455,18 +455,11 @@ def q_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
         max_bucket=None)
 
 
-def q_media_prep_e2e(spark: SparkSession, sf: str) -> DataFrame:
-    """BENCH line (judge task #8): the media-curation e2e pipeline
-    (pipelines/media_prep.py run_media_prep) over the q_image_neardup
-    synthetic corpus plus planted junk — metadata gates → exact md5
-    dedup → decode-once dhash/ahash through the REAL PNG codec → banded
-    near-dedup → canonical survivor.  Prices the full cost ladder the
-    way corpus_prep_e2e prices the text side; correctness is gated by
-    tests/test_media_prep.py (planted-lane fixtures)."""
-    from llmxmapreduce_spark.functions.png import encode_png, png_decoder
-    from llmxmapreduce_spark.operators import media_dedup  # noqa: F401
-    from llmxmapreduce_spark.pipelines.media_prep import (MediaPrepConfig,
-                                                          run_media_prep)
+def _media_prep_assets(spark: SparkSession, sf: str) -> DataFrame:
+    """The q_media_prep_e2e synthetic asset corpus (q_image_neardup
+    images + planted junk/exact-dup lanes) — shared with the
+    explain_audit plan capture."""
+    from llmxmapreduce_spark.functions.png import encode_png
 
     d = load_table(spark, sf, "documents").select("doc_id")
 
@@ -502,7 +495,22 @@ def q_media_prep_e2e(spark: SparkSession, sf: str) -> DataFrame:
                                  "payload": rows[-1]["payload"]})
             yield pd.DataFrame(rows, columns=["asset_id", "payload"])
 
-    assets = d.mapInPandas(gen, schema="asset_id string, payload binary")
+    return d.mapInPandas(gen, schema="asset_id string, payload binary")
+
+
+def q_media_prep_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """BENCH line (judge task #8): the media-curation e2e pipeline
+    (pipelines/media_prep.py run_media_prep) over the q_image_neardup
+    synthetic corpus plus planted junk — metadata gates → exact md5
+    dedup → decode-once dhash/ahash through the REAL PNG codec → banded
+    near-dedup → canonical survivor.  Prices the full cost ladder the
+    way corpus_prep_e2e prices the text side; correctness is gated by
+    tests/test_media_prep.py (planted-lane fixtures)."""
+    from llmxmapreduce_spark.functions.png import png_decoder
+    from llmxmapreduce_spark.pipelines.media_prep import (MediaPrepConfig,
+                                                          run_media_prep)
+
+    assets = _media_prep_assets(spark, sf)
     cfg = MediaPrepConfig(decoder=png_decoder, min_bytes=16)
     kept, _quarantined = run_media_prep(assets, cfg)
     return kept

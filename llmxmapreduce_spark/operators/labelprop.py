@@ -68,12 +68,20 @@ def label_propagation(
     max_iter: int = 20,
     node_out: str = "node",
     label_out: str = "label",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """→ (node_out, label_out): one row per node appearing in ``edges``.
 
     ``n_iter`` fixed runs exactly that many synchronous rounds (the
     oracle-replayable mode); ``n_iter=None`` iterates to a fixpoint
     (no label changed) bounded by ``max_iter``.
+
+    ``checkpoint=False`` skips the per-round lineage cut — ONLY for
+    plan auditing / tiny n_iter (tools/explain_audit.py captures the
+    one-round operator pipeline this way; with checkpointing on, the
+    final plan collapses to a Scan ExistingRDD and is unreviewable —
+    r10 verdict task #4).  Production keeps the default: the
+    self-referential plan grows exponentially in rounds.
     """
     if n_iter is not None and n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
@@ -105,14 +113,16 @@ def label_propagation(
 
         base = _pinned_ids()
         labels = nodes.select("__n", F.col("__n").alias("__l"))
-        labels = labels.localCheckpoint(eager=True)
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=True)
         prev_ids = _pinned_ids() - base
 
         rounds = n_iter if n_iter is not None else max_iter
         for _ in range(rounds):
             base = _pinned_ids()
             new_labels = _one_round(e, labels)
-            new_labels = new_labels.localCheckpoint(eager=True)
+            if checkpoint:
+                new_labels = new_labels.localCheckpoint(eager=True)
             new_ids = _pinned_ids() - base
             converged = False
             if n_iter is None:

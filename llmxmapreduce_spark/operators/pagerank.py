@@ -63,12 +63,22 @@ def pagerank(
     scale: int = 1_000_000_000,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """→ ``(node, rank_q)`` — fixed-point PageRank after ``n_iter``
     exact-integer iterations (see module contract).  ``rank_q`` is in
     ``scale`` units; ranks sum to ≈ N·scale.  Multi-edges weight the
     walk by multiplicity; self-loops are legal; dangling-node mass is
-    redistributed uniformly each round."""
+    redistributed uniformly each round.
+
+    ``checkpoint=False`` skips every lineage cut — ONLY for plan
+    auditing (tools/explain_audit.py captures the one-iteration
+    operator pipeline this way; checkpointed results collapse to a
+    Scan ExistingRDD — r10 verdict task #4) or tiny n_iter."""
+
+    def _ck(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True) if checkpoint else df
+
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
@@ -77,8 +87,8 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    nodes = _ck(nodes)
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank_q", F.lit(0).cast("long"))
@@ -88,9 +98,9 @@ def pagerank(
             f"(N={n}, scale={scale})"
         )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    deg = deg.localCheckpoint(eager=True)
+    deg = _ck(deg)
     # pre-join outdeg onto the edge table once — reused every iteration
-    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    ed = _ck(e.join(deg, "src"))
 
     base = (scale * (damping_den - damping_num)) // damping_den
     ranks = nodes.withColumn("rank_q", F.lit(int(scale)).cast("long"))
@@ -123,6 +133,6 @@ def pagerank(
                     )
                 ).cast("long").alias("rank_q"),
             )
-            .localCheckpoint(eager=True)
         )
+        ranks = _ck(ranks)
     return ranks

@@ -58,15 +58,21 @@ class MediaPrepConfig:
     admit_undecodable: bool = False
     hash_w: int = 8
     hash_h: int = 8
+    # False skips every inter-stage localCheckpoint cut — ONLY for plan
+    # auditing (tools/explain_audit.py shows the full lazy pipeline;
+    # checkpointed stages collapse to Scan ExistingRDD) or tiny inputs.
+    checkpoint: bool = True
     extra: dict = field(default_factory=dict)
 
 
-def _cut(sm: StageMetrics | None, name: str, df: DataFrame) -> DataFrame:
+def _cut(sm: StageMetrics | None, name: str, df: DataFrame,
+         checkpoint: bool = True) -> DataFrame:
     if sm is not None:
         df = sm.observe(name, df)
-    df = df.localCheckpoint(eager=True)
-    if sm is not None:
-        sm.materialized(name)
+    if checkpoint:
+        df = df.localCheckpoint(eager=True)
+        if sm is not None:
+            sm.materialized(name)
     return df
 
 
@@ -115,7 +121,7 @@ def run_media_prep(
             # null dimensions fail the gate: an unprobed asset can't
             # prove it meets the bound
             gated = gated.filter(F.col(col) >= bound)
-    gated = _cut(stage_metrics, "metadata_gate", gated)
+    gated = _cut(stage_metrics, "metadata_gate", gated, cfg.checkpoint)
 
     # 2. exact dedup on payload bytes — the text operator verbatim
     # (md5 key, min-id representative); normalize=False because byte
@@ -123,13 +129,13 @@ def run_media_prep(
     if cfg.exact_dedup:
         gated = exact_dedup(gated, text_col=payload_col, id_col=id_col,
                             normalize=False)
-        gated = _cut(stage_metrics, "exact_dedup", gated)
+        gated = _cut(stage_metrics, "exact_dedup", gated, cfg.checkpoint)
 
     # 3. decode + hash once
     hashes = media_dedup.image_hashes(
         gated, decoder, id_col=id_col, payload_col=payload_col,
         hash_w=cfg.hash_w, hash_h=cfg.hash_h)
-    hashes = _cut(stage_metrics, "perceptual_hash", hashes)
+    hashes = _cut(stage_metrics, "perceptual_hash", hashes, cfg.checkpoint)
     enriched = gated.join(
         hashes.select(F.col("asset_id").alias(id_col), "dhash", "ahash",
                       "decode_ok", "decode_error"), id_col)
@@ -146,5 +152,5 @@ def run_media_prep(
             max_distance=cfg.max_distance, max_bucket=cfg.max_bucket)
         enriched = dedup_by_components(
             enriched, pairs, id_col=id_col, keep_by=cfg.keep_by)
-    kept = _cut(stage_metrics, "neardup", enriched)
+    kept = _cut(stage_metrics, "neardup", enriched, cfg.checkpoint)
     return kept, quarantined

@@ -164,6 +164,77 @@ AUDITED = [
 ]
 
 
+# Queries whose board callable localCheckpoints its result (iterative
+# lineage cuts / eager pair materialization): the executed plan collapses
+# to `Scan ExistingRDD` and is unreviewable (r10 verdict task #4).  Each
+# override rebuilds the SAME workload lazily — checkpointing off /
+# materialize=False, ONE iteration where the board runs three (plan
+# shapes are identical per round) — so PLANS.md shows the real operator
+# pipeline.
+def _plan_minhash(spark, sf):
+    from llmxmapreduce_spark.operators import dedup
+    corpus = entrymod._corpus_with_mutants(spark, sf)
+    return dedup.minhash_dedup_pairs(
+        corpus, n=3, num_hashes=8, bands=4, threshold=0.5,
+        materialize=False)
+
+
+def _plan_pagerank(spark, sf):
+    from pyspark.sql import functions as F
+    from llmxmapreduce_spark.operators import pagerank as pr
+    from llmxmapreduce_spark import load_table
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    part = (F.col("l_partkey") + F.lit(10**12)).cast("long")
+    fwd = li.select(F.col("l_orderkey").alias("src"), part.alias("dst"))
+    rev = li.select(part.alias("src"), F.col("l_orderkey").alias("dst"))
+    return pr.pagerank(fwd.union(rev), n_iter=1, checkpoint=False)
+
+
+def _plan_labelprop(spark, sf):
+    from pyspark.sql import functions as F
+    from llmxmapreduce_spark.operators import labelprop as lp
+    from llmxmapreduce_spark import load_table
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    supp = (F.col("l_suppkey") + F.lit(10**12)).cast("long")
+    part = F.col("l_partkey").cast("long")
+    fwd = li.select(part.alias("src"), supp.alias("dst"))
+    rev = li.select(supp.alias("src"), part.alias("dst"))
+    return lp.label_propagation(
+        fwd.union(rev), n_iter=1, checkpoint=False).orderBy("node")
+
+
+def _plan_media_prep(spark, sf):
+    from llmxmapreduce_spark.functions.png import png_decoder
+    from llmxmapreduce_spark.pipelines.media_prep import (MediaPrepConfig,
+                                                          run_media_prep)
+    assets = entrymod._media_prep_assets(spark, sf)
+    cfg = MediaPrepConfig(decoder=png_decoder, min_bytes=16,
+                          checkpoint=False)
+    kept, _ = run_media_prep(assets, cfg)
+    return kept
+
+
+PLAN_OVERRIDES = {
+    "media_prep_e2e": (
+        _plan_media_prep,
+        "lazy capture (MediaPrepConfig.checkpoint=False): the full "
+        "gate→md5-dedup→decode-hash→banded-neardup pipeline, shown "
+        "without the inter-stage cuts production runs"),
+    "minhash_lsh_neardup": (
+        _plan_minhash,
+        "lazy capture (materialize=False): the pairs frame the board "
+        "checkpoints, shown pre-checkpoint"),
+    "pagerank_bipartite": (
+        _plan_pagerank,
+        "one-iteration capture (checkpoint=False): the board runs 3 "
+        "identical rounds, each checkpointed"),
+    "label_propagation": (
+        _plan_labelprop,
+        "one-round capture (checkpoint=False): the board runs 3 "
+        "identical rounds, each checkpointed"),
+}
+
+
 def main() -> int:
     spark = get_spark("explain_audit")
     sf = "/root/testdata/sf0.001"
@@ -184,6 +255,13 @@ def main() -> int:
         return lines
 
     for name, why in AUDITED:
+        if name in PLAN_OVERRIDES:
+            builder, note = PLAN_OVERRIDES[name]
+            out += [f"## {name}", "", f"*Intent: {why}*", "",
+                    f"*Plan capture: {note}.*", "", "```",
+                    *fmt(builder(spark, sf)), "```", ""]
+            spark.catalog.clearCache()
+            continue
         fn = qs.get(name) or entrymod.RETIRED_QUERIES[name]
         out += [f"## {name}", "", f"*Intent: {why}*", "", "```",
                 *fmt(fn(spark, sf)), "```", ""]
@@ -411,8 +489,14 @@ def main() -> int:
                if name in PROMOTED else
                "board + bench, same plan" if name in BOARD_SAME
                else "bench-only")
-        out += [f"## {name} ({tag})", "", f"*Intent: {why}*", "", "```",
-                *fmt(fn(spark, sf)), "```", ""]
+        extra = []
+        if name in PLAN_OVERRIDES:
+            fn, note = PLAN_OVERRIDES[name]
+            extra = [f"*Plan capture: {note}.*", ""]
+        out += [f"## {name} ({tag})", "", f"*Intent: {why}*", "", *extra,
+                "```", *fmt(fn(spark, sf)), "```", ""]
+        if name in PLAN_OVERRIDES:
+            spark.catalog.clearCache()
 
     # Round-8 board variants: same plan families as the bench production
     # shapes above, with exact-value deltas for the cross-engine hash gate.
