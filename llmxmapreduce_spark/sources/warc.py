@@ -661,27 +661,43 @@ def warc_to_documents(
     via: str = "binaryFile",
     html_statuses: tuple[int, ...] = (200,),
     min_parallelism: int | None = None,
+    extractor: str = "gate",
 ) -> DataFrame:
     """The crawl→corpus front half in one call: read responses, keep
     fetched HTML (status + Content-Type gates — both metadata columns,
-    no payload inspection), decode, strip boilerplate
-    (operators.html_clean), and emit ``(doc_id, url, fetched_at, text)``
-    rows ready for the URL-curation + corpus_prep stages.  ``doc_id`` is
-    ``xxhash64(record_id)`` — stable across re-reads of the same crawl."""
+    no payload inspection), decode, strip boilerplate, and emit
+    ``(doc_id, url, fetched_at, text)`` rows ready for the
+    URL-curation + corpus_prep stages.  ``doc_id`` is
+    ``xxhash64(record_id)`` — stable across re-reads of the same crawl.
+
+    ``extractor``: ``"gate"`` (default) = the pure-Catalyst stopword
+    density gate (operators.html_clean — zero Python, whole-stage
+    codegen); ``"justext"`` = the context-sensitive jusText
+    reimplementation (operators.justext — one Arrow-batched mapInPandas
+    pass; rescues short interjections and headings the stateless gate
+    drops, the reference's own extractor semantics for real crawled
+    HTML)."""
     from llmxmapreduce_spark.operators.html_clean import extract_main_content
 
+    if extractor not in ("gate", "justext"):
+        raise ValueError(f"unknown extractor {extractor!r}")
     pages = read_warc(spark, path, warc_types=("response",), via=via,
                       min_parallelism=min_parallelism)
     pages = pages.filter(
         F.col("http_status").isin(list(html_statuses))
         & F.lower(F.coalesce("http_content_type", F.lit("")))
         .contains("html"))
-    return (
-        warc_http_text(pages, text_col="__html")
-        .select(
-            F.xxhash64("record_id").alias("doc_id"),
-            F.col("target_uri").alias("url"),
-            F.col("warc_date").alias("fetched_at"),
+    decoded = warc_http_text(pages, text_col="__html").select(
+        F.xxhash64("record_id").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("warc_date").alias("fetched_at"),
+        F.col("__html"))
+    if extractor == "justext":
+        from llmxmapreduce_spark.operators.justext import justext_extract
+        out = justext_extract(decoded, "__html", out_col="text") \
+            .drop("__html")
+    else:
+        out = decoded.select(
+            "doc_id", "url", "fetched_at",
             extract_main_content(F.col("__html")).alias("text"))
-        .filter(F.length("text") > 0)
-    )
+    return out.filter(F.length("text") > 0)

@@ -319,3 +319,27 @@ def test_write_cdx_sorted(spark, warc_dir, tmp_path):
     keys = [tuple(ln.split(" ")[:2]) for ln in lines]
     assert keys == sorted(keys)
     assert all(len(ln.split(" ")) == 9 for ln in lines)
+
+
+def test_warc_to_documents_justext_extractor(spark, warc_dir):
+    """r11: extractor="justext" routes the decoded HTML through the
+    context-sensitive reimplementation (operators/justext.py) — same
+    row contract, text from the jusText classification instead of the
+    stateless gate; unknown names rejected."""
+    import pytest
+
+    docs = W.warc_to_documents(spark, str(warc_dir / "seg.warc.gz"),
+                               extractor="justext")
+    rows = docs.collect()
+    assert set(docs.columns) == {"doc_id", "url", "fetched_at", "text"}
+    # the fixture page's prose is below jusText's length_low, so on
+    # this tiny corpus the strict algorithm may keep nothing — the
+    # contract here is the plumbing (schema, gates, empty-filter),
+    # pinned by construction: every surviving row has non-empty text
+    # from an HTML 200 page
+    for r in rows:
+        assert r["text"]
+        assert r["url"].startswith("http://")
+    with pytest.raises(ValueError, match="unknown extractor"):
+        W.warc_to_documents(spark, str(warc_dir / "seg.warc.gz"),
+                            extractor="boilerpipe")
