@@ -1325,6 +1325,27 @@ def q_p17_html_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_html_extract_justext(spark: SparkSession, sf: str) -> DataFrame:
+    """BENCH line (r11): the context-sensitive jusText path
+    (operators/justext.py, mapInPandas) over the SAME synthetic HTML
+    corpus the p17 board entry runs through the Catalyst gate — prices
+    what switching `warc_to_documents(extractor="justext")` costs a
+    deployment relative to the zero-Python gate.  Not a board entry:
+    the neighbour recursion has no portable DuckDB form (correctness is
+    pytest-gated: tests/test_justext.py, hostile fixtures)."""
+    from llmxmapreduce_spark.operators.justext import justext_extract
+
+    d = load_table(spark, sf, "documents")
+    html = F.concat(
+        F.lit("<html><head><script>var x = 1;</script><style>.a{}</style></head>"
+              "<body><nav>nav nav nav</nav><div>"),
+        F.substring("text", 1, 300),
+        F.lit("</div><footer>menu items list</footer></body></html>"),
+    )
+    return justext_extract(
+        d.select("doc_id", html.alias("html")), "html", out_col="content")
+
+
 def q_qa_f1_score(spark: SparkSession, sf: str) -> DataFrame:
     """V1 eval scorer: normalized token multiset F1 (compute_scores.py:52-101)."""
     from llmxmapreduce_spark.operators import eval_ops

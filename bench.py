@@ -136,6 +136,8 @@ HEADLINE = [
     "salted_agg",
     "qdigest_values",
     "pattern_hits",
+    "p17_html_extract",
+    "html_extract_justext",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-
@@ -211,6 +213,10 @@ BENCH_ONLY = {
     # MCP-host loop (sf-independent control plane + distributed stages)
     "media_prep_e2e": entrymod.q_media_prep_e2e,
     "v3_host_e2e": entrymod.q_v3_host_transcript,
+    # r11: the context-sensitive jusText extraction path vs the gate
+    # (the p17 board entry prices the gate; this line prices what
+    # extractor="justext" costs on the same synthetic HTML corpus)
+    "html_extract_justext": entrymod.q_html_extract_justext,
     # r10 scale extensions: mergeable HLL cardinality state + the
     # stream-stream interval join's batch twin
     "interval_join": entrymod.q_interval_join,
