@@ -71,8 +71,10 @@ _HEADINGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 # preprocessor removes head/script/style; <select> content is instead
 # FLAGGED and classified bad — handled via select_depth below)
 _DROP_SUBTREE = frozenset({"script", "style", "head"})
-_ENTITIES = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"',
-             "&#39;": "'", "&apos;": "'", "&nbsp;": " ", "&copy;": "\xa9"}
+# stdlib html.unescape handles the full named + numeric entity set in
+# one pass (a hand-rolled sequential replace map mis-handled numeric
+# forms like &#169; — the copyright rule then missed real footers — and
+# double-unescaped "&amp;lt;" — r11 review finding)
 
 
 @dataclass
@@ -92,10 +94,10 @@ class Block:
 
 
 def _unescape(s: str) -> str:
-    for k, v in _ENTITIES.items():
-        if k in s:
-            s = s.replace(k, v)
-    return s
+    if "&" not in s:
+        return s
+    import html
+    return html.unescape(s)
 
 
 def segment_blocks(html: str) -> list[Block]:
@@ -109,26 +111,29 @@ def segment_blocks(html: str) -> list[Block]:
     linked = 0
     drop_depth = 0
     link_depth = 0
-    heading_depth = 0
+    in_heading = False
     select_depth = 0
+    br_pending = False
 
     def flush() -> None:
-        nonlocal buf, linked
+        nonlocal buf, linked, br_pending
         text = _WS.sub(" ", "".join(buf)).strip()
         if text:
             blocks.append(Block(
                 text=text,
-                is_heading=heading_depth > 0,
+                is_heading=in_heading,
                 chars_in_links=min(linked, len(text)),
                 in_select=select_depth > 0,
             ))
-        buf, linked = [], 0
+        buf, linked, br_pending = [], 0, False
 
     pos = 0
     for m in _TAG.finditer(html):
         if m.start() > pos and drop_depth == 0:
             piece = _unescape(html[pos:m.start()])
             buf.append(piece)
+            if piece.strip():
+                br_pending = False
             if link_depth > 0:
                 linked += len(_WS.sub(" ", piece).strip())
         pos = m.end()
@@ -164,22 +169,32 @@ def segment_blocks(html: str) -> list[Block]:
         if name in _INLINE:
             continue                      # phrasing tags don't split
         if name == "br":
-            buf.append("\n")
+            # single <br> is soft (normalized to a space); <br><br>
+            # with nothing but whitespace between IS a paragraph
+            # boundary — the published jusText preprocessing (r11
+            # review: merging the pair let boilerplate lines dilute an
+            # adjacent article paragraph's densities)
+            if br_pending:
+                flush()
+            else:
+                buf.append("\n")
+                br_pending = True
             continue
-        # block-level boundary
+        # block-level boundary.  Heading state is a single auto-closing
+        # flag, not a depth: real parsers auto-close h-elements at the
+        # next block tag, and depth-counting left EVERY later block
+        # heading-flagged after an unclosed <hN> (r11 review).  The flag
+        # is set only by a non-self-closed heading OPEN and cleared by
+        # any other block boundary, including the heading's close.
         flush()
-        if name in _HEADINGS:
-            heading_depth = (max(0, heading_depth - 1) if closing
-                             else heading_depth + 1)
+        in_heading = (name in _HEADINGS and not closing
+                      and not self_closing)
     if pos < len(html) and drop_depth == 0:
         piece = _unescape(html[pos:])
         buf.append(piece)
         if link_depth > 0:
             linked += len(_WS.sub(" ", piece).strip())
     flush()
-    # a block may contain embedded newlines from <br>: they are soft —
-    # normalize (jusText treats <br><br> as a separator; single <br>
-    # keeps the block together, which the _WS.sub above already does)
     return blocks
 
 
@@ -345,24 +360,37 @@ def justext_extract(
     html_col: str = "html",
     out_col: str = "main_text",
     lang: str = "en",
+    keep_html: bool = True,
     **kwargs,
 ) -> DataFrame:
     """Distributed context-sensitive extraction: ONE Arrow-batched
     mapInPandas pass, no shuffle — per-document sequential logic over a
     page-bounded block list, embarrassingly parallel over documents
-    (the reference runs the same shape inside its worker pool)."""
+    (the reference runs the same shape inside its worker pool).
+
+    ``keep_html=False`` drops the raw-HTML column from the OUTPUT
+    schema inside the pass: Catalyst can't prune columns through a
+    Python map, so emitting the page's widest column just to .drop()
+    it downstream would make the raw HTML a second Arrow round-trip
+    per page (r11 review) — crawl callers that only need the extracted
+    text should pass False."""
     import pandas as pd
 
+    out_fields = [f for f in df.schema.fields
+                  if keep_html or f.name != html_col]
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
-                       for f in df.schema.fields)
+                       for f in out_fields)
     schema = f"{fields}, {out_col} string"
+    out_names = [f.name for f in out_fields]
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            pdf[out_col] = [
+            texts = [
                 "\n".join(justext_extract_py(h or "", lang=lang, **kwargs))
                 for h in pdf[html_col]
             ]
-            yield pdf
+            out = pdf[out_names].copy()
+            out[out_col] = texts
+            yield out
 
     return df.mapInPandas(run, schema)

@@ -111,6 +111,14 @@ def label_propagation(
                 if jmap.containsKey(rid):
                     jmap.get(rid).unpersist()
 
+        # Materialize the edge cache BEFORE the first id snapshot: a
+        # DataFrame cache registers its RDD in getPersistentRDDs only
+        # when a job first materializes it, which would otherwise happen
+        # INSIDE the initial eager checkpoint below — putting the edge
+        # cache (and any lazily-registering caller cache upstream) into
+        # prev_ids and releasing it after round 1, silently re-shuffling
+        # |E| every remaining round (r11 review finding).
+        e.count()
         base = _pinned_ids()
         labels = nodes.select("__n", F.col("__n").alias("__l"))
         if checkpoint:

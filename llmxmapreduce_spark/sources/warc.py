@@ -694,8 +694,11 @@ def warc_to_documents(
         F.col("__html"))
     if extractor == "justext":
         from llmxmapreduce_spark.operators.justext import justext_extract
-        out = justext_extract(decoded, "__html", out_col="text") \
-            .drop("__html")
+        # keep_html=False: the raw page must not ride the mapInPandas
+        # output schema just to be dropped (Catalyst can't prune through
+        # a Python map — it would double the stage's Arrow volume)
+        out = justext_extract(decoded, "__html", out_col="text",
+                              keep_html=False)
     else:
         out = decoded.select(
             "doc_id", "url", "fetched_at",

@@ -202,3 +202,49 @@ def test_distributed_wrapper_matches_driver(spark):
     assert len(out) == 8
     assert all(r["main_text"] == want for r in out)
     assert "Short note." in out[0]["main_text"]
+
+
+# ----------------------------------------------------- r11 review fixes
+
+
+def test_numeric_entity_copyright_is_bad():
+    """&#169; (numeric form of ©) must reach the copyright rule — the
+    hand-rolled entity map missed numeric entities entirely."""
+    bs = segment_blocks("<p>&#169; 2025 Example Corp</p>")
+    assert bs[0].text.startswith("\xa9")
+    html = (f"<p>{GOOD}</p>"
+            "<footer>&#169; 2025 Example Corp and all of the rights"
+            " that there are to be reserved by it are reserved.</footer>")
+    out = justext_extract_py(html)
+    assert out == [GOOD]
+
+
+def test_amp_lt_not_double_unescaped():
+    # sequential replace turned "&amp;lt;" into "<"; html.unescape
+    # correctly yields the literal "&lt;"
+    bs = segment_blocks("<p>a &amp;lt; b</p>")
+    assert bs[0].text == "a &lt; b"
+
+
+def test_unclosed_heading_does_not_leak():
+    """An unclosed <h2> must flag only ITS block — depth counting left
+    every later block heading-flagged, making nav shorts rescuable."""
+    bs = segment_blocks("<h2>Title<p>body one</p><p>body two</p>")
+    assert [(b.text, b.is_heading) for b in bs] == [
+        ("Title", True), ("body one", False), ("body two", False)]
+    # self-closed <h2/> has no content — the NEXT block is not a heading
+    bs2 = segment_blocks("<h2/><p>body</p>")
+    assert [(b.text, b.is_heading) for b in bs2] == [("body", False)]
+
+
+def test_double_br_is_a_paragraph_boundary():
+    """<br><br> separates paragraphs (published jusText preprocessing);
+    a single <br> stays soft inside the block."""
+    bs = segment_blocks("<div>Sign up for our newsletter<br><br>"
+                        f"{GOOD}</div>")
+    assert [b.text for b in bs] == ["Sign up for our newsletter", GOOD]
+    one = segment_blocks("<div>line one<br>line two</div>")
+    assert [b.text for b in one] == ["line one line two"]
+    # <br> TEXT <br> is two soft breaks, not a boundary
+    soft = segment_blocks("<div>a<br>b<br>c</div>")
+    assert [b.text for b in soft] == ["a b c"]

@@ -133,3 +133,29 @@ def test_intermediate_checkpoints_released(spark):
     assert len(leaked) <= 1, (
         f"{len(leaked)} RDDs left pinned by a 4-round LPA call; "
         "intermediate round checkpoints are leaking")
+
+
+def test_caller_cache_survives_rounds(spark):
+    """r11 review: a cache whose FIRST materialization happens inside
+    the call (DataFrame caches register in getPersistentRDDs lazily, at
+    materialization) must not be swept by the per-round checkpoint
+    release — the bug released the internal edge cache after round 1,
+    re-shuffling |E| every remaining round, and would equally release a
+    caller's cache."""
+    sc = spark.sparkContext
+
+    def ids():
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    df = spark.createDataFrame(TWO_CLIQUES, "src long, dst long").persist()
+    try:
+        before = ids()          # not materialized yet -> not registered
+        out = lp.label_propagation(df, n_iter=3)
+        out.count()
+        # the caller cache registered during the call and must still be
+        # pinned afterwards (only the call's own intermediate round
+        # checkpoints are released)
+        caller_new = ids() - before
+        assert caller_new, "caller cache was swept by the round release"
+    finally:
+        df.unpersist()

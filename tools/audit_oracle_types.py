@@ -87,8 +87,11 @@ def audit(sf: str = "/root/testdata/sf0.001", only=None,
                     if RISKY_SPARK.match(ctype):
                         flags.append(f"spark:{cname}:{ctype}")
             except Exception as e:
-                problems.append(f"{name}: spark: {str(e)[:160]}")
-                continue
+                # record the error WITHOUT dropping duckdb-side flags
+                # already collected for this query (r11 review); the
+                # "spark error:" prefix is distinct from a spark TYPE
+                # flag ("spark:col:type") so main() classifies right
+                problems.append(f"{name}: spark error: {str(e)[:160]}")
         if flags:
             problems.append(f"{name}: {', '.join(flags)}")
     return problems
@@ -112,11 +115,11 @@ def main():
         if only and name not in only:
             continue
         if name in bad:
-            kind = "ERR " if any(
-                p.startswith(f"{name}: duckdb describe:")
-                or p.startswith(f"{name}: spark:") for p in problems) else "FLAG"
-            line = next(p for p in problems if p.startswith(f"{name}:"))
-            print(f"{kind} {line}")
+            for line in (p for p in problems if p.startswith(f"{name}:")):
+                kind = "ERR " if (
+                    line.startswith(f"{name}: duckdb describe:")
+                    or line.startswith(f"{name}: spark error:")) else "FLAG"
+                print(f"{kind} {line}")
         else:
             print(f"OK   {name}")
     print(f"\n{len(problems)} flagged")

@@ -26,6 +26,10 @@ from llmxmapreduce_spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
+    if len(sys.argv) < 3:
+        print("usage: python tools/price_entries.py SF_DIR query "
+              "[query ...]", file=sys.stderr)
+        return 2
     sf_dir = sys.argv[1]
     names = sys.argv[2:]
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
