@@ -35,10 +35,12 @@ def main() -> int:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     spark = get_spark("price_entries")
     qs = entrymod.queries()
+    import bench  # bench-only production shapes price too
 
     out_q, out_runs, out_spread = {}, {}, {}
     for name in names:
-        fn = qs.get(name) or entrymod.RETIRED_QUERIES.get(name)
+        fn = (bench.BENCH_ONLY.get(name) or qs.get(name)
+              or entrymod.RETIRED_QUERIES.get(name))
         if fn is None:
             print(f"SKIP {name}: not found", file=sys.stderr)
             continue
