@@ -3413,6 +3413,24 @@ def q_langid_predict(spark: SparkSession, sf: str) -> DataFrame:
     return langid_predict(d.filter(F.col("doc_id") % 19 != 0), model)
 
 
+def q_langid_predict_fast(spark: SparkSession, sf: str) -> DataFrame:
+    """BENCH line (r11): the production langid scoring path — per-doc
+    integer scoring against a driver-collected model inside one
+    mapInPandas pass, NO shuffle — on the exact workload of the
+    `langid_predict` board entry.  Pytest-pinned prediction-equal to
+    the Catalyst decimal path (tests/test_langid.py); the board entry
+    stays the oracle twin (the Catalyst path IS the DuckDB-replayable
+    decimal pipeline)."""
+    from llmxmapreduce_spark.operators.langid import (langid_predict_fast,
+                                                      train_langid)
+
+    d = load_table(spark, sf, "documents").select("doc_id", "lang",
+                                                  "text")
+    model = train_langid(d.filter(F.col("doc_id") % 19 == 0),
+                         vocab_size=800, min_count=2)
+    return langid_predict_fast(d.filter(F.col("doc_id") % 19 != 0), model)
+
+
 def q_cms_user_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Count-Min sketch (operators/sketches.py cms_sketch): the
     per-user event-frequency sketch table — bounded (depth × width)

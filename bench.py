@@ -138,6 +138,7 @@ HEADLINE = [
     "pattern_hits",
     "p17_html_extract",
     "html_extract_justext",
+    "langid_predict_fast",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-
@@ -217,6 +218,9 @@ BENCH_ONLY = {
     # (the p17 board entry prices the gate; this line prices what
     # extractor="justext" costs on the same synthetic HTML corpus)
     "html_extract_justext": entrymod.q_html_extract_justext,
+    # r11: production langid scoring (no-shuffle mapInPandas integer
+    # path; the board's langid_predict is its oracle-twin workload)
+    "langid_predict_fast": entrymod.q_langid_predict_fast,
     # r10 scale extensions: mergeable HLL cardinality state + the
     # stream-stream interval join's batch twin
     "interval_join": entrymod.q_interval_join,

@@ -25,10 +25,13 @@ so two languages' scores stay comparable for any document.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["char_ngrams", "train_langid", "langid_predict", "langid_sql"]
+__all__ = ["char_ngrams", "train_langid", "langid_predict",
+           "langid_predict_fast", "langid_sql"]
 
 
 def char_ngrams(text: Column, n: int = 3) -> Column:
@@ -154,6 +157,99 @@ def langid_predict(
     return df.select(id_col).distinct() \
         .join(best, id_col, "left")
 
+
+
+def langid_predict_fast(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Production scoring path — the SAME prediction as
+    :func:`langid_predict` (pytest-pinned equal), computed per document
+    inside one Arrow-batched ``mapInPandas`` pass against a
+    driver-collected model.
+
+    Why: the Catalyst path's broadcast model join fans every gram
+    INSTANCE out to L language rows before the (doc, lang) partial agg
+    — at sf5 that is grams × L ≈ billions of rows through the hash
+    aggregate, 240 s engine time for a 500 M-gram corpus (BASELINE.md
+    r11 pricing).  Here each document is scored locally: count grams
+    once, one vocab-dict lookup per UNIQUE gram, one length-L integer
+    vector accumulate — O(grams + unique_grams × L) per doc, text never
+    leaves its partition, NO shuffle at all.
+
+    Exactness is preserved: the model's DECIMAL(20,8) logps become
+    int64 micro-units (logp × 1e8 — exact, the quantization already
+    happened at train time), scores are exact int64 sums (|logp| ≤ 10
+    → 1e9 units; 1e6 grams/doc stays < 2^53 « 2^63), and the argmax
+    tie-breaks (score desc, lang asc) — bit-identical to the DECIMAL
+    path on any input.  The model table is V × L + L rows (≤ 250k at
+    the documented V=5000, L≤50) — a few MB on the driver, shipped
+    once per executor via the closure."""
+    import numpy as np
+    import pandas as pd
+
+    in_vocab = [(r["gram"], r["lang"], int(r["logp"] * (10 ** 8)))
+                for r in model.filter(F.col("gram").isNotNull())
+                .collect()]
+    floor_rows = {r["lang"]: int(r["logp"] * (10 ** 8))
+                  for r in model.filter(F.col("gram").isNull())
+                  .collect()}
+    langs = sorted(floor_rows)
+    if not langs:
+        return df.select(id_col).distinct().withColumn(
+            "lang_pred", F.lit(None).cast("string"))
+    lang_idx = {l: i for i, l in enumerate(langs)}
+    nl = len(langs)
+    vocab: dict[str, "np.ndarray"] = {}
+    for gram, lang, lp in in_vocab:
+        vec = vocab.get(gram)
+        if vec is None:
+            vec = vocab[gram] = np.zeros(nl, dtype=np.int64)
+        vec[lang_idx[lang]] = lp
+    floor_vec = np.array([floor_rows[l] for l in langs], dtype=np.int64)
+    # Java's default \s is ASCII-only ([ \t\n\x0B\f\r]) while Python's
+    # is Unicode-aware — spell out the Java class so the normalization
+    # matches char_ngrams' regexp_replace exactly (a \xa0 must NOT
+    # collapse here if the Catalyst path keeps it)
+    ws = re.compile("[ \t\n\x0b\f\r]+")
+
+    def _predict_one(text) -> str | None:
+        t = ws.sub(" ", (text or "").lower())
+        if len(t) < n:
+            return None
+        counts: dict[str, int] = {}
+        for i in range(len(t) - n + 1):
+            g = t[i:i + n]
+            counts[g] = counts.get(g, 0) + 1
+        score = np.zeros(nl, dtype=np.int64)
+        c_oov = 0
+        for g, c in counts.items():
+            vec = vocab.get(g)
+            if vec is None:
+                c_oov += c
+            else:
+                score += c * vec
+        if c_oov:
+            score += c_oov * floor_vec
+        best = int(score.argmax())   # ties -> lowest index = min lang
+        # argmax returns the FIRST maximal index; langs is sorted asc,
+        # so (score desc, lang asc) falls out for free
+        return langs[best]
+
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, lang_pred string"
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "lang_pred": [_predict_one(t) for t in pdf[text_col]],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)
 
 def langid_sql(table: str, id_col: str = "doc_id",
                text_col: str = "text", label_col: str = "lang",

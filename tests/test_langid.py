@@ -73,3 +73,46 @@ def test_char_ngrams_shape(spark):
         char_ngrams(F.col("t"), 3).alias("g")).collect()]
     assert got[0] == ["a b", " b ", "b c"]
     assert got[1] == [] and got[2] == []
+
+
+def test_fast_path_matches_catalyst(spark):
+    """r11: langid_predict_fast (per-doc integer scoring, mapInPandas,
+    no shuffle) must predict EXACTLY what the Catalyst decimal path
+    predicts — on the real documents corpus (all langs, nulls, short
+    texts) and on the planted bilingual set, including whitespace
+    classes Java's \\s would not collapse."""
+    from llmxmapreduce_spark.operators.langid import langid_predict_fast
+
+    d = load_table(spark, SF, "documents").select("doc_id", "lang",
+                                                  "text")
+    model = train_langid(d.filter(F.col("doc_id") % 7 == 0),
+                         vocab_size=400, min_count=1)
+    rest = d.filter(F.col("doc_id") % 7 != 0)
+    slow = {r.doc_id: r.lang_pred
+            for r in langid_predict(rest, model).collect()}
+    fast = {r.doc_id: r.lang_pred
+            for r in langid_predict_fast(rest, model).collect()}
+    assert fast == slow and len(fast) > 100
+
+    # unicode NBSP: Python \s collapses it, Java \s does not — the fast
+    # path must mirror Java (grams spanning \xa0 stay intact)
+    tricky = spark.createDataFrame(
+        [(1, "le\xa0système est une chose"), (2, "the system is there"),
+         (3, "x\xa0y"), (4, None)],
+        "doc_id long, text string")
+    s2 = {r.doc_id: r.lang_pred
+          for r in langid_predict(tricky, model).collect()}
+    f2 = {r.doc_id: r.lang_pred
+          for r in langid_predict_fast(tricky, model).collect()}
+    assert f2 == s2
+
+
+def test_fast_path_plan_has_no_shuffle(spark):
+    from llmxmapreduce_spark.operators.langid import langid_predict_fast
+
+    d = load_table(spark, SF, "documents").select("doc_id", "lang",
+                                                  "text")
+    model = train_langid(d.limit(50), vocab_size=100, min_count=1)
+    out = langid_predict_fast(d, model)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
