@@ -3431,6 +3431,20 @@ def q_langid_predict_fast(spark: SparkSession, sf: str) -> DataFrame:
     return langid_predict_fast(d.filter(F.col("doc_id") % 19 != 0), model)
 
 
+def q_qdigest_values_fast(spark: SparkSession, sf: str) -> DataFrame:
+    """BENCH line (r11): the production q-digest build — identical leaf
+    groupBy (the only shuffle that sees the corpus), then ONE Arrow
+    pass compressing the universe-bounded leaf table instead of the
+    Catalyst k-level loop whose ~3k tiny stages cost flat seconds at
+    every scale.  Pytest-pinned identical output to the board entry's
+    build (tests/test_qdigest.py)."""
+    from llmxmapreduce_spark.operators import qdigest as qd
+
+    ev = load_table(spark, sf, "events").select(
+        F.floor(F.col("value")).alias("v"))
+    return qd.qdigest_fast(ev, "v", k=10, tau=50).orderBy("node")
+
+
 def q_cms_user_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Count-Min sketch (operators/sketches.py cms_sketch): the
     per-user event-frequency sketch table — bounded (depth × width)

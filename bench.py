@@ -139,6 +139,7 @@ HEADLINE = [
     "p17_html_extract",
     "html_extract_justext",
     "langid_predict_fast",
+    "qdigest_values_fast",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-
@@ -221,6 +222,9 @@ BENCH_ONLY = {
     # r11: production langid scoring (no-shuffle mapInPandas integer
     # path; the board's langid_predict is its oracle-twin workload)
     "langid_predict_fast": entrymod.q_langid_predict_fast,
+    # r11: production q-digest build (single-pass local compression of
+    # the universe-bounded leaf table; board entry = Catalyst twin)
+    "qdigest_values_fast": entrymod.q_qdigest_values_fast,
     # r10 scale extensions: mergeable HLL cardinality state + the
     # stream-stream interval join's batch twin
     "interval_join": entrymod.q_interval_join,

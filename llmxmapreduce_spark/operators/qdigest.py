@@ -160,6 +160,91 @@ def qdigest_merge(
     return _compress(summed, k, tau)
 
 
+
+def _compress_py(counts: dict, k: int, tau: int) -> list:
+    """The identical sibling-pair compression as a pure-Python function
+    of a {node: cnt} map — one in-memory pass, used by the production
+    build path (and directly testable against _compress)."""
+    by_level: dict[int, dict[int, int]] = {}
+    for node, c in counts.items():
+        node = int(node)
+        if not 1 <= node < (1 << (k + 1)):
+            raise ValueError(
+                f"qdigest: node outside universe for k={k}: {node}")
+        by_level.setdefault(node.bit_length() - 1, {})[node] = int(c)
+    kept: list[tuple] = []
+    carry: dict[int, int] = {}
+    for lvl in range(k, 0, -1):
+        cur = by_level.get(lvl, {})
+        for node, c in carry.items():
+            cur[node] = cur.get(node, 0) + c
+        fam: dict[int, int] = {}
+        for node, c in cur.items():
+            fam[node >> 1] = fam.get(node >> 1, 0) + c
+        kept.extend((node, c) for node, c in cur.items()
+                    if fam[node >> 1] > tau)
+        carry = {p: s for p, s in fam.items() if 0 < s <= tau}
+    root = by_level.get(0, {}).get(1, 0) + carry.get(1, 0)
+    if root > 0:
+        kept.append((1, root))
+    return kept
+
+
+def qdigest_fast(
+    df: DataFrame,
+    col: str,
+    k: int = 12,
+    tau: int = 64,
+    clamp: bool = True,
+) -> DataFrame:
+    """Production build path — IDENTICAL output to :func:`qdigest`
+    (pytest-pinned), one Spark stage cheaper by construction.
+
+    The Catalyst build chains k levels of filter→union→groupBy→join
+    into one plan: ~3k tiny stages whose scheduling latency dominates
+    the build at EVERY scale (6.5 s at sf0.1 and 7.6 s at sf5 for
+    k=10 — the table being compressed is universe-bounded, so the cost
+    never amortizes).  Here the corpus-scale work stays identical (the
+    partial-agg leaf groupBy, the only shuffle that sees the data);
+    the bounded (≤ min(n_distinct, 2^k) rows) leaf table is then
+    repartition(1)-ed and compressed in ONE Arrow pass running the
+    same deterministic sibling-pair rule in Python.  Keep the Catalyst
+    path for the oracle twin (DuckDB replays its unrolled recurrence);
+    use this for production builds and k ≤ 24 universes (2^24 leaf
+    rows ≈ 256 MB single-partition worst case — the same bound the
+    quantile window already accepts)."""
+    _check_universe(k, tau)
+    import pandas as pd
+
+    top = (1 << k) - 1
+    df = df.filter(F.col(col).isNotNull())
+    v = F.col(col).cast("long")
+    if clamp:
+        v = F.greatest(F.lit(0), F.least(F.lit(top), v))
+    else:
+        v = F.when((v >= 0) & (v <= top), v).otherwise(
+            F.raise_error(F.concat(
+                F.lit(f"qdigest: value out of universe [0, {top}]: "),
+                F.col(col).cast("string")))
+        )
+    leaves = (
+        df.select((v + F.lit(1 << k)).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    def run(batches):
+        counts: dict[int, int] = {}
+        for pdf in batches:
+            for node, c in zip(pdf["node"], pdf["cnt"]):
+                node = int(node)
+                counts[node] = counts.get(node, 0) + int(c)
+        kept = _compress_py(counts, k, tau)
+        yield pd.DataFrame(kept or [], columns=["node", "cnt"],
+                           dtype="int64")
+
+    return leaves.repartition(1).mapInPandas(run, "node long, cnt long")
+
 def _node_bounds(k: int) -> tuple:
     """(lo, hi) value interval of each heap node — pure integer: level
     = bit_length(node) - 1 via the binary-string length (no float

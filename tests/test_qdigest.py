@@ -189,3 +189,49 @@ def test_quantiles_rejects_out_of_range_qs(spark):
     for bad in ([1.5], [0.0], [-0.1], [0.5, 2.0]):
         with pytest.raises(ValueError, match="0 < q <= 1"):
             qdigest_quantiles(d, bad, k=16)
+
+
+def test_fast_build_identical_to_catalyst(spark):
+    """r11: qdigest_fast (single Arrow-pass compression of the
+    universe-bounded leaf table) must emit EXACTLY the Catalyst build's
+    digest — on real data, a skewed multiset, clamp edges, and empty
+    input."""
+    from pyspark.sql import functions as F
+
+    from llmxmapreduce_spark import load_table
+    from llmxmapreduce_spark.operators.qdigest import qdigest, qdigest_fast
+
+    def rows(df):
+        return sorted((r["node"], r["cnt"]) for r in df.collect())
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        F.floor(F.col("value")).alias("v"))
+    assert rows(qdigest_fast(ev, "v", k=10, tau=50)) == \
+        rows(qdigest(ev, "v", k=10, tau=50))
+
+    skew = spark.createDataFrame(
+        [(i % 7,) for i in range(500)] + [(900,), (1200,), (-3,), (None,)],
+        "v long")
+    for k, tau in ((10, 50), (4, 3), (6, 1)):
+        assert rows(qdigest_fast(skew, "v", k=k, tau=tau)) == \
+            rows(qdigest(skew, "v", k=k, tau=tau))
+
+    empty = spark.createDataFrame([], "v long")
+    assert rows(qdigest_fast(empty, "v", k=6, tau=4)) == []
+
+
+def test_fast_build_python_twin_direct():
+    """_compress_py over a raw count map equals the documented rule on
+    a hand-checked case: tau=2, leaves 8..11 (k=3 universe)."""
+    from llmxmapreduce_spark.operators.qdigest import _compress_py
+
+    # family (8,9) sums 5 > tau -> retained; family (10,11) sums 2 <= tau
+    # -> carried to 5; at level 2, family (4,5) has only node 5 with 2
+    # <= tau -> carried to 2; level 1 family (2,3) sums 2 <= tau ->
+    # carried to root.
+    got = sorted(_compress_py({8: 3, 9: 2, 10: 1, 11: 1}, k=3, tau=2))
+    assert got == [(1, 2), (8, 3), (9, 2)]
+
+    import pytest
+    with pytest.raises(ValueError, match="outside universe"):
+        _compress_py({99: 1}, k=3, tau=2)
