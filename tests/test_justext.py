@@ -248,3 +248,37 @@ def test_double_br_is_a_paragraph_boundary():
     # <br> TEXT <br> is two soft breaks, not a boundary
     soft = segment_blocks("<div>a<br>b<br>c</div>")
     assert [b.text for b in soft] == ["a b c"]
+
+
+# ------------------------------------------------------------- fuzzing
+
+
+def test_segmenter_never_raises_and_preserves_text():
+    """Property fuzz (hypothesis): on arbitrary tag soup the segmenter
+    must never raise, every emitted block must be non-empty normalized
+    text, and classification end-to-end must stay total."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    tags = st.sampled_from(
+        ["<p>", "</p>", "<div>", "</div>", "<h2>", "</h2>", "<b>",
+         "</b>", "<a href='/x'>", "</a>", "<br>", "<br/>", "<script>",
+         "</script>", "<select>", "</select>", "<h3/>", "<wbr/>",
+         "<style>", "</style>", "<", ">", "</", "<p", "<h"])
+    text = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        max_size=40)
+    soup = st.lists(st.one_of(tags, text), max_size=30).map("".join)
+
+    @given(soup)
+    @settings(max_examples=300, deadline=None)
+    def check(html):
+        bs = segment_blocks(html)
+        for b in bs:
+            assert b.text == b.text.strip() and b.text
+            assert 0 <= b.chars_in_links <= len(b.text)
+        out = justext_extract_py(html)
+        block_texts = {b.text for b in bs}
+        assert all(t in block_texts for t in out)
+
+    check()
