@@ -471,6 +471,20 @@ def main() -> int:
          "decode, exact md5 dedup kills byte-twins pre-decode, one "
          "mapInPandas decode+hash pass, banded Hamming join ships "
          "8-byte hashes only"),
+        # r11 production paths (each pytest-pinned equal to its
+        # oracle-twin board entry; BASELINE.md r11 sections)
+        ("html_extract_justext", entrymod.q_html_extract_justext,
+         "context-sensitive jusText extraction: ONE mapInPandas over "
+         "the html column, no shuffle — 2.5-2.8x the double-HOF gate "
+         "at every scale"),
+        ("langid_predict_fast", entrymod.q_langid_predict_fast,
+         "per-doc integer scoring against a driver-collected model "
+         "inside one mapInPandas pass — zero Exchange (test-pinned), "
+         "no grams x L fan-out; 6x the Catalyst twin at sf5"),
+        ("qdigest_values_fast", entrymod.q_qdigest_values_fast,
+         "partial-agg leaf groupBy (the only corpus shuffle) + ONE "
+         "Arrow pass compressing the universe-bounded leaf table — "
+         "replaces the k-level stage chain; ~7x flat at every scale"),
     ]
     # Round 8 promoted these names onto the oracle board with exact-value
     # BOARD VARIANTS (__spark_entry__.py q_*_board); the bench entry keeps
