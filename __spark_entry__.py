@@ -3652,77 +3652,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # 100 entries after the round-11 board compaction (9 merged slots +
-    # the retired diag probe), ORDERED because the driver's correctness
-    # gate runs only the FIRST 50 (measured rounds 5-10).  Round-11
-    # window (judge tasks #1-#2): (a) the 11 round-10 additions that
-    # have never seen a driver row; (b) the 9 merged compaction slots —
-    # new names, so never driver-run, though every branch expression is
-    # a proven-green standalone entry; (c) the 3 surviving r08-greens
-    # slipped from the r10 window (the other 5 were consumed by merges);
-    # (d) 27 longest-unconfirmed r9 greens.  q1_pricing_summary (8 green
-    # rounds, the most-confirmed entry on the board) rolls to r12, whose
-    # window is then EXACTLY positions 51-100 — with the board frozen at
-    # 100 = 2 windows, every entry is driver-confirmed every second
-    # round from here on and the rotation debt the r10 verdict flagged
-    # is structurally closed.  Ledger: COVERAGE.md.
+    # 100 entries (board frozen at two 50-slot driver windows since the
+    # round-11 compaction), ORDERED because the driver's correctness
+    # gate runs only the FIRST 50 (measured rounds 5-10).  Round-12
+    # window (r11 verdict task #1): EXACTLY the former positions 51-100
+    # — q1_pricing_summary (rolled from r11) plus the 49 entries last
+    # driver-confirmed in CORRECTNESS_r10.json.  The former first 50
+    # (all driver-green in CORRECTNESS_r11.json) rotate to positions
+    # 51-100 and become the r13 window.  With the board frozen at 100 =
+    # 2 windows, every entry is driver-confirmed every second round —
+    # after this round the two-round-green promise holds for the whole
+    # board, permanently.  Ledger: COVERAGE.md.
     return {
-        # (a) never driver-run round-10 additions
-        "hll_distinct": q_hll_distinct,
-        "orc_roundtrip": q_orc_roundtrip,
-        "cms_user_counts": q_cms_user_counts,
-        "triangle_count": q_triangle_count,
-        "langid_predict": q_langid_predict,
-        "weighted_sample": q_weighted_sample,
-        "kway_split": q_kway_split,
-        "label_propagation": q_label_propagation,
-        "salted_agg": q_salted_agg,
-        "qdigest_values": q_qdigest_values,
-        "pattern_hits": q_pattern_hits,
-        # (b) round-11 merged compaction slots (2 retired entries each)
-        "p15_p16_text_counts": q_p15_p16_text_counts,
-        "p7_p14_normalize": q_p7_p14_normalize,
-        "p1_p3_scrub": q_p1_p3_scrub,
-        "p11_p13_strlist": q_p11_p13_strlist,
-        "t3_t6_order_limit": q_t3_t6_order_limit,
-        "t1_t2_topk_best": q_t1_t2_topk_best,
-        "a7_a8_ratio_stats": q_a7_a8_ratio_stats,
-        "events_windows": q_events_windows,
-        "moments_histogram": q_moments_histogram,
-        # (c) r08-greens slipped out of the r10 window
-        "a5_topic_grouping": q_a5_topic_grouping,
-        "p6_crawl_filter_backfill": q_p6_crawl_filter_backfill,
-        "exact_dedup": q_exact_dedup,
-        # (d) longest-unconfirmed r9 greens
-        "ccnet_perplexity": q_ccnet_perplexity_board,
-        "funnel_steps": q_funnel_steps,
-        "retention_cohorts": q_retention_cohorts,
-        "resample_locf": q_resample_locf,
-        "scd2_intervals": q_scd2_intervals,
-        "dq_report": q_dq_report,
-        "group_quantiles": q_group_quantiles,
-        "rolling_value_stats": q_rolling_value_stats,
-        "cdc_snapshot": q_cdc_snapshot,
-        "bloom_semi_join": q_bloom_semi_join,
-        "fuzzy_name_pairs": q_fuzzy_name_pairs,
-        "substring_dedup": q_substring_dedup,
-        "holdout_split": q_holdout_split,
-        "split_scrub": q_split_scrub,
-        "warc_roundtrip": q_warc_roundtrip,
-        "line_dedup": q_line_dedup,
-        "corpus_report": q_corpus_report,
-        "corpus_shuffle": q_corpus_shuffle,
-        "curriculum_order": q_curriculum_order,
-        "interleave_sources": q_interleave_sources,
-        "kmeans_lloyd": q_kmeans_lloyd,
-        "pagerank_bipartite": q_pagerank_bipartite,
-        "stratified_sample_n": q_stratified_sample_n,
-        "pq_encode": q_pq_encode,
-        "c6_hash_batches": q_c6_hash_batches,
-        "skeleton_nodes": q_skeleton_nodes,
-        "j3_star_join_agg": q_join_star_agg,
-        # ---- positions 51+ (the r12 window: q1 rolled + the 49 r10
-        # greens, every one driver-confirmed in CORRECTNESS_r10.json) ----
+        # ---- r12 window (positions 1-50): q1 rolled + the 49 r10
+        # greens, every one driver-confirmed in CORRECTNESS_r10.json ----
         "q1_pricing_summary": q_pricing_summary,
         "dsir_weights": q_dsir_weights_board,
         "quality_classifier": q_quality_classifier_board,
@@ -3773,6 +3716,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_agg": q_range_join_agg,
         "zorder_key": q_zorder_key,
         "heavy_hitters": q_heavy_hitters,
+        # ---- positions 51-100 (the r13 window): the full r11 window,
+        # every entry driver-green in CORRECTNESS_r11.json ----
+        # (a) round-10 additions, driver-confirmed r11
+        "hll_distinct": q_hll_distinct,
+        "orc_roundtrip": q_orc_roundtrip,
+        "cms_user_counts": q_cms_user_counts,
+        "triangle_count": q_triangle_count,
+        "langid_predict": q_langid_predict,
+        "weighted_sample": q_weighted_sample,
+        "kway_split": q_kway_split,
+        "label_propagation": q_label_propagation,
+        "salted_agg": q_salted_agg,
+        "qdigest_values": q_qdigest_values,
+        "pattern_hits": q_pattern_hits,
+        # (b) round-11 merged compaction slots (2 retired entries each)
+        "p15_p16_text_counts": q_p15_p16_text_counts,
+        "p7_p14_normalize": q_p7_p14_normalize,
+        "p1_p3_scrub": q_p1_p3_scrub,
+        "p11_p13_strlist": q_p11_p13_strlist,
+        "t3_t6_order_limit": q_t3_t6_order_limit,
+        "t1_t2_topk_best": q_t1_t2_topk_best,
+        "a7_a8_ratio_stats": q_a7_a8_ratio_stats,
+        "events_windows": q_events_windows,
+        "moments_histogram": q_moments_histogram,
+        # (c) r08-greens, driver-confirmed r11
+        "a5_topic_grouping": q_a5_topic_grouping,
+        "p6_crawl_filter_backfill": q_p6_crawl_filter_backfill,
+        "exact_dedup": q_exact_dedup,
+        # (d) r9 greens, driver-confirmed r11
+        "ccnet_perplexity": q_ccnet_perplexity_board,
+        "funnel_steps": q_funnel_steps,
+        "retention_cohorts": q_retention_cohorts,
+        "resample_locf": q_resample_locf,
+        "scd2_intervals": q_scd2_intervals,
+        "dq_report": q_dq_report,
+        "group_quantiles": q_group_quantiles,
+        "rolling_value_stats": q_rolling_value_stats,
+        "cdc_snapshot": q_cdc_snapshot,
+        "bloom_semi_join": q_bloom_semi_join,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "substring_dedup": q_substring_dedup,
+        "holdout_split": q_holdout_split,
+        "split_scrub": q_split_scrub,
+        "warc_roundtrip": q_warc_roundtrip,
+        "line_dedup": q_line_dedup,
+        "corpus_report": q_corpus_report,
+        "corpus_shuffle": q_corpus_shuffle,
+        "curriculum_order": q_curriculum_order,
+        "interleave_sources": q_interleave_sources,
+        "kmeans_lloyd": q_kmeans_lloyd,
+        "pagerank_bipartite": q_pagerank_bipartite,
+        "stratified_sample_n": q_stratified_sample_n,
+        "pq_encode": q_pq_encode,
+        "c6_hash_batches": q_c6_hash_batches,
+        "skeleton_nodes": q_skeleton_nodes,
+        "j3_star_join_agg": q_join_star_agg,
         # v2_survey_refdefaults stays OFF the board: it is a THROUGHPUT
         # line (bench.py HEADLINE), hash-gated by its golden-transcript
         # pytest (tests/test_v2_refdefaults.py) — no SQL oracle exists.

@@ -148,6 +148,13 @@ def segment_blocks(html: str) -> list[Block]:
             elif not self_closing:
                 drop_depth += 1
             continue
+        if drop_depth > 0:
+            # inside script/style/head etc. NOTHING else may mutate
+            # state: a '<select>' token in a JS string (e.g.
+            # document.write('<select>')) must not touch select_depth —
+            # an unclosed one would mark every later block in_select and
+            # the whole page would extract empty (r11 ADVICE, medium)
+            continue
         if name == "select":
             # select CONTENT becomes a bad-classified block, not a drop
             # (jusText: dom_path ^select → cf bad); flush BEFORE the
@@ -157,8 +164,6 @@ def segment_blocks(html: str) -> list[Block]:
                 select_depth = max(0, select_depth - 1)
             elif not self_closing:
                 select_depth += 1
-            continue
-        if drop_depth > 0:
             continue
         if name == "a":
             if closing:

@@ -167,9 +167,20 @@ def langid_predict_fast(
     n: int = 3,
 ) -> DataFrame:
     """Production scoring path — the SAME prediction as
-    :func:`langid_predict` (pytest-pinned equal), computed per document
-    inside one Arrow-batched ``mapInPandas`` pass against a
-    driver-collected model.
+    :func:`langid_predict` (pytest-pinned equal when ``id_col`` is
+    unique), computed per document inside one Arrow-batched
+    ``mapInPandas`` pass against a driver-collected model.
+
+    Contract: ONE OUTPUT ROW PER INPUT ROW (each row scored
+    independently; zero shuffle).  This equals the Catalyst path's
+    one-row-per-distinct-id output exactly when ``id_col`` is unique —
+    the normal case (documents primary key).  With DUPLICATE ids the
+    two paths deliberately diverge (r12 ADVICE): ``langid_predict``
+    pools the grams of every row sharing an id into one prediction,
+    while this path scores each row on its own text.  Matching the
+    pooled semantics would need a gram-count combine shuffle per id —
+    exactly the cost this path exists to avoid; callers with duplicate
+    ids should pre-aggregate (or dedup) before calling.
 
     Why: the Catalyst path's broadcast model join fans every gram
     INSTANCE out to L language rows before the (doc, lang) partial agg

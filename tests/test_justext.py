@@ -250,6 +250,31 @@ def test_double_br_is_a_paragraph_boundary():
     assert [b.text for b in soft] == ["a b c"]
 
 
+# ----------------------------------------------------- r12 advice fixes
+
+
+def test_select_token_inside_script_is_inert():
+    """A '<select>' literal inside a dropped subtree (script/style/head)
+    must not mutate select_depth: an unclosed one used to mark every
+    later block in_select -> context-free bad -> the whole page
+    extracted empty (r12 ADVICE, medium).  Real <select> content keeps
+    its flag."""
+    html = ("<script>document.write('<select>');</script>"
+            f"<p>{GOOD}</p><p>{GOOD}</p>")
+    bs = segment_blocks(html)
+    assert [b.in_select for b in bs] == [False, False]
+    assert justext_extract_py(html) == [GOOD, GOOD]
+    # and a real (unescaped-in-markup) select still flags its content
+    real = f"<select><option>one</option></select><p>{GOOD}</p>"
+    assert [(b.text, b.in_select) for b in segment_blocks(real)] == [
+        ("one", True), (GOOD, False)]
+    # closing </select> inside a script must not decrement either
+    poison = ("<select><option>one</option>"
+              "<script>x('</select>')</script></select>"
+              f"<p>{GOOD}</p>")
+    assert [b.in_select for b in segment_blocks(poison)] == [True, False]
+
+
 # ------------------------------------------------------------- fuzzing
 
 

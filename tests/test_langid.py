@@ -88,11 +88,14 @@ def test_fast_path_matches_catalyst(spark):
     model = train_langid(d.filter(F.col("doc_id") % 7 == 0),
                          vocab_size=400, min_count=1)
     rest = d.filter(F.col("doc_id") % 7 != 0)
-    slow = {r.doc_id: r.lang_pred
-            for r in langid_predict(rest, model).collect()}
-    fast = {r.doc_id: r.lang_pred
-            for r in langid_predict_fast(rest, model).collect()}
+    slow_rows = langid_predict(rest, model).collect()
+    fast_rows = langid_predict_fast(rest, model).collect()
+    slow = {r.doc_id: r.lang_pred for r in slow_rows}
+    fast = {r.doc_id: r.lang_pred for r in fast_rows}
     assert fast == slow and len(fast) > 100
+    # doc_id is unique here, so CARDINALITY must match too (the dict
+    # compare alone would mask a duplicate-row divergence — r12 ADVICE)
+    assert len(fast_rows) == len(slow_rows) == len(fast)
 
     # unicode NBSP: Python \s collapses it, Java \s does not — the fast
     # path must mirror Java (grams spanning \xa0 stay intact)
@@ -105,6 +108,32 @@ def test_fast_path_matches_catalyst(spark):
     f2 = {r.doc_id: r.lang_pred
           for r in langid_predict_fast(tricky, model).collect()}
     assert f2 == s2
+
+
+def test_fast_path_duplicate_id_contract(spark):
+    """r12 ADVICE (low): with DUPLICATE ids the two paths deliberately
+    diverge — langid_predict pools grams across rows per id (one output
+    row per distinct id), langid_predict_fast scores each input row on
+    its own text (one output row per input row, zero shuffle).  Pin
+    both cardinalities so the documented contract stays true."""
+    from llmxmapreduce_spark.operators.langid import langid_predict_fast
+
+    d = load_table(spark, SF, "documents").select("doc_id", "lang",
+                                                  "text")
+    model = train_langid(d.limit(200), vocab_size=200, min_count=1)
+    dup = spark.createDataFrame(
+        [(1, "the system is there and the things are fine"),
+         (1, "le système est une chose qui est là"),
+         (2, "the system is there")],
+        "doc_id long, text string")
+    slow_rows = langid_predict(dup, model).collect()
+    fast_rows = langid_predict_fast(dup, model).collect()
+    assert len(slow_rows) == 2        # one per distinct id (pooled)
+    assert len(fast_rows) == 3        # one per input row (independent)
+    # on the unique id the two agree exactly
+    slow2 = {r.doc_id: r.lang_pred for r in slow_rows}
+    fast2 = [r.lang_pred for r in fast_rows if r.doc_id == 2]
+    assert fast2 == [slow2[2]]
 
 
 def test_fast_path_plan_has_no_shuffle(spark):
