@@ -9,12 +9,22 @@ JSON line:
 Each query executes to completion with a noop sink (no driver-side row
 transfer), so the timing measures the engine, not collect().
 
-Variance protocol: every query runs $SPARK_GRAFT_BENCH_RUNS times
-(default 3) and "queries"/"value" report per-query MEDIANS — a single run
-on a shared box swings ±30-50% (BASELINE.md) and can eat an entire
-regression budget.  The raw per-run timings and the per-query spread
-(max−min) ship alongside under "runs" / "spread_sec" so a noisy box is
-visible in the record itself.
+Variance protocol (hardened r12 after the r11 false regression): every
+query first runs ONE discarded warm-up pass (JIT, shuffle-file and page
+cache, Python worker pool), then $SPARK_GRAFT_BENCH_RUNS timed runs
+(default 3).  "queries"/"value" report per-query MEDIANS; per-query MINS
+ship alongside ("mins", "suite19_min_sec") because the min is the
+box-load-immune statistic — contention only ever ADDS time.  The 1- and
+5-minute load averages are stamped into the record at start and end
+("loadavg").
+
+How to read a noisy round: if suite19_sec drifts up vs the prior round
+but suite19_min_sec is flat AND loadavg is high (≳ the 32 cores the
+bench assumes it owns), the drift is box contention, not a code
+regression — r11's +31% headline was exactly this and cost an
+independent re-measurement to adjudicate.  A real regression moves the
+MIN.  The raw per-run timings and per-query spread (max−min) ship under
+"runs" / "spread_sec" in BENCH_LOCAL.json.
 """
 
 from __future__ import annotations
@@ -237,8 +247,14 @@ def main() -> int:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     spark = get_spark("bench")
 
+    try:
+        load_start = [round(x, 2) for x in os.getloadavg()[:2]]
+    except OSError:
+        load_start = []
+
     queries = entrymod.queries()
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     spread: dict[str, float] = {}
     for name in HEADLINE:
@@ -247,18 +263,23 @@ def main() -> int:
         if fn is None:
             continue
         samples: list[float] = []
-        for _ in range(n_runs):
+        # one discarded warm-up + n_runs timed: the warm-up absorbs JIT,
+        # codegen, page-cache and Python-worker-pool cold starts that
+        # otherwise land entirely on run 1 and skew a 3-run median
+        for i in range(n_runs + 1):
             t0 = time.time()
             try:
                 df = fn(spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()
-                samples.append(round(time.time() - t0, 3))
+                if i > 0:
+                    samples.append(round(time.time() - t0, 3))
             except Exception as e:  # noqa: BLE001 - bench must always report
                 print(f"# bench error in {name}: {e}", file=sys.stderr)
                 samples = []
                 break
         if samples:
             timings[name] = round(statistics.median(samples), 3)
+            mins[name] = min(samples)
             runs[name] = samples
             spread[name] = round(max(samples) - min(samples), 3)
         else:
@@ -267,16 +288,30 @@ def main() -> int:
     suite19 = round(
         sum(v for k, v in timings.items() if k in SUITE19 and v >= 0), 3
     )
+    suite19_min = round(
+        sum(v for k, v in mins.items() if k in SUITE19 and v >= 0), 3
+    )
     twin = round(sum(v for k, v in timings.items()
                      if k in ORACLE_TWIN and v >= 0), 3)
+    try:
+        load_end = [round(x, 2) for x in os.getloadavg()[:2]]
+    except OSError:
+        load_end = []
     compact = {
         "metric": "total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "protocol": {"runs_per_query": n_runs, "stat": "median"},
+        "protocol": {"runs_per_query": n_runs, "stat": "median",
+                     "warmup_runs_discarded": 1},
+        # box-load context: [1min, 5min] loadavg at bench start and end.
+        # Read suite19 drift against suite19_min_sec + these — contention
+        # only ever ADDS time, so a flat min under high load is NOT a
+        # regression (see module docstring; r11 false +31%)
+        "loadavg": {"start": load_start, "end": load_end},
         "suite19_sec": suite19,
+        "suite19_min_sec": suite19_min,
         # the deployment-path total vs the correctness-harness overhead
         # (see ORACLE_TWIN) — regression-bar consumers should track
         # production_sec; "value" stays the all-in total for continuity
@@ -284,7 +319,7 @@ def main() -> int:
         "oracle_twin_sec": twin,
         "oracle_twin_queries": sorted(ORACLE_TWIN & set(timings)),
     }
-    verbose = dict(compact, runs=runs, spread_sec=spread)
+    verbose = dict(compact, mins=mins, runs=runs, spread_sec=spread)
     # Raw per-run detail goes to stderr + a committed sidecar, NOT stdout:
     # rounds 5-6 proved the driver keeps only the TAIL of stdout, and the
     # verbose record pushed the parseable head off the buffer
@@ -306,12 +341,16 @@ def main() -> int:
             json.dump(verbose, f, indent=1)
         with open(os.path.join(here, "BENCH_LOCAL.md"), "w") as f:
             f.write("# BENCH_LOCAL — latest local bench run\n\n"
-                    f"sf={sf}, {n_runs} runs/query, per-query medians; "
-                    f"total {total} s, suite19 {suite19} s.\n\n"
-                    "| query | median_s | spread_s | runs |\n"
-                    "|---|---|---|---|\n")
+                    f"sf={sf}, {n_runs} timed runs/query after 1 "
+                    "discarded warm-up, per-query medians; "
+                    f"total {total} s, suite19 {suite19} s "
+                    f"(min-sum {suite19_min} s), loadavg "
+                    f"{load_start}→{load_end}.\n\n"
+                    "| query | median_s | min_s | spread_s | runs |\n"
+                    "|---|---|---|---|---|\n")
             for name, med in timings.items():
-                f.write(f"| {name} | {med} | {spread.get(name, '')} | "
+                f.write(f"| {name} | {med} | {mins.get(name, '')} | "
+                        f"{spread.get(name, '')} | "
                         f"{runs.get(name, [])} |\n")
     except OSError as e:    # read-only checkout must not kill the bench
         print(f"# bench sidecar write failed: {e}", file=sys.stderr)
