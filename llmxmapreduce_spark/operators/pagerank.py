@@ -79,6 +79,28 @@ def pagerank(
     def _ck(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=True) if checkpoint else df
 
+    # Checkpoint release (labelprop.py:105-155 pattern, r11 verdict task
+    # #3): localCheckpoint blocks have truncated lineage and are never
+    # evicted, so without this every call pins n_iter × |V| rows of
+    # storage memory for the session's lifetime.  Round N's dangling-mass
+    # collect and S_in join are the LAST reads of round N−1's blocks;
+    # once round N's eager checkpoint materializes, the old blocks are
+    # released.  The setup frames (nodes/deg/ed) are reused every round
+    # and released together after the LAST round.  Only ids created by
+    # this call's own checkpoints are touched — caller caches predate
+    # the snapshots and stay pinned; the FINAL frame's blocks stay alive
+    # for the caller.
+    sc = edges.sparkSession.sparkContext
+
+    def _pinned_ids() -> set:
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    def _release(ids: set) -> None:
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in ids:
+            if jmap.containsKey(rid):
+                jmap.get(rid).unpersist()
+
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
@@ -97,14 +119,24 @@ def pagerank(
             "pagerank: num*N*scale overflows int64 — lower `scale` "
             f"(N={n}, scale={scale})"
         )
+    # Snapshot taken AFTER the nodes checkpoint on purpose: that
+    # checkpoint is the first full scan of `e`, so a caller cache whose
+    # registration is lazy (labelprop r11 review finding) registers
+    # during it and stays OUT of every diff below.  The price is that
+    # the nodes checkpoint itself is never released — a bounded ≤2
+    # pinned frames per call (nodes + final ranks) instead of
+    # 3 + n_iter.
+    snap1 = _pinned_ids() if checkpoint else set()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     deg = _ck(deg)
     # pre-join outdeg onto the edge table once — reused every iteration
     ed = _ck(e.join(deg, "src"))
+    setup_ids = (_pinned_ids() - snap1) if checkpoint else set()
 
     base = (scale * (damping_den - damping_num)) // damping_den
     ranks = nodes.withColumn("rank_q", F.lit(int(scale)).cast("long"))
 
+    prev_ids: set = set()   # round 0's frame is unmaterialized: no blocks
     for _ in range(n_iter):
         dang = (
             ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
@@ -121,7 +153,7 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("s_in"))
         )
-        ranks = (
+        new_ranks = (
             nodes.join(s_in, "node", "left")
             .select(
                 "node",
@@ -134,5 +166,15 @@ def pagerank(
                 ).cast("long").alias("rank_q"),
             )
         )
-        ranks = _ck(ranks)
+        if checkpoint:
+            snap = _pinned_ids()
+            new_ranks = _ck(new_ranks)
+            new_ids = _pinned_ids() - snap
+            _release(prev_ids)
+            prev_ids = new_ids
+        ranks = new_ranks
+    if checkpoint and n_iter > 0:
+        # the final ranks frame is its own checkpoint — nodes/deg/ed are
+        # never read again (n_iter=0 keeps them: ranks still reads nodes)
+        _release(setup_ids)
     return ranks
