@@ -131,13 +131,16 @@ def extract_with_library(
     df: DataFrame,
     html_col: str = "html",
     out_col: str = "main_text",
-    algorithm: str = "justext",
+    algorithm: str = "justext_py",
     lang: str = "en",
     **kwargs,
 ) -> DataFrame:
     """Distributed wrapper: mapInPandas, extractor resolved once per
-    partition (library import cost amortized over the batch).  The import
-    error surfaces at ACTION time on executors — call sites that want a
+    partition (library import cost amortized over the batch).  The
+    default is ``justext_py`` (r12) — the dependency-free
+    context-sensitive reimplementation, always available; ``justext`` /
+    ``resiliparse`` select the library seams, whose import error
+    surfaces at ACTION time on executors — call sites that want a
     graceful fallback should try the per-document adapter on the driver
     first."""
     import pandas as pd

@@ -661,7 +661,7 @@ def warc_to_documents(
     via: str = "binaryFile",
     html_statuses: tuple[int, ...] = (200,),
     min_parallelism: int | None = None,
-    extractor: str = "gate",
+    extractor: str = "justext",
 ) -> DataFrame:
     """The crawl→corpus front half in one call: read responses, keep
     fetched HTML (status + Content-Type gates — both metadata columns,
@@ -670,13 +670,18 @@ def warc_to_documents(
     URL-curation + corpus_prep stages.  ``doc_id`` is
     ``xxhash64(record_id)`` — stable across re-reads of the same crawl.
 
-    ``extractor``: ``"gate"`` (default) = the pure-Catalyst stopword
+    ``extractor``: ``"justext"`` (default since r12) = the
+    context-sensitive jusText reimplementation (operators.justext — one
+    Arrow-batched mapInPandas pass; rescues short interjections and
+    headings a stateless gate drops — the reference's own extractor
+    semantics for real crawled HTML, `LLMxMapReduce_V3/src/mcp_server/
+    search/clean/html_extrator.py:85-204`), and the measured-faster
+    path at every page size (~2-2.8× vs the gate at 300 B / 20 KB /
+    200 KB pages and sf0.1/1/5 corpora — BASELINE.md r11 addendum +
+    r12 large-page table); ``"gate"`` = the pure-Catalyst stopword
     density gate (operators.html_clean — zero Python, whole-stage
-    codegen); ``"justext"`` = the context-sensitive jusText
-    reimplementation (operators.justext — one Arrow-batched mapInPandas
-    pass; rescues short interjections and headings the stateless gate
-    drops, the reference's own extractor semantics for real crawled
-    HTML)."""
+    codegen; kept as the board's DuckDB-replayable oracle twin,
+    `p17_html_extract`)."""
     from llmxmapreduce_spark.operators.html_clean import extract_main_content
 
     if extractor not in ("gate", "justext"):
