@@ -85,6 +85,27 @@ def connected_components(
     Ids may be any orderable type (long, string); they are never hashed or
     re-keyed, so labels are directly joinable back to the source table.
     """
+    # Per-round checkpoint release (labelprop/pagerank discipline — r12
+    # audit): the old `e.unpersist()` was a silent NO-OP for block
+    # release (DataFrame.unpersist talks to the cache manager, which
+    # knows nothing of localCheckpoint RDDs), so every call pinned
+    # rounds+1 truncated-lineage edge frames for the session's lifetime
+    # (measured: 4 blocks leaked by one tiny call).  Release goes
+    # through getPersistentRDDs id-diffs instead.  The INITIAL
+    # checkpoint stays pinned: it is the first scan of `edges`, so a
+    # caller cache with lazy registration lands inside its diff and
+    # must not be swept — ≤2 pinned frames per call (initial + final).
+    sc = edges.sparkSession.sparkContext
+
+    def _pinned_ids() -> set:
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    def _release(ids: set) -> None:
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in ids:
+            if jmap.containsKey(rid):
+                jmap.get(rid).unpersist()
+
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -92,9 +113,15 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev = None
+    prev_ids: set = set()    # round 0 = the initial checkpoint: kept
     for _ in range(max_iter):
+        snap = _pinned_ids()
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        e.unpersist()
+        new_ids = _pinned_ids() - snap
+        # e2 is materialized — the previous round's blocks (never the
+        # initial scan's) had their last read and can go
+        _release(prev_ids)
+        prev_ids = new_ids
         e = e2
         # fingerprint sum in decimal(38,0): a long sum of 64-bit hashes
         # overflows under ANSI mode.

@@ -118,10 +118,43 @@ class CorpusPrepConfig:
 
 
 def _cutter(sm: StageMetrics | None):
+    """Stage-boundary checkpoint with supersede-release (r12 audit): the
+    pipeline's ``d`` chain is strictly linear, so once cut N
+    materializes, cut N−1's blocks (and any internal checkpoints the
+    stage made between the two cuts, e.g. minhash pair frames) have had
+    their last read — released immediately instead of pinning one
+    corpus-sized truncated-lineage frame PER STAGE for the session.
+    The FIRST cut's ids are kept: it is the first materialization of
+    the caller's plan, so lazily-registering caller caches land in its
+    diff and must not be swept (labelprop r11 review class).  Net: ≤2
+    pinned corpus frames per call (first + latest) instead of ~9."""
+    state: dict = {"shield": None, "window": set(), "mark": set(),
+                   "sc": None}
+
+    def _ids() -> set:
+        return set(state["sc"]._jsc.getPersistentRDDs().keySet().toArray())
+
     def cut(name: str, df: DataFrame) -> DataFrame:
         if sm is not None:
             df = sm.observe(name, df)
+        state["sc"] = df.sparkSession.sparkContext
         df = df.localCheckpoint(eager=True)
+        now = _ids()
+        if state["shield"] is None:
+            # everything pinned by the end of cut 1 — the cut itself,
+            # any stage-internal checkpoints, and every pre-existing or
+            # lazily-registered caller/session cache — is off-limits
+            state["shield"] = now
+        else:
+            # the previous inter-cut window (cut N−1's frame + stage
+            # N−1 internals) had its last read when THIS cut
+            # materialized
+            jmap = state["sc"]._jsc.getPersistentRDDs()
+            for rid in state["window"] - state["shield"]:
+                if jmap.containsKey(rid):
+                    jmap.get(rid).unpersist()
+            state["window"] = now - state["mark"]
+        state["mark"] = _ids()
         if sm is not None:
             sm.materialized(name)
         return df

@@ -179,6 +179,26 @@ def run_v1_qa(
         ]
         return pd.DataFrame(rows, columns=[f.name for f in pack_schema.fields])
 
+    # Prior-round checkpoint release (labelprop/pagerank discipline, r12
+    # audit): each round's eager checkpoint supersedes the previous
+    # round's — without a release the loop pins rounds × |chunks| rows
+    # of truncated-lineage blocks for the session.  Round 1's ids are
+    # KEPT: its checkpoint is the first materialization of the whole
+    # upstream plan, so a caller cache with lazy registration lands in
+    # its diff and must not be swept (≤2 pinned frames per call).
+    sc = docs.sparkSession.sparkContext
+
+    def _pinned_ids() -> set:
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    def _release(ids: set) -> None:
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in ids:
+            if jmap.containsKey(rid):
+                jmap.get(rid).unpersist()
+
+    shield: set | None = None    # round-1 ids, never released
+    prev_ids: set = set()
     for _ in range(max_collapse_rounds):
         w = Window.partitionBy("doc_id").orderBy("chunk_id")
         cur = state.withColumn("__idx", F.row_number().over(w) - 1).withColumn(
@@ -212,7 +232,14 @@ def run_v1_qa(
         )
         # localCheckpoint: cut the per-round lineage so the loop's plan
         # doesn't grow superlinearly (bounded driver loop, SURVEY.md §7).
+        snap = _pinned_ids()
         state = ok_chunks.unionByName(new_chunks).localCheckpoint(eager=True)
+        new_ids = _pinned_ids() - snap
+        if shield is None:
+            shield = new_ids          # round 1: caller-cache shield
+        else:
+            _release(prev_ids - shield)
+            prev_ids = new_ids
         if stage_metrics is not None:
             stage_metrics.materialized("collapse")
 

@@ -996,16 +996,44 @@ def run_v2_survey(surveys: DataFrame, client_factory,
             F.lit("[]").alias("self_refine_score"),
             F.lit("[]").alias("conv_pool_sizes"),
         )
+        # Per-cycle checkpoint release (labelprop/pagerank discipline,
+        # r12 audit): cycle N's refined-outline checkpoint is the LAST
+        # reader of cycle N−1's `cur` blocks and of cycle N's own
+        # digest checkpoint (suggestions → convolution → refine all
+        # materialize into it), so both are released right after it —
+        # otherwise the loop pins 2 × block_count survey-bounded frames
+        # per run for the session.  Pre-loop checkpoints (papers,
+        # outlines) stay: papers is re-read via `grouped` every cycle
+        # and is the caller-cache shield (first materialization of the
+        # surveys plan).
+        _sctx = surveys.sparkSession.sparkContext
+
+        def _pinned_ids() -> set:
+            return set(_sctx._jsc.getPersistentRDDs().keySet().toArray())
+
+        def _release(ids: set) -> None:
+            jmap = _sctx._jsc.getPersistentRDDs()
+            for rid in ids:
+                if jmap.containsKey(rid):
+                    jmap.get(rid).unpersist()
+
+        prev_cur_ids: set = set()   # cur_0 is lazy over outlines: no blocks
         for _cycle in range(cfg.block_count):
+            snap = _pinned_ids()
             digests = digests.localCheckpoint(eager=True)
+            digest_ids = _pinned_ids() - snap
             if sm is not None:
                 sm.materialized("digest")
             suggestions = feedback_suggestions(
                 digests, cur, client_factory, retry, cfg=cfg,
                 metrics=sm.llm("suggest") if sm is not None else None)
             best = convolution_block(cur, suggestions, client_factory, cfg, retry)
+            snap = _pinned_ids()
             cur = self_refine(best, client_factory, cfg, retry) \
                 .localCheckpoint(eager=True)
+            new_cur_ids = _pinned_ids() - snap
+            _release(prev_cur_ids | digest_ids)
+            prev_cur_ids = new_cur_ids
             if sm is not None:
                 sm.materialized("refine")
             # re-digest against the refined outline (digest_node re-entry)

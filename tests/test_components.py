@@ -190,3 +190,23 @@ def test_component_size_report(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="smaller"):
         component_size_report(pairs, n_total=3).collect()
+
+
+def test_intermediate_checkpoints_released(spark):
+    """r12 audit: DataFrame.unpersist() was a no-op for localCheckpoint
+    blocks (it talks to the cache manager), so every call leaked
+    rounds+1 pinned edge frames.  Now only the initial checkpoint (kept
+    as the caller-cache shield — it is the first scan of `edges`) and
+    the final fixed-point frame may stay."""
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (5, 6)],
+        "src long, dst long")
+    out = connected_components(edges, "src", "dst")
+    out.count()
+    after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    leaked = after - before
+    assert len(leaked) <= 2, (
+        f"{len(leaked)} RDDs left pinned by a connected_components call; "
+        "per-round checkpoints are leaking")
