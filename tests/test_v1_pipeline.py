@@ -111,3 +111,20 @@ def test_mock_qa_client_routing():
     reduce_p = ("Information from chunks ...\n"
                 "Answer: SK-9\nConfidence Score: 5\n")
     assert c.complete(reduce_p).endswith("Answer: SK-9")
+
+
+def test_collapse_checkpoints_released(spark):
+    """r12 audit: each collapse round's state checkpoint must release
+    the previous round's blocks (round-1 ids stay as the caller-cache
+    shield) — ≤2 pinned frames per call plus nothing from the LLM
+    stages."""
+    sc = spark.sparkContext
+    docs = make_docs(spark, n=4, repeats=40)
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    out = run_v1_qa(docs, chunk_size=520, client_factory=MockQAClient)
+    out.count()
+    after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    leaked = after - before
+    assert len(leaked) <= 3, (
+        f"{len(leaked)} RDDs left pinned by a 3-round collapse run; "
+        "prior-round state checkpoints are leaking")
