@@ -122,6 +122,12 @@ def run_media_prep(
             # prove it meets the bound
             gated = gated.filter(F.col(col) >= bound)
     gated = _cut(stage_metrics, "metadata_gate", gated, cfg.checkpoint)
+    # shield: everything pinned by the end of the first cut — the
+    # caller's lazily-registering caches land inside it (r12 audit;
+    # consumed by the release block at the end of this function)
+    _sc = assets.sparkSession.sparkContext
+    shield = (set(_sc._jsc.getPersistentRDDs().keySet().toArray())
+              if cfg.checkpoint else set())
 
     # 2. exact dedup on payload bytes — the text operator verbatim
     # (md5 key, min-id representative); normalize=False because byte
@@ -152,5 +158,32 @@ def run_media_prep(
             max_distance=cfg.max_distance, max_bucket=cfg.max_bucket)
         enriched = dedup_by_components(
             enriched, pairs, id_col=id_col, keep_by=cfg.keep_by)
-    kept = _cut(stage_metrics, "neardup", enriched, cfg.checkpoint)
+    if not cfg.checkpoint:
+        return _cut(stage_metrics, "neardup", enriched, False), quarantined
+
+    # Supersede-release (r12 audit): checkpoint the (small — decode
+    # failures only) quarantine report so nothing returned is lazy over
+    # the mid-pipeline cuts, then release everything this call pinned
+    # EXCEPT the shield (all ids live by the end of the metadata_gate
+    # cut — the first materialization of the caller's plan, so
+    # lazily-registering caller caches are inside it and must not be
+    # swept) and the two returned frames' own blocks.  The exact_dedup
+    # and perceptual_hash cuts — one corpus-sized, one hash-per-asset —
+    # plus any dedup-internal checkpoints had their last read when the
+    # returned frames materialized.
+    sc = assets.sparkSession.sparkContext
+
+    def _ids() -> set:
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    snap = _ids()
+    kept = _cut(stage_metrics, "neardup", enriched, True)
+    kept_ids = _ids() - snap
+    snap = _ids()
+    quarantined = quarantined.localCheckpoint(eager=True)
+    q_ids = _ids() - snap
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in _ids() - shield - kept_ids - q_ids:
+        if jmap.containsKey(rid):
+            jmap.get(rid).unpersist()
     return kept, quarantined

@@ -127,3 +127,22 @@ def test_media_prep_dimension_gates(spark, planted):
                                bands=8, max_distance=6))
     ids2 = {r.asset_id for r in kept2.select("asset_id").collect()}
     assert "keep_png" not in ids2
+
+
+def test_stage_checkpoints_released(spark, planted):
+    """r12 audit (second pass): with the quarantine report checkpointed
+    (decode-failure-sized), the corpus-sized exact_dedup and
+    perceptual_hash cuts release at return — ≤3 pinned frames per call
+    (metadata-gate shield + kept + quarantined), and both returned
+    frames stay fully readable after the release."""
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    kept, quarantined = run_media_prep(planted, MediaPrepConfig())
+    k = {r["asset_id"] for r in kept.collect()}
+    q = {r["asset_id"] for r in quarantined.collect()}
+    after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    leaked = after - before
+    assert len(leaked) <= 3, (
+        f"{len(leaked)} RDDs left pinned by run_media_prep; superseded "
+        "mid-pipeline cuts are leaking")
+    assert "broken" in q and "keep_png" in k and "xact_dup" not in k
