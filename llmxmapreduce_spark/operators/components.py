@@ -36,6 +36,7 @@ import sys
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from llmxmapreduce_spark.retention import pinned_ids, release
 
 
 def _symmetrize(e: DataFrame) -> DataFrame:
@@ -97,14 +98,6 @@ def connected_components(
     # must not be swept — ≤2 pinned frames per call (initial + final).
     sc = edges.sparkSession.sparkContext
 
-    def _pinned_ids() -> set:
-        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
-
-    def _release(ids: set) -> None:
-        jmap = sc._jsc.getPersistentRDDs()
-        for rid in ids:
-            if jmap.containsKey(rid):
-                jmap.get(rid).unpersist()
 
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -115,12 +108,12 @@ def connected_components(
     prev = None
     prev_ids: set = set()    # round 0 = the initial checkpoint: kept
     for _ in range(max_iter):
-        snap = _pinned_ids()
+        snap = pinned_ids(sc)
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        new_ids = _pinned_ids() - snap
+        new_ids = pinned_ids(sc) - snap
         # e2 is materialized — the previous round's blocks (never the
         # initial scan's) had their last read and can go
-        _release(prev_ids)
+        release(sc, prev_ids)
         prev_ids = new_ids
         e = e2
         # fingerprint sum in decimal(38,0): a long sum of 64-bit hashes

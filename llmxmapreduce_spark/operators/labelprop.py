@@ -58,6 +58,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from llmxmapreduce_spark.retention import pinned_ids, release
 
 
 def label_propagation(
@@ -102,14 +103,6 @@ def label_propagation(
         )
         sc = e.sparkSession.sparkContext
 
-        def _pinned_ids() -> set:
-            return set(sc._jsc.getPersistentRDDs().keySet().toArray())
-
-        def _release(ids: set) -> None:
-            jmap = sc._jsc.getPersistentRDDs()
-            for rid in ids:
-                if jmap.containsKey(rid):
-                    jmap.get(rid).unpersist()
 
         # Materialize the edge cache BEFORE the first id snapshot: a
         # DataFrame cache registers its RDD in getPersistentRDDs only
@@ -119,19 +112,19 @@ def label_propagation(
         # prev_ids and releasing it after round 1, silently re-shuffling
         # |E| every remaining round (r11 review finding).
         e.count()
-        base = _pinned_ids()
+        base = pinned_ids(sc)
         labels = nodes.select("__n", F.col("__n").alias("__l"))
         if checkpoint:
             labels = labels.localCheckpoint(eager=True)
-        prev_ids = _pinned_ids() - base
+        prev_ids = pinned_ids(sc) - base
 
         rounds = n_iter if n_iter is not None else max_iter
         for _ in range(rounds):
-            base = _pinned_ids()
+            base = pinned_ids(sc)
             new_labels = _one_round(e, labels)
             if checkpoint:
                 new_labels = new_labels.localCheckpoint(eager=True)
-            new_ids = _pinned_ids() - base
+            new_ids = pinned_ids(sc) - base
             converged = False
             if n_iter is None:
                 n_changed = (
@@ -151,7 +144,7 @@ def label_propagation(
             # caches are safe; the old frame is never read again, so the
             # truncated-lineage caveat doesn't bite.  Only the FINAL
             # frame's blocks stay alive for the caller.
-            _release(prev_ids)
+            release(sc, prev_ids)
             prev_ids = new_ids
             labels = new_labels
             if converged:

@@ -51,6 +51,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from llmxmapreduce_spark.retention import pinned_ids, release
 
 __all__ = ["pagerank"]
 
@@ -92,14 +93,6 @@ def pagerank(
     # for the caller.
     sc = edges.sparkSession.sparkContext
 
-    def _pinned_ids() -> set:
-        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
-
-    def _release(ids: set) -> None:
-        jmap = sc._jsc.getPersistentRDDs()
-        for rid in ids:
-            if jmap.containsKey(rid):
-                jmap.get(rid).unpersist()
 
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
@@ -126,12 +119,12 @@ def pagerank(
     # the nodes checkpoint itself is never released — a bounded ≤2
     # pinned frames per call (nodes + final ranks) instead of
     # 3 + n_iter.
-    snap1 = _pinned_ids() if checkpoint else set()
+    snap1 = pinned_ids(sc) if checkpoint else set()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     deg = _ck(deg)
     # pre-join outdeg onto the edge table once — reused every iteration
     ed = _ck(e.join(deg, "src"))
-    setup_ids = (_pinned_ids() - snap1) if checkpoint else set()
+    setup_ids = (pinned_ids(sc) - snap1) if checkpoint else set()
 
     base = (scale * (damping_den - damping_num)) // damping_den
     ranks = nodes.withColumn("rank_q", F.lit(int(scale)).cast("long"))
@@ -167,14 +160,14 @@ def pagerank(
             )
         )
         if checkpoint:
-            snap = _pinned_ids()
+            snap = pinned_ids(sc)
             new_ranks = _ck(new_ranks)
-            new_ids = _pinned_ids() - snap
-            _release(prev_ids)
+            new_ids = pinned_ids(sc) - snap
+            release(sc, prev_ids)
             prev_ids = new_ids
         ranks = new_ranks
     if checkpoint and n_iter > 0:
         # the final ranks frame is its own checkpoint — nodes/deg/ed are
         # never read again (n_iter=0 keeps them: ranks still reads nodes)
-        _release(setup_ids)
+        release(sc, setup_ids)
     return ranks

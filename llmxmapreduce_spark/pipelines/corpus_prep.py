@@ -54,6 +54,7 @@ from llmxmapreduce_spark.operators.components import dedup_by_components
 from llmxmapreduce_spark.operators.packing import pack_sequences
 from llmxmapreduce_spark.operators.span_dedup import span_dedup
 from llmxmapreduce_spark.operators.stage_metrics import StageMetrics
+from llmxmapreduce_spark.retention import pinned_ids, release
 
 
 @dataclass
@@ -128,18 +129,14 @@ def _cutter(sm: StageMetrics | None):
     the caller's plan, so lazily-registering caller caches land in its
     diff and must not be swept (labelprop r11 review class).  Net: ≤2
     pinned corpus frames per call (first + latest) instead of ~9."""
-    state: dict = {"shield": None, "window": set(), "mark": set(),
-                   "sc": None}
-
-    def _ids() -> set:
-        return set(state["sc"]._jsc.getPersistentRDDs().keySet().toArray())
+    state: dict = {"shield": None, "window": set(), "mark": set()}
 
     def cut(name: str, df: DataFrame) -> DataFrame:
         if sm is not None:
             df = sm.observe(name, df)
-        state["sc"] = df.sparkSession.sparkContext
+        sc = df.sparkSession.sparkContext
         df = df.localCheckpoint(eager=True)
-        now = _ids()
+        now = pinned_ids(sc)
         if state["shield"] is None:
             # everything pinned by the end of cut 1 — the cut itself,
             # any stage-internal checkpoints, and every pre-existing or
@@ -149,12 +146,9 @@ def _cutter(sm: StageMetrics | None):
             # the previous inter-cut window (cut N−1's frame + stage
             # N−1 internals) had its last read when THIS cut
             # materialized
-            jmap = state["sc"]._jsc.getPersistentRDDs()
-            for rid in state["window"] - state["shield"]:
-                if jmap.containsKey(rid):
-                    jmap.get(rid).unpersist()
+            release(sc, state["window"] - state["shield"])
             state["window"] = now - state["mark"]
-        state["mark"] = _ids()
+        state["mark"] = pinned_ids(sc)
         if sm is not None:
             sm.materialized(name)
         return df

@@ -39,6 +39,7 @@ from llmxmapreduce_spark.operators import media_dedup
 from llmxmapreduce_spark.operators.components import dedup_by_components
 from llmxmapreduce_spark.operators.dedup import exact_dedup
 from llmxmapreduce_spark.operators.stage_metrics import StageMetrics
+from llmxmapreduce_spark.retention import pinned_ids, release
 
 
 @dataclass
@@ -125,8 +126,7 @@ def run_media_prep(
     # shield: everything pinned by the end of the first cut — the
     # caller's lazily-registering caches land inside it (r12 audit;
     # consumed by the release block at the end of this function)
-    _sc = assets.sparkSession.sparkContext
-    shield = (set(_sc._jsc.getPersistentRDDs().keySet().toArray())
+    shield = (pinned_ids(assets.sparkSession.sparkContext)
               if cfg.checkpoint else set())
 
     # 2. exact dedup on payload bytes — the text operator verbatim
@@ -172,18 +172,11 @@ def run_media_prep(
     # plus any dedup-internal checkpoints had their last read when the
     # returned frames materialized.
     sc = assets.sparkSession.sparkContext
-
-    def _ids() -> set:
-        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
-
-    snap = _ids()
+    snap = pinned_ids(sc)
     kept = _cut(stage_metrics, "neardup", enriched, True)
-    kept_ids = _ids() - snap
-    snap = _ids()
+    kept_ids = pinned_ids(sc) - snap
+    snap = pinned_ids(sc)
     quarantined = quarantined.localCheckpoint(eager=True)
-    q_ids = _ids() - snap
-    jmap = sc._jsc.getPersistentRDDs()
-    for rid in _ids() - shield - kept_ids - q_ids:
-        if jmap.containsKey(rid):
-            jmap.get(rid).unpersist()
+    q_ids = pinned_ids(sc) - snap
+    release(sc, pinned_ids(sc) - shield - kept_ids - q_ids)
     return kept, quarantined

@@ -35,6 +35,7 @@ from llmxmapreduce_spark.functions import text as X
 from llmxmapreduce_spark.llm.client import LLMClient, RetryPolicy
 from llmxmapreduce_spark.operators import chunker
 from llmxmapreduce_spark.operators.llm_op import llm_stage
+from llmxmapreduce_spark.retention import pinned_ids, release
 
 MAX_NEW_TOKENS = 300  # gen_args.get('max_tokens', 300), Generator.py:350
 
@@ -188,14 +189,6 @@ def run_v1_qa(
     # its diff and must not be swept (≤2 pinned frames per call).
     sc = docs.sparkSession.sparkContext
 
-    def _pinned_ids() -> set:
-        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
-
-    def _release(ids: set) -> None:
-        jmap = sc._jsc.getPersistentRDDs()
-        for rid in ids:
-            if jmap.containsKey(rid):
-                jmap.get(rid).unpersist()
 
     shield: set | None = None    # round-1 ids, never released
     prev_ids: set = set()
@@ -232,13 +225,13 @@ def run_v1_qa(
         )
         # localCheckpoint: cut the per-round lineage so the loop's plan
         # doesn't grow superlinearly (bounded driver loop, SURVEY.md §7).
-        snap = _pinned_ids()
+        snap = pinned_ids(sc)
         state = ok_chunks.unionByName(new_chunks).localCheckpoint(eager=True)
-        new_ids = _pinned_ids() - snap
+        new_ids = pinned_ids(sc) - snap
         if shield is None:
             shield = new_ids          # round 1: caller-cache shield
         else:
-            _release(prev_ids - shield)
+            release(sc, prev_ids - shield)
             prev_ids = new_ids
         if stage_metrics is not None:
             stage_metrics.materialized("collapse")

@@ -48,6 +48,7 @@ from llmxmapreduce_spark.operators import digest_ops, grouping, sampling, skelet
 from llmxmapreduce_spark.operators.citations import cite_ratio as a7_cite_ratio
 from llmxmapreduce_spark.operators.citations import references_block, renumber_citations
 from llmxmapreduce_spark.operators.llm_op import llm_stage
+from llmxmapreduce_spark.retention import pinned_ids, release
 
 
 @dataclass
@@ -1008,31 +1009,22 @@ def run_v2_survey(surveys: DataFrame, client_factory,
         # surveys plan).
         _sctx = surveys.sparkSession.sparkContext
 
-        def _pinned_ids() -> set:
-            return set(_sctx._jsc.getPersistentRDDs().keySet().toArray())
-
-        def _release(ids: set) -> None:
-            jmap = _sctx._jsc.getPersistentRDDs()
-            for rid in ids:
-                if jmap.containsKey(rid):
-                    jmap.get(rid).unpersist()
-
         prev_cur_ids: set = set()   # cur_0 is lazy over outlines: no blocks
         for _cycle in range(cfg.block_count):
-            snap = _pinned_ids()
+            snap = pinned_ids(_sctx)
             digests = digests.localCheckpoint(eager=True)
-            digest_ids = _pinned_ids() - snap
+            digest_ids = pinned_ids(_sctx) - snap
             if sm is not None:
                 sm.materialized("digest")
             suggestions = feedback_suggestions(
                 digests, cur, client_factory, retry, cfg=cfg,
                 metrics=sm.llm("suggest") if sm is not None else None)
             best = convolution_block(cur, suggestions, client_factory, cfg, retry)
-            snap = _pinned_ids()
+            snap = pinned_ids(_sctx)
             cur = self_refine(best, client_factory, cfg, retry) \
                 .localCheckpoint(eager=True)
-            new_cur_ids = _pinned_ids() - snap
-            _release(prev_cur_ids | digest_ids)
+            new_cur_ids = pinned_ids(_sctx) - snap
+            release(_sctx, prev_cur_ids | digest_ids)
             prev_cur_ids = new_cur_ids
             if sm is not None:
                 sm.materialized("refine")
