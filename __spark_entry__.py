@@ -3654,70 +3654,21 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 100 entries (board frozen at two 50-slot driver windows since the
     # round-11 compaction), ORDERED because the driver's correctness
-    # gate runs only the FIRST 50 (measured rounds 5-10).  Round-12
-    # window (r11 verdict task #1): EXACTLY the former positions 51-100
-    # — q1_pricing_summary (rolled from r11) plus the 49 entries last
-    # driver-confirmed in CORRECTNESS_r10.json.  The former first 50
-    # (all driver-green in CORRECTNESS_r11.json) rotate to positions
-    # 51-100 and become the r13 window.  With the board frozen at 100 =
-    # 2 windows, every entry is driver-confirmed every second round —
-    # after this round the two-round-green promise holds for the whole
-    # board, permanently.  Ledger: COVERAGE.md.
+    # gate runs only the FIRST 50 (measured rounds 5-10).  Round-13
+    # rotation (r12 verdict task #1): the two 50-entry blocks swap each
+    # round, so every board entry gets driver-confirmed every second
+    # round and no entry's evidence is ever older than two rounds.
+    # This round's head-50 is EXACTLY the block driver-confirmed in
+    # CORRECTNESS_r11.json (and not touched by the r12 driver window);
+    # the block driver-confirmed in CORRECTNESS_r12.json rotates to
+    # positions 51-100 and becomes the r14 window.  The swap is now
+    # MECHANIZED: tests/test_rotation_gate.py asserts the head-50 is
+    # disjoint from the newest CORRECTNESS_r*.json keys, so a
+    # forgotten swap fails pytest instead of silently halving driver
+    # coverage.  Ledger: COVERAGE.md.
     return {
-        # ---- r12 window (positions 1-50): q1 rolled + the 49 r10
-        # greens, every one driver-confirmed in CORRECTNESS_r10.json ----
-        "q1_pricing_summary": q_pricing_summary,
-        "dsir_weights": q_dsir_weights_board,
-        "quality_classifier": q_quality_classifier_board,
-        "json_extract_agg": q_json_extract_agg,
-        "bigram_stats": q_bigram_stats,
-        "event_sessions": q_event_sessions,
-        "user_event_crosstab": q_user_event_crosstab,
-        "bm25_topk": q_bm25_topk,
-        "sequence_packing_bpe": q_sequence_packing_bpe,
-        "v3_host_transcript": q_v3_host_transcript,
-        "image_neardup": q_image_neardup,
-        "video_neardup": q_video_neardup,
-        "set_jaccard_join": q_set_jaccard_join,
-        "set_containment_join": q_set_containment_join,
-        "connected_components": q_connected_components,
-        "skeleton_roundtrip": q_skeleton_roundtrip,
-        "j1_alignment_mismatches": q_j1_alignment,
-        "a3_digest_merge": q_a3_digest_merge,
-        "p12_citation_renumber": q_p12_citation_renumber,
-        "a9_claim_metrics": q_a9_claim_metrics,
-        "minhash_lsh_neardup": q_minhash_lsh_neardup,
-        "simhash16": q_simhash16,
-        "embedding_cosine_topk": q_embedding_cosine_topk,
-        "ngram_jaccard": q_ngram_jaccard,
-        "embedding_cosine_neardup": q_embedding_cosine_neardup,
-        "media_assets": q_media_assets,
-        "text_quality": q_text_quality,
-        "doc_fingerprint": q_doc_fingerprint,
-        "events_session_windows": q_events_sessions,
-        "l27_claim_extraction": q_claim_extraction,
-        "j2_digest_members": q_j2_digest_members,
-        "j4_claim_source_join": q_j4_claim_source_join,
-        "j5_figure_anchor": q_j5_figure_anchor,
-        "p17_html_extract": q_p17_html_extract,
-        "qa_f1_score": q_qa_f1_score,
-        "v1_scorers": q_v1_scorers,
-        "v1_option_scorers": q_v1_option_scorers,
-        "rouge_lsum": q_rouge_lsum,
-        "v1_qa_secret_key": q_v1_qa_secret_key,
-        "v2_survey_pipeline": q_v2_survey_pipeline,
-        "v2_block_cycle": q_v2_block_cycle,
-        "v2_decode_tail": q_v2_decode_tail,
-        "token_encode": q_token_encode_board,
-        "url_filters": q_url_filters_board,
-        "decontaminate_bloom": q_decontaminate_bloom_board,
-        "ivf_topk_join": q_ivf_topk_join_board,
-        "asof_join": q_asof_join,
-        "range_join_agg": q_range_join_agg,
-        "zorder_key": q_zorder_key,
-        "heavy_hitters": q_heavy_hitters,
-        # ---- positions 51-100 (the r13 window): the full r11 window,
-        # every entry driver-green in CORRECTNESS_r11.json ----
+        # ---- r13 window (positions 1-50): the full r11-green block,
+        # every entry driver-confirmed in CORRECTNESS_r11.json ----
         # (a) round-10 additions, driver-confirmed r11
         "hll_distinct": q_hll_distinct,
         "orc_roundtrip": q_orc_roundtrip,
@@ -3772,6 +3723,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c6_hash_batches": q_c6_hash_batches,
         "skeleton_nodes": q_skeleton_nodes,
         "j3_star_join_agg": q_join_star_agg,
+        # ---- positions 51-100 (the r14 window): the full r12 window,
+        # every entry driver-green in CORRECTNESS_r12.json ----
+        "q1_pricing_summary": q_pricing_summary,
+        "dsir_weights": q_dsir_weights_board,
+        "quality_classifier": q_quality_classifier_board,
+        "json_extract_agg": q_json_extract_agg,
+        "bigram_stats": q_bigram_stats,
+        "event_sessions": q_event_sessions,
+        "user_event_crosstab": q_user_event_crosstab,
+        "bm25_topk": q_bm25_topk,
+        "sequence_packing_bpe": q_sequence_packing_bpe,
+        "v3_host_transcript": q_v3_host_transcript,
+        "image_neardup": q_image_neardup,
+        "video_neardup": q_video_neardup,
+        "set_jaccard_join": q_set_jaccard_join,
+        "set_containment_join": q_set_containment_join,
+        "connected_components": q_connected_components,
+        "skeleton_roundtrip": q_skeleton_roundtrip,
+        "j1_alignment_mismatches": q_j1_alignment,
+        "a3_digest_merge": q_a3_digest_merge,
+        "p12_citation_renumber": q_p12_citation_renumber,
+        "a9_claim_metrics": q_a9_claim_metrics,
+        "minhash_lsh_neardup": q_minhash_lsh_neardup,
+        "simhash16": q_simhash16,
+        "embedding_cosine_topk": q_embedding_cosine_topk,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_cosine_neardup": q_embedding_cosine_neardup,
+        "media_assets": q_media_assets,
+        "text_quality": q_text_quality,
+        "doc_fingerprint": q_doc_fingerprint,
+        "events_session_windows": q_events_sessions,
+        "l27_claim_extraction": q_claim_extraction,
+        "j2_digest_members": q_j2_digest_members,
+        "j4_claim_source_join": q_j4_claim_source_join,
+        "j5_figure_anchor": q_j5_figure_anchor,
+        "p17_html_extract": q_p17_html_extract,
+        "qa_f1_score": q_qa_f1_score,
+        "v1_scorers": q_v1_scorers,
+        "v1_option_scorers": q_v1_option_scorers,
+        "rouge_lsum": q_rouge_lsum,
+        "v1_qa_secret_key": q_v1_qa_secret_key,
+        "v2_survey_pipeline": q_v2_survey_pipeline,
+        "v2_block_cycle": q_v2_block_cycle,
+        "v2_decode_tail": q_v2_decode_tail,
+        "token_encode": q_token_encode_board,
+        "url_filters": q_url_filters_board,
+        "decontaminate_bloom": q_decontaminate_bloom_board,
+        "ivf_topk_join": q_ivf_topk_join_board,
+        "asof_join": q_asof_join,
+        "range_join_agg": q_range_join_agg,
+        "zorder_key": q_zorder_key,
+        "heavy_hitters": q_heavy_hitters,
         # v2_survey_refdefaults stays OFF the board: it is a THROUGHPUT
         # line (bench.py HEADLINE), hash-gated by its golden-transcript
         # pytest (tests/test_v2_refdefaults.py) — no SQL oracle exists.

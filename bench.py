@@ -248,7 +248,11 @@ def main() -> int:
     spark = get_spark("bench")
 
     try:
-        load_start = [round(x, 2) for x in os.getloadavg()[:2]]
+        # getattr: os.getloadavg does not exist on some platforms
+        # (Windows) — AttributeError there, OSError elsewhere (r13
+        # ADVICE); a missing load stamp must never crash the bench
+        load_start = [round(x, 2)
+                      for x in getattr(os, "getloadavg", lambda: ())()[:2]]
     except OSError:
         load_start = []
 
@@ -294,7 +298,8 @@ def main() -> int:
     twin = round(sum(v for k, v in timings.items()
                      if k in ORACLE_TWIN and v >= 0), 3)
     try:
-        load_end = [round(x, 2) for x in os.getloadavg()[:2]]
+        load_end = [round(x, 2)
+                    for x in getattr(os, "getloadavg", lambda: ())()[:2]]
     except OSError:
         load_end = []
     compact = {

@@ -107,32 +107,40 @@ def connected_components(
     )
     prev = None
     prev_ids: set = set()    # round 0 = the initial checkpoint: kept
-    for _ in range(max_iter):
-        snap = pinned_ids(sc)
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        new_ids = pinned_ids(sc) - snap
-        # e2 is materialized — the previous round's blocks (never the
-        # initial scan's) had their last read and can go
+    # try/except (r13 ADVICE): an exception mid-loop must not leave the
+    # current round's blocks pinned for the session — nothing is
+    # returned on the error path, so the tracked round ids (never the
+    # initial shield checkpoint) are releasable.
+    try:
+        for _ in range(max_iter):
+            snap = pinned_ids(sc)
+            e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            new_ids = pinned_ids(sc) - snap
+            # e2 is materialized — the previous round's blocks (never the
+            # initial scan's) had their last read and can go
+            release(sc, prev_ids)
+            prev_ids = new_ids
+            e = e2
+            # fingerprint sum in decimal(38,0): a long sum of 64-bit
+            # hashes overflows under ANSI mode.
+            row = e.agg(
+                F.count("*").alias("n"),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+            ).collect()[0]
+            fp = (row["n"], row["h"])
+            if fp == prev:
+                break
+            prev = fp
+        else:
+            print(
+                f"WARNING connected_components: no convergence in "
+                f"{max_iter} rounds — labels may be incomplete on "
+                f"adversarial graphs; raise max_iter.",
+                file=sys.stderr,
+            )
+    except BaseException:
         release(sc, prev_ids)
-        prev_ids = new_ids
-        e = e2
-        # fingerprint sum in decimal(38,0): a long sum of 64-bit hashes
-        # overflows under ANSI mode.
-        row = e.agg(
-            F.count("*").alias("n"),
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        fp = (row["n"], row["h"])
-        if fp == prev:
-            break
-        prev = fp
-    else:
-        print(
-            f"WARNING connected_components: no convergence in {max_iter} "
-            f"rounds — labels may be incomplete on adversarial graphs; "
-            f"raise max_iter.",
-            file=sys.stderr,
-        )
+        raise
     # At the fixed point every component is a star rooted at its min node:
     # a child's only neighbor is the root (min(child, root) = root), the
     # root's neighbors are all larger (min = itself).

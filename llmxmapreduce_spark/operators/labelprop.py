@@ -95,15 +95,14 @@ def label_propagation(
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")) \
         .repartition("__s")
     e.persist()
+    sc = e.sparkSession.sparkContext
+    prev_ids: set = set()   # set before try: the except handler reads it
     try:
         nodes = (
             e.select(F.col("__s").alias("__n"))
             .union(e.select(F.col("__d").alias("__n")))
             .distinct()
         )
-        sc = e.sparkSession.sparkContext
-
-
         # Materialize the edge cache BEFORE the first id snapshot: a
         # DataFrame cache registers its RDD in getPersistentRDDs only
         # when a job first materializes it, which would otherwise happen
@@ -152,6 +151,12 @@ def label_propagation(
         return labels.select(
             F.col("__n").alias(node_out), F.col("__l").alias(label_out)
         )
+    except BaseException:
+        # r13 ADVICE: an exception mid-loop must not leave the current
+        # round's checkpoint blocks pinned for the session — nothing is
+        # returned on the error path, so the tracked ids are releasable.
+        release(sc, prev_ids)
+        raise
     finally:
         e.unpersist()
 

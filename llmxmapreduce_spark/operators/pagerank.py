@@ -130,42 +130,52 @@ def pagerank(
     ranks = nodes.withColumn("rank_q", F.lit(int(scale)).cast("long"))
 
     prev_ids: set = set()   # round 0's frame is unmaterialized: no blocks
-    for _ in range(n_iter):
-        dang = (
-            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
-            .agg(F.sum("rank_q"))
-            .collect()[0][0]
-        )
-        share = int(dang or 0) // n
-        s_in = (
-            ed.join(ranks, ed["src"] == ranks["node"])
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank_q DIV outdeg").alias("c"),
+    # try/except (r13 ADVICE): an exception mid-loop (executor loss,
+    # OOM, interrupted action) must not leave the tracked intermediates
+    # pinned for the session — nothing is returned on the error path,
+    # so everything this call checkpointed (current round's blocks AND
+    # the setup frames) is releasable.
+    try:
+        for _ in range(n_iter):
+            dang = (
+                ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+                .agg(F.sum("rank_q"))
+                .collect()[0][0]
             )
-            .groupBy("node")
-            .agg(F.sum("c").alias("s_in"))
-        )
-        new_ranks = (
-            nodes.join(s_in, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(int(base))
-                    + F.expr(
-                        f"({damping_num} * (coalesce(s_in, 0) + {share}))"
-                        f" DIV {damping_den}"
-                    )
-                ).cast("long").alias("rank_q"),
+            share = int(dang or 0) // n
+            s_in = (
+                ed.join(ranks, ed["src"] == ranks["node"])
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("rank_q DIV outdeg").alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("s_in"))
             )
-        )
+            new_ranks = (
+                nodes.join(s_in, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(int(base))
+                        + F.expr(
+                            f"({damping_num} * (coalesce(s_in, 0) + {share}))"
+                            f" DIV {damping_den}"
+                        )
+                    ).cast("long").alias("rank_q"),
+                )
+            )
+            if checkpoint:
+                snap = pinned_ids(sc)
+                new_ranks = _ck(new_ranks)
+                new_ids = pinned_ids(sc) - snap
+                release(sc, prev_ids)
+                prev_ids = new_ids
+            ranks = new_ranks
+    except BaseException:
         if checkpoint:
-            snap = pinned_ids(sc)
-            new_ranks = _ck(new_ranks)
-            new_ids = pinned_ids(sc) - snap
-            release(sc, prev_ids)
-            prev_ids = new_ids
-        ranks = new_ranks
+            release(sc, prev_ids | setup_ids)
+        raise
     if checkpoint and n_iter > 0:
         # the final ranks frame is its own checkpoint — nodes/deg/ed are
         # never read again (n_iter=0 keeps them: ranks still reads nodes)

@@ -129,12 +129,14 @@ def _cutter(sm: StageMetrics | None):
     the caller's plan, so lazily-registering caller caches land in its
     diff and must not be swept (labelprop r11 review class).  Net: ≤2
     pinned corpus frames per call (first + latest) instead of ~9."""
-    state: dict = {"shield": None, "window": set(), "mark": set()}
+    state: dict = {"shield": None, "window": set(), "mark": set(),
+                   "sc": None}
 
     def cut(name: str, df: DataFrame) -> DataFrame:
         if sm is not None:
             df = sm.observe(name, df)
         sc = df.sparkSession.sparkContext
+        state["sc"] = sc
         df = df.localCheckpoint(eager=True)
         now = pinned_ids(sc)
         if state["shield"] is None:
@@ -152,6 +154,23 @@ def _cutter(sm: StageMetrics | None):
         if sm is not None:
             sm.materialized(name)
         return df
+
+    def abort() -> None:
+        """Error-path release (r13 ADVICE): call from the pipeline's
+        except handler when an exception interrupts the stage chain.
+        The current inter-cut window plus anything registered since the
+        last mark is this call's unreturned residue — release it (minus
+        the shield) so an error doesn't pin corpus-sized frames for the
+        rest of the session, which is exactly the leak this cutter
+        exists to prevent and exactly when memory pressure is highest.
+        Before the first cut nothing is tracked, so nothing is swept."""
+        sc = state["sc"]
+        if sc is None or state["shield"] is None:
+            return
+        release(sc, (state["window"] | (pinned_ids(sc) - state["mark"]))
+                - state["shield"])
+
+    cut.abort = abort
     return cut
 
 
@@ -189,113 +208,120 @@ def prep_documents(
     cfg = cfg or CorpusPrepConfig()
     sm = stage_metrics
     cut = _cutter(sm)
+    # try/except (r13 ADVICE): release the cutter's tracked
+    # windows on the error path instead of pinning them for the
+    # session (see _cutter.abort).
+    try:
 
-    d = docs
-    if cfg.url_blocklist is not None or cfg.url_dedup:
-        # crawl-side URL curation FIRST (RefinedWeb §3.1 stage order):
-        # every row dropped here is a row no text-level stage ever scans
-        # — at crawl scale this is the difference between filtering a
-        # URL string and filtering a fetched page
-        from llmxmapreduce_spark.operators.url_filter import (
-            dedup_urls, filter_blocked_domains)
+        d = docs
+        if cfg.url_blocklist is not None or cfg.url_dedup:
+            # crawl-side URL curation FIRST (RefinedWeb §3.1 stage order):
+            # every row dropped here is a row no text-level stage ever scans
+            # — at crawl scale this is the difference between filtering a
+            # URL string and filtering a fetched page
+            from llmxmapreduce_spark.operators.url_filter import (
+                dedup_urls, filter_blocked_domains)
 
-        if cfg.url_col not in d.columns:
+            if cfg.url_col not in d.columns:
+                raise TypeError(
+                    f"corpus_prep: url curation configured but column "
+                    f"{cfg.url_col!r} is absent from the input")
+            if cfg.url_blocklist is not None:
+                d = filter_blocked_domains(d, cfg.url_blocklist,
+                                           url_col=cfg.url_col)
+            if cfg.url_dedup:
+                d = dedup_urls(d, url_col=cfg.url_col, id_col=id_col)
+            d = cut("url_curation", d)
+        if cfg.quality:
+            d = quality_filters.quality_filter(
+                d, text_col, rules=cfg.quality_rules,
+                keep_clean_text=cfg.c4_line_filter,
+                **cfg.quality_thresholds)
+        if cfg.badwords is not None:
+            from llmxmapreduce_spark.operators.url_filter import badwords_filter
+
+            d = badwords_filter(d, cfg.badwords, text_col, id_col)
+        if (cfg.lm is None) != (cfg.max_perplexity is None):
+            # half-configured gate must fail fast, not silently skip — the
+            # same orphaned-threshold contract as quality_filter
             raise TypeError(
-                f"corpus_prep: url curation configured but column "
-                f"{cfg.url_col!r} is absent from the input")
-        if cfg.url_blocklist is not None:
-            d = filter_blocked_domains(d, cfg.url_blocklist,
-                                       url_col=cfg.url_col)
-        if cfg.url_dedup:
-            d = dedup_urls(d, url_col=cfg.url_col, id_col=id_col)
-        d = cut("url_curation", d)
-    if cfg.quality:
-        d = quality_filters.quality_filter(
-            d, text_col, rules=cfg.quality_rules,
-            keep_clean_text=cfg.c4_line_filter,
-            **cfg.quality_thresholds)
-    if cfg.badwords is not None:
-        from llmxmapreduce_spark.operators.url_filter import badwords_filter
+                "corpus_prep: lm and max_perplexity must be set together "
+                f"(got lm={'set' if cfg.lm is not None else None!r}, "
+                f"max_perplexity={cfg.max_perplexity!r})")
+        if cfg.lm is not None:
+            # CCNet-style LM gate: runs after the cheap rule filters so the
+            # bigram explode + broadcast LM join only sees their survivors
+            from llmxmapreduce_spark.operators.lm_filter import perplexity_filter
 
-        d = badwords_filter(d, cfg.badwords, text_col, id_col)
-    if (cfg.lm is None) != (cfg.max_perplexity is None):
-        # half-configured gate must fail fast, not silently skip — the
-        # same orphaned-threshold contract as quality_filter
-        raise TypeError(
-            "corpus_prep: lm and max_perplexity must be set together "
-            f"(got lm={'set' if cfg.lm is not None else None!r}, "
-            f"max_perplexity={cfg.max_perplexity!r})")
-    if cfg.lm is not None:
-        # CCNet-style LM gate: runs after the cheap rule filters so the
-        # bigram explode + broadcast LM join only sees their survivors
-        from llmxmapreduce_spark.operators.lm_filter import perplexity_filter
+            d = perplexity_filter(d, cfg.lm, cfg.max_perplexity,
+                                  text_col, id_col)
+        if cfg.redact:
+            d = pii_mod.redact_pii(d, text_col)
+        d = cut("quality_redact", d)
 
-        d = perplexity_filter(d, cfg.lm, cfg.max_perplexity,
-                              text_col, id_col)
-    if cfg.redact:
-        d = pii_mod.redact_pii(d, text_col)
-    d = cut("quality_redact", d)
+        d = exact_dedup(d, text_col=text_col, id_col=id_col)
+        d = cut("exact_dedup", d)
 
-    d = exact_dedup(d, text_col=text_col, id_col=id_col)
-    d = cut("exact_dedup", d)
+        if cfg.span:
+            spans = span_dedup(d, text_col, id_col, cfg.span)
+            d = (
+                d.drop(text_col)
+                .join(spans.filter(F.length("clean_text") > 0)
+                      .select(id_col, F.col("clean_text").alias(text_col)),
+                      id_col)
+            )
+            d = cut("span_dedup", d)
 
-    if cfg.span:
-        spans = span_dedup(d, text_col, id_col, cfg.span)
-        d = (
-            d.drop(text_col)
-            .join(spans.filter(F.length("clean_text") > 0)
-                  .select(id_col, F.col("clean_text").alias(text_col)),
-                  id_col)
-        )
-        d = cut("span_dedup", d)
+        if cfg.neardup:
+            pairs = minhash_dedup_pairs(
+                d, text_col=text_col, id_col=id_col,
+                threshold=cfg.neardup_threshold, verify=cfg.neardup_verify)
+            d = dedup_by_components(d, pairs, id_col=id_col)
+            d = cut("near_dedup", d)
 
-    if cfg.neardup:
-        pairs = minhash_dedup_pairs(
-            d, text_col=text_col, id_col=id_col,
-            threshold=cfg.neardup_threshold, verify=cfg.neardup_verify)
-        d = dedup_by_components(d, pairs, id_col=id_col)
-        d = cut("near_dedup", d)
+        if cfg.substring_n:
+            # ExactSubstr (Lee et al. 2107.06499) AFTER near-dedup — the
+            # RefinedWeb order: fuzzy dedup removes whole near-duplicate
+            # documents first, so the window scan only chases the repeated
+            # PASSAGES (boilerplate, quotes, licenses) that survive it
+            from llmxmapreduce_spark.operators.substring_dedup import (
+                substring_dedup)
 
-    if cfg.substring_n:
-        # ExactSubstr (Lee et al. 2107.06499) AFTER near-dedup — the
-        # RefinedWeb order: fuzzy dedup removes whole near-duplicate
-        # documents first, so the window scan only chases the repeated
-        # PASSAGES (boilerplate, quotes, licenses) that survive it
-        from llmxmapreduce_spark.operators.substring_dedup import (
-            substring_dedup)
+            subs = substring_dedup(d, n=cfg.substring_n, id_col=id_col,
+                                   text_col=text_col, mode="fast")
+            d = (
+                d.drop(text_col)
+                .join(subs.filter(F.length("clean_text") > 0)
+                      .select(id_col, F.col("clean_text").alias(text_col)),
+                      id_col)
+            )
+            d = cut("substring_dedup", d)
 
-        subs = substring_dedup(d, n=cfg.substring_n, id_col=id_col,
-                               text_col=text_col, mode="fast")
-        d = (
-            d.drop(text_col)
-            .join(subs.filter(F.length("clean_text") > 0)
-                  .select(id_col, F.col("clean_text").alias(text_col)),
-                  id_col)
-        )
-        d = cut("substring_dedup", d)
+        if cfg.benchmark is not None:
+            # GPT-3 App. C decontamination, AFTER dedup so the gram scan only
+            # sees surviving docs; the fast poly-hash twin (one mapInPandas
+            # scan, bench grams in the closure) — id-only anti-join back
+            from llmxmapreduce_spark.operators.decontamination import (
+                contamination_flags_fast)
 
-    if cfg.benchmark is not None:
-        # GPT-3 App. C decontamination, AFTER dedup so the gram scan only
-        # sees surviving docs; the fast poly-hash twin (one mapInPandas
-        # scan, bench grams in the closure) — id-only anti-join back
-        from llmxmapreduce_spark.operators.decontamination import (
-            contamination_flags_fast)
+            flagged = contamination_flags_fast(
+                d, cfg.benchmark, n=cfg.decon_n,
+                id_col=id_col, text_col=text_col).select(id_col)
+            d = d.join(flagged, id_col, "left_anti")
+            d = cut("decontaminate", d)
 
-        flagged = contamination_flags_fast(
-            d, cfg.benchmark, n=cfg.decon_n,
-            id_col=id_col, text_col=text_col).select(id_col)
-        d = d.join(flagged, id_col, "left_anti")
-        d = cut("decontaminate", d)
+        if cfg.mix_weights:
+            from llmxmapreduce_spark.operators.mixing import mix_sources
 
-    if cfg.mix_weights:
-        from llmxmapreduce_spark.operators.mixing import mix_sources
-
-        # mix_target=None is derived INSIDE mix_sources from the stratum-
-        # count aggregate it already runs — no extra full-scan count job
-        d = mix_sources(d, cfg.mix_weights, cfg.mix_target,
-                        allow_upsample=cfg.mix_upsample, seed=cfg.seed)
-        d = cut("mixing", d)
-    return d
+            # mix_target=None is derived INSIDE mix_sources from the stratum-
+            # count aggregate it already runs — no extra full-scan count job
+            d = mix_sources(d, cfg.mix_weights, cfg.mix_target,
+                            allow_upsample=cfg.mix_upsample, seed=cfg.seed)
+            d = cut("mixing", d)
+        return d
+    except BaseException:
+        cut.abort()
+        raise
 
 
 def pack_corpus(

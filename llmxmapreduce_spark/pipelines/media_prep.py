@@ -123,25 +123,38 @@ def run_media_prep(
             # prove it meets the bound
             gated = gated.filter(F.col(col) >= bound)
     gated = _cut(stage_metrics, "metadata_gate", gated, cfg.checkpoint)
-    # shield: everything pinned by the end of the first cut — the
-    # caller's lazily-registering caches land inside it (r12 audit;
-    # consumed by the release block at the end of this function)
-    shield = (pinned_ids(assets.sparkSession.sparkContext)
-              if cfg.checkpoint else set())
+    # Release bookkeeping (r13 ADVICE fix): accumulate the ids THIS
+    # call pins via snapshot diffs around each stage, and at the end
+    # release only that set — never a subtraction from the global
+    # registry, which would sweep caches/checkpoints a concurrent
+    # driver thread registered anywhere inside the whole call window.
+    # The metadata_gate cut above is deliberately NOT tracked: its diff
+    # would contain the caller's lazily-registering input caches (the
+    # r12 shield invariant).  Inside a tracked window a concurrent
+    # registration can still be mis-attributed — retention.py documents
+    # the single-driver-thread assumption all these call sites share.
+    sc = assets.sparkSession.sparkContext
+    created: set = set()
 
     # 2. exact dedup on payload bytes — the text operator verbatim
     # (md5 key, min-id representative); normalize=False because byte
     # payloads have no whitespace/case to fold
     if cfg.exact_dedup:
+        snap = pinned_ids(sc) if cfg.checkpoint else set()
         gated = exact_dedup(gated, text_col=payload_col, id_col=id_col,
                             normalize=False)
         gated = _cut(stage_metrics, "exact_dedup", gated, cfg.checkpoint)
+        if cfg.checkpoint:
+            created |= pinned_ids(sc) - snap
 
     # 3. decode + hash once
+    snap = pinned_ids(sc) if cfg.checkpoint else set()
     hashes = media_dedup.image_hashes(
         gated, decoder, id_col=id_col, payload_col=payload_col,
         hash_w=cfg.hash_w, hash_h=cfg.hash_h)
     hashes = _cut(stage_metrics, "perceptual_hash", hashes, cfg.checkpoint)
+    if cfg.checkpoint:
+        created |= pinned_ids(sc) - snap
     enriched = gated.join(
         hashes.select(F.col("asset_id").alias(id_col), "dhash", "ahash",
                       "decode_ok", "decode_error"), id_col)
@@ -151,32 +164,39 @@ def run_media_prep(
         enriched = enriched.filter(F.col("decode_ok"))
     enriched = enriched.drop("decode_ok", "decode_error")
 
-    # 4. perceptual near-dedup → canonical survivors
+    # 4. perceptual near-dedup → canonical survivors (the component
+    # loop inside dedup_by_components checkpoints eagerly at call
+    # time, so its residue lands in this tracked window)
     if cfg.neardup:
+        snap = pinned_ids(sc) if cfg.checkpoint else set()
         pairs = media_dedup.hamming_neardup_pairs(
             enriched, id_col=id_col, hash_col="dhash", bands=cfg.bands,
             max_distance=cfg.max_distance, max_bucket=cfg.max_bucket)
         enriched = dedup_by_components(
             enriched, pairs, id_col=id_col, keep_by=cfg.keep_by)
+        if cfg.checkpoint:
+            created |= pinned_ids(sc) - snap
     if not cfg.checkpoint:
         return _cut(stage_metrics, "neardup", enriched, False), quarantined
 
     # Supersede-release (r12 audit): checkpoint the (small — decode
     # failures only) quarantine report so nothing returned is lazy over
-    # the mid-pipeline cuts, then release everything this call pinned
-    # EXCEPT the shield (all ids live by the end of the metadata_gate
-    # cut — the first materialization of the caller's plan, so
-    # lazily-registering caller caches are inside it and must not be
-    # swept) and the two returned frames' own blocks.  The exact_dedup
+    # the mid-pipeline cuts, then release exactly the tracked `created`
+    # set minus the two returned frames' own blocks.  The exact_dedup
     # and perceptual_hash cuts — one corpus-sized, one hash-per-asset —
     # plus any dedup-internal checkpoints had their last read when the
-    # returned frames materialized.
-    sc = assets.sparkSession.sparkContext
-    snap = pinned_ids(sc)
-    kept = _cut(stage_metrics, "neardup", enriched, True)
-    kept_ids = pinned_ids(sc) - snap
-    snap = pinned_ids(sc)
-    quarantined = quarantined.localCheckpoint(eager=True)
-    q_ids = pinned_ids(sc) - snap
-    release(sc, pinned_ids(sc) - shield - kept_ids - q_ids)
+    # returned frames materialized.  On an error path the finally block
+    # still releases what was tracked, so an exception mid-pipeline
+    # can't leave corpus-sized cuts pinned for the session (r13 ADVICE).
+    try:
+        snap = pinned_ids(sc)
+        kept = _cut(stage_metrics, "neardup", enriched, True)
+        kept_ids = pinned_ids(sc) - snap
+        snap = pinned_ids(sc)
+        quarantined = quarantined.localCheckpoint(eager=True)
+        q_ids = pinned_ids(sc) - snap
+    except BaseException:
+        release(sc, created)
+        raise
+    release(sc, created - kept_ids - q_ids)
     return kept, quarantined

@@ -30,6 +30,38 @@ Two invariants every call site keeps:
   frame that replaces it is eagerly materialized, so the old blocks
   have provably had their last read (truncated lineage means they
   could never be recomputed).
+
+**Concurrency assumption (IMPORTANT).**  The snapshot-diff protocol
+assumes a SINGLE driver thread is submitting jobs on the
+SparkContext while a tracked window is open.  Spark explicitly
+supports concurrent job submission from multiple driver threads (and
+a running Structured Streaming query is such a thread): any cache or
+localCheckpoint another thread registers between a call site's
+``snap`` and its post-materialization diff is attributed to the call
+and later released — and a released localCheckpoint block has
+truncated lineage, so the other workload fails with an unrecoverable
+"checkpoint block not found" instead of recomputing.  Call sites must
+therefore never subtract from the GLOBAL registry (track only
+snapshot diffs around their own stages — the r13 media_prep fix), and
+callers running these pipelines concurrently with other
+cache-registering driver threads should pass their pipeline's
+``checkpoint=False`` / release-disabling knob or serialize the calls.
+
+**Error paths.**  Wrap multi-pass release loops in try/finally (or
+except+re-raise) and release the tracked non-shield, non-returned ids
+on the error path: an exception mid-loop (executor loss, OOM,
+interrupted action) must not leave every not-yet-superseded
+intermediate pinned for the session — that silently reinstates the
+leak exactly when memory pressure is highest.
+
+**Adding a NEW iterative operator?**  Copy the pagerank template:
+``operators/pagerank.py`` (release per-round + setup checkpoints once
+superseded, inside try/except) and its retention gate
+``tests/test_pagerank.py::test_pagerank_releases_checkpoints`` (assert
+<=N pinned frames after k iterations, plus a caller-cache-survival
+test).  Every iterative loop in this repo either releases through this
+module or carries a documented boundedness argument (BASELINE.md
+retention audit) — keep that invariant.
 """
 
 from __future__ import annotations
