@@ -3123,6 +3123,9 @@ def q_v3_host_transcript(spark: SparkSession, sf: str) -> DataFrame:
             top_n=6, snippet_threshold=0, similarity_threshold=0,
             min_length=50, max_length=100000)
         out = host.process_task(f"Write a survey about {topic}")
+        # r13: release the run's checkpoint residue (the transcript rows
+        # below are plain python — nothing returned reads host.state)
+        host.close()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     rows = [(i, op["round"], op["action"], op.get("tool_name", ""))

@@ -235,6 +235,13 @@ class V3Host:
         self.state: dict[str, Any] = {}          # the "survey" the host carries
         self.operation_history: list[dict[str, Any]] = []
         self.conversation_history: list[dict[str, str]] = []
+        # Checkpoint retention (r13, found by tools/profile_v3_host.py:
+        # each e2e run pinned ~6 localCheckpoint frames for the session).
+        # make_spark_host sets _spark; _run_tool then snapshot-diffs the
+        # JVM persistent-RDD registry around each tool call and close()
+        # releases the accumulated ids — the retention.py discipline.
+        self._spark = None
+        self._created_rdd_ids: set = set()
 
     # ------------------------------------------------------------ registry
 
@@ -388,6 +395,24 @@ class V3Host:
                 "rounds_used": self.max_rounds,
                 "operation_history": self.operation_history}
 
+    def close(self) -> None:
+        """Release every checkpoint block this host's tool calls pinned
+        (the planner loop's per-run residue: papers/digests/outlines
+        checkpoints the stage tools carry in ``state``).  Call when the
+        task's driver-side outputs (result strings, transcript, files
+        on disk) have been taken — AFTER close(), the DataFrames still
+        referenced from ``state`` are unreadable (truncated lineage),
+        so ``state`` is cleared too.  Without this, a long-lived
+        session (bench loop, multi-topic service) pins ~6 corpus-shaped
+        frames per processed task forever — the leak class retention.py
+        exists to prevent, measured by tools/profile_v3_host.py."""
+        if self._spark is not None and self._created_rdd_ids:
+            from llmxmapreduce_spark.retention import release
+
+            release(self._spark.sparkContext, self._created_rdd_ids)
+            self._created_rdd_ids = set()
+        self.state.clear()
+
     # ------------------------------------------------------- tool dispatch
 
     def _run_tool(self, round_num: int, decision: dict) -> None:
@@ -414,7 +439,15 @@ class V3Host:
         else:
             arguments = decision.get("arguments", {}) or {}
 
-        result = fn(self, arguments)
+        if self._spark is not None:
+            from llmxmapreduce_spark.retention import pinned_ids
+
+            snap = pinned_ids(self._spark.sparkContext)
+            result = fn(self, arguments)
+            self._created_rdd_ids |= (
+                pinned_ids(self._spark.sparkContext) - snap)
+        else:
+            result = fn(self, arguments)
 
         if tool_name in STATE_SNAPSHOT_TOOLS:
             title = self.state.get("survey_title", "survey")
@@ -615,6 +648,7 @@ def make_spark_host(
     cfg = cfg or v2.V2Config()
     host = V3Host(planner, base_dir, max_rounds=max_rounds,
                   feedback_fn=feedback_fn)
+    host._spark = spark      # enables per-tool checkpoint tracking/close()
 
     # ---------------------------------------------------------- search
     def topic_expansion(h: V3Host, args: dict) -> dict:

@@ -363,3 +363,48 @@ def test_crawl_handoff_distributed_and_bounded(spark, tmp_path):
     spec_fn = host2._tools["group_papers"]
     res = spec_fn[1](host2, {})
     assert res["paper_count"] == 2
+
+
+def test_host_close_releases_checkpoints(spark, tmp_path):
+    """r13 (found by tools/profile_v3_host.py): every processed task
+    pinned ~6 localCheckpoint frames for the session — the stage tools
+    carry checkpointed papers/digests/outlines in host.state and nothing
+    released them.  close() must return the registry to its pre-task
+    size while leaving caller caches untouched (the retention.py
+    discipline; template: tests/test_pagerank.py)."""
+    sc = spark.sparkContext
+    caller = spark.range(10).cache()
+    assert caller.count() == 10          # force cache registration
+
+    def fake_search(query):
+        return [{"url": f"https://x.test/{abs(hash(query)) % 100}/{i}",
+                 "title": f"t{i}", "snippet": f"snippet {i} about {query}"}
+                for i in range(4)]
+
+    def fake_fetch(url):
+        n = int(url.rsplit("/", 1)[-1])
+        body = " ".join(f"word{i} the of and in" for i in range(40 + 10 * n))
+        return f"# Page {n}\n{body}"
+
+    topic = "retention check"
+    host = vh.make_spark_host(
+        spark, str(tmp_path), vh.MockPlanner(topic), MockSurveyClient,
+        lambda: fake_search, lambda: fake_fetch,
+        top_n=6, snippet_threshold=0, similarity_threshold=0,
+        min_length=50, max_length=100000)
+    out = host.process_task(f"Write a survey about {topic}")
+    assert out["status"] == "completed"
+    created = set(host._created_rdd_ids)
+    assert created                         # the run did pin frames
+    host.close()
+    try:
+        # every tracked id is gone from the JVM registry...
+        still = {rid for rid in created
+                 if sc._jsc.getPersistentRDDs().containsKey(rid)}
+        assert still == set(), f"close() left blocks pinned: {still}"
+        assert host._created_rdd_ids == set() and host.state == {}
+        # ...and the caller's cache (registered BEFORE the host ran,
+        # outside every tool window) survived and is still readable
+        assert caller.count() == 10
+    finally:
+        caller.unpersist()
