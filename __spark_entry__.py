@@ -1597,6 +1597,86 @@ def q_v2_survey_refdefaults(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _v2_digest_feedback_prep(spark: SparkSession, sf: str):
+    """Shared fixture for the v2_digest_feedback_{unfused,fused} bench
+    pair: 4 surveys × 30 documents-derived papers in digest groups of 3
+    (40 groups → 120 L7 digest calls + 40 L9 feedback calls per run)
+    against a synthesized 4-section outline.  NO LLM work in the prep —
+    both variants pay the identical pure-Catalyst setup, so the timed
+    delta is exactly the staged-vs-fused engine overhead (5 stage
+    boundaries + 2 shuffles + 2 Arrow round-trips vs 1 shuffle + 1
+    Python pass)."""
+    from llmxmapreduce_spark.operators import grouping
+    from llmxmapreduce_spark.pipelines import v2_survey as v2
+
+    d = load_table(spark, sf, "documents").filter("doc_id < 120")
+    sid = F.concat(F.lit("survey"), (F.col("doc_id") % 4).cast("string"))
+    papers = d.select(
+        sid.alias("survey_id"),
+        F.concat(F.lit("Survey of "), sid).alias("survey_title"),
+        F.concat(F.lit("paper_"), F.col("doc_id").cast("string")).alias("bibkey"),
+        F.substring("text", 1, 2000).alias("content"),
+    )
+    grouped = grouping.hash_shuffled_batches(
+        papers, "bibkey", 3, partition_cols=["survey_id"],
+        group_col="digest_id")
+    sections = "\n".join(
+        f"## Topic {t}\nDigest Construction: construction {t}.\n"
+        f"Digest Analysis: analysis {t}."
+        for t in ("Alpha", "Beta", "Gamma", "Delta"))
+    outlines = papers.select("survey_id", "survey_title").distinct().select(
+        "survey_id", "survey_title",
+        F.concat(F.lit("# "), F.col("survey_title"), F.lit("\n" + sections))
+        .alias("outline_md"),
+    )
+    return grouped, outlines, v2.V2Config(digest_batch=3)
+
+
+def _v2_digest_feedback_shape(digests: DataFrame, sugg: DataFrame) -> DataFrame:
+    """Union both stage outputs into one frame so the noop sink
+    materializes the full pair; identical shape for both variants."""
+    return digests.select(
+        "survey_id", F.col("digest_id").cast("string").alias("k"),
+        F.col("pos").cast("string").alias("sub"),
+        F.col("description").alias("payload"),
+    ).unionByName(sugg.select(
+        "survey_id", F.col("sugg_id").alias("k"),
+        F.lit("s").alias("sub"), F.col("content").alias("payload"),
+    ))
+
+
+def q_v2_digest_feedback_unfused(spark: SparkSession, sf: str) -> DataFrame:
+    """BENCH pair (r12 verdict task #6) — the STAGED in-cycle chain:
+    make_digests (mapInPandas L7 over papers → J1 align → explode →
+    A3 merge shuffle) then feedback_suggestions (per-group concat
+    shuffle → broadcast join → mapInPandas L9).  Compare against
+    v2_digest_feedback_fused; outputs are equal by
+    tests/test_v2_fused.py."""
+    from llmxmapreduce_spark.llm.survey_mock import MockSurveyClient
+    from llmxmapreduce_spark.pipelines import v2_survey as v2
+
+    grouped, outlines, cfg = _v2_digest_feedback_prep(spark, sf)
+    digests, _dead = v2.make_digests(grouped, outlines, MockSurveyClient, cfg)
+    sugg = v2.feedback_suggestions(digests, outlines, MockSurveyClient,
+                                   cfg=cfg)
+    return _v2_digest_feedback_shape(digests, sugg)
+
+
+def q_v2_digest_feedback_fused(spark: SparkSession, sf: str) -> DataFrame:
+    """BENCH pair — the LLM-batch-coalesced chain (SURVEY §4):
+    digest_feedback_fused runs the same L7 calls, A3 merge, and L9 call
+    as ONE applyInPandas over (survey_id, digest_id) groups — one
+    shuffle, one Python pass, one client per group, zero intermediate
+    materialization."""
+    from llmxmapreduce_spark.llm.survey_mock import MockSurveyClient
+    from llmxmapreduce_spark.pipelines import v2_survey as v2
+
+    grouped, outlines, cfg = _v2_digest_feedback_prep(spark, sf)
+    digests, sugg = v2.digest_feedback_fused(grouped, outlines,
+                                             MockSurveyClient, cfg)
+    return _v2_digest_feedback_shape(digests, sugg)
+
+
 def q_v2_survey_fullprompts(spark: SparkSession, sf: str) -> DataFrame:
     """q_v2_survey_refdefaults with ``full_prompts=True``: the V2 pipeline
     formatting the reference's VERBATIM prompt templates (prompts_en.py —

@@ -77,6 +77,13 @@ class V2Config:
     # ^ control-plane shuffle sizing: the refine/assembly stages move a few
     # KB per survey, so shuffles should be sized to the survey count, not the
     # session default.  None = leave the session conf alone.
+    fused_digest_feedback: bool = False
+    # ^ run each block cycle's L7 digest → A3 merge → L9 feedback chain as
+    # ONE applyInPandas stage (digest_feedback_fused — the SURVEY §4 LLM-
+    # batch-coalescing strategy).  Output-identical to the staged path
+    # (tests/test_v2_fused.py asserts exact equality); priced by the
+    # v2_digest_feedback_{unfused,fused} bench rows.  Default off so the
+    # golden-transcript hashes keep gating the staged operators too.
 
 
 _STR = T.StringType()
@@ -429,6 +436,43 @@ def init_outlines(papers_grouped: DataFrame, client_factory, cfg: V2Config,
 # ---------------------------------------------------------------------------
 
 
+def _digest_prompt(ps: dict | None, survey_title: str, bibkey: str,
+                   content: str, outline_md: str, placeholder_md: str) -> str:
+    """L7 per-paper digest prompt (digest_module.py:99-105) — ONE builder
+    shared by the row-parallel :func:`make_digests` stage and the fused
+    :func:`digest_feedback_fused` stage so the two paths are
+    byte-identical by construction."""
+    if ps:
+        return ps["SINGLE_DIGEST_PROMPT"].format(
+            survey_title=survey_title, paper_bibkey=bibkey,
+            paper_content=(content or "").replace("#", ""),
+            survey_outline=outline_md,
+            outline_example=placeholder_md)
+    return (
+        f"[DIGEST] Paper bibkey: {bibkey}\n"
+        f"Extract a digest aligned to this outline.\n"
+        f"Paper:\n{(content or '')[:2000]}\n"
+        f"Outline:\n```markdown\n{placeholder_md}\n```\n"
+        "Reply with a fenced ```markdown digest matching the outline "
+        "structure and a ```suggestion block."
+    )
+
+
+def _feedback_prompt(ps: dict | None, survey_title: str, outline_md: str,
+                     digest_content: str) -> str:
+    """L9 per-digest-group feedback prompt (neurons.py:55-67) — shared by
+    :func:`feedback_suggestions` and :func:`digest_feedback_fused`."""
+    if ps:
+        return ps["DIGEST_BASE_PROMPT"].format(
+            title=survey_title, outline=outline_md, digests=digest_content)
+    return (
+        f"[FEEDBACK] Survey title: {survey_title}\n"
+        f"Outline:\n```markdown\n{outline_md}\n```\n"
+        f"Digest group:\n{digest_content[:3000]}\n"
+        "Reply with a ```suggestion block."
+    )
+
+
 def make_digests(papers_grouped: DataFrame, outlines: DataFrame, client_factory,
                  cfg: V2Config, retry: RetryPolicy | None = None,
                  metrics=None) -> tuple[DataFrame, DataFrame]:
@@ -449,20 +493,9 @@ def make_digests(papers_grouped: DataFrame, outlines: DataFrame, client_factory,
     ps = _prompt_set(cfg)
     raw = llm_stage(
         per_paper,
-        build_prompt=lambda r: (
-            ps["SINGLE_DIGEST_PROMPT"].format(
-                survey_title=r["survey_title"], paper_bibkey=r["bibkey"],
-                paper_content=(r["content"] or "").replace("#", ""),
-                survey_outline=r["outline_md"],
-                outline_example=r["placeholder_md"])  # digest_module.py:99-105
-            if ps else
-            f"[DIGEST] Paper bibkey: {r['bibkey']}\n"
-            f"Extract a digest aligned to this outline.\n"
-            f"Paper:\n{(r['content'] or '')[:2000]}\n"
-            f"Outline:\n```markdown\n{r['placeholder_md']}\n```\n"
-            "Reply with a fenced ```markdown digest matching the outline "
-            "structure and a ```suggestion block."
-        ),
+        build_prompt=lambda r: _digest_prompt(
+            ps, r["survey_title"], r["bibkey"], r["content"],
+            r["outline_md"], r["placeholder_md"]),
         parse=_parse_fenced_with_suggestion,
         client_factory=client_factory,
         payload_fields=_payload("md", "suggestion"),
@@ -521,16 +554,8 @@ def feedback_suggestions(digests: DataFrame, outlines: DataFrame, client_factory
     )
     out = llm_stage(
         per_group,
-        build_prompt=lambda r: (
-            ps["DIGEST_BASE_PROMPT"].format(
-                title=r["survey_title"], outline=r["outline_md"],
-                digests=r["digest_content"])         # neurons.py:55-67
-            if ps else
-            f"[FEEDBACK] Survey title: {r['survey_title']}\n"
-            f"Outline:\n```markdown\n{r['outline_md']}\n```\n"
-            f"Digest group:\n{r['digest_content'][:3000]}\n"
-            "Reply with a ```suggestion block."
-        ),
+        build_prompt=lambda r: _feedback_prompt(
+            ps, r["survey_title"], r["outline_md"], r["digest_content"]),
         parse=_parse_suggestion,
         client_factory=client_factory,
         payload_fields=_payload("suggestion"),
@@ -543,6 +568,166 @@ def feedback_suggestions(digests: DataFrame, outlines: DataFrame, client_factory
         F.concat(F.lit("s"), F.col("digest_id").cast("string")).alias("sugg_id"),
         F.col("suggestion").alias("content"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-batch-coalescing (SURVEY §4 optional optimization, r12 verdict task #6):
+# the in-cycle L7 digest → A3 merge → L9 feedback chain as ONE stage
+# ---------------------------------------------------------------------------
+
+_FUSED_DF_SCHEMA = T.StructType([
+    T.StructField("survey_id", _STR, False),
+    T.StructField("digest_id", T.IntegerType(), False),
+    T.StructField("row_type", _STR, False),          # 'digest' | 'suggestion'
+    T.StructField("pos", T.IntegerType(), True),
+    T.StructField("description", _STR, True),
+    T.StructField("all_bibkeys", T.ArrayType(_STR), True),
+    T.StructField("content", _STR, True),
+])
+
+
+def digest_feedback_fused(
+    papers_grouped: DataFrame,
+    outlines: DataFrame,
+    client_factory,
+    cfg: V2Config,
+    retry: RetryPolicy | None = None,
+    metrics=None,
+) -> tuple[DataFrame, DataFrame]:
+    """The block cycle's digest→feedback chain coalesced into ONE
+    ``applyInPandas`` over (survey_id, digest_id) groups — the SURVEY §4
+    "coalesce adjacent LLM mapInPandas ops sharing a model" strategy.
+
+    Unfused, each cycle costs: a mapInPandas digest stage over papers, a
+    node explode + merge aggregation (shuffle), a per-group concat
+    aggregation (second shuffle on the same key), a broadcast join back
+    to outlines, and a second mapInPandas feedback stage — five stage
+    boundaries and two Arrow round-trips for rows that were already
+    co-grouped by (survey_id, digest_id).  Fused, the chain is one
+    shuffle (the groupBy) and one Python pass: per group, every paper's
+    L7 digest call, the J1 align gate (align_reason_py), the A3 merge
+    (the documented deterministic contract of
+    digest_ops.merge_digest_descriptions, replayed in Python), and the
+    L9 feedback call run against the group's merged digest — one client,
+    zero intermediate materialization.  Both LLM prompts come from the
+    SAME builders as the staged path (_digest_prompt/_feedback_prompt),
+    so the two paths are byte-identical by construction;
+    tests/test_v2_fused.py asserts exact output equality and bench rows
+    v2_digest_feedback_{unfused,fused} price the pair.
+
+    Returns ``(digests, suggestions)`` with exactly the staged schemas
+    (make_digests' merged digests; feedback_suggestions' output).  Both
+    are views over one eagerly-checkpointed fused frame, so the LLM
+    calls run once no matter how many times either side is consumed.
+    Dead letters are dropped (matching the run_v2_survey loop, which
+    discards make_digests' dead-letter frame).
+    """
+    if retry is None:
+        retry = getattr(client_factory(), "retry_policy", None) or RetryPolicy()
+    ps = _prompt_set(cfg)
+    o = outlines.select("survey_id", "survey_title", "outline_md")
+    joined = papers_grouped.drop("survey_title").join(F.broadcast(o), "survey_id")
+    joined = joined.withColumn("digest_id", F.col("digest_id").cast("int"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        client = client_factory()
+        survey_id = pdf["survey_id"].iloc[0]
+        digest_id = int(pdf["digest_id"].iloc[0])
+        title = pdf["survey_title"].iloc[0]
+        outline_md = pdf["outline_md"].iloc[0]
+        placeholder_md = skeleton.serialize_outline_py(
+            skeleton.parse_outline_py(title, outline_md),
+            with_digest_placeholder=True)
+
+        def _count(prompt, reply):
+            if metrics is not None:
+                metrics.calls.add(1)
+                metrics.prompt_chars.add(len(prompt))
+                if reply is None:
+                    metrics.failures.add(1)
+                else:
+                    metrics.reply_chars.add(len(reply))
+
+        # L7 per paper + J1 align gate; order within the group is
+        # irrelevant to the output (per-paper calls are independent)
+        good: list[tuple[str, list[dict]]] = []   # (bibkey, nodes)
+        for row in pdf.sort_values("bibkey").to_dict("records"):
+            prompt = _digest_prompt(ps, title, row["bibkey"], row["content"],
+                                    outline_md, placeholder_md)
+            reply, _err, _att = call_with_retry(client, prompt, retry)
+            _count(prompt, reply)
+            if reply is None:
+                continue
+            try:
+                md = _parse_fenced_with_suggestion(reply)["md"]
+            except Exception:   # any parse error == staged llm_ok=false
+                continue
+            if md is None or skeleton.align_reason_py(title, outline_md, md):
+                continue
+            good.append((row["bibkey"], skeleton.parse_outline_py(title, md)))
+
+        rows: list[dict] = []
+        if good:
+            # A3 merge — the deterministic contract of
+            # digest_ops.merge_digest_descriptions with bibkeys=[bibkey]:
+            # per pos, non-empty entries sorted by (bibkey, entry) joined
+            # on the 20-dash separator; all_bibkeys = sorted distinct over
+            # ALL papers contributing rows at that pos
+            by_pos: dict[int, list[tuple[str, str]]] = {}
+            keys_at: dict[int, set] = {}
+            for bibkey, nodes in good:
+                for n in nodes:
+                    keys_at.setdefault(n["pos"], set()).add(bibkey)
+                    desc = n["description"]
+                    if desc:
+                        by_pos.setdefault(n["pos"], []).append(
+                            (bibkey,
+                             f"Paper bibkey: [{bibkey}]\nDigest: \n{desc}"))
+                    else:
+                        by_pos.setdefault(n["pos"], [])
+            merged: list[tuple[int, str]] = []
+            for pos in sorted(by_pos):
+                desc = digest_ops.MERGE_SEPARATOR.join(
+                    v for _k, v in sorted(by_pos[pos]))
+                merged.append((pos, desc))
+                rows.append({
+                    "survey_id": survey_id, "digest_id": digest_id,
+                    "row_type": "digest", "pos": pos, "description": desc,
+                    "all_bibkeys": sorted(keys_at[pos]), "content": None,
+                })
+            # L9 feedback over the merged group (feedback_suggestions'
+            # digest_content: descriptions sorted by pos, '\n'-joined)
+            digest_content = "\n".join(d for _p, d in merged)
+            prompt = _feedback_prompt(ps, title, outline_md, digest_content)
+            reply, _err, _att = call_with_retry(client, prompt, retry)
+            _count(prompt, reply)
+            if reply is not None:
+                try:    # any parse error == staged filter("llm_ok") drop
+                    sugg = _parse_suggestion(reply)["suggestion"]
+                    rows.append({
+                        "survey_id": survey_id, "digest_id": digest_id,
+                        "row_type": "suggestion", "pos": None,
+                        "description": None, "all_bibkeys": None,
+                        "content": sugg,
+                    })
+                except Exception:
+                    pass
+        return pd.DataFrame(
+            rows, columns=[f.name for f in _FUSED_DF_SCHEMA.fields])
+
+    fused = (
+        joined.groupBy("survey_id", "digest_id")
+        .applyInPandas(run, schema=_FUSED_DF_SCHEMA)
+        .localCheckpoint(eager=True)    # LLM calls run ONCE for both views
+    )
+    digests = fused.filter("row_type = 'digest'").select(
+        "survey_id", "digest_id", "pos", "description", "all_bibkeys")
+    suggestions = fused.filter("row_type = 'suggestion'").select(
+        "survey_id",
+        F.concat(F.lit("s"), F.col("digest_id").cast("string")).alias("sugg_id"),
+        F.col("content"),
+    )
+    return digests, suggestions
 
 
 # The score bookkeeping crosses the applyInPandas boundary as JSON strings:
@@ -987,9 +1172,11 @@ def run_v2_survey(surveys: DataFrame, client_factory,
         outlines = outlines.localCheckpoint(eager=True)
         if sm is not None:
             sm.materialized("outline")
-        digests, _dead = make_digests(
-            grouped, outlines, client_factory, cfg, retry,
-            metrics=sm.llm("digest") if sm is not None else None)
+        fused_df = cfg.fused_digest_feedback
+        if not fused_df:
+            digests, _dead = make_digests(
+                grouped, outlines, client_factory, cfg, retry,
+                metrics=sm.llm("digest") if sm is not None else None)
         cur = outlines.select(
             "survey_id", "survey_title", "outline_md",
             F.lit(None).cast("double").alias("eval_score"),
@@ -1012,13 +1199,23 @@ def run_v2_survey(surveys: DataFrame, client_factory,
         prev_cur_ids: set = set()   # cur_0 is lazy over outlines: no blocks
         for _cycle in range(cfg.block_count):
             snap = pinned_ids(_sctx)
-            digests = digests.localCheckpoint(eager=True)
+            if fused_df:
+                # LLM-batch-coalescing: the cycle's digest→merge→feedback
+                # chain is ONE applyInPandas stage; its checkpoint plays
+                # the digest checkpoint's role in the release ledger.
+                # Output-identical to the staged path (test_v2_fused).
+                _dg, suggestions = digest_feedback_fused(
+                    grouped, cur, client_factory, cfg, retry,
+                    metrics=sm.llm("digest") if sm is not None else None)
+            else:
+                digests = digests.localCheckpoint(eager=True)
             digest_ids = pinned_ids(_sctx) - snap
             if sm is not None:
                 sm.materialized("digest")
-            suggestions = feedback_suggestions(
-                digests, cur, client_factory, retry, cfg=cfg,
-                metrics=sm.llm("suggest") if sm is not None else None)
+            if not fused_df:
+                suggestions = feedback_suggestions(
+                    digests, cur, client_factory, retry, cfg=cfg,
+                    metrics=sm.llm("suggest") if sm is not None else None)
             best = convolution_block(cur, suggestions, client_factory, cfg, retry)
             snap = pinned_ids(_sctx)
             cur = self_refine(best, client_factory, cfg, retry) \
@@ -1028,7 +1225,16 @@ def run_v2_survey(surveys: DataFrame, client_factory,
             prev_cur_ids = new_cur_ids
             if sm is not None:
                 sm.materialized("refine")
-            # re-digest against the refined outline (digest_node re-entry)
+            if not fused_df:
+                # re-digest against the refined outline (digest_node
+                # re-entry)
+                digests, _dead = make_digests(
+                    grouped, cur, client_factory, cfg, retry,
+                    metrics=sm.llm("digest") if sm is not None else None)
+        if fused_df:
+            # fused mode skips the staged per-cycle re-digest; the decode
+            # stage needs digests against the FINAL refined outline — the
+            # same pass the staged loop runs at the end of its last cycle
             digests, _dead = make_digests(
                 grouped, cur, client_factory, cfg, retry,
                 metrics=sm.llm("digest") if sm is not None else None)

@@ -1,0 +1,67 @@
+"""LLM-batch-coalescing parity (r12 verdict task #6, SURVEY §4 optional
+optimization): the fused digest→merge→feedback stage
+(v2_survey.digest_feedback_fused) must be OUTPUT-IDENTICAL to the staged
+make_digests → merge → feedback_suggestions chain — same merged digest
+rows (incl. bibkey ordering and the 20-dash separator), same suggestion
+rows — and run_v2_survey(fused_digest_feedback=True) must produce the
+byte-identical end-to-end survey."""
+
+from llmxmapreduce_spark.llm.survey_mock import MockSurveyClient
+from llmxmapreduce_spark.pipelines import v2_survey as v2
+
+from tests.test_v2_pipeline import make_surveys
+
+
+def _prep(spark, cfg):
+    surveys = make_surveys(spark, n_surveys=2, n_papers=6)
+    papers = v2.build_papers(surveys)
+    grouped = v2.group_papers(papers, cfg)
+    outlines = v2.init_outlines(grouped, MockSurveyClient, cfg)
+    return grouped.localCheckpoint(eager=True), \
+        outlines.localCheckpoint(eager=True)
+
+
+def _rows(df):
+    out = []
+    for r in df.collect():
+        d = r.asDict()
+        for k, v in d.items():
+            if isinstance(v, list):
+                d[k] = tuple(v)
+        out.append(tuple(sorted(d.items())))
+    return sorted(out)
+
+
+def test_fused_stage_matches_staged_chain(spark):
+    cfg = v2.V2Config(digest_batch=3)
+    grouped, outlines = _prep(spark, cfg)
+
+    digests_u, _dead = v2.make_digests(grouped, outlines,
+                                       MockSurveyClient, cfg)
+    sugg_u = v2.feedback_suggestions(digests_u, outlines,
+                                     MockSurveyClient, cfg=cfg)
+    digests_f, sugg_f = v2.digest_feedback_fused(grouped, outlines,
+                                                 MockSurveyClient, cfg)
+
+    assert digests_u.columns == digests_f.columns
+    assert sugg_u.columns == sugg_f.columns
+    assert _rows(digests_u) == _rows(digests_f)
+    assert _rows(sugg_u) == _rows(sugg_f)
+    # non-degenerate fixture: several groups, several merged sections,
+    # one suggestion per group
+    n_groups = grouped.select("survey_id", "digest_id").distinct().count()
+    assert n_groups >= 4
+    assert sugg_f.count() == n_groups
+    assert digests_f.count() > n_groups
+
+
+def test_fused_e2e_survey_identical(spark):
+    surveys = make_surveys(spark)
+    base = dict(conv_layers=1, receptive_field=2, result_num=3,
+                top_k=2, refine_rounds=1, best_of=2, block_count=2)
+    staged = v2.run_v2_survey(surveys, MockSurveyClient,
+                              v2.V2Config(**base))
+    fused = v2.run_v2_survey(surveys, MockSurveyClient,
+                             v2.V2Config(fused_digest_feedback=True, **base))
+    assert staged.columns == fused.columns
+    assert _rows(staged) == _rows(fused)
