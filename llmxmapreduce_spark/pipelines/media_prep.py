@@ -135,49 +135,51 @@ def run_media_prep(
     # the single-driver-thread assumption all these call sites share.
     sc = assets.sparkSession.sparkContext
     created: set = set()
+    try:
+        # 2. exact dedup on payload bytes — the text operator verbatim
+        # (md5 key, min-id representative); normalize=False because byte
+        # payloads have no whitespace/case to fold
+        if cfg.exact_dedup:
+            snap = pinned_ids(sc) if cfg.checkpoint else set()
+            gated = exact_dedup(gated, text_col=payload_col, id_col=id_col,
+                                normalize=False)
+            gated = _cut(stage_metrics, "exact_dedup", gated, cfg.checkpoint)
+            if cfg.checkpoint:
+                created |= pinned_ids(sc) - snap
 
-    # 2. exact dedup on payload bytes — the text operator verbatim
-    # (md5 key, min-id representative); normalize=False because byte
-    # payloads have no whitespace/case to fold
-    if cfg.exact_dedup:
+        # 3. decode + hash once
         snap = pinned_ids(sc) if cfg.checkpoint else set()
-        gated = exact_dedup(gated, text_col=payload_col, id_col=id_col,
-                            normalize=False)
-        gated = _cut(stage_metrics, "exact_dedup", gated, cfg.checkpoint)
+        hashes = media_dedup.image_hashes(
+            gated, decoder, id_col=id_col, payload_col=payload_col,
+            hash_w=cfg.hash_w, hash_h=cfg.hash_h)
+        hashes = _cut(stage_metrics, "perceptual_hash", hashes,
+                      cfg.checkpoint)
         if cfg.checkpoint:
             created |= pinned_ids(sc) - snap
+        enriched = gated.join(
+            hashes.select(F.col("asset_id").alias(id_col), "dhash", "ahash",
+                          "decode_ok", "decode_error"), id_col)
+        quarantined = enriched.filter(~F.col("decode_ok")) \
+            .select(id_col, "decode_error")
+        if not cfg.admit_undecodable:
+            enriched = enriched.filter(F.col("decode_ok"))
+        enriched = enriched.drop("decode_ok", "decode_error")
 
-    # 3. decode + hash once
-    snap = pinned_ids(sc) if cfg.checkpoint else set()
-    hashes = media_dedup.image_hashes(
-        gated, decoder, id_col=id_col, payload_col=payload_col,
-        hash_w=cfg.hash_w, hash_h=cfg.hash_h)
-    hashes = _cut(stage_metrics, "perceptual_hash", hashes, cfg.checkpoint)
-    if cfg.checkpoint:
-        created |= pinned_ids(sc) - snap
-    enriched = gated.join(
-        hashes.select(F.col("asset_id").alias(id_col), "dhash", "ahash",
-                      "decode_ok", "decode_error"), id_col)
-    quarantined = enriched.filter(~F.col("decode_ok")) \
-        .select(id_col, "decode_error")
-    if not cfg.admit_undecodable:
-        enriched = enriched.filter(F.col("decode_ok"))
-    enriched = enriched.drop("decode_ok", "decode_error")
-
-    # 4. perceptual near-dedup → canonical survivors (the component
-    # loop inside dedup_by_components checkpoints eagerly at call
-    # time, so its residue lands in this tracked window)
-    if cfg.neardup:
-        snap = pinned_ids(sc) if cfg.checkpoint else set()
-        pairs = media_dedup.hamming_neardup_pairs(
-            enriched, id_col=id_col, hash_col="dhash", bands=cfg.bands,
-            max_distance=cfg.max_distance, max_bucket=cfg.max_bucket)
-        enriched = dedup_by_components(
-            enriched, pairs, id_col=id_col, keep_by=cfg.keep_by)
-        if cfg.checkpoint:
-            created |= pinned_ids(sc) - snap
-    if not cfg.checkpoint:
-        return _cut(stage_metrics, "neardup", enriched, False), quarantined
+        # 4. perceptual near-dedup → canonical survivors (the component
+        # loop inside dedup_by_components checkpoints eagerly at call
+        # time, so its residue lands in this tracked window)
+        if cfg.neardup:
+            snap = pinned_ids(sc) if cfg.checkpoint else set()
+            pairs = media_dedup.hamming_neardup_pairs(
+                enriched, id_col=id_col, hash_col="dhash", bands=cfg.bands,
+                max_distance=cfg.max_distance, max_bucket=cfg.max_bucket)
+            enriched = dedup_by_components(
+                enriched, pairs, id_col=id_col, keep_by=cfg.keep_by)
+            if cfg.checkpoint:
+                created |= pinned_ids(sc) - snap
+        if not cfg.checkpoint:
+            return (_cut(stage_metrics, "neardup", enriched, False),
+                    quarantined)
 
     # Supersede-release (r12 audit): checkpoint the (small — decode
     # failures only) quarantine report so nothing returned is lazy over
@@ -188,7 +190,6 @@ def run_media_prep(
     # returned frames materialized.  On an error path the finally block
     # still releases what was tracked, so an exception mid-pipeline
     # can't leave corpus-sized cuts pinned for the session (r13 ADVICE).
-    try:
         snap = pinned_ids(sc)
         kept = _cut(stage_metrics, "neardup", enriched, True)
         kept_ids = pinned_ids(sc) - snap
@@ -196,6 +197,11 @@ def run_media_prep(
         quarantined = quarantined.localCheckpoint(eager=True)
         q_ids = pinned_ids(sc) - snap
     except BaseException:
+        # r13 ADVICE error path: nothing is returned, so every tracked
+        # id is releasable.  A failure INSIDE a tracked window can leak
+        # that window's partial ids (they were never attributed) — a
+        # bounded ≤1-region residue, preferable to sweeping the global
+        # registry (see retention.py's concurrency caveat).
         release(sc, created)
         raise
     release(sc, created - kept_ids - q_ids)
