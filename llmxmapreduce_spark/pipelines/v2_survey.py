@@ -84,6 +84,9 @@ class V2Config:
     # (tests/test_v2_fused.py asserts exact equality); priced by the
     # v2_digest_feedback_{unfused,fused} bench rows.  Default off so the
     # golden-transcript hashes keep gating the staged operators too.
+    fused_init_outlines: bool = False
+    # ^ same strategy for the L5 single → L6 concat init chain
+    # (init_outlines_fused); output-identical (tests/test_v2_fused.py).
 
 
 _STR = T.StringType()
@@ -357,10 +360,41 @@ def group_papers(papers: DataFrame, cfg: V2Config,
 # ---------------------------------------------------------------------------
 
 
-def init_outlines(papers_grouped: DataFrame, client_factory, cfg: V2Config,
-                  retry: RetryPolicy | None = None,
-                  metrics=None) -> DataFrame:
-    """→ (survey_id, survey_title, outline_md)."""
+_OUTLINE_CONCAT_SEPARATOR = "\n--------------------------\n"
+
+
+def _init_outline_prompt(ps: dict | None, survey_title: str,
+                         abstracts: str) -> str:
+    """L5 per-batch outline prompt — shared by the staged
+    :func:`init_outlines` and :func:`init_outlines_fused`."""
+    if ps:
+        return ps["INIT_OUTLINE_PROMPT"].format(
+            title=survey_title, abstracts=abstracts)
+    return (
+        f"[INIT_OUTLINE] Survey title: {survey_title}\n"
+        f"Propose a markdown outline (## sections with Digest "
+        f"Construction/Analysis) for these papers.\nAbstracts:\n{abstracts}\n"
+        "Reply with a fenced ```markdown block."
+    )
+
+
+def _concat_outline_prompt(ps: dict | None, survey_title: str,
+                           outlines: str) -> str:
+    """L6 per-survey concat prompt — shared by both init paths."""
+    if ps:
+        return ps["CONCAT_OUTLINE_PROMPT"].format(
+            title=survey_title, outlines=outlines)
+    return (
+        f"[CONCAT_OUTLINE] Survey title: {survey_title}\n"
+        f"Merge these partial outlines into one.\n{outlines}\n"
+        "Reply with a fenced ```markdown block."
+    )
+
+
+def _init_per_batch(papers_grouped: DataFrame, cfg: V2Config) -> DataFrame:
+    """C6 skeleton batching + per-batch abstract packing (pure Catalyst;
+    shared by both init paths): → (survey_id, survey_title, batch_id,
+    abstracts)."""
     batches = grouping.hash_shuffled_batches(
         papers_grouped.select("survey_id", "digest_id").distinct(),
         "digest_id", cfg.skeleton_batch, seed=cfg.seed + 1,
@@ -371,7 +405,7 @@ def init_outlines(papers_grouped: DataFrame, client_factory, cfg: V2Config,
         F.lit("Bibkey: '"), F.col("bibkey"), F.lit("':\nAbstract:\n"),
         F.substring(F.col("abstract"), 1, 1500),
     )
-    per_batch = (
+    return (
         joined.withColumn("__a", F.struct(F.col("bibkey").alias("k"),
                                           abstract_fmt.alias("v")))
         .groupBy("survey_id", "survey_title", "batch_id")
@@ -380,18 +414,18 @@ def init_outlines(papers_grouped: DataFrame, client_factory, cfg: V2Config,
             F.transform(F.array_sort(F.collect_list("__a")), lambda s: s["v"]),
         ).alias("abstracts"))
     )
+
+
+def init_outlines(papers_grouped: DataFrame, client_factory, cfg: V2Config,
+                  retry: RetryPolicy | None = None,
+                  metrics=None) -> DataFrame:
+    """→ (survey_id, survey_title, outline_md)."""
+    per_batch = _init_per_batch(papers_grouped, cfg)
     ps = _prompt_set(cfg)
     single = llm_stage(
         per_batch,
-        build_prompt=lambda r: (
-            ps["INIT_OUTLINE_PROMPT"].format(
-                title=r["survey_title"], abstracts=r["abstracts"])
-            if ps else
-            f"[INIT_OUTLINE] Survey title: {r['survey_title']}\n"
-            f"Propose a markdown outline (## sections with Digest "
-            f"Construction/Analysis) for these papers.\nAbstracts:\n{r['abstracts']}\n"
-            "Reply with a fenced ```markdown block."
-        ),
+        build_prompt=lambda r: _init_outline_prompt(
+            ps, r["survey_title"], r["abstracts"]),
         parse=_parse_fenced,
         client_factory=client_factory,
         payload_fields=_payload("md"),
@@ -404,7 +438,7 @@ def init_outlines(papers_grouped: DataFrame, client_factory, cfg: V2Config,
                                           F.col("md").alias("v")))
         .groupBy("survey_id", "survey_title")
         .agg(F.concat_ws(
-            "\n--------------------------\n",
+            _OUTLINE_CONCAT_SEPARATOR,
             F.transform(
                 F.array_sort(F.collect_list("__o")),
                 lambda s: F.concat(F.lit("```markdown\n"), s["v"], F.lit("\n```")),
@@ -413,14 +447,8 @@ def init_outlines(papers_grouped: DataFrame, client_factory, cfg: V2Config,
     )
     return llm_stage(
         per_survey,
-        build_prompt=lambda r: (
-            ps["CONCAT_OUTLINE_PROMPT"].format(
-                title=r["survey_title"], outlines=r["outlines"])
-            if ps else
-            f"[CONCAT_OUTLINE] Survey title: {r['survey_title']}\n"
-            f"Merge these partial outlines into one.\n{r['outlines']}\n"
-            "Reply with a fenced ```markdown block."
-        ),
+        build_prompt=lambda r: _concat_outline_prompt(
+            ps, r["survey_title"], r["outlines"]),
         parse=_parse_fenced,
         client_factory=client_factory,
         payload_fields=_payload("md"),
@@ -429,6 +457,79 @@ def init_outlines(papers_grouped: DataFrame, client_factory, cfg: V2Config,
         metrics=metrics,
     ).filter("llm_ok").select("survey_id", "survey_title",
                               F.col("md").alias("outline_md"))
+
+
+_INIT_FUSED_SCHEMA = T.StructType([
+    T.StructField("survey_id", _STR, False),
+    T.StructField("survey_title", _STR, True),
+    T.StructField("outline_md", _STR, True),
+])
+
+
+def init_outlines_fused(papers_grouped: DataFrame, client_factory,
+                        cfg: V2Config, retry: RetryPolicy | None = None,
+                        metrics=None) -> DataFrame:
+    """The L5 single → L6 concat chain coalesced into ONE
+    ``applyInPandas`` per survey (the second instance of the SURVEY §4
+    LLM-batch-coalescing strategy; the first is
+    :func:`digest_feedback_fused`).  Staged, the chain costs two
+    mapInPandas stages with a per-survey aggregation (shuffle) between
+    them; fused it is the per-batch Catalyst packing (shared code) then
+    one shuffle and one Python pass running every batch's L5 call plus
+    the survey's L6 concat with a single client.  Prompts come from the
+    same builders as the staged path, so outputs are byte-identical
+    (tests/test_v2_fused.py).  Opt-in via
+    ``V2Config(fused_init_outlines=True)``."""
+    if retry is None:
+        retry = getattr(client_factory(), "retry_policy", None) or RetryPolicy()
+    ps = _prompt_set(cfg)
+    per_batch = _init_per_batch(papers_grouped, cfg)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        client = client_factory()
+        title = pdf["survey_title"].iloc[0]
+        survey_id = pdf["survey_id"].iloc[0]
+
+        def _count(prompt, reply):
+            if metrics is not None:
+                metrics.calls.add(1)
+                metrics.prompt_chars.add(len(prompt))
+                if reply is None:
+                    metrics.failures.add(1)
+                else:
+                    metrics.reply_chars.add(len(reply))
+
+        mds: list[tuple[int, str]] = []
+        for row in pdf.sort_values("batch_id").to_dict("records"):
+            prompt = _init_outline_prompt(ps, title, row["abstracts"])
+            reply, _err, _att = call_with_retry(client, prompt, retry)
+            _count(prompt, reply)
+            if reply is None:
+                continue
+            try:
+                mds.append((int(row["batch_id"]), _parse_fenced(reply)["md"]))
+            except Exception:   # parse error == staged llm_ok=false drop
+                continue
+        cols = [f.name for f in _INIT_FUSED_SCHEMA.fields]
+        if not mds:             # staged: no llm_ok batches → survey absent
+            return pd.DataFrame([], columns=cols)
+        outlines = _OUTLINE_CONCAT_SEPARATOR.join(
+            f"```markdown\n{md}\n```" for _b, md in sorted(mds))
+        prompt = _concat_outline_prompt(ps, title, outlines)
+        reply, _err, _att = call_with_retry(client, prompt, retry)
+        _count(prompt, reply)
+        if reply is None:
+            return pd.DataFrame([], columns=cols)
+        try:
+            out_md = _parse_fenced(reply)["md"]
+        except Exception:
+            return pd.DataFrame([], columns=cols)
+        return pd.DataFrame(
+            [{"survey_id": survey_id, "survey_title": title,
+              "outline_md": out_md}], columns=cols)
+
+    return per_batch.groupBy("survey_id", "survey_title") \
+        .applyInPandas(run, schema=_INIT_FUSED_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1164,7 +1265,9 @@ def run_v2_survey(surveys: DataFrame, client_factory,
         if sm is not None:
             sm.materialized("papers")
         grouped = group_papers(papers, cfg, client_factory, retry)
-        outlines = init_outlines(
+        init_fn = (init_outlines_fused if cfg.fused_init_outlines
+                   else init_outlines)
+        outlines = init_fn(
             grouped, client_factory, cfg, retry,
             metrics=sm.llm("outline") if sm is not None else None)
         if sm is not None:

@@ -65,3 +65,29 @@ def test_fused_e2e_survey_identical(spark):
                              v2.V2Config(fused_digest_feedback=True, **base))
     assert staged.columns == fused.columns
     assert _rows(staged) == _rows(fused)
+
+
+def test_fused_init_outlines_matches_staged(spark):
+    cfg = v2.V2Config(digest_batch=2, skeleton_batch=2)
+    surveys = make_surveys(spark, n_surveys=2, n_papers=6)
+    papers = v2.build_papers(surveys)
+    grouped = v2.group_papers(papers, cfg).localCheckpoint(eager=True)
+
+    staged = v2.init_outlines(grouped, MockSurveyClient, cfg)
+    fused = v2.init_outlines_fused(grouped, MockSurveyClient, cfg)
+    assert staged.columns == fused.columns
+    assert _rows(staged) == _rows(fused)
+    assert staged.count() == 2          # one outline per survey
+
+
+def test_both_fusions_e2e_identical(spark):
+    surveys = make_surveys(spark)
+    base = dict(conv_layers=1, receptive_field=2, result_num=3,
+                top_k=2, refine_rounds=1, best_of=2)
+    staged = v2.run_v2_survey(surveys, MockSurveyClient,
+                              v2.V2Config(**base))
+    fused = v2.run_v2_survey(
+        surveys, MockSurveyClient,
+        v2.V2Config(fused_digest_feedback=True, fused_init_outlines=True,
+                    **base))
+    assert _rows(staged) == _rows(fused)
