@@ -82,3 +82,17 @@ def test_head50_is_exact_complement_of_latest_driver_window():
         # Partial/stale record: at minimum the confirmed names present
         # on the board must all sit in the tail.
         assert (confirmed & set(board)) <= tail
+
+
+def test_gate_would_fire_on_forgotten_swap():
+    """Negative control: if the blocks had NOT been swapped this round
+    (i.e. the current tail-50 still led), the disjointness gate must
+    fire — otherwise the gate is vacuous and a forgotten rotation slips
+    through again."""
+    rnd, confirmed = _latest_correctness()
+    board = _board()
+    unrotated_head = set(board[50:])      # what the head would have been
+    assert unrotated_head & confirmed, (
+        "gate is vacuous: even the unrotated ordering would pass; "
+        "check the CORRECTNESS ledger"
+    )
