@@ -1655,11 +1655,29 @@ def q_v2_digest_feedback_unfused(spark: SparkSession, sf: str) -> DataFrame:
     from llmxmapreduce_spark.llm.survey_mock import MockSurveyClient
     from llmxmapreduce_spark.pipelines import v2_survey as v2
 
+    from llmxmapreduce_spark.retention import pinned_ids, release
+
     grouped, outlines, cfg = _v2_digest_feedback_prep(spark, sf)
+    # Replicate the production staged cycle exactly (run_v2_survey
+    # checkpoints digests before feedback): without the eager boundary,
+    # the un-materialized digest subtree would appear in BOTH union
+    # branches below and the row would only price one L7 pass if
+    # Catalyst's exchange reuse happened to dedupe it (r13 review
+    # finding).  The digest checkpoint is released once the shaped
+    # output is materialized — the superseded-cut discipline — so bench
+    # loops don't accumulate per-run frames; only the (tiny) final
+    # frame stays pinned, same as the fused twin's fused frame.
+    sctx = spark.sparkContext
+    snap = pinned_ids(sctx)
     digests, _dead = v2.make_digests(grouped, outlines, MockSurveyClient, cfg)
+    digests = digests.localCheckpoint(eager=True)
+    digest_ids = pinned_ids(sctx) - snap
     sugg = v2.feedback_suggestions(digests, outlines, MockSurveyClient,
                                    cfg=cfg)
-    return _v2_digest_feedback_shape(digests, sugg)
+    out = _v2_digest_feedback_shape(digests, sugg) \
+        .localCheckpoint(eager=True)
+    release(sctx, digest_ids)
+    return out
 
 
 def q_v2_digest_feedback_fused(spark: SparkSession, sf: str) -> DataFrame:
@@ -3196,6 +3214,7 @@ def q_v3_host_transcript(spark: SparkSession, sf: str) -> DataFrame:
     # (181 s cold → ~35 s)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    host = None
     try:
         host = vh.make_spark_host(
             spark, tempfile.mkdtemp(prefix="v3host_"), vh.MockPlanner(topic),
@@ -3203,10 +3222,13 @@ def q_v3_host_transcript(spark: SparkSession, sf: str) -> DataFrame:
             top_n=6, snippet_threshold=0, similarity_threshold=0,
             min_length=50, max_length=100000)
         out = host.process_task(f"Write a survey about {topic}")
-        # r13: release the run's checkpoint residue (the transcript rows
-        # below are plain python — nothing returned reads host.state)
-        host.close()
     finally:
+        # r13: release the run's checkpoint residue (the transcript rows
+        # below are plain python — nothing returned reads host.state).
+        # In the finally so a failed process_task doesn't leave its
+        # partial residue pinned for the session (r13 review finding).
+        if host is not None:
+            host.close()
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     rows = [(i, op["round"], op["action"], op.get("tool_name", ""))
             for i, op in enumerate(out["operation_history"])]

@@ -97,7 +97,8 @@ def label_propagation(
     e.persist()
     sc = e.sparkSession.sparkContext
     prev_ids: set = set()   # set before try: the except handler reads it
-    try:
+    new_ids: set = set()    # ditto: covers the round whose checkpoint is
+    try:                    # already pinned but not yet rotated into prev_ids
         nodes = (
             e.select(F.col("__s").alias("__n"))
             .union(e.select(F.col("__d").alias("__n")))
@@ -155,7 +156,11 @@ def label_propagation(
         # r13 ADVICE: an exception mid-loop must not leave the current
         # round's checkpoint blocks pinned for the session — nothing is
         # returned on the error path, so the tracked ids are releasable.
-        release(sc, prev_ids)
+        # new_ids is included because in fixpoint mode the convergence
+        # count runs BETWEEN the round's checkpoint and the
+        # prev_ids = new_ids rotation: a failure there would otherwise
+        # leak the just-pinned round (r13 review finding).
+        release(sc, prev_ids | new_ids)
         raise
     finally:
         e.unpersist()

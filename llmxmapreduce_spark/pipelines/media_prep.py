@@ -135,7 +135,9 @@ def run_media_prep(
     # the single-driver-thread assumption all these call sites share.
     sc = assets.sparkSession.sparkContext
     created: set = set()
-    try:
+    kept_ids: set = set()   # set before try: the final 'neardup' cut and
+    q_ids: set = set()      # quarantine checkpoint pin after the last
+    try:                    # `created` update, so the except must see them
         # 2. exact dedup on payload bytes — the text operator verbatim
         # (md5 key, min-id representative); normalize=False because byte
         # payloads have no whitespace/case to fold
@@ -198,11 +200,14 @@ def run_media_prep(
         q_ids = pinned_ids(sc) - snap
     except BaseException:
         # r13 ADVICE error path: nothing is returned, so every tracked
-        # id is releasable.  A failure INSIDE a tracked window can leak
-        # that window's partial ids (they were never attributed) — a
-        # bounded ≤1-region residue, preferable to sweeping the global
-        # registry (see retention.py's concurrency caveat).
-        release(sc, created)
+        # id is releasable — including the final kept/quarantine cuts
+        # (a quarantine-checkpoint failure would otherwise leak the
+        # corpus-sized kept frame; r13 review finding).  A failure
+        # INSIDE a tracked window can still leak that window's partial
+        # ids (they were never attributed) — a bounded ≤1-region
+        # residue, preferable to sweeping the global registry (see
+        # retention.py's concurrency caveat).
+        release(sc, created | kept_ids | q_ids)
         raise
     release(sc, created - kept_ids - q_ids)
     return kept, quarantined

@@ -694,6 +694,7 @@ def digest_feedback_fused(
     cfg: V2Config,
     retry: RetryPolicy | None = None,
     metrics=None,
+    feedback_metrics=None,
 ) -> tuple[DataFrame, DataFrame]:
     """The block cycle's digest→feedback chain coalesced into ONE
     ``applyInPandas`` over (survey_id, digest_id) groups — the SURVEY §4
@@ -740,14 +741,14 @@ def digest_feedback_fused(
             skeleton.parse_outline_py(title, outline_md),
             with_digest_placeholder=True)
 
-        def _count(prompt, reply):
-            if metrics is not None:
-                metrics.calls.add(1)
-                metrics.prompt_chars.add(len(prompt))
+        def _count(prompt, reply, m):
+            if m is not None:
+                m.calls.add(1)
+                m.prompt_chars.add(len(prompt))
                 if reply is None:
-                    metrics.failures.add(1)
+                    m.failures.add(1)
                 else:
-                    metrics.reply_chars.add(len(reply))
+                    m.reply_chars.add(len(reply))
 
         # L7 per paper + J1 align gate; order within the group is
         # irrelevant to the output (per-paper calls are independent)
@@ -756,7 +757,7 @@ def digest_feedback_fused(
             prompt = _digest_prompt(ps, title, row["bibkey"], row["content"],
                                     outline_md, placeholder_md)
             reply, _err, _att = call_with_retry(client, prompt, retry)
-            _count(prompt, reply)
+            _count(prompt, reply, metrics)
             if reply is None:
                 continue
             try:
@@ -801,7 +802,7 @@ def digest_feedback_fused(
             digest_content = "\n".join(d for _p, d in merged)
             prompt = _feedback_prompt(ps, title, outline_md, digest_content)
             reply, _err, _att = call_with_retry(client, prompt, retry)
-            _count(prompt, reply)
+            _count(prompt, reply, feedback_metrics)
             if reply is not None:
                 try:    # any parse error == staged filter("llm_ok") drop
                     sugg = _parse_suggestion(reply)["suggestion"]
@@ -1309,7 +1310,9 @@ def run_v2_survey(surveys: DataFrame, client_factory,
                 # Output-identical to the staged path (test_v2_fused).
                 _dg, suggestions = digest_feedback_fused(
                     grouped, cur, client_factory, cfg, retry,
-                    metrics=sm.llm("digest") if sm is not None else None)
+                    metrics=sm.llm("digest") if sm is not None else None,
+                    feedback_metrics=(
+                        sm.llm("suggest") if sm is not None else None))
             else:
                 digests = digests.localCheckpoint(eager=True)
             digest_ids = pinned_ids(_sctx) - snap

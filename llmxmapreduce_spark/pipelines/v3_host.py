@@ -242,6 +242,14 @@ class V3Host:
         # releases the accumulated ids — the retention.py discipline.
         self._spark = None
         self._created_rdd_ids: set = set()
+        # Tracking caveat (shared with every retention.py call site): the
+        # snapshot diff attributes ANY registration that first
+        # materializes inside a tool-call window to the host — a caller
+        # cache that lazily registers there would be unpersisted by
+        # close().  Embedders that cache their own frames across tool
+        # calls should pass make_spark_host(track_checkpoints=False)
+        # and manage retention themselves.
+        self._track_checkpoints = True
 
     # ------------------------------------------------------------ registry
 
@@ -439,7 +447,7 @@ class V3Host:
         else:
             arguments = decision.get("arguments", {}) or {}
 
-        if self._spark is not None:
+        if self._spark is not None and self._track_checkpoints:
             from llmxmapreduce_spark.retention import pinned_ids
 
             snap = pinned_ids(self._spark.sparkContext)
@@ -620,6 +628,7 @@ def make_spark_host(
     max_rounds: int = 12,
     feedback_fn: Callable[[str], str] | None = None,
     txt_preview_chars: int = 20_000,
+    track_checkpoints: bool = True,
 ) -> V3Host:
     """A :class:`V3Host` with the reference's nine tools registered over
     this repo's distributed stages.  Search tools return counts + file
@@ -649,6 +658,11 @@ def make_spark_host(
     host = V3Host(planner, base_dir, max_rounds=max_rounds,
                   feedback_fn=feedback_fn)
     host._spark = spark      # enables per-tool checkpoint tracking/close()
+    # track_checkpoints=False for embedders that cache their own frames
+    # lazily inside tool-call windows (the snapshot-diff caveat in
+    # V3Host.__init__) — close() then releases nothing and the caller
+    # owns retention.
+    host._track_checkpoints = track_checkpoints
 
     # ---------------------------------------------------------- search
     def topic_expansion(h: V3Host, args: dict) -> dict:

@@ -95,3 +95,79 @@ def test_media_prep_releases_on_midpipeline_error(spark, monkeypatch):
     assert len(leaked) <= 1, f"mid-pipeline error leaked blocks: {leaked}"
     from llmxmapreduce_spark.retention import release
     release(sc, leaked)
+
+
+def test_labelprop_fixpoint_count_failure_releases_current_round(
+        spark, monkeypatch):
+    """r13 review finding: in fixpoint mode (n_iter=None) the convergence
+    count runs BETWEEN the round's eager checkpoint and the
+    prev_ids=new_ids rotation — a failure there must release the
+    just-pinned round too, not only the previous one."""
+    from llmxmapreduce_spark.operators import labelprop as lp
+
+    sc = spark.sparkContext
+    caller = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5)], ["src", "dst"]).cache()
+    assert caller.count() == 4
+    before = pinned_ids(sc)
+
+    calls = {"n": 0}
+    # patch the CONCRETE class (Spark 4: classic.DataFrame overrides the
+    # pyspark.sql.DataFrame base), or the patch never intercepts
+    DF = type(caller)
+    real = DF.count
+
+    def exploding_count(self):
+        calls["n"] += 1
+        # call 1: the edge-cache materialization in the preamble; call 2:
+        # round 1's n_changed convergence count — AFTER round 1's
+        # checkpoint is pinned but BEFORE it rotates into prev_ids
+        if calls["n"] == 2:
+            raise RuntimeError("injected count failure")
+        return real(self)
+
+    monkeypatch.setattr(DF, "count", exploding_count)
+    with pytest.raises(RuntimeError, match="injected"):
+        lp.label_propagation(caller, n_iter=None, max_iter=5)
+    monkeypatch.setattr(DF, "count", real)
+
+    leaked = pinned_ids(sc) - before
+    assert leaked == set(), f"fixpoint count failure leaked: {leaked}"
+    assert caller.count() == 4       # caller cache survived
+    caller.unpersist()
+
+
+def test_media_prep_releases_on_quarantine_checkpoint_error(
+        spark, monkeypatch):
+    """r13 review finding: the final 'neardup' cut (kept_ids) pins before
+    the quarantine checkpoint; a failure there must release it, not just
+    the `created` set."""
+    from llmxmapreduce_spark.pipelines import media_prep as mp
+
+    sc = spark.sparkContext
+    assets = spark.createDataFrame(
+        [(f"a{i}", bytes([i % 251] * 64)) for i in range(20)],
+        ["asset_id", "payload"])
+    before = pinned_ids(sc)
+
+    DF = type(assets)
+    real = DF.localCheckpoint
+
+    def exploding_on_quarantine(self, eager=True):
+        # the quarantine frame is the only one with this exact shape
+        if self.columns == ["asset_id", "decode_error"]:
+            raise RuntimeError("injected quarantine checkpoint failure")
+        return real(self, eager)
+
+    monkeypatch.setattr(DF, "localCheckpoint",
+                        exploding_on_quarantine)
+    with pytest.raises(RuntimeError, match="injected"):
+        mp.run_media_prep(assets)
+    monkeypatch.setattr(DF, "localCheckpoint", real)
+
+    leaked = pinned_ids(sc) - before
+    # only the untracked metadata_gate shield may remain
+    assert len(leaked) <= 1, \
+        f"quarantine checkpoint failure leaked kept_ids: {leaked}"
+    from llmxmapreduce_spark.retention import release
+    release(sc, leaked)

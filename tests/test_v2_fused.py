@@ -91,3 +91,26 @@ def test_both_fusions_e2e_identical(spark):
         v2.V2Config(fused_digest_feedback=True, fused_init_outlines=True,
                     **base))
     assert _rows(staged) == _rows(fused)
+
+
+def test_fused_stage_metrics_attribution(spark):
+    """r13 review finding: the fused stage must route L7 digest calls and
+    L9 feedback calls to their OWN accumulators (digest/suggest), exactly
+    like the staged chain — not lump both into 'digest' and leave
+    'suggest' at zero, which would break any per-stage cost comparison."""
+    from llmxmapreduce_spark.operators.stage_metrics import StageMetrics
+
+    cfg = v2.V2Config(digest_batch=3)
+    grouped, outlines = _prep(spark, cfg)
+    n_papers = grouped.count()
+    n_groups = grouped.select("survey_id", "digest_id").distinct().count()
+
+    sm = StageMetrics(spark)
+    digests, sugg = v2.digest_feedback_fused(
+        grouped, outlines, MockSurveyClient, cfg,
+        metrics=sm.llm("digest"), feedback_metrics=sm.llm("suggest"))
+    digests.count(); sugg.count()   # checkpoint already materialized; cheap
+
+    assert sm.llm("digest").calls.value == n_papers
+    assert sm.llm("suggest").calls.value == n_groups
+    assert sm.llm("suggest").reply_chars.value > 0

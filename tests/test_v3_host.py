@@ -408,3 +408,41 @@ def test_host_close_releases_checkpoints(spark, tmp_path):
         assert caller.count() == 10
     finally:
         caller.unpersist()
+
+
+def test_host_tracking_opt_out(spark, tmp_path):
+    from llmxmapreduce_spark.retention import pinned_ids, release
+
+    """r13 review finding: the per-tool snapshot-diff attributes any
+    caller cache that lazily registers inside a tool-call window to the
+    host; track_checkpoints=False must disable tracking so close()
+    releases nothing (the caller owns retention)."""
+    sc = spark.sparkContext
+
+    def fake_search(query):
+        return [{"url": f"https://x.test/{abs(hash(query)) % 100}/{i}",
+                 "title": f"t{i}", "snippet": f"snippet {i} about {query}"}
+                for i in range(4)]
+
+    def fake_fetch(url):
+        n = int(url.rsplit("/", 1)[-1])
+        body = " ".join(f"word{i} the of and in" for i in range(40 + 10 * n))
+        return f"# Page {n}\n{body}"
+
+    topic = "tracking opt-out"
+    host = vh.make_spark_host(
+        spark, str(tmp_path), vh.MockPlanner(topic), MockSurveyClient,
+        lambda: fake_search, lambda: fake_fetch,
+        top_n=6, snippet_threshold=0, similarity_threshold=0,
+        min_length=50, max_length=100000, track_checkpoints=False)
+    before = pinned_ids(sc)
+    out = host.process_task(f"Write a survey about {topic}")
+    assert out["status"] == "completed"
+    assert host._created_rdd_ids == set()    # nothing attributed
+    pinned_by_run = pinned_ids(sc) - before
+    host.close()                              # must release NOTHING
+    still = {rid for rid in pinned_by_run
+             if sc._jsc.getPersistentRDDs().containsKey(rid)}
+    assert still == pinned_by_run, "close() released untracked frames"
+    # test hygiene: free the run's frames ourselves (caller-owned)
+    release(sc, pinned_by_run)

@@ -48,6 +48,11 @@ def main() -> int:
     arch = _archives()
     if len(sys.argv) == 3:
         a, b = (int(sys.argv[1].lstrip("r")), int(sys.argv[2].lstrip("r")))
+        missing = [r for r in (a, b) if r not in arch]
+        if missing:
+            print(f"no archived BENCH_LOCAL_r*.json for round(s) "
+                  f"{missing}; have {sorted(arch)}")
+            return 1
     else:
         if len(arch) < 2:
             print("need two archived BENCH_LOCAL_r*.json records; "

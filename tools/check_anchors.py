@@ -98,7 +98,9 @@ def audit(md_path: Path) -> list[str]:
             for name in _TICK_RE.findall(trailer):
                 if not _IDENT_RE.match(name):
                     continue        # expression/prose, not an identifier
-                if name not in src:
+                # word-boundary match, not substring: a renamed
+                # `load_surveys` must not pass on load_surveys_v2
+                if not re.search(rf"\b{re.escape(name)}\b", src):
                     problems.append(
                         f"{md_path.name}:{lineno}: `{name}` not found "
                         f"in {path} (renamed?)")
