@@ -21,6 +21,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from llmxmapreduce_spark.llm.client import LLMClient, RetryPolicy, call_with_retry
@@ -123,3 +124,199 @@ def llm_stage(
 def dead_letter_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(ok_rows, failed_rows) — D8 quarantine instead of crash."""
     return df.filter("llm_ok"), df.filter("NOT llm_ok")
+
+
+# ---------------------------------------------------------------------------
+# Prompt-hash result cache (SURVEY.md §4 "Caching/reuse" extension).
+#
+# The reference caches nothing except the V3 crawl resume
+# (LLMxMapReduce_V3/src/mcp_server/llm_search_mcp_server.py:1043-1060, which
+# skips already-crawled URLs on restart).  At 100 TB the same idea applied to
+# LLM calls is the single biggest cost lever a re-run has: identical prompts
+# (re-digests of unchanged papers, repeated eval rubrics, incremental corpus
+# refreshes) should hit a persisted result table instead of the model.
+# ---------------------------------------------------------------------------
+
+PROMPT_HASH_COL = "__prompt_hash"
+
+# above this on-disk size, llm_stage_cached prunes the cache read with a
+# semi-join on the batch's hashes instead of deduping the whole cache
+PRUNE_CACHE_READ_BYTES = 256 * 1024 * 1024
+
+
+def _cache_bytes(spark, cache_dir: str) -> int:
+    """Total on-disk bytes under ``cache_dir`` (0 if absent) — the cheap
+    FS-level signal for the prune-vs-full-dedupe read strategy."""
+    jvm = spark._jvm
+    base = jvm.org.apache.hadoop.fs.Path(cache_dir)
+    fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(base):
+        return 0
+    return int(fs.getContentSummary(base).getLength())
+
+
+def with_prompt_hash(
+    df: DataFrame,
+    build_prompt: Callable[[dict[str, Any]], str],
+    version: str = "",
+    hash_col: str = PROMPT_HASH_COL,
+) -> DataFrame:
+    """Pure pre-pass: append the md5 of the prompt each row WOULD send
+    (no LLM traffic).  ``version`` is salted into the hash — bump it when
+    the prompt template or the parser changes semantics, and the whole
+    cache invalidates without a directory wipe.
+
+    The prompt is built twice for cache misses (here and inside the LLM
+    stage) rather than carried as a column: prompts are the widest thing
+    in these pipelines, and shipping a 16-byte hash through the cache
+    join instead of the full text is the difference between a bounded
+    shuffle and re-shuffling the corpus.  ``build_prompt`` must therefore
+    be deterministic — the same contract that makes caching sound at all.
+    """
+    if hash_col in df.columns:
+        raise ValueError(
+            f"with_prompt_hash: input already has a {hash_col!r} column")
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(hash_col, T.StringType(), False)])
+    salt = version.encode() + b"\x00"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[hash_col] = [
+                hashlib.md5(salt + build_prompt(row).encode()).hexdigest()
+                for row in pdf.to_dict("records")
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def read_prompt_cache(spark, cache_dir: str,
+                      payload_fields: list[T.StructField],
+                      hash_col: str = PROMPT_HASH_COL,
+                      relevant: DataFrame | None = None) -> DataFrame | None:
+    """The deduplicated cache table ``(hash_col, *payload, llm_attempts)``,
+    or None before the first write.  Existence goes through the Hadoop
+    FileSystem API (the streaming-admission idiom, streaming/ingest.py) —
+    never a parse of one Spark version's error text.  Appends may have
+    written the same hash twice (two concurrent runs, duplicate prompts in
+    one batch at different times); one row per hash is picked by a total
+    order over the payload struct, so every reader resolves ties the same
+    way.
+
+    ``relevant`` (a frame containing ``hash_col``) prunes the cache with a
+    left-semi join BEFORE the dedupe shuffle: an incremental batch over a
+    big accumulated cache then shuffles ~batch-size rows, not the whole
+    cache — the difference between O(batch) and O(cache) per run at
+    100 TB.  AQE broadcasts the batch side while it is small."""
+    jvm = spark._jvm
+    base = jvm.org.apache.hadoop.fs.Path(cache_dir)
+    fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(base):
+        return None
+    raw = spark.read.parquet(cache_dir)
+    if relevant is not None:
+        raw = raw.join(relevant.select(hash_col), hash_col, "left_semi")
+    names = [f.name for f in payload_fields] + ["llm_attempts"]
+    picked = (
+        raw.groupBy(hash_col)
+        .agg(F.max(F.struct(*[F.col(n) for n in names])).alias("__p"))
+    )
+    return picked.select(hash_col, *[F.col(f"__p.{n}").alias(n) for n in names])
+
+
+def llm_stage_cached(
+    df: DataFrame,
+    build_prompt: Callable[[dict[str, Any]], str],
+    parse: Callable[[str], dict[str, Any]],
+    client_factory: Callable[[], LLMClient],
+    payload_fields: list[T.StructField],
+    keep_cols: list[str],
+    cache_dir: str,
+    retry: RetryPolicy | None = None,
+    metrics: LLMMetrics | None = None,
+    version: str = "",
+) -> DataFrame:
+    """:func:`llm_stage` behind a persisted prompt-hash result cache.
+
+    Same output schema and row set as ``llm_stage`` (keep_cols + payload +
+    the D8 sentinel columns), with three engine changes:
+
+    - rows whose prompt hash is already in ``cache_dir`` never reach the
+      model: their payload (and original ``llm_attempts``) replays from
+      the cache with ``llm_ok=true``;
+    - cache misses are deduplicated by prompt BEFORE calling — N rows
+      sharing one prompt cost ONE call even on a cold cache, then fan
+      back out over the 16-byte hash join;
+    - successful fresh results are appended to ``cache_dir`` (parquet;
+      appends are new files, so concurrent runs never corrupt — dup
+      hashes are resolved deterministically at read).
+
+    Failed rows (``llm_ok=false``) are returned with the usual sentinel
+    but NOT cached, so the next run retries them — the D8/D13 contract.
+
+    The fresh-results frame is eagerly localCheckpointed (the LLM calls
+    must run exactly once for the cache write AND the returned rows);
+    like the fused v2 stages, that one bounded frame stays pinned until
+    the caller's own retention boundary releases it.
+
+    Scale: the cache join is an equi-join on a 16-byte hash (broadcast
+    while the cache is small, shuffle-on-hash after), the append is an
+    executor-side parquet write, and nothing collects to the driver.
+    """
+    spark = df.sparkSession
+    payload_names = [f.name for f in payload_fields]
+    hashed = with_prompt_hash(df, build_prompt, version)
+    # Prune the cache read only once the cache is big enough that its
+    # dedupe shuffle dominates (the semi-join costs an extra join and an
+    # extra evaluation of the hash pre-pass — a net loss while the cache
+    # is batch-sized, a requirement once it has accumulated for months).
+    prune = _cache_bytes(spark, cache_dir) > PRUNE_CACHE_READ_BYTES
+    cache = read_prompt_cache(spark, cache_dir, payload_fields,
+                              relevant=hashed if prune else None)
+
+    if cache is None:
+        hits = None
+        misses = hashed
+    else:
+        hits = hashed.join(cache, PROMPT_HASH_COL).select(
+            *keep_cols, *payload_names,
+            F.lit(True).alias("llm_ok"),
+            F.lit(None).cast("string").alias("llm_error"),
+            F.col("llm_attempts"),
+        )
+        misses = hashed.join(cache.select(PROMPT_HASH_COL),
+                             PROMPT_HASH_COL, "left_anti")
+
+    # one call per DISTINCT prompt; any representative row works because
+    # the hash pins the prompt text (build_prompt sees identical inputs)
+    from llmxmapreduce_spark.retention import pinned_ids, release
+
+    snap = pinned_ids(spark.sparkContext)
+    fresh_payload = llm_stage(
+        misses.dropDuplicates([PROMPT_HASH_COL]),
+        build_prompt, parse, client_factory, payload_fields,
+        [PROMPT_HASH_COL], retry, metrics,
+    ).localCheckpoint(eager=True)
+    ckpt_ids = pinned_ids(spark.sparkContext) - snap
+
+    # fully-warm fast path: with zero misses the checkpoint is empty —
+    # skip the append job and the fan-out join, release the empty frame,
+    # and serve everything from the cache side (measured: these no-op
+    # jobs are most of a warm re-run's wall with a fast model)
+    if hits is not None and fresh_payload.isEmpty():
+        release(spark.sparkContext, ckpt_ids)
+        return hits
+
+    fresh_payload.filter("llm_ok").select(
+        PROMPT_HASH_COL, *payload_names, "llm_attempts"
+    ).write.mode("append").parquet(cache_dir)
+
+    fresh = misses.select(*keep_cols, PROMPT_HASH_COL).join(
+        fresh_payload, PROMPT_HASH_COL
+    ).select(*keep_cols, *payload_names, "llm_ok", "llm_error",
+             "llm_attempts")
+    return fresh if hits is None else hits.unionByName(fresh)
