@@ -282,11 +282,17 @@ def llm_stage_cached(
         hits = None
         misses = hashed
     else:
-        hits = hashed.join(cache, PROMPT_HASH_COL).select(
-            *keep_cols, *payload_names,
+        # aliased sides: an input column may legitimately share a name
+        # with a payload column (V1's map stage keeps chunk `text` and
+        # emits payload `text`) — keep_cols resolve against the input,
+        # payload against the cache
+        hits = hashed.alias("__in").join(cache.alias("__c"),
+                                         PROMPT_HASH_COL).select(
+            *[F.col(f"__in.{c}") for c in keep_cols],
+            *[F.col(f"__c.{n}").alias(n) for n in payload_names],
             F.lit(True).alias("llm_ok"),
             F.lit(None).cast("string").alias("llm_error"),
-            F.col("llm_attempts"),
+            F.col("__c.llm_attempts").alias("llm_attempts"),
         )
         misses = hashed.join(cache.select(PROMPT_HASH_COL),
                              PROMPT_HASH_COL, "left_anti")

@@ -34,7 +34,7 @@ from pyspark.sql import types as T
 from llmxmapreduce_spark.functions import text as X
 from llmxmapreduce_spark.llm.client import LLMClient, RetryPolicy
 from llmxmapreduce_spark.operators import chunker
-from llmxmapreduce_spark.operators.llm_op import llm_stage
+from llmxmapreduce_spark.operators.llm_op import llm_stage, llm_stage_cached
 from llmxmapreduce_spark.retention import pinned_ids, release
 
 MAX_NEW_TOKENS = 300  # gen_args.get('max_tokens', 300), Generator.py:350
@@ -92,6 +92,7 @@ def run_v1_qa(
     retry: RetryPolicy | None = None,
     prompts: dict[str, str] | None = None,
     stage_metrics=None,
+    llm_cache_dir: str | None = None,
 ) -> DataFrame:
     """``docs``: (doc_id, context, question) → (doc_id, answer, raw_reply).
 
@@ -110,6 +111,17 @@ def run_v1_qa(
     :class:`~llmxmapreduce_spark.operators.stage_metrics.StageMetrics` —
     attaches zero-job rows-out observations and per-stage LLM accumulators
     for the chunk/map/collapse/reduce stages (D10 report parity).
+
+    ``llm_cache_dir``: optional prompt-hash result cache root
+    (:func:`~llmxmapreduce_spark.operators.llm_op.llm_stage_cached`) —
+    the map and reduce stages then replay unchanged (doc, question)
+    work from ``{dir}/map`` / ``{dir}/reduce`` instead of re-calling
+    the model (per-stage subdirs because the payload schemas differ).
+    The collapse stage stays uncached on purpose: its inputs are
+    intermediate merges that only repeat on byte-identical re-runs,
+    and each in-loop cached call would pin a checkpoint frame the
+    round-release ledger does not track.  Each cached stage pins one
+    bounded fresh-results frame for the call (llm_op.py contract).
     """
     spark = docs.sparkSession
     map_tmpl = (prompts or {}).get("map", MAP_PROMPT)
@@ -132,15 +144,27 @@ def run_v1_qa(
         chunks = stage_metrics.observe("chunk", chunks)
 
     # --- L1 map ------------------------------------------------------------
-    mapped = llm_stage(
+    def _map_or_cached(df, build_prompt, parse, payload_fields, keep_cols,
+                       metric_name, cache_sub):
+        m = (stage_metrics.llm(metric_name)
+             if stage_metrics is not None else None)
+        if llm_cache_dir is not None:
+            import os as _os
+
+            return llm_stage_cached(
+                df, build_prompt, parse, client_factory, payload_fields,
+                keep_cols, _os.path.join(llm_cache_dir, cache_sub),
+                retry, m)
+        return llm_stage(df, build_prompt, parse, client_factory,
+                         payload_fields, keep_cols, retry, m)
+
+    mapped = _map_or_cached(
         chunks,
         build_prompt=lambda r: map_tmpl.format(context=r["text"], question=r["question"]),
         parse=lambda reply: {"text": reply},
-        client_factory=client_factory,
         payload_fields=_TEXT_PAYLOAD,
         keep_cols=["doc_id", "chunk_id", "question"],
-        retry=retry,
-        metrics=stage_metrics.llm("map") if stage_metrics is not None else None,
+        metric_name="map", cache_sub="map",
     )
     state = _keep_informative(mapped.filter("llm_ok")).select(
         "doc_id", "chunk_id", "question", "text"
@@ -252,17 +276,14 @@ def run_v1_qa(
             ).alias("context")
         )
     )
-    reduced = llm_stage(
+    reduced = _map_or_cached(
         per_doc,
         build_prompt=lambda r: reduce_tmpl.format(
             context=r["context"], question=r["question"]),
         parse=lambda reply: {"raw_reply": reply},
-        client_factory=client_factory,
         payload_fields=[T.StructField("raw_reply", T.StringType(), True)],
         keep_cols=["doc_id"],
-        retry=retry,
-        metrics=(stage_metrics.llm("reduce")
-                 if stage_metrics is not None else None),
+        metric_name="reduce", cache_sub="reduce",
     )
     answers = reduced.select(
         "doc_id",

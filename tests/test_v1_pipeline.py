@@ -128,3 +128,36 @@ def test_collapse_checkpoints_released(spark):
     assert len(leaked) <= 3, (
         f"{len(leaked)} RDDs left pinned by a 3-round collapse run; "
         "prior-round state checkpoints are leaking")
+
+
+def test_v1_qa_with_llm_cache_replays(spark, tmp_path):
+    """run_v1_qa(llm_cache_dir=...): the second identical run replays the
+    map and reduce stages from the prompt-hash cache (zero model calls
+    on those stages) and produces byte-identical answers."""
+    from llmxmapreduce_spark.operators.stage_metrics import StageMetrics
+    from llmxmapreduce_spark.retention import pinned_ids, release
+
+    docs = make_docs(spark, n=3)
+    cache = str(tmp_path / "v1cache")
+    sc = spark.sparkContext
+    before = pinned_ids(sc)
+
+    sm1 = StageMetrics(spark)
+    a = sorted(map(tuple, run_v1_qa(
+        docs, 520, MockQAClient, stage_metrics=sm1,
+        llm_cache_dir=cache).collect()))
+    assert sm1.llm("map").calls.value > 0
+
+    sm2 = StageMetrics(spark)
+    b = sorted(map(tuple, run_v1_qa(
+        docs, 520, MockQAClient, stage_metrics=sm2,
+        llm_cache_dir=cache).collect()))
+    assert a == b
+    assert sm2.llm("map").calls.value == 0
+    assert sm2.llm("reduce").calls.value == 0
+
+    # bounded retention: ≤2 cached-stage frames + the collapse ledger's
+    # documented ≤2 per call; nothing grows with the number of runs
+    created = pinned_ids(sc) - before
+    assert len(created) <= 8
+    release(sc, created)
