@@ -269,11 +269,19 @@ def llm_stage_cached(
     """
     spark = df.sparkSession
     payload_names = [f.name for f in payload_fields]
-    hashed = with_prompt_hash(df, build_prompt, version)
+    # Materialize the hash pre-pass ONCE: the hit join, the miss anti-
+    # join, and the fan-out join all read `hashed` — lazy, each would
+    # re-run the whole upstream plan (a chunker feeding an LLM stage is
+    # typical), which measured as ~2× pipeline overhead on the V1 board
+    # fixture.  The checkpoint is one input-pass frame, the same class as
+    # the pipeline's own stage boundaries; it stays pinned until the
+    # caller's retention boundary (like the fresh-results frame below).
+    hashed = with_prompt_hash(df, build_prompt, version) \
+        .localCheckpoint(eager=True)
     # Prune the cache read only once the cache is big enough that its
-    # dedupe shuffle dominates (the semi-join costs an extra join and an
-    # extra evaluation of the hash pre-pass — a net loss while the cache
-    # is batch-sized, a requirement once it has accumulated for months).
+    # dedupe shuffle dominates (the semi-join costs an extra join — a
+    # net loss while the cache is batch-sized, a requirement once it has
+    # accumulated for months).
     prune = _cache_bytes(spark, cache_dir) > PRUNE_CACHE_READ_BYTES
     cache = read_prompt_cache(spark, cache_dir, payload_fields,
                               relevant=hashed if prune else None)

@@ -156,8 +156,9 @@ def test_v1_qa_with_llm_cache_replays(spark, tmp_path):
     assert sm2.llm("map").calls.value == 0
     assert sm2.llm("reduce").calls.value == 0
 
-    # bounded retention: ≤2 cached-stage frames + the collapse ledger's
-    # documented ≤2 per call; nothing grows with the number of runs
+    # bounded retention: ≤2 frames per cached stage (hash pre-pass +
+    # fresh results) × 2 stages × 2 runs + the collapse ledger's
+    # documented ≤2 per call; nothing grows with the corpus
     created = pinned_ids(sc) - before
-    assert len(created) <= 8
+    assert len(created) <= 12
     release(sc, created)
