@@ -215,7 +215,10 @@ def read_prompt_cache(spark, cache_dir: str,
     jvm = spark._jvm
     base = jvm.org.apache.hadoop.fs.Path(cache_dir)
     fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(base):
+    # a pre-created EMPTY directory is a normal cold start (mkdtemp,
+    # mkdir -p deploy scripts) — treat it like absence, or the parquet
+    # read dies with UNABLE_TO_INFER_SCHEMA
+    if not fs.exists(base) or not fs.listFiles(base, True).hasNext():
         return None
     raw = spark.read.parquet(cache_dir)
     if relevant is not None:

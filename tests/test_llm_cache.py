@@ -164,3 +164,13 @@ def test_pruned_cache_read_path(spark, tmp_path, monkeypatch):
     assert m.calls.value == 0
     rows = _rows(out)
     assert len(rows) == 3 and all(r[3] for r in rows)
+
+
+def test_pre_created_empty_cache_dir_is_cold_start(spark, tmp_path):
+    """mkdir-ed but empty cache dirs (deploy scripts, mkdtemp) must behave
+    like absence, not die with UNABLE_TO_INFER_SCHEMA."""
+    d = tmp_path / "c"
+    d.mkdir()
+    m = llm_op.LLMMetrics(spark)
+    out = _cached(spark, _frame(spark, ["alpha"]), d, metrics=m)
+    assert out.count() == 1 and m.calls.value == 1

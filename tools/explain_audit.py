@@ -567,6 +567,53 @@ def main() -> int:
         "```", *fmt(dc.mask_contamination(mc_corpus, mc_bench, n=6)),
         "```", "",
     ]
+    # Prompt-hash LLM cache (operators/llm_op.py, round 13): the warm-run
+    # plan is what matters at scale — the model-call mapInPandas must sit
+    # only under the miss anti-join, and the hit side must be a join of
+    # the materialized hash pre-pass against the parquet cache.
+    import shutil
+    import tempfile
+
+    from llmxmapreduce_spark.llm.client import HashEchoClient, RetryPolicy
+    from llmxmapreduce_spark.operators import llm_op
+    from pyspark.sql import types as TT
+
+    cache_dir = tempfile.mkdtemp(prefix="plan_llm_cache_")
+    try:
+        lc_docs = load_tables(spark, sf)["documents"] \
+            .select("doc_id", "text").limit(200)
+        _payload = [TT.StructField("md", TT.StringType(), True)]
+
+        def _lc_build(row):
+            return f"digest: {row['text']}"
+
+        def _lc_parse(reply):
+            return {"md": reply}
+
+        def _lc(df):
+            return llm_op.llm_stage_cached(
+                df, _lc_build, _lc_parse, HashEchoClient, _payload,
+                ["doc_id"], cache_dir, retry=RetryPolicy(max_attempts=1))
+
+        _lc(lc_docs).write.mode("overwrite").format("noop").save()  # populate
+        warm = _lc(lc_docs)
+        out += [
+            "## llm_stage_cached warm path (operators/llm_op.py)", "",
+            "*Intent: prompt-hash result cache, captured WARM (cache fully "
+            "populated). The hash pre-pass is an eager localCheckpoint "
+            "(Scan ExistingRDD — upstream runs once, not once per join); "
+            "hits are an equi-join of that scan against the parquet cache "
+            "on the 16-byte hash (broadcast while small, shuffle-on-hash "
+            "at scale; reads >256 MB prune with a semi-join first); the "
+            "model-call MapInPandas appears ONLY under the left-anti miss "
+            "branch, which is empty here.  Fully-warm calls short-circuit "
+            "before the append job and fan-out join entirely — this "
+            "captured plan is the general mixed-run shape.*", "",
+            "```", *fmt(warm), "```", "",
+        ]
+    finally:
+        shutil.rmtree(cache_dir, ignore_errors=True)
+
     # Plans can embed literal control bytes from expression sentinels (the
     # url_filter null-dedup key uses a \x00 prefix); escape them so the file
     # stays text to grep/pagers.
