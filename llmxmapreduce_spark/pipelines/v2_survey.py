@@ -87,6 +87,16 @@ class V2Config:
     fused_init_outlines: bool = False
     # ^ same strategy for the L5 single → L6 concat init chain
     # (init_outlines_fused); output-identical (tests/test_v2_fused.py).
+    llm_cache_dir: str | None = None
+    # ^ prompt-hash result cache root (llm_op.llm_stage_cached) for the
+    # per-paper digest stage — the pipeline's dominant fan-out.  A re-run
+    # over unchanged papers/outlines replays digests from
+    # ``{dir}/digest`` instead of re-calling the model; cycle-2 prompts
+    # embed the refined outline, so they miss (and populate) naturally.
+    # run_v2_survey tracks the cached stage's two eager frames per call
+    # and releases them once the cycle's digest checkpoint supersedes
+    # them.  Default off; byte-identity with the uncached path is gated
+    # by tests/test_v2_cache.py.
 
 
 _STR = T.StringType()
@@ -592,8 +602,7 @@ def make_digests(papers_grouped: DataFrame, outlines: DataFrame, client_factory,
     )
     per_paper = papers_grouped.drop("survey_title").join(F.broadcast(o), "survey_id")
     ps = _prompt_set(cfg)
-    raw = llm_stage(
-        per_paper,
+    stage_kw = dict(
         build_prompt=lambda r: _digest_prompt(
             ps, r["survey_title"], r["bibkey"], r["content"],
             r["outline_md"], r["placeholder_md"]),
@@ -604,6 +613,16 @@ def make_digests(papers_grouped: DataFrame, outlines: DataFrame, client_factory,
         retry=retry,
         metrics=metrics,
     )
+    if cfg.llm_cache_dir is not None:
+        import os as _os
+
+        from llmxmapreduce_spark.operators.llm_op import llm_stage_cached
+
+        raw = llm_stage_cached(
+            per_paper, cache_dir=_os.path.join(cfg.llm_cache_dir, "digest"),
+            **stage_kw)
+    else:
+        raw = llm_stage(per_paper, **stage_kw)
     # J1 per-paper structural correspondence; misaligned papers quarantine
     # like D8 dead letters (the reference raises + retries per paper).
     checked = raw.filter("llm_ok").withColumn(
@@ -1258,7 +1277,8 @@ def run_v2_survey(surveys: DataFrame, client_factory,
     if cfg.shuffle_partitions is not None:
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
-    try:
+    cache_ids: set = set()   # cached-digest frames (set before try: the
+    try:                     # error path releases them, r13 discipline)
         papers = build_papers(surveys)
         if sm is not None:
             papers = sm.observe("papers", papers)
@@ -1277,10 +1297,18 @@ def run_v2_survey(surveys: DataFrame, client_factory,
         if sm is not None:
             sm.materialized("outline")
         fused_df = cfg.fused_digest_feedback
+        # Cached-digest ledger: with cfg.llm_cache_dir the digest stage
+        # runs EAGERLY at make_digests call time and pins two bounded
+        # frames (hash pre-pass + fresh results, llm_op.py contract);
+        # each cycle's digest localCheckpoint is their last reader, so
+        # they release right after it materializes.
+        _c_snap = pinned_ids(surveys.sparkSession.sparkContext)
         if not fused_df:
             digests, _dead = make_digests(
                 grouped, outlines, client_factory, cfg, retry,
                 metrics=sm.llm("digest") if sm is not None else None)
+        cache_ids = (pinned_ids(surveys.sparkSession.sparkContext)
+                     - _c_snap)
         cur = outlines.select(
             "survey_id", "survey_title", "outline_md",
             F.lit(None).cast("double").alias("eval_score"),
@@ -1316,6 +1344,11 @@ def run_v2_survey(surveys: DataFrame, client_factory,
             else:
                 digests = digests.localCheckpoint(eager=True)
             digest_ids = pinned_ids(_sctx) - snap
+            # the digest checkpoint (or fused frame) just superseded the
+            # cached stage's eager frames from the make_digests that
+            # produced it
+            release(_sctx, cache_ids)
+            cache_ids = set()
             if sm is not None:
                 sm.materialized("digest")
             if not fused_df:
@@ -1334,21 +1367,27 @@ def run_v2_survey(surveys: DataFrame, client_factory,
             if not fused_df:
                 # re-digest against the refined outline (digest_node
                 # re-entry)
+                _c_snap = pinned_ids(_sctx)
                 digests, _dead = make_digests(
                     grouped, cur, client_factory, cfg, retry,
                     metrics=sm.llm("digest") if sm is not None else None)
+                cache_ids = pinned_ids(_sctx) - _c_snap
         if fused_df:
             # fused mode skips the staged per-cycle re-digest; the decode
             # stage needs digests against the FINAL refined outline — the
             # same pass the staged loop runs at the end of its last cycle
+            _c_snap = pinned_ids(_sctx)
             digests, _dead = make_digests(
                 grouped, cur, client_factory, cfg, retry,
                 metrics=sm.llm("digest") if sm is not None else None)
+            cache_ids = pinned_ids(_sctx) - _c_snap
         if sm is not None:
             # rows-out of the FINAL digest pass (re-attached each loop exit;
             # the per-cycle llm("digest") counters accumulate across passes)
             digests = sm.observe("digest", digests)
         digests = digests.localCheckpoint(eager=True)
+        release(_sctx, cache_ids)      # final pass's cached frames superseded
+        cache_ids = set()
         if sm is not None:
             sm.materialized("digest")
         # lift the JSON score bookkeeping back into typed nested arrays now
@@ -1373,6 +1412,11 @@ def run_v2_survey(surveys: DataFrame, client_factory,
             if sm is not None:
                 sm.materialized("decode")
         return out
+    except BaseException:
+        # nothing is returned on the error path, so any cached-digest
+        # frames not yet superseded by a digest checkpoint are releasable
+        release(spark.sparkContext, cache_ids)
+        raise
     finally:
         if prev_parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
