@@ -463,3 +463,51 @@ class DeferredLLMStage:
         for p in self._post:
             out = out.filter(p)
         return out
+
+
+def compact_prompt_cache(spark, cache_dir: str,
+                         payload_fields: list[T.StructField],
+                         hash_col: str = PROMPT_HASH_COL) -> int:
+    """Rewrite ``cache_dir`` with one row per prompt hash, returning the
+    compacted row count.  Long-lived caches accumulate duplicate hashes
+    (concurrent runs, repeated cold batches) and small append files; the
+    read path tolerates both (deterministic struct-max dedupe), but each
+    read then re-pays the dedupe over dead rows — compaction makes the
+    steady state O(distinct prompts) again.
+
+    Write-then-swap, never in-place: the deduped table lands in a
+    ``…__compact`` sibling, the old directory is renamed aside, the
+    sibling renamed in, and the old data deleted last — a reader
+    sees either the old files or the new, not a half-written mix.
+    (Hadoop rename is atomic per directory on HDFS/local FS; on object
+    stores with non-atomic rename, run compaction in a maintenance
+    window like any parquet table rewrite.)  Not safe concurrently with
+    WRITERS — appends landing between the read and the swap are lost;
+    schedule it like the reference schedules its crawl-state cleanup.
+    """
+    table = read_prompt_cache(spark, cache_dir, payload_fields, hash_col)
+    if table is None:
+        return 0
+    tmp = cache_dir.rstrip("/") + "__compact"
+    old = cache_dir.rstrip("/") + "__old"
+    table.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p_cache = jvm.org.apache.hadoop.fs.Path(cache_dir)
+    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    p_old = jvm.org.apache.hadoop.fs.Path(old)
+    fs = p_cache.getFileSystem(conf)
+    if fs.exists(p_old):
+        fs.delete(p_old, True)
+    if not fs.rename(p_cache, p_old):
+        raise IOError(f"compact_prompt_cache: could not move {cache_dir} "
+                      f"aside to {old}")
+    if not fs.rename(p_tmp, p_cache):
+        # roll back so the cache is never left missing
+        fs.rename(p_old, p_cache)
+        raise IOError(f"compact_prompt_cache: could not install {tmp} "
+                      f"as {cache_dir} (original restored)")
+    fs.delete(p_old, True)
+    return n

@@ -174,3 +174,28 @@ def test_pre_created_empty_cache_dir_is_cold_start(spark, tmp_path):
     m = llm_op.LLMMetrics(spark)
     out = _cached(spark, _frame(spark, ["alpha"]), d, metrics=m)
     assert out.count() == 1 and m.calls.value == 1
+
+
+def test_compact_prompt_cache(spark, tmp_path):
+    """Compaction rewrites to one row per hash; reads keep serving
+    identically (zero calls) afterwards."""
+    d = tmp_path / "c"
+    df = _frame(spark, ["alpha", "beta"])
+    _cached(spark, df, d).count()
+    # duplicate every cached row, then compact
+    raw = spark.read.parquet(str(d))
+    raw.write.mode("append").parquet(str(d))
+    assert spark.read.parquet(str(d)).count() == 4
+
+    n = llm_op.compact_prompt_cache(spark, str(d), PAYLOAD)
+    assert n == 2
+    assert spark.read.parquet(str(d)).count() == 2
+
+    m = llm_op.LLMMetrics(spark)
+    out = _cached(spark, df, d, metrics=m)
+    assert m.calls.value == 0 and len(_rows(out)) == 2
+
+
+def test_compact_empty_cache_is_noop(spark, tmp_path):
+    assert llm_op.compact_prompt_cache(
+        spark, str(tmp_path / "never"), PAYLOAD) == 0
