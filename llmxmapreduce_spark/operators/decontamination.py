@@ -10,8 +10,8 @@ Spark formulation:
 
 - benchmark side: explode to n-gram **hashes** once — this side is small
   (eval sets are thousands of examples) and broadcast;
-- corpus side: explode each document to its n-gram hashes (``zip_with``
-  shifted-slice construction, same as ``ngram_shingles``) and
+- corpus side: explode each document to its n-gram hashes (string-free
+  multi-arg xxhash64 windows, ``_window_hash_array``) and
   **broadcast-semi-join** against the benchmark set — no shuffle of the
   corpus at all: the only wide op is the final per-doc aggregation of
   matched-gram counts, keyed by doc id;
@@ -33,14 +33,49 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from llmxmapreduce_spark.operators.text_stats import ngram_shingles
+def _lower_words(text: Column) -> Column:
+    """The gram tokenizer (lowercase whitespace split, ngram_shingles
+    contract).  Call sites MUST project this as its own column and pass
+    the attribute into the window helpers below: the transform lambdas
+    reference the words array once per try_element_at, and a captured
+    expression TREE would re-run the split per reference (measured 7×
+    blow-up), where a captured attribute is a row-field read."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
 
 
-def _gram_hashes(text: Column, n: int) -> Column:
-    """Distinct xxhash64 of lowercase word n-grams; shorter texts yield
-    their single partial gram (same edge case as ngram_shingles)."""
-    return F.array_distinct(
-        F.transform(ngram_shingles(text, n), lambda g: F.xxhash64(g)))
+def _window_hash_array(words: Column, n: int) -> Column:
+    """xxhash64 per word n-gram window over a PRE-PROJECTED ``words``
+    attribute (see :func:`_lower_words`), NO gram strings: window i
+    hashes its n word COLUMNS via multi-argument xxhash64 (each word
+    length-delimited by the hash, so equivalence classes equal gram-text
+    equality; words contain no whitespace).  Shorter texts yield their
+    single partial gram — tail positions are null via try_element_at and
+    Spark's hash functions SKIP null arguments, so a k-word partial
+    hashes exactly like a full k-arity window (probe-verified) — the
+    property that keeps the short-benchmark ℓ-gram rule consistent
+    across lengths.  Null text → null words → null (explode drops it),
+    matching the former ngram_shingles edge contract.
+
+    r13: this replaced xxhash64 over ngram_shingles' zip_with window-
+    string chain — the per-gram string build was O(len·n²) bytes at
+    n=13 and dominated the corpus scan; only gram EQUALITY ever reaches
+    a consumer (counts, joins, positions), never gram text."""
+    m = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    return F.when(
+        words.isNotNull(),
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.xxhash64(
+                *[F.try_element_at(words, i + F.lit(j)) for j in range(n)]),
+        ),
+    )
+
+
+def _gram_hashes(words: Column, n: int) -> Column:
+    """Distinct window hashes of word n-grams over a pre-projected words
+    attribute; shorter texts yield their single partial gram (see
+    :func:`_window_hash_array`)."""
+    return F.array_distinct(_window_hash_array(words, n))
 
 
 def _short_lengths(benchmark: DataFrame, n: int, text_col: str) -> list[int]:
@@ -59,13 +94,14 @@ def _short_lengths(benchmark: DataFrame, n: int, text_col: str) -> list[int]:
     return sorted(r["wc"] for r in rows)
 
 
-def _corpus_gram_hashes(text: Column, n: int,
+def _corpus_gram_hashes(words: Column, n: int,
                         short_lengths: list[int]) -> Column:
     """Corpus-side gram hash set: full n-grams plus ℓ-grams for each short
     benchmark length, so no benchmark example is unmatchable (the false-
-    negative class a plain n-only gram set silently has)."""
-    arrs = [_gram_hashes(text, n)]
-    arrs += [_gram_hashes(text, l) for l in short_lengths]
+    negative class a plain n-only gram set silently has).  ``words`` must
+    be a pre-projected attribute (see :func:`_lower_words`)."""
+    arrs = [_gram_hashes(words, n)]
+    arrs += [_gram_hashes(words, l) for l in short_lengths]
     if len(arrs) == 1:
         return arrs[0]
     # concat, not array_union: cross-length duplicates are only the
@@ -107,13 +143,17 @@ def contamination_flags(
     bench = (
         benchmark.select(
             F.col(bench_id_col).alias("bench_id"),
-            F.explode(_gram_hashes(F.col(bench_text_col), n)).alias("g"))
+            _lower_words(F.col(bench_text_col)).alias("__bw"))
+        .select("bench_id",
+                F.explode(_gram_hashes(F.col("__bw"), n)).alias("g"))
         .distinct()
     )
     shorts = _short_lengths(benchmark, n, bench_text_col)
     grams = corpus.select(
+        F.col(id_col), _lower_words(F.col(text_col)).alias("__cw")
+    ).select(
         F.col(id_col),
-        F.explode(_corpus_gram_hashes(F.col(text_col), n, shorts))
+        F.explode(_corpus_gram_hashes(F.col("__cw"), n, shorts))
         .alias("g"))
     hits = grams.join(F.broadcast(bench) if broadcast_bench else bench, "g")
     return (
@@ -382,7 +422,9 @@ def mask_contamination(
     ops are the broadcast join and a per-doc collect of matched INTEGER
     positions (never text)."""
     bench_grams = benchmark.select(
-        F.explode(_gram_hashes(F.col(bench_text_col), n)).alias("g")
+        _lower_words(F.col(bench_text_col)).alias("__bw")
+    ).select(
+        F.explode(_gram_hashes(F.col("__bw"), n)).alias("g")
     ).distinct()
 
     # ONE corpus scan for all gram lengths (n + each short bench length,
@@ -395,8 +437,7 @@ def mask_contamination(
 
     def gram_structs(length: int) -> Column:
         return F.transform(
-            F.transform(ngram_shingles(F.col(text_col), length),
-                        lambda g: F.xxhash64(g)),
+            _window_hash_array(F.col("__cw"), length),
             lambda g, i: F.struct(i.alias("gpos"),
                                   F.lit(length).alias("glen"),
                                   g.alias("g")))
@@ -404,6 +445,8 @@ def mask_contamination(
     arrs = [gram_structs(length) for length in [n] + shorts]
     all_grams = arrs[0] if len(arrs) == 1 else F.concat(*arrs)
     pos = corpus.select(
+        F.col(id_col), _lower_words(F.col(text_col)).alias("__cw")
+    ).select(
         F.col(id_col), F.explode(all_grams).alias("s")
     ).select(id_col, "s.gpos", "s.glen", "s.g")
     matched = (
@@ -501,7 +544,9 @@ def build_gram_bloom(
         # word n-grams incl. the single partial gram of short docs) —
         # only the hash family differs, which is irrelevant to a count.
         est = benchmark.filter(F.col(text_col).isNotNull()).select(
-            F.explode(_gram_hashes(F.col(text_col), n)).alias("__g")
+            _lower_words(F.col(text_col)).alias("__bw")
+        ).select(
+            F.explode(_gram_hashes(F.col("__bw"), n)).alias("__g")
         ).agg(F.approx_count_distinct("__g").alias("d")).collect()[0]["d"]
         n_keys = min(int(n_keys), max(int(est * 1.25), 1))
     m = max(64, int(n_keys) * bits_per_key)

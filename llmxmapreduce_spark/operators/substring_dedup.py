@@ -67,32 +67,43 @@ def _words(text: Column) -> Column:
     return F.filter(toks, lambda w: w != "")
 
 
-def _full_windows(words: Column, n: int) -> Column:
-    """All full-length ``n``-word windows of ``words`` joined with single
-    spaces; [] when there are fewer than ``n`` words.  Case-sensitive —
-    dedup matches exact content, unlike the lowercased shingles the
-    similarity sketches use (text_stats.ngram_shingles)."""
-    g = words
-    for j in range(1, n):
-        g = F.zip_with(
-            g,
-            F.slice(words, j + 1, F.greatest(F.size(words) - j, F.lit(1))),
-            lambda a, b: F.concat_ws(" ", a, b),
-        )
-    return F.when(F.size(words) >= n,
-                  F.slice(g, 1, F.size(words) - (n - 1))) \
-            .otherwise(F.array().cast("array<string>"))
+def _window_hashes(words: Column, n: int) -> Column:
+    """xxhash64 of every full-length ``n``-word window of ``words`` —
+    window i hashes the n word COLUMNS directly (multi-argument
+    xxhash64), so no window string is ever materialized; [] when there
+    are fewer than ``n`` words.  Same equivalence classes as hashing
+    the space-joined window text (words contain no whitespace, and
+    multi-arg xxhash64 length-delimits each word), which is all the
+    owner election consumes — the g value itself never reaches the
+    output.  Case-sensitive — dedup matches exact content, unlike the
+    lowercased shingles the similarity sketches use
+    (text_stats.ngram_shingles).  ``words`` MUST be a pre-projected
+    attribute, not an expression: the lambda references it per
+    try_element_at, and a captured expression tree re-runs the split
+    per reference (measured 7× blow-up on the sibling decontamination
+    path).  r13: this replaced a zip_with window-string chain whose
+    per-gram string build dominated the n=13 scan (O(len·n²) string
+    bytes); hashing the word columns in place removes every gram-string
+    allocation."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.xxhash64(
+                *[F.try_element_at(words, i + F.lit(j)) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
 
 
 def _occurrences_catalyst(df, n, id_col, text_col):
-    """(id, pos, g) window occurrences, Catalyst path: window strings via
-    a zip_with chain, hashed with xxhash64 — n passes over the word
-    array, each materializing progressively longer window prefixes."""
+    """(id, pos, g) window occurrences, Catalyst path: multi-arg
+    xxhash64 over each window's word columns — no window strings."""
     return df.select(
+        F.col(id_col), _words(F.col(text_col)).alias("__ws")
+    ).select(
         F.col(id_col),
-        F.posexplode(_full_windows(_words(F.col(text_col)), n))
-         .alias("pos", "__w"),
-    ).select(id_col, "pos", F.xxhash64("__w").alias("g"))
+        F.posexplode(_window_hashes(F.col("__ws"), n)).alias("pos", "g"),
+    )
 
 
 def _occurrences_fast(df, n, id_col, text_col):

@@ -85,7 +85,11 @@ def ngram_shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles as an array column, built with ``zip_with`` over
     shifted slices — one pass over the token array instead of per-index
     ``get`` chains (12× faster at sf0.1; identical output, including the
-    short-text partial-gram edge cases)."""
+    short-text partial-gram edge cases).  (r13 note: a slice+array_join-
+    per-index formulation was measured 2-3× SLOWER than this chain —
+    per-element array slicing doesn't pay off; consumers that only need
+    gram EQUALITY, not gram text, use the string-free multi-arg xxhash64
+    window family in operators/decontamination.py instead.)"""
     words = ws_tokens(F.lower(text))
     g = words
     for j in range(1, n):
@@ -151,11 +155,27 @@ def repetition_stats(
     cleaned = F.trim(F.regexp_replace(t, r"\s+", " "))
 
     def gram_counts(n: int) -> DataFrame:
-        # empty/whitespace-only text shingles to [""] — drop it so empty
-        # docs report 0.0 instead of a degenerate top-gram fraction of 1.0
-        grams = F.filter(ngram_shingles(cleaned, n), lambda g: F.length(g) > 0)
+        # r13: group on string-free multi-arg xxhash64 window hashes
+        # instead of gram strings (decontamination._window_hash_array —
+        # same equivalence classes; only COUNTS leave this subquery, so
+        # the gram text is never needed).  The words array is projected
+        # as its own column first: a captured expression tree would
+        # re-run the split once per window position (measured 7× blow-up
+        # on the decontamination path).  Empty/whitespace-only text
+        # (cleaned = '') formerly shingled to [""] and was filtered by
+        # gram length; here it is excluded up front — identical rows.
+        from llmxmapreduce_spark.operators.decontamination import (
+            _window_hash_array)
+
+        words = F.split(F.lower(F.col("__ct")), " ")
+        src = df.select(
+            F.col(id_col), cleaned.alias("__ct")
+        ).filter(F.length("__ct") > 0).select(
+            F.col(id_col), words.alias("__wd"))
         return (
-            df.select(F.col(id_col), F.explode(grams).alias("g"))
+            src.select(
+                F.col(id_col),
+                F.explode(_window_hash_array(F.col("__wd"), n)).alias("g"))
             .groupBy(id_col, "g")
             .agg(F.count("*").alias("c"))
         )
