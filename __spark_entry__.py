@@ -434,13 +434,13 @@ def q_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
                 doc_id = int(doc_id)
                 g = doc_id // 2
                 pert = 5 if doc_id % 2 == 1 else 0
-                flat = []
+                # row y's 9 pixels are the first 9 md5 BYTES — identical
+                # to parsing hexdigest pairs, without the hex round-trip
+                buf = bytearray()
                 for y in range(8):
-                    hx = hashlib.md5(f"{g}:{y}".encode()).hexdigest()
-                    flat.extend(int(hx[2 * x:2 * x + 2], 16)
-                                for x in range(9))
-                flat[0] = (flat[0] + pert) % 256
-                px = bytes(flat)
+                    buf += hashlib.md5(f"{g}:{y}".encode()).digest()[:9]
+                buf[0] = (buf[0] + pert) % 256
+                px = bytes(buf)
                 rows.append({"asset_id": f"a{doc_id:09d}",
                              "payload": encode_png(px, 9, 8, color_type=0)})
             yield pd.DataFrame(rows, columns=["asset_id", "payload"])
@@ -479,14 +479,13 @@ def _media_prep_assets(spark: SparkSession, sf: str) -> DataFrame:
                     continue
                 g = doc_id // 2
                 pert = 5 if doc_id % 2 == 1 else 0
-                flat = []
+                # first 9 md5 bytes per row ≡ the former hexdigest parse
+                buf = bytearray()
                 for y in range(8):
-                    hx = hashlib.md5(f"{g}:{y}".encode()).hexdigest()
-                    flat.extend(int(hx[2 * x:2 * x + 2], 16)
-                                for x in range(9))
-                flat[0] = (flat[0] + pert) % 256
+                    buf += hashlib.md5(f"{g}:{y}".encode()).digest()[:9]
+                buf[0] = (buf[0] + pert) % 256
                 rows.append({"asset_id": f"a{doc_id:09d}",
-                             "payload": encode_png(bytes(flat), 9, 8,
+                             "payload": encode_png(bytes(buf), 9, 8,
                                                    color_type=0)})
                 if doc_id % 17 == 0:
                     # planted exact-dup lane: byte-identical twin killed
@@ -540,20 +539,31 @@ def q_video_neardup(spark: SparkSession, sf: str) -> DataFrame:
         import hashlib
 
         import pandas as pd
+
+        # per-task memo: the even/odd twins of a pair-group share 5 of
+        # their 6 frames (windows 0-5 vs 1-6), so encoding each (g, f)
+        # frame once nearly halves the fixture's PNG-encode work; first
+        # 9 md5 bytes per row ≡ the former hexdigest parse
+        frame_memo: dict = {}
+
+        def frame_png(g: int, f: int) -> bytes:
+            png = frame_memo.get((g, f))
+            if png is None:
+                buf = bytearray()
+                for y in range(8):
+                    buf += hashlib.md5(
+                        f"{g}:{f}:{y}".encode()).digest()[:9]
+                png = encode_png(bytes(buf), 9, 8, color_type=0)
+                frame_memo[(g, f)] = png
+            return png
+
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 g = doc_id // 2
-                frames = []
-                for f in range(doc_id % 2, doc_id % 2 + 6):
-                    flat = []
-                    for y in range(8):
-                        hx = hashlib.md5(f"{g}:{f}:{y}".encode()).hexdigest()
-                        flat.extend(int(hx[2 * x:2 * x + 2], 16)
-                                    for x in range(9))
-                    frames.append(encode_png(bytes(flat), 9, 8,
-                                             color_type=0))
+                frames = [frame_png(g, f)
+                          for f in range(doc_id % 2, doc_id % 2 + 6)]
                 rows.append({
                     "asset_id": f"a{doc_id:09d}",
                     "payload": media_dedup.encode_framepack(frames)})
@@ -1547,9 +1557,15 @@ def q_v2_survey_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     # digests are regenerated against the refined outline before decode.
     # shuffle_partitions sized to the survey count — the control plane moves
     # KBs per survey, so wide shuffles are pure overhead at this scale.
+    # r13 optimization: both LLM-batch-coalesced stages on — output-
+    # identical to the staged path (tests/test_v2_fused pins stage-level
+    # AND e2e byte equality; this query's golden hash re-verified), 2
+    # shuffles + 3 stage boundaries fewer per run.  q_v2_block_cycle
+    # keeps the staged path on the board deliberately.
     cfg = v2.V2Config(conv_layers=1, receptive_field=2, result_num=2,
                       top_k=2, refine_rounds=1, best_of=1, polish=False,
-                      block_count=1, shuffle_partitions=2)
+                      block_count=1, shuffle_partitions=2,
+                      fused_digest_feedback=True, fused_init_outlines=True)
     out = v2.run_v2_survey(surveys, MockSurveyClient, cfg)
     return out.select(
         "survey_id", "n_sections", "n_papers", "cite_ratio",
@@ -1588,7 +1604,8 @@ def q_v2_survey_refdefaults(spark: SparkSession, sf: str) -> DataFrame:
     cfg = v2.V2Config(conv_layers=6, receptive_field=3, result_num=10,
                       top_k=6, refine_rounds=3, best_of=3, polish=False,
                       block_count=1, digest_batch=1, llm_threads=8,
-                      shuffle_partitions=8)
+                      shuffle_partitions=8,
+                      fused_digest_feedback=True, fused_init_outlines=True)
     out = v2.run_v2_survey(surveys, MockSurveyClient, cfg)
     return out.select(
         "survey_id", "n_sections", "n_papers", "cite_ratio",
@@ -1724,7 +1741,8 @@ def q_v2_survey_fullprompts(spark: SparkSession, sf: str) -> DataFrame:
     cfg = v2.V2Config(conv_layers=6, receptive_field=3, result_num=10,
                       top_k=6, refine_rounds=3, best_of=3, polish=False,
                       block_count=1, digest_batch=1, llm_threads=8,
-                      shuffle_partitions=8, full_prompts=True)
+                      shuffle_partitions=8, full_prompts=True,
+                      fused_digest_feedback=True, fused_init_outlines=True)
     out = v2.run_v2_survey(surveys, MockSurveyClient, cfg)
     return out.select(
         "survey_id", "n_sections", "n_papers", "cite_ratio",
