@@ -680,7 +680,11 @@ def make_spark_host(
         topics = spark.createDataFrame(
             [(topic, h.state.get("description", ""))],
             ["topic", "description"])
-        queries = sc.expand_queries(topics, client_factory)
+        # eager cut: web_search and crawl_urls both read state["queries"]
+        # later — without it each re-runs the expand_queries LLM stage
+        # (3 full recomputes per task measured in the e2e bench)
+        queries = sc.expand_queries(topics, client_factory) \
+            .localCheckpoint(eager=True)
         h.state["queries"] = queries
         qlist = [r["query"] for r in queries.collect()]
         path = os.path.join(base_dir, topic, "search",
@@ -693,10 +697,14 @@ def make_spark_host(
 
     def web_search(h: V3Host, args: dict) -> dict:
         topic = args.get("topic") or h.state["topic"]
+        # eager cut: crawl_urls scores state["hits"] and re-counts it for
+        # the JSON transcript — lazy, both re-ran the whole search stage
         hits = crawl_src.batch_web_search(
-            h.state["queries"], search_fn_factory, top_n=top_n)
+            h.state["queries"], search_fn_factory, top_n=top_n) \
+            .localCheckpoint(eager=True)
         h.state["hits"] = hits
         n = hits.count()
+        h.state["n_hits"] = n
         h.state["last_search_result"] = f"{n} urls for {topic}"
         return {"url_count": n,
                 "file_path": search_result_path(base_dir, topic)}
@@ -744,7 +752,8 @@ def make_spark_host(
         ).collect()
         payload = {
             "topic": topic,
-            "total_urls": int(h.state["hits"].count()),
+            "total_urls": int(h.state.get("n_hits",
+                                          h.state["hits"].count())),
             "final_count": len(rows),
             "parquet_path": pq_path,
             "crawl_progress": [
