@@ -137,12 +137,14 @@ def pagerank(
     # the setup frames) is releasable.
     try:
         for _ in range(n_iter):
+            # dangling mass as a broadcast 1-row scalar instead of a
+            # driver collect: one job per round (the checkpoint action)
+            # instead of two, one pass over `ranks` saved — the DIV
+            # arithmetic is identical (nonneg int64 floor division)
             dang = (
                 ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
-                .agg(F.sum("rank_q"))
-                .collect()[0][0]
+                .agg(F.coalesce(F.sum("rank_q"), F.lit(0)).alias("__dang"))
             )
-            share = int(dang or 0) // n
             s_in = (
                 ed.join(ranks, ed["src"] == ranks["node"])
                 .select(
@@ -154,13 +156,14 @@ def pagerank(
             )
             new_ranks = (
                 nodes.join(s_in, "node", "left")
+                .crossJoin(F.broadcast(dang))
                 .select(
                     "node",
                     (
                         F.lit(int(base))
                         + F.expr(
-                            f"({damping_num} * (coalesce(s_in, 0) + {share}))"
-                            f" DIV {damping_den}"
+                            f"({damping_num} * (coalesce(s_in, 0)"
+                            f" + (__dang DIV {n}))) DIV {damping_den}"
                         )
                     ).cast("long").alias("rank_q"),
                 )

@@ -102,20 +102,20 @@ def train_quality_classifier(
     n_docs = np_ + nn
     y = np.zeros(n_docs)
     y[:np_] = 1.0
-    # tf normalization per doc
-    totals = np.zeros(n_docs)
-    np.add.at(totals, rows, vals)
+    # tf normalization per doc (bincount ≡ add.at bit-for-bit — both
+    # accumulate sequentially in array order — and is the faster kernel)
+    totals = np.bincount(rows, weights=vals, minlength=n_docs)
     vals = vals / np.maximum(totals[rows], 1.0)
 
     w = np.zeros(n_buckets)
     b = 0.0
     for _ in range(iters):
-        z = np.full(n_docs, b)
-        np.add.at(z, rows, vals * w[cols])
+        z = b + np.bincount(rows, weights=vals * w[cols],
+                            minlength=n_docs)
         p = 1.0 / (1.0 + np.exp(-z))
         g = p - y                       # dL/dz per doc
-        gw = np.zeros(n_buckets)
-        np.add.at(gw, cols, g[rows] * vals)
+        gw = np.bincount(cols, weights=g[rows] * vals,
+                         minlength=n_buckets)
         gw = gw / n_docs + l2 * w
         gb = g.mean()
         w -= lr * gw
