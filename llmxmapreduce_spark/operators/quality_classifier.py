@@ -62,14 +62,23 @@ def _collect_sparse(df: DataFrame, text_col: str, id_col: str,
         frac = min(1.0, (1.1 * max_sample) / max(total, 1))
         d = df.sample(withReplacement=False, fraction=frac, seed=seed) \
             .limit(max_sample)
-    rows = doc_bucket_counts(d, text_col, id_col, n_buckets,
-                             portable).collect()
-    index: dict = {}
-    tri = []
-    for r in rows:
-        j = index.setdefault(r[0], len(index))
-        tri.append((j, r[1], r[2]))
-    return len(index), np.array(tri, dtype=np.int64)
+    # Arrow transfer (toPandas) instead of row-pickled collect(): the
+    # frame is BOUNDED (≤ max_sample docs × distinct buckets — integer
+    # triples, never text), so the driver transfer is sample-sized by
+    # contract; Arrow moves it columnar (~10× the row path at 300k
+    # triples).  pd.factorize assigns doc indexes by FIRST APPEARANCE —
+    # the same mapping as the former dict loop over collect() rows, and
+    # both paths iterate partition order, so the triple order (hence the
+    # GD summation order and the fitted bits) is unchanged.
+    pdf = doc_bucket_counts(d, text_col, id_col, n_buckets,
+                            portable).toPandas()
+    codes, uniques = __import__("pandas").factorize(pdf[id_col])
+    tri = np.column_stack([
+        codes.astype(np.int64),
+        pdf["bucket"].to_numpy(dtype=np.int64),
+        pdf["c"].to_numpy(dtype=np.int64),
+    ])
+    return len(uniques), tri
 
 
 def train_quality_classifier(
