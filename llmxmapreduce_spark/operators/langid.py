@@ -122,15 +122,28 @@ def langid_predict(
     ≤ docs × (L+1) rows before the only shuffle.  Everything after is
     arithmetic on that bounded table; ties break (score desc, lang
     asc)."""
-    in_vocab = model.filter(F.col("gram").isNotNull())
+    # r13: the model's logp is DECIMAL(20,8) — an exact multiple of
+    # 1e-8 — so the per-(doc, lang) sums run as scaled int64
+    # (logp × 10⁸, exact by construction) instead of decimal(38,8):
+    # identical totals and identical comparison order (long compare ==
+    # decimal compare on the same exact values), and the corpus-wide
+    # aggregation stays in codegen-friendly long arithmetic.  Headroom:
+    # |logp_q| < 2³² per gram leaves room for > 2³¹ grams per document
+    # before an int64 sum could wrap.  Only `lang_pred` leaves this
+    # operator — the score never surfaces.
+    q = F.lit(100_000_000).cast("decimal(10,0)")
+    in_vocab = model.filter(F.col("gram").isNotNull()) \
+        .select("gram", "lang",
+                (F.col("logp") * q).cast("bigint").alias("logp_q"))
     floor = model.filter(F.col("gram").isNull()) \
-        .select("lang", F.col("logp").alias("floor_logp"))
+        .select("lang", (F.col("logp") * q).cast("bigint")
+                .alias("floor_q"))
     inst = df.select(id_col,
                      F.explode(char_ngrams(F.col(text_col), n))
                      .alias("gram"))
     agg = (inst.join(F.broadcast(in_vocab), "gram", "left")
            .groupBy(id_col, "lang")
-           .agg(F.sum("logp").cast("decimal(38,8)").alias("s_hit"),
+           .agg(F.sum("logp_q").alias("s_hit"),
                 F.count(F.lit(1)).alias("c")))
     # the null-lang group is the doc's OOV gram count (every in-vocab
     # instance appears once under EACH language, so per-lang hit rows
@@ -142,11 +155,9 @@ def langid_predict(
     scored = (oov.crossJoin(F.broadcast(floor))
               .join(hit, [id_col, "lang"], "left")
               .select(id_col, "lang",
-                      (F.coalesce(F.col("s_hit"),
-                                  F.lit(0).cast("decimal(38,8)"))
-                       + F.col("c_oov").cast("decimal(10,0)")
-                       * F.col("floor_logp"))
-                      .cast("decimal(38,8)").alias("score")))
+                      (F.coalesce(F.col("s_hit"), F.lit(0))
+                       + F.col("c_oov") * F.col("floor_q"))
+                      .alias("score")))
     # exact (score desc, lang asc) argmax, window-free: max score per
     # doc, then min lang among the max-score rows (the two-agg argmax
     # convention from dedup_by_components)
