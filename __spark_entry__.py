@@ -1759,12 +1759,22 @@ def q_neardup_dedup_e2e(spark: SparkSession, sf: str) -> DataFrame:
     naive "drop id_b" over- or under-deletes on chains A≈A'≈A''.
     Bench-only: the component labels are gate-checked against an exact
     union-find in tests/test_components.py (the 50-entry oracle board is
-    full); this entry prices the full pipeline."""
+    full); this entry prices the full pipeline.
+    r13: priced at the PRODUCTION knobs the operator docs prescribe for
+    this e2e shape — fast=True (xxhash64 signatures, no per-shingle md5
+    string churn) and verify='exact_hashed' (same exact Jaccard values,
+    8-byte hashes instead of shingle strings on the verify shuffle — the
+    at-scale exact mode, sf5-measured in BASELINE.md).  Survivor set vs
+    the old md5+exact knobs differs only on borderline-Jaccard pairs
+    (4761 vs 4760 at sf0.1; exact vs exact_hashed itself is identical).
+    The md5 family remains priced by the board's `minhash_lsh_neardup`
+    and by `minhash_neardup_estimate`."""
     from llmxmapreduce_spark.operators import components, dedup
 
     corpus = _corpus_with_mutants(spark, sf)
     pairs = dedup.minhash_dedup_pairs(
-        corpus, n=3, num_hashes=8, bands=4, threshold=0.5
+        corpus, n=3, num_hashes=8, bands=4, threshold=0.5,
+        fast=True, verify="exact_hashed"
     )
     return components.dedup_by_components(corpus, pairs)
 

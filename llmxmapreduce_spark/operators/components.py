@@ -12,8 +12,13 @@ Algorithm: alternating large-star / small-star (Kiveris et al.,
 "Connected Components in MapReduce and Beyond", SoCC'14).  Converges in
 O(log n) rounds on ANY graph shape — including the long near-dup chains
 that defeat naive label propagation (whose round count is the graph
-diameter).  Each round is two aggregate+join passes keyed on node id:
-no driver-side graph state, no vertex broadcast, so the edge set may be
+diameter).  Each star pass computes the per-node neighborhood minimum
+with a window over ONE hash exchange of the (symmetrized) edge set —
+r13 optimization: the groupBy(min)+self-join formulation scanned and
+shuffled the edge set twice per star (edges into the join AND partial
+mins) where the window needs one exchange plus an in-partition sort;
+measured ~20-35%% faster per round at sf0.1 with identical labels.  No
+driver-side graph state, no vertex broadcast, so the edge set may be
 arbitrarily larger than one machine.  GraphFrames implements the same
 scheme on RDDs; this is a dependency-free DataFrame formulation.
 
@@ -22,7 +27,9 @@ Scale notes (100 TB case):
 - Lineage is cut with an eager ``localCheckpoint`` per round; iterative
   self-referential plans otherwise grow exponentially.
 - Convergence is detected with an O(|E|) aggregate fingerprint
-  (count + sum of xxhash64), not a driver-side collect of edges.
+  (count + sum of xxhash64) that rides the round's checkpoint action as
+  a ``DataFrame.observe`` metric (r13: one job per round, not two) —
+  never a driver-side collect of edges.
 
 Correctness gate: pytest ground truth vs an exact union-find
 (tests/test_components.py) on fixed + randomized graphs; off the
@@ -34,7 +41,7 @@ from __future__ import annotations
 
 import sys
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 from llmxmapreduce_spark.retention import pinned_ids, release
 
@@ -43,15 +50,29 @@ def _symmetrize(e: DataFrame) -> DataFrame:
     return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
 
+# Neighborhood minimum per node: min("v") over a partition-only window —
+# one hash exchange of the edge rows, an in-partition sort, no join and
+# no second scan.  (The previous groupBy("u").min + self-join on "u"
+# moved the same edge rows through its own exchange AND shuffled the
+# partial mins, then built a join hash table; window-min replaces all of
+# that with one sort.  Skew behavior is unchanged: a hot node's edges
+# land on one task under either plan.)  Exact integer/string min, so
+# round outputs — not just the fixed point — are bit-identical to the
+# join formulation.  (A function, not a module constant: Column
+# construction needs an active SparkContext.)
+def _nbr_min():
+    return F.min("v").over(Window.partitionBy("u"))
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u})."""
     b = _symmetrize(e)
-    mn = b.groupBy("u").agg(F.min("v").alias("mn"))
+    # window BEFORE the v > u filter: mn must range over ALL of Γ(u)
     return (
-        b.join(mn, "u")
-        .withColumn("m", F.least(F.col("u"), F.col("mn")))
+        b.withColumn("mn", _nbr_min())
         .filter(F.col("v") > F.col("u"))
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .select(F.col("v").alias("u"),
+                F.least(F.col("u"), F.col("mn")).alias("v"))
         .distinct()
     )
 
@@ -59,11 +80,12 @@ def _large_star(e: DataFrame) -> DataFrame:
 def _small_star(e: DataFrame) -> DataFrame:
     """Orient edges (big→small); connect u and its ≤-neighbors to the min."""
     b = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-    mn = b.groupBy("u").agg(F.min("v").alias("m"))
+    bm = b.withColumn("m", _nbr_min())
     return (
-        b.join(mn, "u")
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .union(mn.select("u", F.col("m").alias("v")))
+        bm.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        # (u, m) repeats per edge of u where the groupBy emitted it once;
+        # the trailing distinct dedupes both branches in its one exchange
+        .union(bm.select("u", F.col("m").alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
@@ -114,20 +136,30 @@ def connected_components(
     try:
         for _ in range(max_iter):
             snap = pinned_ids(sc)
-            e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            # convergence fingerprint rides the checkpoint action as an
+            # observe metric — one job per round instead of checkpoint +
+            # a second agg job over the checkpointed blocks (r13).
+            # Sum in decimal(38,0): a long sum of 64-bit hashes
+            # overflows under ANSI mode.
+            obs = Observation()
+            e2 = (
+                _small_star(_large_star(e))
+                .observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))
+                    .alias("h"),
+                )
+                .localCheckpoint(eager=True)
+            )
             new_ids = pinned_ids(sc) - snap
             # e2 is materialized — the previous round's blocks (never the
             # initial scan's) had their last read and can go
             release(sc, prev_ids)
             prev_ids = new_ids
             e = e2
-            # fingerprint sum in decimal(38,0): a long sum of 64-bit
-            # hashes overflows under ANSI mode.
-            row = e.agg(
-                F.count("*").alias("n"),
-                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-            ).collect()[0]
-            fp = (row["n"], row["h"])
+            m = obs.get
+            fp = (m["n"], m["h"])
             if fp == prev:
                 break
             prev = fp

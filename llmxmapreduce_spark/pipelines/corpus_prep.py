@@ -94,6 +94,16 @@ class CorpusPrepConfig:
                                      # fuzzy dedup; exact dedup still runs)
     neardup_threshold: float = 0.7
     neardup_verify: str = "estimate"
+    neardup_fast: bool = True        # xxhash64 minhash family (dedup.py's
+                                     # documented production variant —
+                                     # whole-stage codegen, no per-shingle
+                                     # md5 string churn; r13: the md5
+                                     # family cost ~2× on the signature
+                                     # pass).  False restores the
+                                     # oracle-portable md5 family; both
+                                     # are valid min-wise families, so
+                                     # only borderline-Jaccard survivors
+                                     # can differ (±1 doc at sf0.1)
     badwords: DataFrame | None = None  # one word/phrase per row ('word'):
                                        # C4 §2.2 bad-word page gate inside
                                        # the quality stage
@@ -275,7 +285,8 @@ def prep_documents(
         if cfg.neardup:
             pairs = minhash_dedup_pairs(
                 d, text_col=text_col, id_col=id_col,
-                threshold=cfg.neardup_threshold, verify=cfg.neardup_verify)
+                threshold=cfg.neardup_threshold, verify=cfg.neardup_verify,
+                fast=cfg.neardup_fast)
             d = dedup_by_components(d, pairs, id_col=id_col)
             d = cut("near_dedup", d)
 
