@@ -1274,9 +1274,19 @@ def run_v2_survey(surveys: DataFrame, client_factory,
     sm = stage_metrics
     spark = surveys.sparkSession
     prev_parts = None
+    prev_aqe = None
     if cfg.shuffle_partitions is not None:
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
+        # r13: a caller that sizes shuffle_partitions is declaring this a
+        # KB-per-survey control plane; AQE's per-shuffle re-optimization
+        # is pure driver latency on such frames (the run is ~40 jobs of
+        # 1-2 tiny tasks each — measured 15-25% of refdefaults wall) and
+        # has nothing to coalesce or skew-split at ANY cluster size, so
+        # it is turned off for the pipeline and restored with the
+        # partition count.  Plan-only: AQE never changes values.
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     cache_ids: set = set()   # cached-digest frames (set before try: the
     try:                     # error path releases them, r13 discipline)
         papers = build_papers(surveys)
@@ -1420,3 +1430,5 @@ def run_v2_survey(surveys: DataFrame, client_factory,
     finally:
         if prev_parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
