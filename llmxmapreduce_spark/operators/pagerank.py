@@ -98,36 +98,51 @@ def pagerank(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
     )
-    nodes = (
+    # Snapshot ordering: the FIRST eager checkpoint below (deg) is the
+    # first full scan of `e`, so a caller cache whose registration is
+    # lazy (labelprop r11 review finding) registers during it and stays
+    # OUT of every diff below.  The price is that the deg checkpoint
+    # itself is never released — a bounded ≤2 pinned frames per call
+    # (deg + final ranks) instead of 3 + n_iter.
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    deg = _ck(deg)
+    # snapshot AFTER the deg checkpoint: ids registered during that
+    # first materialization (deg itself + lazy caller caches) must stay
+    # out of the releasable setup diff
+    snap1 = pinned_ids(sc) if checkpoint else set()
+    # r13: dangling membership is STATIC (a node either has out-edges or
+    # it doesn't), so it is joined onto the node table ONCE here — same
+    # checkpoint count as before, deg is simply built first — and
+    # carried through every round as a boolean: the per-round dangling
+    # mass becomes a filter+agg over the rank frame instead of a
+    # |V|-vs-|V_out| anti-join per iteration (same rows selected, same
+    # nonneg-int64 sum; at scale this deletes one node-table join and
+    # its hash build from every round's critical path).
+    nodes_f = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .join(deg.select(F.col("src").alias("node"),
+                         F.lit(True).alias("__out")),
+              "node", "left")
+        .select("node", F.coalesce("__out", F.lit(False)).alias("__out"))
     )
-    nodes = _ck(nodes)
-    n = nodes.count()
+    nodes_f = _ck(nodes_f)
+    n = nodes_f.count()
     if n == 0:
-        return nodes.withColumn("rank_q", F.lit(0).cast("long"))
+        return nodes_f.select("node").withColumn(
+            "rank_q", F.lit(0).cast("long"))
     if damping_num * n * scale >= 2**63:
         raise ValueError(
             "pagerank: num*N*scale overflows int64 — lower `scale` "
             f"(N={n}, scale={scale})"
         )
-    # Snapshot taken AFTER the nodes checkpoint on purpose: that
-    # checkpoint is the first full scan of `e`, so a caller cache whose
-    # registration is lazy (labelprop r11 review finding) registers
-    # during it and stays OUT of every diff below.  The price is that
-    # the nodes checkpoint itself is never released — a bounded ≤2
-    # pinned frames per call (nodes + final ranks) instead of
-    # 3 + n_iter.
-    snap1 = pinned_ids(sc) if checkpoint else set()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    deg = _ck(deg)
     # pre-join outdeg onto the edge table once — reused every iteration
     ed = _ck(e.join(deg, "src"))
     setup_ids = (pinned_ids(sc) - snap1) if checkpoint else set()
 
     base = (scale * (damping_den - damping_num)) // damping_den
-    ranks = nodes.withColumn("rank_q", F.lit(int(scale)).cast("long"))
+    ranks = nodes_f.withColumn("rank_q", F.lit(int(scale)).cast("long"))
 
     prev_ids: set = set()   # round 0's frame is unmaterialized: no blocks
     # try/except (r13 ADVICE): an exception mid-loop (executor loss,
@@ -142,7 +157,7 @@ def pagerank(
             # instead of two, one pass over `ranks` saved — the DIV
             # arithmetic is identical (nonneg int64 floor division)
             dang = (
-                ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+                ranks.filter(~F.col("__out"))
                 .agg(F.coalesce(F.sum("rank_q"), F.lit(0)).alias("__dang"))
             )
             s_in = (
@@ -155,10 +170,11 @@ def pagerank(
                 .agg(F.sum("c").alias("s_in"))
             )
             new_ranks = (
-                nodes.join(s_in, "node", "left")
+                nodes_f.join(s_in, "node", "left")
                 .crossJoin(F.broadcast(dang))
                 .select(
                     "node",
+                    "__out",
                     (
                         F.lit(int(base))
                         + F.expr(
@@ -183,4 +199,4 @@ def pagerank(
         # the final ranks frame is its own checkpoint — nodes/deg/ed are
         # never read again (n_iter=0 keeps them: ranks still reads nodes)
         release(sc, setup_ids)
-    return ranks
+    return ranks.select("node", "rank_q")
