@@ -81,11 +81,20 @@ def _small_star(e: DataFrame) -> DataFrame:
     """Orient edges (big→small); connect u and its ≤-neighbors to the min."""
     b = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
     bm = b.withColumn("m", _nbr_min())
+    # both output families — (v, m) per edge and (u, m) per node — come
+    # from the SAME windowed frame: duplicate ROWS with one explode
+    # instead of duplicating the PLAN with a union (two branches would
+    # re-exchange and re-sort the full edge set — ReuseExchange does
+    # not fire across them, probe-verified on the executed plan).  The
+    # (u, m) copy repeats per edge of u where a groupBy emitted it
+    # once; the trailing distinct dedupes everything in its one
+    # exchange either way.
     return (
-        bm.select(F.col("v").alias("u"), F.col("m").alias("v"))
-        # (u, m) repeats per edge of u where the groupBy emitted it once;
-        # the trailing distinct dedupes both branches in its one exchange
-        .union(bm.select("u", F.col("m").alias("v")))
+        bm.select(F.explode(F.array(
+            F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+            F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+        )).alias("__s"))
+        .select("__s.u", "__s.v")
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )

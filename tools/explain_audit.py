@@ -73,8 +73,11 @@ AUDITED = [
      "must show exactly one Exchange per update and none for assign"),
     ("pagerank_bipartite", "per iteration: rank⋈edge join on src + "
      "dst-keyed partial+final agg (the Pregel BSP round as DataFrame "
-     "ops); degree table computed once; dangling mass is a scalar agg; "
-     "localCheckpoint cuts the iterative lineage"),
+     "ops); degree table computed once; dangling mass is a filter+agg "
+     "over the rank frame's static __out flag (r13: the per-round "
+     "rank-vs-outdeg anti-join is gone — danglingness never changes, "
+     "so the flag is joined once at setup); localCheckpoint cuts the "
+     "iterative lineage"),
     ("asof_join", "union-sort as-of: both sides union on one schema, "
      "ONE Exchange on user_id, a single running-last window per key — "
      "no join node at all, no pair materialization; right payload "
@@ -304,17 +307,20 @@ def main() -> int:
     rnd = C._small_star(C._large_star(edges))
     out += [
         "## connected_components round (operators/components.py)", "",
-        "*Intent: per round = large-star ∘ small-star, each a partial+final "
-        "hash-aggregate for the per-node min (map-side combine) plus one "
-        "join of the |V|-row min table back against the edges — broadcast "
-        "while it fits (AQE), degrading to a sort-merge join on `u` at edge "
-        "scales past broadcast, which is correct since both sides are then "
-        "hash-partitioned on the same key. Input edges are the previous "
-        "round's eager localCheckpoint (scan of materialized blocks, no "
-        "recompute; without the cut the self-referential plan doubles per "
-        "round). Convergence is one count+sum(xxhash64) aggregate — O(|E|) "
-        "scan, no driver-side edge transfer; round count O(log n) by the "
-        "alternating-star bound (Kiveris et al., SoCC'14).*", "",
+        "*Intent: per round = large-star ∘ small-star, each computing the "
+        "per-node neighborhood min as `min(v) over (partition by u)` — ONE "
+        "hash exchange of the (symmetrized) edge rows plus an in-partition "
+        "sort, no join and no second edge scan (r13: the former "
+        "groupBy(min)+self-join moved the same edge rows through the join "
+        "exchange AND shuffled the partial mins). Skew profile unchanged: a "
+        "hot node's edges land on one task under either plan. Input edges "
+        "are the previous round's eager localCheckpoint (scan of "
+        "materialized blocks, no recompute; without the cut the "
+        "self-referential plan doubles per round). Convergence is one "
+        "count+sum(xxhash64) observe metric riding the round's checkpoint "
+        "action (r13: one job per round, not two) — O(|E|), no driver-side "
+        "edge transfer; round count O(log n) by the alternating-star bound "
+        "(Kiveris et al., SoCC'14).*", "",
         "```", *fmt(rnd), "```", "",
         "## minhash verify modes (operators/dedup.py)", "",
         "Plan-affecting choice, not a separate query: `jaccard_verify` "
