@@ -1198,6 +1198,20 @@ def decode_survey(final_outline: DataFrame, digests: DataFrame, papers: DataFram
         figs = generate_figures(draft_with_heads, client_factory, retry)
         done = anchor_figures(done, figs)
 
+    # r13: decode_tail consumes `done` through THREE plan branches
+    # (sections → renumbered → {cite_ratio, assembled} plus the
+    # assembled join's own done.select), and exchange reuse cannot
+    # dedupe a FlatMapGroupsInPandas ABOVE the shared exchange — without
+    # an eager cut the leaf-prose llm_stage and the assemble stage (and
+    # in figures mode the L16 figure stage) execute 3× per action
+    # (measured: the decode LLM accumulator showed 768 calls for 256
+    # leaves).  One section-bounded checkpoint runs them once.
+    # Retention: run_v2_survey releases it once `out` is checkpointed;
+    # v3_host's per-tool snapshot diff releases it at close(); direct
+    # callers keep one bounded frame per call (same class as the final
+    # digest cut).
+    done = done.localCheckpoint(eager=True)
+
     tail = decode_tail(done, papers)
     return (
         tail.join(F.broadcast(final_outline), "survey_id")
@@ -1409,16 +1423,21 @@ def run_v2_survey(surveys: DataFrame, client_factory,
         ).withColumn(
             "conv_pool_sizes", F.from_json("conv_pool_sizes", _POOL_SIZES)
         )
+        _d_snap = pinned_ids(_sctx)
         out = decode_survey(
             cur, digests, papers, client_factory, cfg, retry,
             metrics=sm.llm("decode") if sm is not None else None,
         ).withColumn("block_cycle_count", F.lit(cfg.block_count))
+        decode_ids = pinned_ids(_sctx) - _d_snap   # the `done` section cut
         if sm is not None:
             out = sm.observe("decode", out)
         if cfg.shuffle_partitions is not None:
             # materialize before the session conf is restored, so the decode
             # shuffles actually run at the pipeline's sizing
             out = out.localCheckpoint(eager=True)
+            # the out checkpoint supersedes decode_survey's internal
+            # `done` cut (out is its only reader)
+            release(_sctx, decode_ids)
             if sm is not None:
                 sm.materialized("decode")
         return out

@@ -111,3 +111,26 @@ def test_block_cycle_checkpoints_released(spark):
     assert len(leaked) <= 5, (
         f"{len(leaked)} RDDs left pinned by a 3-cycle v2 run; per-cycle "
         "digest/cur checkpoints are leaking")
+
+
+def test_decode_leaf_stage_runs_once(spark):
+    """r13: decode_tail consumes `done` through three plan branches; the
+    section checkpoint in decode_survey must keep the leaf-prose
+    llm_stage at exactly ONE execution — the decode LLM accumulator
+    equals the leaf count of each survey's final outline (pre-fix it
+    measured 3× that)."""
+    from llmxmapreduce_spark.operators import skeleton
+    from llmxmapreduce_spark.operators.stage_metrics import StageMetrics
+
+    surveys = make_surveys(spark)
+    cfg = v2.V2Config(conv_layers=1, receptive_field=2, result_num=2,
+                      top_k=2, refine_rounds=0, best_of=1, block_count=1)
+    sm = StageMetrics(spark)
+    rows = v2.run_v2_survey(surveys, MockSurveyClient, cfg,
+                            stage_metrics=sm).collect()
+    expected = 0
+    for r in rows:
+        nodes = skeleton.parse_outline_py(r["survey_title"], r["outline_md"])
+        expected += sum(1 for n in nodes if n["n_children"] == 0)
+    assert expected > 0
+    assert sm.llm("decode").calls.value == expected
