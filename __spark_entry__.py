@@ -1557,15 +1557,16 @@ def q_v2_survey_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     # digests are regenerated against the refined outline before decode.
     # shuffle_partitions sized to the survey count — the control plane moves
     # KBs per survey, so wide shuffles are pure overhead at this scale.
-    # r13 optimization: both LLM-batch-coalesced stages on — output-
+    # r13 optimization: all three LLM-batch-coalesced stages on — output-
     # identical to the staged path (tests/test_v2_fused pins stage-level
-    # AND e2e byte equality; this query's golden hash re-verified), 2
-    # shuffles + 3 stage boundaries fewer per run.  q_v2_block_cycle
+    # AND e2e byte equality; this query's golden hash re-verified), 3
+    # shuffles + 4 stage boundaries fewer per run.  q_v2_block_cycle
     # keeps the staged path on the board deliberately.
     cfg = v2.V2Config(conv_layers=1, receptive_field=2, result_num=2,
                       top_k=2, refine_rounds=1, best_of=1, polish=False,
                       block_count=1, shuffle_partitions=2,
-                      fused_digest_feedback=True, fused_init_outlines=True)
+                      fused_digest_feedback=True, fused_init_outlines=True,
+                      fused_conv_refine=True)
     out = v2.run_v2_survey(surveys, MockSurveyClient, cfg)
     return out.select(
         "survey_id", "n_sections", "n_papers", "cite_ratio",
@@ -1605,7 +1606,8 @@ def q_v2_survey_refdefaults(spark: SparkSession, sf: str) -> DataFrame:
                       top_k=6, refine_rounds=3, best_of=3, polish=False,
                       block_count=1, digest_batch=1, llm_threads=8,
                       shuffle_partitions=8,
-                      fused_digest_feedback=True, fused_init_outlines=True)
+                      fused_digest_feedback=True, fused_init_outlines=True,
+                      fused_conv_refine=True)
     out = v2.run_v2_survey(surveys, MockSurveyClient, cfg)
     return out.select(
         "survey_id", "n_sections", "n_papers", "cite_ratio",
@@ -1742,7 +1744,8 @@ def q_v2_survey_fullprompts(spark: SparkSession, sf: str) -> DataFrame:
                       top_k=6, refine_rounds=3, best_of=3, polish=False,
                       block_count=1, digest_batch=1, llm_threads=8,
                       shuffle_partitions=8, full_prompts=True,
-                      fused_digest_feedback=True, fused_init_outlines=True)
+                      fused_digest_feedback=True, fused_init_outlines=True,
+                      fused_conv_refine=True)
     out = v2.run_v2_survey(surveys, MockSurveyClient, cfg)
     return out.select(
         "survey_id", "n_sections", "n_papers", "cite_ratio",

@@ -87,6 +87,11 @@ class V2Config:
     fused_init_outlines: bool = False
     # ^ same strategy for the L5 single → L6 concat init chain
     # (init_outlines_fused); output-identical (tests/test_v2_fused.py).
+    fused_conv_refine: bool = False
+    # ^ same strategy for each cycle's convolution-block → self-refine
+    # chain (conv_refine_fused): one survey-keyed exchange per cycle
+    # instead of two — both stages already ran the SAME shared per-group
+    # bodies, so fusion is byte-identical (tests/test_v2_fused.py).
     llm_cache_dir: str | None = None
     # ^ prompt-hash result cache root (llm_op.llm_stage_cached) for the
     # per-paper digest stage — the pipeline's dominant fan-out.  A re-run
@@ -894,94 +899,111 @@ def convolution_block(outlines: DataFrame, suggestions: DataFrame, client_factor
     best outline.  → best (survey_id, survey_title, outline_md, eval_score)
     per survey."""
     retry = retry or RetryPolicy()
-    cands = suggestions.join(
+    cands = _conv_cands(outlines, suggestions)
+    ps = _prompt_set(cfg)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        client = client_factory()
+        out = _conv_group_py(client, retry, cfg, ps, pdf)
+        if out is None:
+            return pd.DataFrame(columns=[f.name for f in _CONV_SCHEMA.fields])
+        return pd.DataFrame([out])
+
+    return cands.groupBy("survey_id").applyInPandas(run, _CONV_SCHEMA)
+
+
+def _conv_cands(outlines: DataFrame, suggestions: DataFrame) -> DataFrame:
+    return suggestions.join(
         F.broadcast(outlines.select("survey_id", "survey_title", "outline_md",
                                     "block_avg_score", "self_refine_score",
                                     "conv_pool_sizes")),
         "survey_id",
     )
+
+
+def _conv_group_py(client, retry, cfg: V2Config, ps, pdf: pd.DataFrame) -> dict | None:
+    """Per-survey convolution-block body, shared VERBATIM by the staged
+    stage (:func:`convolution_block`) and the fused conv+refine stage
+    (:func:`conv_refine_fused`) — one definition is what makes the two
+    paths byte-identical by construction.  Returns the best-outline row
+    dict (``_CONV_SCHEMA`` fields) or ``None`` when every chain died."""
     conv_layers, receptive_field = cfg.conv_layers, cfg.receptive_field
-    result_num, top_k, seed, threads = cfg.result_num, cfg.top_k, cfg.seed, cfg.llm_threads
-    ps = _prompt_set(cfg)
+    result_num, top_k, seed, threads = (cfg.result_num, cfg.top_k, cfg.seed,
+                                        cfg.llm_threads)
+    sid = pdf["survey_id"].iloc[0]
+    title = pdf["survey_title"].iloc[0]
+    outline_md = pdf["outline_md"].iloc[0]
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        client = client_factory()
-        sid = pdf["survey_id"].iloc[0]
-        title = pdf["survey_title"].iloc[0]
-        outline_md = pdf["outline_md"].iloc[0]
+    def modify_eval(item: tuple[str, str]) -> dict | None:
+        return _modify_eval_py(client, retry, title, outline_md, *item,
+                               ps=ps)
 
-        def modify_eval(item: tuple[str, str]) -> dict | None:
-            return _modify_eval_py(client, retry, title, outline_md, *item,
-                                   ps=ps)
+    init = sorted(zip(pdf["sugg_id"], pdf["content"]))
+    state = [r for r in _pmap(modify_eval, init, threads) if r]
+    cycle_scores: list[float] = []
+    if state:
+        cycle_scores.append(float(np.mean([r["score"] for r in state])))
+    cycle = len(_nested(pdf["block_avg_score"].iloc[0]))
+    pool_sizes: list[int] = [len(state)]
+    for layer in range(conv_layers):
+        # fresh per-layer RandomState, seeded on (survey, block cycle,
+        # layer) — deterministic and independent of executor placement,
+        # while two layers over identical pool contents still draw
+        # distinct sample groups (the reference's module-level numpy RNG
+        # evolves across layers; a bare survey seed would not)
+        rng = np.random.RandomState(
+            sampling.survey_seed(f"{sid}:{cycle}:{layer}", seed))
+        pool = sorted(state, key=lambda r: r["sugg_id"])
+        groups = sampling.sample_suggestion_groups(
+            [r["sugg_id"] for r in pool], [r["score"] for r in pool],
+            receptive_field, result_num, rng,
+        )
+        by_id = {r["sugg_id"]: r for r in pool}
 
-        init = sorted(zip(pdf["sugg_id"], pdf["content"]))
-        state = [r for r in _pmap(modify_eval, init, threads) if r]
-        cycle_scores: list[float] = []
-        if state:
-            cycle_scores.append(float(np.mean([r["score"] for r in state])))
-        cycle = len(_nested(pdf["block_avg_score"].iloc[0]))
-        pool_sizes: list[int] = [len(state)]
-        for layer in range(conv_layers):
-            # fresh per-layer RandomState, seeded on (survey, block cycle,
-            # layer) — deterministic and independent of executor placement,
-            # while two layers over identical pool contents still draw
-            # distinct sample groups (the reference's module-level numpy RNG
-            # evolves across layers; a bare survey seed would not)
-            rng = np.random.RandomState(
-                sampling.survey_seed(f"{sid}:{cycle}:{layer}", seed))
-            pool = sorted(state, key=lambda r: r["sugg_id"])
-            groups = sampling.sample_suggestion_groups(
-                [r["sugg_id"] for r in pool], [r["score"] for r in pool],
-                receptive_field, result_num, rng,
-            )
-            by_id = {r["sugg_id"]: r for r in pool}
-
-            def kernel(item: tuple[int, list[str]]) -> tuple[str, str] | None:
-                gid, members = item
-                if len(members) > 1:
-                    joined = "\n---\n".join(
-                        by_id[m]["content"] for m in sorted(members))
-                    reply = _call(client, _kernel_prompt(
-                        title, joined, ps, outline_md), retry)
-                    if reply is None:
-                        return None
-                    try:
-                        content = _parse_suggestion(reply)["suggestion"]
-                    except ValueError:
-                        return None
-                else:
-                    content = by_id[members[0]]["content"]
-                return (f"l{layer}g{gid}", content)
-
-            new_cands = [c for c in _pmap(kernel, enumerate(groups), threads) if c]
-            new_state = [r for r in _pmap(modify_eval, new_cands, threads) if r]
-            if new_state:
-                cycle_scores.append(
-                    float(np.mean([r["score"] for r in new_state])))
-            if len(pool) / receptive_field > result_num:
-                # pooling (convolution_module.py:80-85): replace, no prune —
-                # contracts a large candidate pool by the receptive field
-                state = new_state if new_state else state
+        def kernel(item: tuple[int, list[str]]) -> tuple[str, str] | None:
+            gid, members = item
+            if len(members) > 1:
+                joined = "\n---\n".join(
+                    by_id[m]["content"] for m in sorted(members))
+                reply = _call(client, _kernel_prompt(
+                    title, joined, ps, outline_md), retry)
+                if reply is None:
+                    return None
+                try:
+                    content = _parse_suggestion(reply)["suggestion"]
+                except ValueError:
+                    return None
             else:
-                # conv_results_old + conv_results_new → T1 prune
-                state = _prune_py(state + new_state, top_k)
-            pool_sizes.append(len(state))
+                content = by_id[members[0]]["content"]
+            return (f"l{layer}g{gid}", content)
 
-        best = _prune_py(state, 1)
-        if not best:
-            return pd.DataFrame(columns=[f.name for f in _CONV_SCHEMA.fields])
-        block_scores = _nested(pdf["block_avg_score"].iloc[0]) + [cycle_scores]
-        return pd.DataFrame([{
-            "survey_id": sid, "survey_title": title,
-            "outline_md": best[0]["new_outline_md"],
-            "eval_score": best[0]["score"],
-            "block_avg_score": _dumps(block_scores),
-            "self_refine_score": pdf["self_refine_score"].iloc[0] or "[]",
-            "conv_pool_sizes": _dumps(
-                _nested(pdf["conv_pool_sizes"].iloc[0]) + [pool_sizes]),
-        }])
+        new_cands = [c for c in _pmap(kernel, enumerate(groups), threads) if c]
+        new_state = [r for r in _pmap(modify_eval, new_cands, threads) if r]
+        if new_state:
+            cycle_scores.append(
+                float(np.mean([r["score"] for r in new_state])))
+        if len(pool) / receptive_field > result_num:
+            # pooling (convolution_module.py:80-85): replace, no prune —
+            # contracts a large candidate pool by the receptive field
+            state = new_state if new_state else state
+        else:
+            # conv_results_old + conv_results_new → T1 prune
+            state = _prune_py(state + new_state, top_k)
+        pool_sizes.append(len(state))
 
-    return cands.groupBy("survey_id").applyInPandas(run, _CONV_SCHEMA)
+    best = _prune_py(state, 1)
+    if not best:
+        return None
+    block_scores = _nested(pdf["block_avg_score"].iloc[0]) + [cycle_scores]
+    return {
+        "survey_id": sid, "survey_title": title,
+        "outline_md": best[0]["new_outline_md"],
+        "eval_score": best[0]["score"],
+        "block_avg_score": _dumps(block_scores),
+        "self_refine_score": pdf["self_refine_score"].iloc[0] or "[]",
+        "conv_pool_sizes": _dumps(
+            _nested(pdf["conv_pool_sizes"].iloc[0]) + [pool_sizes]),
+    }
 
 
 def self_refine(best: DataFrame, client_factory, cfg: V2Config,
@@ -999,57 +1021,95 @@ def self_refine(best: DataFrame, client_factory, cfg: V2Config,
     running best.  Monotone state is deliberate — at cluster scale a single
     low-scoring round must not destroy a survey's accumulated outline."""
     retry = retry or RetryPolicy()
-    refine_rounds, best_of, threads = cfg.refine_rounds, cfg.best_of, cfg.llm_threads
     ps = _prompt_set(cfg)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         client = client_factory()
-        row = pdf.iloc[0]
-        sid, title = row["survey_id"], row["survey_title"]
-        state_md, state_score = row["outline_md"], float(row["eval_score"])
-        state_detail = ""          # incumbent's eval text (DIGEST_FREE slot)
-        cycle_scores: list[list[float]] = []
-        for rnd in range(refine_rounds):
-            outline_now = state_md
-            detail_now = state_detail
-
-            def chain(chain_id: int) -> tuple[str, str] | None:
-                reply = _call(
-                    client, _refine_prompt(chain_id, rnd, title, outline_now,
-                                           ps, detail_now), retry)
-                if reply is None:
-                    return None
-                try:
-                    content = _parse_suggestion(reply)["suggestion"]
-                except ValueError:
-                    return None
-                return (f"r{rnd}c{chain_id}", content)
-
-            def modify_eval(item: tuple[str, str]) -> dict | None:
-                return _modify_eval_py(client, retry, title, outline_now, *item,
-                                       ps=ps)
-
-            cands = [c for c in _pmap(chain, range(best_of), threads) if c]
-            results = [r for r in _pmap(modify_eval, cands, threads) if r]
-            cycle_scores.append(
-                sorted((r["score"] for r in results), reverse=True))
-            pool = results + [{"sugg_id": "keep", "new_outline_md": state_md,
-                               "score": state_score,
-                               "eval_detail": state_detail}]
-            top = _prune_py(pool, 1)[0]
-            state_md, state_score = top["new_outline_md"], top["score"]
-            state_detail = top.get("eval_detail") or ""
-        out = {
-            "survey_id": sid, "survey_title": title,
-            "outline_md": state_md, "eval_score": state_score,
-            "block_avg_score": row["block_avg_score"] or "[]",
-            "self_refine_score": _dumps(
-                _nested(row["self_refine_score"]) + [cycle_scores]),
-            "conv_pool_sizes": row["conv_pool_sizes"] or "[]",
-        }
-        return pd.DataFrame([out])
+        return pd.DataFrame([_refine_group_py(client, retry, cfg, ps,
+                                              pdf.iloc[0])])
 
     return best.groupBy("survey_id").applyInPandas(run, _CONV_SCHEMA)
+
+
+def _refine_group_py(client, retry, cfg: V2Config, ps, row) -> dict:
+    """Per-survey self-refine body, shared VERBATIM by the staged stage
+    (:func:`self_refine`) and the fused conv+refine stage
+    (:func:`conv_refine_fused`).  ``row`` is any mapping carrying the
+    ``_CONV_SCHEMA`` fields (a pandas row or the conv body's dict)."""
+    refine_rounds, best_of, threads = cfg.refine_rounds, cfg.best_of, cfg.llm_threads
+    sid, title = row["survey_id"], row["survey_title"]
+    state_md, state_score = row["outline_md"], float(row["eval_score"])
+    state_detail = ""          # incumbent's eval text (DIGEST_FREE slot)
+    cycle_scores: list[list[float]] = []
+    for rnd in range(refine_rounds):
+        outline_now = state_md
+        detail_now = state_detail
+
+        def chain(chain_id: int) -> tuple[str, str] | None:
+            reply = _call(
+                client, _refine_prompt(chain_id, rnd, title, outline_now,
+                                       ps, detail_now), retry)
+            if reply is None:
+                return None
+            try:
+                content = _parse_suggestion(reply)["suggestion"]
+            except ValueError:
+                return None
+            return (f"r{rnd}c{chain_id}", content)
+
+        def modify_eval(item: tuple[str, str]) -> dict | None:
+            return _modify_eval_py(client, retry, title, outline_now, *item,
+                                   ps=ps)
+
+        cands = [c for c in _pmap(chain, range(best_of), threads) if c]
+        results = [r for r in _pmap(modify_eval, cands, threads) if r]
+        cycle_scores.append(
+            sorted((r["score"] for r in results), reverse=True))
+        pool = results + [{"sugg_id": "keep", "new_outline_md": state_md,
+                           "score": state_score,
+                           "eval_detail": state_detail}]
+        top = _prune_py(pool, 1)[0]
+        state_md, state_score = top["new_outline_md"], top["score"]
+        state_detail = top.get("eval_detail") or ""
+    return {
+        "survey_id": sid, "survey_title": title,
+        "outline_md": state_md, "eval_score": state_score,
+        "block_avg_score": row["block_avg_score"] or "[]",
+        "self_refine_score": _dumps(
+            _nested(row["self_refine_score"]) + [cycle_scores]),
+        "conv_pool_sizes": row["conv_pool_sizes"] or "[]",
+    }
+
+
+def conv_refine_fused(outlines: DataFrame, suggestions: DataFrame,
+                      client_factory, cfg: V2Config,
+                      retry: RetryPolicy | None = None) -> DataFrame:
+    """The block cycle's convolution→self-refine chain coalesced into ONE
+    ``applyInPandas`` over survey groups (the SURVEY §4 LLM-coalescing
+    strategy, same shape as :func:`digest_feedback_fused`).
+
+    Staged, the chain is two FlatMapGroupsInPandas stages on the SAME
+    ``survey_id`` key — convolution emits exactly one row per survey, yet
+    Catalyst cannot know the output keying matches the input's, so
+    ``self_refine``'s groupBy pays a second full exchange + Arrow
+    round-trip + client construction for one-row groups.  Fused, both
+    per-group bodies (:func:`_conv_group_py`, :func:`_refine_group_py` —
+    the very functions the staged stages call) run back-to-back in one
+    Python pass with one client: one exchange per cycle instead of two.
+    Byte-identical by construction; tests/test_v2_fused.py asserts exact
+    staged-vs-fused output equality."""
+    retry = retry or RetryPolicy()
+    cands = _conv_cands(outlines, suggestions)
+    ps = _prompt_set(cfg)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        client = client_factory()
+        best = _conv_group_py(client, retry, cfg, ps, pdf)
+        if best is None:
+            return pd.DataFrame(columns=[f.name for f in _CONV_SCHEMA.fields])
+        return pd.DataFrame([_refine_group_py(client, retry, cfg, ps, best)])
+
+    return cands.groupBy("survey_id").applyInPandas(run, _CONV_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1379,10 +1439,15 @@ def run_v2_survey(surveys: DataFrame, client_factory,
                 suggestions = feedback_suggestions(
                     digests, cur, client_factory, retry, cfg=cfg,
                     metrics=sm.llm("suggest") if sm is not None else None)
-            best = convolution_block(cur, suggestions, client_factory, cfg, retry)
             snap = pinned_ids(_sctx)
-            cur = self_refine(best, client_factory, cfg, retry) \
-                .localCheckpoint(eager=True)
+            if cfg.fused_conv_refine:
+                cur = conv_refine_fused(cur, suggestions, client_factory,
+                                        cfg, retry).localCheckpoint(eager=True)
+            else:
+                best = convolution_block(cur, suggestions, client_factory,
+                                         cfg, retry)
+                cur = self_refine(best, client_factory, cfg, retry) \
+                    .localCheckpoint(eager=True)
             new_cur_ids = pinned_ids(_sctx) - snap
             release(_sctx, prev_cur_ids | digest_ids)
             prev_cur_ids = new_cur_ids

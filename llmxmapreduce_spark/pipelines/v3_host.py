@@ -866,9 +866,11 @@ def make_spark_host(
         )
         suggestions = v2.feedback_suggestions(
             h.state["digests"], cur, client_factory, cfg=rcfg)
-        best = v2.convolution_block(cur, suggestions, client_factory, rcfg)
-        refined = v2.self_refine(best, client_factory, rcfg) \
-            .localCheckpoint(eager=True)
+        # r13: one survey-keyed exchange for the conv→refine chain instead
+        # of two — byte-identical by construction (the fused stage runs the
+        # same shared per-group bodies; tests/test_v2_fused.py).
+        refined = v2.conv_refine_fused(cur, suggestions, client_factory,
+                                       rcfg).localCheckpoint(eager=True)
         h.state["refined"] = refined
         h.state["outlines"] = refined.select(
             "survey_id", "survey_title", "outline_md")

@@ -114,3 +114,45 @@ def test_fused_stage_metrics_attribution(spark):
     assert sm.llm("digest").calls.value == n_papers
     assert sm.llm("suggest").calls.value == n_groups
     assert sm.llm("suggest").reply_chars.value > 0
+
+
+def test_fused_conv_refine_matches_staged(spark):
+    """r13: conv_refine_fused (one survey-keyed exchange) must be
+    row-identical to convolution_block → self_refine (two exchanges) —
+    both run the SAME shared per-group bodies, so any drift here means
+    the fusion wrapper itself broke."""
+    from pyspark.sql import functions as F
+
+    cfg = v2.V2Config(conv_layers=2, receptive_field=2, result_num=3,
+                      top_k=2, refine_rounds=2, best_of=2)
+    grouped, outlines = _prep(spark, cfg)
+    digests, _dead = v2.make_digests(grouped, outlines, MockSurveyClient, cfg)
+    cur = outlines.select(
+        "survey_id", "survey_title", "outline_md",
+        F.lit(None).cast("double").alias("eval_score"),
+        F.lit("[]").alias("block_avg_score"),
+        F.lit("[]").alias("self_refine_score"),
+        F.lit("[]").alias("conv_pool_sizes"),
+    )
+    sugg = v2.feedback_suggestions(digests, cur, MockSurveyClient, cfg=cfg)
+
+    staged = v2.self_refine(
+        v2.convolution_block(cur, sugg, MockSurveyClient, cfg),
+        MockSurveyClient, cfg)
+    fused = v2.conv_refine_fused(cur, sugg, MockSurveyClient, cfg)
+    assert staged.columns == fused.columns
+    assert _rows(staged) == _rows(fused)
+    assert fused.count() == 2           # one refined outline per survey
+
+
+def test_all_three_fusions_e2e_identical(spark):
+    surveys = make_surveys(spark)
+    base = dict(conv_layers=1, receptive_field=2, result_num=3,
+                top_k=2, refine_rounds=1, best_of=2)
+    staged = v2.run_v2_survey(surveys, MockSurveyClient,
+                              v2.V2Config(**base))
+    fused = v2.run_v2_survey(
+        surveys, MockSurveyClient,
+        v2.V2Config(fused_digest_feedback=True, fused_init_outlines=True,
+                    fused_conv_refine=True, **base))
+    assert _rows(staged) == _rows(fused)
