@@ -171,6 +171,23 @@ def run_v1_qa(
     )
     if stage_metrics is not None:
         state = stage_metrics.observe("map", state)
+    # r13: the collapse loop's budget gate (`over.isEmpty`) and the reduce
+    # path consume `state` through separate actions — and when a collapse
+    # round runs, its keep/merge branches are two more consumers — so the
+    # map LLM stage executed 2× per run with no collapse and 3× in a
+    # collapse round (measured via the map accumulator: 1804 calls for
+    # 902 chunks on the board fixture).  One chunk-bounded eager cut runs
+    # it once.  Retention: as the first materialization of the whole
+    # upstream plan this cut TAKES OVER the caller-cache-shield role that
+    # round 1's loop checkpoint used to play (that checkpoint is now
+    # releasable once round 2 supersedes it); it stays pinned for the
+    # call, same bounded class as v2's decode section cut.
+    sc = docs.sparkSession.sparkContext
+    _m_snap = pinned_ids(sc)
+    state = state.localCheckpoint(eager=True)
+    shield: set = pinned_ids(sc) - _m_snap    # map cut + caller caches
+    if stage_metrics is not None:
+        stage_metrics.materialized("map")
 
     # --- A1/L2 collapse loop ------------------------------------------------
     # token budget per merged group (Generator.py:347-350)
@@ -207,14 +224,10 @@ def run_v1_qa(
     # Prior-round checkpoint release (labelprop/pagerank discipline, r12
     # audit): each round's eager checkpoint supersedes the previous
     # round's — without a release the loop pins rounds × |chunks| rows
-    # of truncated-lineage blocks for the session.  Round 1's ids are
-    # KEPT: its checkpoint is the first materialization of the whole
-    # upstream plan, so a caller cache with lazy registration lands in
-    # its diff and must not be swept (≤2 pinned frames per call).
-    sc = docs.sparkSession.sparkContext
-
-
-    shield: set | None = None    # round-1 ids, never released
+    # of truncated-lineage blocks for the session.  The caller-cache
+    # shield is the pre-loop map cut above (r13), so every superseded
+    # round checkpoint — including round 1's — is released
+    # (≤2 pinned frames per call: the map cut + the live round).
     prev_ids: set = set()
     for _ in range(max_collapse_rounds):
         w = Window.partitionBy("doc_id").orderBy("chunk_id")
@@ -252,11 +265,8 @@ def run_v1_qa(
         snap = pinned_ids(sc)
         state = ok_chunks.unionByName(new_chunks).localCheckpoint(eager=True)
         new_ids = pinned_ids(sc) - snap
-        if shield is None:
-            shield = new_ids          # round 1: caller-cache shield
-        else:
-            release(sc, prev_ids - shield)
-            prev_ids = new_ids
+        release(sc, prev_ids - shield)
+        prev_ids = new_ids
         if stage_metrics is not None:
             stage_metrics.materialized("collapse")
 

@@ -3,6 +3,8 @@
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from llmxmapreduce_spark.functions import text as X
+
 from llmxmapreduce_spark.llm.client import (
     FlakyClient,
     HashEchoClient,
@@ -162,3 +164,34 @@ def test_v1_qa_with_llm_cache_replays(spark, tmp_path):
     created = pinned_ids(sc) - before
     assert len(created) <= 12
     release(sc, created)
+
+
+def test_map_stage_runs_once(spark):
+    """r13: the collapse loop's budget gate and the reduce path consume
+    the map output through separate actions; the pre-loop section cut in
+    run_v1_qa must keep the map LLM stage at exactly ONE execution — the
+    map accumulator equals the chunk count (pre-fix it measured 2x with
+    no collapse round and 3x with one)."""
+    from llmxmapreduce_spark.operators import chunker
+    from llmxmapreduce_spark.operators.stage_metrics import StageMetrics
+    from llmxmapreduce_spark.pipelines import v1_qa
+
+    for n, repeats, chunk_size in ((6, 20, 520), (4, 40, 520)):
+        docs = make_docs(spark, n=n, repeats=repeats)
+        budget = (
+            F.lit(chunk_size - chunker.bpe_ish_len(v1_qa.MAP_PROMPT)
+                  - v1_qa.MAX_NEW_TOKENS)
+            - X.token_count_bpe_ish(F.col("question"))
+        )
+        expected = chunker.chunk_documents(
+            docs.withColumn("budget", budget),
+            id_col="doc_id", text_col="context", budget_col="budget",
+            length_fn=chunker.bpe_ish_len,
+        ).count()
+        assert expected > n
+
+        sm = StageMetrics(spark)
+        out = run_v1_qa(docs, chunk_size=chunk_size,
+                        client_factory=MockQAClient, stage_metrics=sm)
+        assert out.count() == n
+        assert sm.llm("map").calls.value == expected
