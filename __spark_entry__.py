@@ -1994,7 +1994,10 @@ def q_corpus_prep_e2e(spark: SparkSession, sf: str) -> DataFrame:
     # bench prices the stages that do real work on this data (PII scan,
     # exact dedup, MinHash near-dedup, components, packing); the full
     # stack incl. quality/span is priced by its own tests on prose
-    cfg = CorpusPrepConfig(quality=False, span=0)
+    # neardup_fast=True: this line prices the PRODUCTION minhash family
+    # (xxhash64, r13 §10); the config default stays the md5 family so
+    # library callers' survivor sets don't drift (r13 ADVICE)
+    cfg = CorpusPrepConfig(quality=False, span=0, neardup_fast=True)
     return run_corpus_prep(d, cfg)
 
 

@@ -11,8 +11,11 @@ concept is the same):
 1. split each document into whitespace words (empty tokens dropped) and
    slide an ``n``-word window, step 1 — ONLY full-length windows, so a
    doc shorter than ``n`` words can never self-trigger;
-2. hash each window (``xxhash64`` of the joined window — the shuffle key
-   is 8 bytes, never the window text);
+2. hash each window with one MULTI-ARGUMENT ``xxhash64`` over its ``n``
+   word columns (r13: no joined window string is ever materialized; the
+   hash length-delimits each argument and skips null tail padding, so
+   equal windows — and only equal windows — collide).  The shuffle key
+   is 8 bytes, never the window text;
 3. one global ``groupBy(window_hash)`` finds duplicated windows and
    elects the OWNER occurrence per window: ``min(struct(doc_id, pos))``
    — deterministic and arrival-order-free (the paper keeps an arbitrary

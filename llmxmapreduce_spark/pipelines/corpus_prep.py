@@ -94,16 +94,20 @@ class CorpusPrepConfig:
                                      # fuzzy dedup; exact dedup still runs)
     neardup_threshold: float = 0.7
     neardup_verify: str = "estimate"
-    neardup_fast: bool = True        # xxhash64 minhash family (dedup.py's
-                                     # documented production variant —
-                                     # whole-stage codegen, no per-shingle
-                                     # md5 string churn; r13: the md5
-                                     # family cost ~2× on the signature
-                                     # pass).  False restores the
-                                     # oracle-portable md5 family; both
-                                     # are valid min-wise families, so
-                                     # only borderline-Jaccard survivors
-                                     # can differ (±1 doc at sf0.1)
+    neardup_fast: bool = False       # True: xxhash64 minhash family
+                                     # (dedup.py's documented production
+                                     # variant — whole-stage codegen, no
+                                     # per-shingle md5 string churn; r13:
+                                     # the md5 family cost ~2× on the
+                                     # signature pass).  Default stays the
+                                     # oracle-portable md5 family so
+                                     # existing callers' survivor sets
+                                     # don't drift across versions (both
+                                     # are valid min-wise families, but
+                                     # borderline-Jaccard survivors can
+                                     # differ — ±1 doc at sf0.1; r13
+                                     # ADVICE): production/bench call
+                                     # sites opt in explicitly.
     badwords: DataFrame | None = None  # one word/phrase per row ('word'):
                                        # C4 §2.2 bad-word page gate inside
                                        # the quality stage

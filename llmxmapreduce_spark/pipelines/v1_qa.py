@@ -229,46 +229,55 @@ def run_v1_qa(
     # round checkpoint — including round 1's — is released
     # (≤2 pinned frames per call: the map cut + the live round).
     prev_ids: set = set()
-    for _ in range(max_collapse_rounds):
-        w = Window.partitionBy("doc_id").orderBy("chunk_id")
-        cur = state.withColumn("__idx", F.row_number().over(w) - 1).withColumn(
-            "__tok",
-            X.token_count_bpe_ish(X.format_chunk_information(F.col("__idx"), F.col("text"))),
-        )
-        totals = cur.groupBy("doc_id").agg(F.sum("__tok").alias("__total"))
-        over = totals.filter(F.col("__total") > token_max).select("doc_id")
-        if over.isEmpty():
-            break
-        ok_chunks = cur.join(over, "doc_id", "left_anti").select(
-            "doc_id", "chunk_id", "question", "text"
-        )
-        over_chunks = cur.join(over, "doc_id", "left_semi")
-        packed = over_chunks.select("doc_id", "chunk_id", "question", "text") \
-            .groupBy("doc_id").applyInPandas(pack, schema=pack_schema)
-        merged = llm_stage(
-            packed,
-            build_prompt=lambda r: collapse_tmpl.format(
-                context=r["context"], question=r["question"]),
-            parse=lambda reply: {"text": reply},
-            client_factory=client_factory,
-            payload_fields=_TEXT_PAYLOAD,
-            keep_cols=["doc_id", "group_id", "question"],
-            retry=retry,
-            metrics=(stage_metrics.llm("collapse")
-                     if stage_metrics is not None else None),
-        )
-        new_chunks = _keep_informative(merged.filter("llm_ok")).select(
-            "doc_id", F.col("group_id").alias("chunk_id"), "question", "text"
-        )
-        # localCheckpoint: cut the per-round lineage so the loop's plan
-        # doesn't grow superlinearly (bounded driver loop, SURVEY.md §7).
-        snap = pinned_ids(sc)
-        state = ok_chunks.unionByName(new_chunks).localCheckpoint(eager=True)
-        new_ids = pinned_ids(sc) - snap
+    # try/except (r13 ADVICE, mirroring operators/pagerank.py): an
+    # exception mid-loop (executor loss, a failing LLM stage) must not
+    # leave the current round's checkpoint pinned for the session; the
+    # caller-cache shield stays out of the error release like the
+    # success path's.
+    try:
+        for _ in range(max_collapse_rounds):
+            w = Window.partitionBy("doc_id").orderBy("chunk_id")
+            cur = state.withColumn("__idx", F.row_number().over(w) - 1).withColumn(
+                "__tok",
+                X.token_count_bpe_ish(X.format_chunk_information(F.col("__idx"), F.col("text"))),
+            )
+            totals = cur.groupBy("doc_id").agg(F.sum("__tok").alias("__total"))
+            over = totals.filter(F.col("__total") > token_max).select("doc_id")
+            if over.isEmpty():
+                break
+            ok_chunks = cur.join(over, "doc_id", "left_anti").select(
+                "doc_id", "chunk_id", "question", "text"
+            )
+            over_chunks = cur.join(over, "doc_id", "left_semi")
+            packed = over_chunks.select("doc_id", "chunk_id", "question", "text") \
+                .groupBy("doc_id").applyInPandas(pack, schema=pack_schema)
+            merged = llm_stage(
+                packed,
+                build_prompt=lambda r: collapse_tmpl.format(
+                    context=r["context"], question=r["question"]),
+                parse=lambda reply: {"text": reply},
+                client_factory=client_factory,
+                payload_fields=_TEXT_PAYLOAD,
+                keep_cols=["doc_id", "group_id", "question"],
+                retry=retry,
+                metrics=(stage_metrics.llm("collapse")
+                         if stage_metrics is not None else None),
+            )
+            new_chunks = _keep_informative(merged.filter("llm_ok")).select(
+                "doc_id", F.col("group_id").alias("chunk_id"), "question", "text"
+            )
+            # localCheckpoint: cut the per-round lineage so the loop's plan
+            # doesn't grow superlinearly (bounded driver loop, SURVEY.md §7).
+            snap = pinned_ids(sc)
+            state = ok_chunks.unionByName(new_chunks).localCheckpoint(eager=True)
+            new_ids = pinned_ids(sc) - snap
+            release(sc, prev_ids - shield)
+            prev_ids = new_ids
+            if stage_metrics is not None:
+                stage_metrics.materialized("collapse")
+    except BaseException:
         release(sc, prev_ids - shield)
-        prev_ids = new_ids
-        if stage_metrics is not None:
-            stage_metrics.materialized("collapse")
+        raise
 
     # --- A2/L3 reduce --------------------------------------------------------
     w = Window.partitionBy("doc_id").orderBy("chunk_id")

@@ -76,7 +76,12 @@ class V2Config:
     shuffle_partitions: int | None = None
     # ^ control-plane shuffle sizing: the refine/assembly stages move a few
     # KB per survey, so shuffles should be sized to the survey count, not the
-    # session default.  None = leave the session conf alone.
+    # session default.  None = leave the session conf alone.  NOTE (r13
+    # ADVICE): setting this ALSO disables spark.sql.adaptive.enabled
+    # SESSION-WIDE for the duration of run_v2_survey (restored on exit) —
+    # AQE re-planning is pure driver latency on KB-sized control-plane
+    # shuffles.  The pipeline already assumes a single driver thread; any
+    # concurrent query sharing the session during the run loses AQE too.
     fused_digest_feedback: bool = False
     # ^ run each block cycle's L7 digest → A3 merge → L9 feedback chain as
     # ONE applyInPandas stage (digest_feedback_fused — the SURVEY §4 LLM-

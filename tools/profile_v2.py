@@ -59,7 +59,8 @@ def main() -> int:
                           block_count=1, digest_batch=1, llm_threads=8,
                           shuffle_partitions=8,
                           fused_digest_feedback=args.fused,
-                          fused_init_outlines=args.fused)
+                          fused_init_outlines=args.fused,
+                          fused_conv_refine=args.fused)
         out = v2.run_v2_survey(surveys, MockSurveyClient, cfg,
                                stage_metrics=sm)
         return out.select(
