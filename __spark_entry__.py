@@ -3798,72 +3798,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round, so every board entry gets driver-confirmed every second
     # round and no entry's evidence is ever older than two rounds.
     # This round's head-50 is EXACTLY the block driver-confirmed in
-    # CORRECTNESS_r11.json (and not touched by the r12 driver window);
-    # the block driver-confirmed in CORRECTNESS_r12.json rotates to
-    # positions 51-100 and becomes the r14 window.  The swap is now
+    # CORRECTNESS_r12.json (the r13 driver window confirmed the OTHER
+    # block, CORRECTNESS_r13.json); the r13-confirmed block rotates to
+    # positions 51-100 and becomes the r15 window.  The swap is
     # MECHANIZED: tests/test_rotation_gate.py asserts the head-50 is
     # disjoint from the newest CORRECTNESS_r*.json keys, so a
     # forgotten swap fails pytest instead of silently halving driver
     # coverage.  Ledger: COVERAGE.md.
     return {
-        # ---- r13 window (positions 1-50): the full r11-green block,
-        # every entry driver-confirmed in CORRECTNESS_r11.json ----
-        # (a) round-10 additions, driver-confirmed r11
-        "hll_distinct": q_hll_distinct,
-        "orc_roundtrip": q_orc_roundtrip,
-        "cms_user_counts": q_cms_user_counts,
-        "triangle_count": q_triangle_count,
-        "langid_predict": q_langid_predict,
-        "weighted_sample": q_weighted_sample,
-        "kway_split": q_kway_split,
-        "label_propagation": q_label_propagation,
-        "salted_agg": q_salted_agg,
-        "qdigest_values": q_qdigest_values,
-        "pattern_hits": q_pattern_hits,
-        # (b) round-11 merged compaction slots (2 retired entries each)
-        "p15_p16_text_counts": q_p15_p16_text_counts,
-        "p7_p14_normalize": q_p7_p14_normalize,
-        "p1_p3_scrub": q_p1_p3_scrub,
-        "p11_p13_strlist": q_p11_p13_strlist,
-        "t3_t6_order_limit": q_t3_t6_order_limit,
-        "t1_t2_topk_best": q_t1_t2_topk_best,
-        "a7_a8_ratio_stats": q_a7_a8_ratio_stats,
-        "events_windows": q_events_windows,
-        "moments_histogram": q_moments_histogram,
-        # (c) r08-greens, driver-confirmed r11
-        "a5_topic_grouping": q_a5_topic_grouping,
-        "p6_crawl_filter_backfill": q_p6_crawl_filter_backfill,
-        "exact_dedup": q_exact_dedup,
-        # (d) r9 greens, driver-confirmed r11
-        "ccnet_perplexity": q_ccnet_perplexity_board,
-        "funnel_steps": q_funnel_steps,
-        "retention_cohorts": q_retention_cohorts,
-        "resample_locf": q_resample_locf,
-        "scd2_intervals": q_scd2_intervals,
-        "dq_report": q_dq_report,
-        "group_quantiles": q_group_quantiles,
-        "rolling_value_stats": q_rolling_value_stats,
-        "cdc_snapshot": q_cdc_snapshot,
-        "bloom_semi_join": q_bloom_semi_join,
-        "fuzzy_name_pairs": q_fuzzy_name_pairs,
-        "substring_dedup": q_substring_dedup,
-        "holdout_split": q_holdout_split,
-        "split_scrub": q_split_scrub,
-        "warc_roundtrip": q_warc_roundtrip,
-        "line_dedup": q_line_dedup,
-        "corpus_report": q_corpus_report,
-        "corpus_shuffle": q_corpus_shuffle,
-        "curriculum_order": q_curriculum_order,
-        "interleave_sources": q_interleave_sources,
-        "kmeans_lloyd": q_kmeans_lloyd,
-        "pagerank_bipartite": q_pagerank_bipartite,
-        "stratified_sample_n": q_stratified_sample_n,
-        "pq_encode": q_pq_encode,
-        "c6_hash_batches": q_c6_hash_batches,
-        "skeleton_nodes": q_skeleton_nodes,
-        "j3_star_join_agg": q_join_star_agg,
-        # ---- positions 51-100 (the r14 window): the full r12 window,
-        # every entry driver-green in CORRECTNESS_r12.json ----
+        # ---- r14 window (positions 1-50): the full r12-green block,
+        # every entry driver-confirmed in CORRECTNESS_r12.json —
+        # including every r13-optimization-touched pipeline query
+        # (v1_qa_secret_key, v2_survey_pipeline, v2_block_cycle,
+        # v2_decode_tail, v3_host_transcript, minhash_lsh_neardup,
+        # connected_components) whose driver-oracle confirmation the
+        # r13 verdict deferred to this window ----
         "q1_pricing_summary": q_pricing_summary,
         "dsir_weights": q_dsir_weights_board,
         "quality_classifier": q_quality_classifier_board,
@@ -3914,6 +3863,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_agg": q_range_join_agg,
         "zorder_key": q_zorder_key,
         "heavy_hitters": q_heavy_hitters,
+        # ---- positions 51-100 (the r15 window): the full r13-green
+        # block, every entry driver-confirmed in CORRECTNESS_r13.json --
+        # (a) round-10 additions
+        "hll_distinct": q_hll_distinct,
+        "orc_roundtrip": q_orc_roundtrip,
+        "cms_user_counts": q_cms_user_counts,
+        "triangle_count": q_triangle_count,
+        "langid_predict": q_langid_predict,
+        "weighted_sample": q_weighted_sample,
+        "kway_split": q_kway_split,
+        "label_propagation": q_label_propagation,
+        "salted_agg": q_salted_agg,
+        "qdigest_values": q_qdigest_values,
+        "pattern_hits": q_pattern_hits,
+        # (b) round-11 merged compaction slots (2 retired entries each)
+        "p15_p16_text_counts": q_p15_p16_text_counts,
+        "p7_p14_normalize": q_p7_p14_normalize,
+        "p1_p3_scrub": q_p1_p3_scrub,
+        "p11_p13_strlist": q_p11_p13_strlist,
+        "t3_t6_order_limit": q_t3_t6_order_limit,
+        "t1_t2_topk_best": q_t1_t2_topk_best,
+        "a7_a8_ratio_stats": q_a7_a8_ratio_stats,
+        "events_windows": q_events_windows,
+        "moments_histogram": q_moments_histogram,
+        # (c) r08-greens
+        "a5_topic_grouping": q_a5_topic_grouping,
+        "p6_crawl_filter_backfill": q_p6_crawl_filter_backfill,
+        "exact_dedup": q_exact_dedup,
+        # (d) r9 greens
+        "ccnet_perplexity": q_ccnet_perplexity_board,
+        "funnel_steps": q_funnel_steps,
+        "retention_cohorts": q_retention_cohorts,
+        "resample_locf": q_resample_locf,
+        "scd2_intervals": q_scd2_intervals,
+        "dq_report": q_dq_report,
+        "group_quantiles": q_group_quantiles,
+        "rolling_value_stats": q_rolling_value_stats,
+        "cdc_snapshot": q_cdc_snapshot,
+        "bloom_semi_join": q_bloom_semi_join,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "substring_dedup": q_substring_dedup,
+        "holdout_split": q_holdout_split,
+        "split_scrub": q_split_scrub,
+        "warc_roundtrip": q_warc_roundtrip,
+        "line_dedup": q_line_dedup,
+        "corpus_report": q_corpus_report,
+        "corpus_shuffle": q_corpus_shuffle,
+        "curriculum_order": q_curriculum_order,
+        "interleave_sources": q_interleave_sources,
+        "kmeans_lloyd": q_kmeans_lloyd,
+        "pagerank_bipartite": q_pagerank_bipartite,
+        "stratified_sample_n": q_stratified_sample_n,
+        "pq_encode": q_pq_encode,
+        "c6_hash_batches": q_c6_hash_batches,
+        "skeleton_nodes": q_skeleton_nodes,
+        "j3_star_join_agg": q_join_star_agg,
         # v2_survey_refdefaults stays OFF the board: it is a THROUGHPUT
         # line (bench.py HEADLINE), hash-gated by its golden-transcript
         # pytest (tests/test_v2_refdefaults.py) — no SQL oracle exists.
