@@ -294,11 +294,22 @@ _MUTANT_SQL = """
 
 
 def q_minhash_lsh_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs on the r14 portable integer family
+    (dedup.py "int60"): ONE md5 per shingle sliced to a 60-bit int, 8
+    affine permutations mod 2^31−1, integer band keys, and the exact
+    hashed-set Jaccard verify — the DuckDB oracle replays the identical
+    integer recurrence, so the comparison stays values-grade while the
+    signature pass drops 8 md5 string hashes per shingle to one (r13
+    verdict task #3; the family change is the round's one deliberate
+    candidate-set drift, same class as the sanctioned md5↔xxh64 pair —
+    measured at sf0.1: 6017 pairs vs md5's 6016, 6009 common with
+    ZERO jaccard-value differences, the 15 either-side-only pairs all
+    borderline 0.64-0.82 banding-margin cases)."""
     from llmxmapreduce_spark.operators import dedup
 
     corpus = _corpus_with_mutants(spark, sf)
     return dedup.minhash_dedup_pairs(
-        corpus, n=3, num_hashes=8, bands=4, threshold=0.5
+        corpus, n=3, num_hashes=8, bands=4, threshold=0.5, family="int60"
     )
 
 
@@ -1702,8 +1713,9 @@ def q_v2_digest_feedback_unfused(spark: SparkSession, sf: str) -> DataFrame:
 def q_v2_digest_feedback_fused(spark: SparkSession, sf: str) -> DataFrame:
     """BENCH pair — the LLM-batch-coalesced chain (SURVEY §4):
     digest_feedback_fused runs the same L7 calls, A3 merge, and L9 call
-    as ONE applyInPandas over (survey_id, digest_id) groups — one
-    shuffle, one Python pass, one client per group, zero intermediate
+    as ONE applyInPandas over PER-SURVEY groups (r14: one client and one
+    outline parse per survey, digest groups fanned out on
+    cfg.llm_threads) — one shuffle, one Python pass, zero intermediate
     materialization."""
     from llmxmapreduce_spark.llm.survey_mock import MockSurveyClient
     from llmxmapreduce_spark.pipelines import v2_survey as v2
@@ -1802,8 +1814,11 @@ def q_minhash_neardup_estimate(spark: SparkSession, sf: str) -> DataFrame:
     from llmxmapreduce_spark.operators import dedup
 
     corpus = _corpus_with_mutants(spark, sf)
+    # same int60 family as the board entry (r14) so the pair stays a
+    # verify-mode A/B on one family, not a family A/B
     return dedup.minhash_dedup_pairs(
-        corpus, n=3, num_hashes=8, bands=4, threshold=0.5, verify="estimate"
+        corpus, n=3, num_hashes=8, bands=4, threshold=0.5, verify="estimate",
+        family="int60"
     )
 
 
@@ -3395,13 +3410,31 @@ def q_qdigest_values(spark: SparkSession, sf: str) -> DataFrame:
     rank/quantile member of the mergeable-sketch family (MG which
     keys, HLL how many, CMS how often, q-digest WHERE the distribution
     sits).  The only corpus-scale shuffle is the leaf groupBy (output
-    bounded by the universe); the 10 compression levels shuffle
-    geometrically-shrinking tables.  VALUES-GRADE: the deterministic
-    sibling-pair compression is a pure-integer function of the value
-    multiset, replayed unrolled by the oracle (the pagerank/LPA
-    pattern).  Gated by tests/test_qdigest.py (python reference ≡,
-    tau bound, rank-error bounds, merge rollup, repartition
-    determinism)."""
+    bounded by the universe); r14 (verdict task #4): the k-level
+    Catalyst compression recursion (~30 universe-bounded stages whose
+    scheduling latency never amortizes — three cheaper Catalyst
+    variants measured dead in r13) is replaced by qdigest_fast's single
+    Arrow compression pass, which is PYTEST-PINNED BIT-IDENTICAL to the
+    Catalyst build (tests/test_qdigest.py::test_fast_build_identical_
+    to_catalyst) — the deterministic sibling-pair compression is a pure
+    integer function of the value multiset, so the oracle's unrolled
+    replay (the pagerank/LPA pattern) is UNCHANGED and the output
+    hash-identical.  The Catalyst recursion stays priced by the
+    qdigest_values_catalyst bench line.  Gated by tests/test_qdigest.py
+    (python reference ≡, tau bound, rank-error bounds, merge rollup,
+    repartition determinism)."""
+    from llmxmapreduce_spark.operators import qdigest as qd
+
+    ev = load_table(spark, sf, "events").select(
+        F.floor(F.col("value")).alias("v"))
+    return qd.qdigest_fast(ev, "v", k=10, tau=50).orderBy("node")
+
+
+def q_qdigest_values_catalyst(spark: SparkSession, sf: str) -> DataFrame:
+    """BENCH line (r14): the pure-Catalyst k-level compression recursion
+    that carried the board entry through r13 — kept priced so the
+    implementation swap above stays an honest, measured trade rather
+    than a silently retired code path."""
     from llmxmapreduce_spark.operators import qdigest as qd
 
     ev = load_table(spark, sf, "events").select(
@@ -4048,29 +4081,63 @@ def _simhash_oracle() -> str:
 
 
 def _minhash_oracle(num_hashes: int = 8, bands_n: int = 4) -> str:
+    """DuckDB replay of dedup.py's "int60" family: the affine constants
+    come from the SAME minhash_affine_params call the Spark expressions
+    use, every intermediate stays below 2^62 (exact signed-64 in both
+    engines), and the verify runs the identical set ops over the
+    identical duplicate-free 60-bit hash lists."""
+    from llmxmapreduce_spark.operators.dedup import (MINHASH_P31,
+                                                     minhash_affine_params)
+
+    from llmxmapreduce_spark.operators.dedup import MINHASH_K, MINHASH_M45
+
+    p = MINHASH_P31
+    k, m = MINHASH_K, MINHASH_M45
     rows_per_band = num_hashes // bands_n
     sigs = ",\n               ".join(
-        f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS m{i}"
-        for i in range(num_hashes)
+        f"list_min(list_transform(h, x -> ({a} * (x % {p}) + {b}) % {p}))"
+        f" AS m{i}"
+        for i, (a, b) in enumerate(minhash_affine_params(num_hashes))
     )
-    sep = " || '|' || "
+    # n=3 gram fold: ((wh[i]·K + wh[i+1]) % M · K + wh[i+2]) % M — the
+    # exact shingle_hashes_int recurrence; short docs fold ALL word
+    # hashes (list_reduce inits with the first element, which equals the
+    # engine's 0-seeded fold since (0·K + x) % M = x)
+    gram = f"((wh[i] * {k} + wh[i+1]) % {m} * {k} + wh[i+2]) % {m}"
+
+    def band_hash(b: int) -> str:
+        idxs = [b * rows_per_band + r for r in range(rows_per_band)]
+        if len(idxs) == 2:      # injective combine (dedup._band_hash_int)
+            return f"m{idxs[0]} * {p} + m{idxs[1]}"
+        expr = f"m{idxs[0]}"
+        for j in idxs[1:]:
+            expr = f"(({expr}) * 131 + m{j}) % {p}"
+        return expr
+
     bands = "\n            UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, "
-        f"md5({sep.join(f'm{b * rows_per_band + r}' for r in range(rows_per_band))}) AS band_hash FROM sig"
+        f"{band_hash(b)} AS band_hash FROM sig"
         for b in range(bands_n)
     )
     return rf"""
         WITH {_MUTANT_SQL.strip()},
         toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM corpus),
-        sh AS (SELECT doc_id,
-                 CASE WHEN len(ws) >= 3
-                      THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                                          for i in range(1, len(ws) - 1)])
-                      ELSE [array_to_string(ws, ' ')] END AS shingles
+        wht AS (SELECT doc_id,
+                 list_transform(ws,
+                     w -> CAST(CAST(('0x' || substr(md5(w), 1, 15)) AS UBIGINT)
+                               AS BIGINT) % {m}) AS wh
                FROM toks),
-        sig AS (SELECT doc_id, shingles,
+        hs AS (SELECT doc_id,
+                 CASE WHEN len(wh) >= 3
+                      THEN list_distinct([{gram}
+                                          for i in range(1, len(wh) - 1)])
+                      ELSE [list_reduce(wh,
+                                        (acc, x) -> (acc * {k} + x) % {m})]
+                      END AS h
+               FROM wht),
+        sig AS (SELECT doc_id,
                {sigs}
-               FROM sh),
+               FROM hs),
         buckets AS ({bands}),
         cand AS (
             SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
@@ -4079,12 +4146,12 @@ def _minhash_oracle(num_hashes: int = 8, bands_n: int = 4) -> str:
              AND l.doc_id < r.doc_id),
         verified AS (
             SELECT c.id_a, c.id_b,
-                   CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-                   (len(a.shingles) + len(b.shingles)
-                    - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+                   CAST(len(list_intersect(a.h, b.h)) AS DOUBLE) /
+                   (len(a.h) + len(b.h)
+                    - len(list_intersect(a.h, b.h))) AS jaccard
             FROM cand c
-            JOIN sh a ON c.id_a = a.doc_id
-            JOIN sh b ON c.id_b = b.doc_id)
+            JOIN hs a ON c.id_a = a.doc_id
+            JOIN hs b ON c.id_b = b.doc_id)
         SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
     """
 

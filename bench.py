@@ -152,6 +152,8 @@ HEADLINE = [
     "v2_digest_feedback_fused",
     "langid_predict_fast",
     "qdigest_values_fast",
+    # r14 additions (never remove/rename existing entries)
+    "qdigest_values_catalyst",
 ]
 
 # Oracle-twin lines: implementations that exist to mirror a DuckDB-
@@ -245,6 +247,11 @@ BENCH_ONLY = {
     # r11: production q-digest build (single-pass local compression of
     # the universe-bounded leaf table; board entry = Catalyst twin)
     "qdigest_values_fast": entrymod.q_qdigest_values_fast,
+    # r14: the pure-Catalyst k-level compression recursion the board
+    # entry ran through r13 (the board now runs the pytest-pinned
+    # bit-identical single-Arrow-pass build; this line keeps the old
+    # shape priced so the swap stays a measured trade)
+    "qdigest_values_catalyst": entrymod.q_qdigest_values_catalyst,
     # r10 scale extensions: mergeable HLL cardinality state + the
     # stream-stream interval join's batch twin
     "interval_join": entrymod.q_interval_join,

@@ -99,27 +99,156 @@ def minhash_signature_fast(shingles: Column, num_hashes: int = 12) -> Column:
     ])
 
 
+# --- portable integer family (r14) -----------------------------------------
+#
+# The md5 family pays num_hashes md5 STRING hashes per shingle (plus an
+# md5 per band) purely so DuckDB can replay it.  This family keeps the
+# bit-for-bit DuckDB replay with ONE md5 per shingle: the shingle's
+# 60-bit integer slice (the probe-verified engine-parity building block
+# from the verify harness: Spark conv(substr(md5(s),1,15),16,10) ≡
+# DuckDB CAST('0x'||substr(md5(s),1,15) AS UBIGINT)) is permuted by
+# num_hashes affine maps (a·h + b) mod p over p = 2^31−1.  Every
+# intermediate stays below 2^62, so the arithmetic is exact signed-64 in
+# BOTH engines (Spark 4 runs ANSI; DuckDB BIGINT ops raise on overflow —
+# the bound is load-bearing, not cosmetic).  Affine maps over a prime
+# field are the classical universal-hash min-wise family; like the
+# md5↔xxhash64 pair, md5-lex-min and affine-mod-min are DIFFERENT valid
+# permutation families, so only borderline-Jaccard candidate pairs can
+# differ between them.
+
+MINHASH_P31 = 2_147_483_647          # 2^31 − 1 (Mersenne prime)
+MINHASH_K = 32749                    # odd fold multiplier (< 2^15)
+MINHASH_M45 = 1 << 45                # shingle-hash modulus: (M−1)·K + M
+                                     # < 2^61, so the fold is exact
+                                     # signed-64 in both engines
+
+
+def minhash_affine_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs, a in [1, p), b in [0, p) — a fixed
+    splitmix-style derivation shared verbatim by the Spark expressions
+    and the DuckDB oracle generator (the constants ARE the contract)."""
+    out: list[tuple[int, int]] = []
+    x = 0x9E3779B97F4A7C15
+    for _ in range(num_hashes):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = 1 + (x >> 33) % (MINHASH_P31 - 1)
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = (x >> 33) % MINHASH_P31
+        out.append((a, b))
+    return out
+
+
+def shingle_hash60(s: Column) -> Column:
+    """60-bit integer slice of md5 — the engine-portable string hash."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def shingle_hashes_int(words_col: Column, n: int = 3) -> Column:
+    """Distinct n-gram shingle hashes WITHOUT materializing gram strings
+    (the r13 decontamination lesson applied portably): each word is
+    hashed once (md5 60-bit slice mod 2^45), and a shingle's hash is the
+    base-K polynomial fold of its word hashes mod 2^45 — one md5 per
+    WORD instead of one per gram string over 3× the bytes, zero concat
+    allocation, and DuckDB replays the identical fold (list_reduce /
+    list comprehension).  ``words_col`` MUST be a projected column
+    holding the per-word hashes (see the int60 branch of
+    minhash_dedup_pairs) — a lambda capturing the hash expression tree
+    would re-evaluate the md5 pass once per zip_with reference (the
+    measured 7× blow-up class from r13).
+
+    Docs shorter than ``n`` words fold ALL their word hashes into one
+    shingle (= the md5-family rule of one whole-text shingle), and the
+    n-gram fold starting from the first word hash equals the same fold
+    seeded with 0, so both engines' short/long paths share one
+    formula."""
+    wh = words_col
+    k, m = F.lit(MINHASH_K), F.lit(MINHASH_M45)
+    g = wh
+    for j in range(1, n):
+        g = F.zip_with(
+            g,
+            F.slice(wh, j + 1, F.greatest(F.size(wh) - j, F.lit(1))),
+            lambda a, b: (a * k + b) % m,
+        )
+    grams = F.slice(g, 1, F.greatest(F.size(wh) - (n - 1), F.lit(1)))
+    whole = F.array(F.aggregate(
+        wh, F.lit(0).cast("long"), lambda acc, x: (acc * k + x) % m))
+    return F.array_distinct(
+        F.when(F.size(wh) >= n, grams).otherwise(whole))
+
+
+def minhash_signature_int(hashes60: Column, num_hashes: int = 12) -> Column:
+    """Portable integer MinHash over pre-hashed shingles:
+    signature[i] = min over h of (a_i·(h mod p) + b_i) mod p."""
+    p = F.lit(MINHASH_P31)
+
+    def perm(a: int, b: int):
+        # closure factory: a bare 1-arg lambda is required — extra
+        # default-arg parameters trip PySpark's higher-order-function
+        # arity detection
+        return lambda h: (F.lit(a) * (h % p) + F.lit(b)) % p
+
+    return F.array(*[
+        F.array_min(F.transform(hashes60, perm(a, b)))
+        for a, b in minhash_affine_params(num_hashes)
+    ])
+
+
+def _band_hash_int(sig: Column, idxs: list[int]) -> Column:
+    """Integer band key over signature positions ``idxs`` (values < p).
+    Two rows per band combine INJECTIVELY as s0·p + s1 (< 2^62); wider
+    bands fold mod p (collisions only create extra candidates, which the
+    verify pass filters — and the fold is identical in both engines)."""
+    p = F.lit(MINHASH_P31)
+    acc = F.get(sig, idxs[0])
+    if len(idxs) == 2:
+        return acc * p + F.get(sig, idxs[1])
+    for j in idxs[1:]:
+        acc = (acc * F.lit(131) + F.get(sig, j)) % p
+    return acc
+
+
 def lsh_buckets(
     df: DataFrame,
     id_col: str = "doc_id",
     sig_col: str = "signature",
     bands: int = 4,
     rows_per_band: int = 3,
+    int_bands: bool = False,
 ) -> DataFrame:
-    """(id, band_id, band_hash) bucket entries — one row per band per doc."""
-    band_entries = F.explode(
-        F.array(*[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(F.concat_ws(
-                    "|", *[F.get(F.col(sig_col).cast("array<string>"),
-                                 b * rows_per_band + r)
-                           for r in range(rows_per_band)]
-                )).alias("band_hash"),
-            )
-            for b in range(bands)
-        ])
-    )
+    """(id, band_id, band_hash) bucket entries — one row per band per doc.
+
+    ``int_bands=True`` (the int60 family) keys each band with the exact
+    integer combine from :func:`_band_hash_int` — the join key is an
+    8-byte long instead of a 32-char md5 string."""
+    if int_bands:
+        sig = F.col(sig_col)
+        band_entries = F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    _band_hash_int(
+                        sig, [b * rows_per_band + r
+                              for r in range(rows_per_band)]
+                    ).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        )
+    else:
+        band_entries = F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.md5(F.concat_ws(
+                        "|", *[F.get(F.col(sig_col).cast("array<string>"),
+                                     b * rows_per_band + r)
+                               for r in range(rows_per_band)]
+                    )).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        )
     return df.select(F.col(id_col).alias("id"), band_entries.alias("b")) \
              .select("id", "b.band_id", "b.band_hash")
 
@@ -130,12 +259,14 @@ def lsh_candidate_pairs(
     sig_col: str = "signature",
     bands: int = 4,
     rows_per_band: int = 3,
+    int_bands: bool = False,
 ) -> DataFrame:
     """Banded LSH: hash each band of the signature; docs sharing any band
     hash become a candidate pair.  Plan: explode to (band_id, band_hash,
     id) → self-join on the band key (equi-join, shuffle on band_hash) →
     distinct (a, b) with a < b.  No cartesian product at any scale."""
-    buckets = lsh_buckets(df, id_col, sig_col, bands, rows_per_band)
+    buckets = lsh_buckets(df, id_col, sig_col, bands, rows_per_band,
+                          int_bands)
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (
@@ -146,7 +277,15 @@ def lsh_candidate_pairs(
             & (F.col("l.id") < F.col("r.id")),
         )
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
+        # dedup behind an id_a hash exchange instead of a plain
+        # .distinct(): hashpartitioning(id_a) satisfies the
+        # dropDuplicates aggregate's ClusteredDistribution([id_a, id_b])
+        # AND is exactly the partitioning the verify join on id_a needs,
+        # so the pairs frame crosses ONE exchange instead of two on the
+        # verify path (r14; the labelprop r13 shared-exchange pattern).
+        # Same rows — only the exchange key changes.
+        .repartition("id_a")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -232,9 +371,26 @@ def minhash_dedup_pairs(
     fast: bool = False,
     materialize: bool = True,
     verify: str = "exact",
+    family: str | None = None,
 ) -> DataFrame:
     """End-to-end near-dup pair detection: shingle → minhash → LSH buckets →
     Jaccard verify.  Returns (id_a, id_b, jaccard >= threshold).
+
+    ``family`` picks the min-wise permutation family (None derives it
+    from ``fast`` for backward compatibility):
+
+    - ``"md5"`` (= ``fast=False``) — num_hashes keyed md5 string hashes
+      per shingle; the historical oracle-portable family.
+    - ``"xxh64"`` (= ``fast=True``) — seeded xxhash64, production.
+    - ``"int60"`` — the r14 portable integer family: ONE md5 per WORD
+      (60-bit slice mod 2^45), shingle hashes by polynomial fold of the
+      word hashes (no gram strings anywhere), num_hashes affine
+      permutations mod 2^31−1, integer band keys, and the verify pass
+      running set ops over the 8-byte shingle hashes.  Replays
+      bit-for-bit in DuckDB (see the family block above) at ~1/num_hashes
+      of the md5 family's hash work over ~1/n of the bytes.  All three
+      are valid min-wise families; only borderline-Jaccard candidate
+      pairs differ.
 
     ``verify`` picks the confirmation pass over bucket-collision candidates:
 
@@ -260,25 +416,56 @@ def minhash_dedup_pairs(
     ``materialize=True`` (default) computes the pairs eagerly and releases
     the signature cache; pass False to get the lazy plan (the signature
     DataFrame then stays persisted and is the caller's to release)."""
-    sig_fn = minhash_signature_fast if fast else minhash_signature
+    if family is None:
+        family = "xxh64" if fast else "md5"
+    if family not in ("md5", "xxh64", "int60"):
+        raise ValueError(f"unknown minhash family: {family!r}")
     rows_per_band = num_hashes // bands
     # Shingling + signatures feed BOTH the bucket join (twice, as left and
     # right) and the verify join — persist so the expensive md5/xxhash pass
     # over the full corpus runs once, not four times.  The cache is released
     # before returning (the result is materialized via localCheckpoint, so
     # repeated calls don't pin corpus-sized blocks for the session's life).
-    base = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
-    ).withColumn("signature", sig_fn(F.col("shingles"), num_hashes))
-    if verify == "exact_hashed":
+    if family == "int60":
+        # no gram strings at all: one portable md5 per WORD, shingle
+        # hashes by polynomial fold (shingle_hashes_int).  The per-word
+        # hash array is PROJECTED before the fold so the md5 pass runs
+        # once, not once per zip_with reference (r13 lesson).
+        base = df.select(
+            F.col(id_col),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("__ws"),
+        ).select(
+            F.col(id_col),
+            F.transform(
+                "__ws", lambda w: shingle_hash60(w) % F.lit(MINHASH_M45)
+            ).alias("__wh"),
+        ).select(
+            F.col(id_col),
+            shingle_hashes_int(F.col("__wh"), n).alias("sh_h"),
+        ).withColumn(
+            "signature", minhash_signature_int(F.col("sh_h"), num_hashes))
+    else:
+        sig_fn = minhash_signature_fast if family == "xxh64" \
+            else minhash_signature
+        base = df.select(
+            F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
+        ).withColumn(
+            "signature", sig_fn(F.col("shingles"), num_hashes))
+    if verify == "exact_hashed" and family != "int60":
         # hash the shingles BEFORE the persist and drop the strings: the
         # cache then holds 8-byte longs, and so does the verify shuffle
         base = base.withColumn(
             "sh_h", F.transform("shingles", lambda s: F.xxhash64(s))
         ).drop("shingles")
     base = base.persist()
-    cands = lsh_candidate_pairs(base, id_col, "signature", bands, rows_per_band)
-    if verify == "exact":
+    cands = lsh_candidate_pairs(base, id_col, "signature", bands,
+                                rows_per_band, int_bands=family == "int60")
+    if verify == "exact" and family == "int60":
+        # int60's exact verify IS the hashed-set jaccard: the oracle
+        # replays the identical hashed lists, so the comparison is exact
+        # by construction, not probabilistic
+        pairs = jaccard_verify(cands, base, id_col, "sh_h", threshold)
+    elif verify == "exact":
         pairs = jaccard_verify(cands, base, id_col, "shingles", threshold)
     elif verify == "exact_hashed":
         pairs = jaccard_verify(cands, base, id_col, "sh_h", threshold)

@@ -70,6 +70,7 @@ def label_propagation(
     node_out: str = "node",
     label_out: str = "label",
     checkpoint: bool = True,
+    combine_votes: bool = False,
 ) -> DataFrame:
     """→ (node_out, label_out): one row per node appearing in ``edges``.
 
@@ -77,12 +78,25 @@ def label_propagation(
     oracle-replayable mode); ``n_iter=None`` iterates to a fixpoint
     (no label changed) bounded by ``max_iter``.
 
-    ``checkpoint=False`` skips the per-round lineage cut — ONLY for
-    plan auditing / tiny n_iter (tools/explain_audit.py captures the
-    one-round operator pipeline this way; with checkpointing on, the
-    final plan collapses to a Scan ExistingRDD and is unreviewable —
-    r10 verdict task #4).  Production keeps the default: the
-    self-referential plan grows exponentially in rounds.
+    ``combine_votes`` picks the per-round shuffle shape (r13 verdict
+    task #6 — the guard for the r13 one-exchange trade).  Both shapes
+    compute the identical labels:
+
+    - ``False`` (default): ONE exchange per round carrying the RAW vote
+      stream, hash-partitioned on the node so both downstream
+      aggregates reuse it (the r13 shape — measured 1.5-2× faster on
+      the board graph, where exchange/stage count dominates).
+    - ``True``: the (node, label) count aggregate keeps its own
+      exchange, which restores Catalyst's MAP-SIDE PARTIAL COMBINE
+      below it — the first exchange then carries combined partials
+      (≤ distinct (node, label) pairs per map partition) and the argmax
+      exchange carries the globally combined pairs.  Two exchanges, but
+      strictly fewer shuffled BYTES whenever vote duplication is heavy:
+      pick it when |votes| / |distinct (node, label)| is large — heavy
+      multi-edge graphs, or late rounds of dense communities where most
+      neighbors vote the same label.  Break-even: the raw-vote exchange
+      ships |E|+|V| rows; this shape ships ~(combined partials +
+      distinct pairs) rows across two exchanges.
     """
     if n_iter is not None and n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
@@ -121,7 +135,7 @@ def label_propagation(
         rounds = n_iter if n_iter is not None else max_iter
         for _ in range(rounds):
             base = pinned_ids(sc)
-            new_labels = _one_round(e, labels)
+            new_labels = _one_round(e, labels, combine_votes)
             if checkpoint:
                 new_labels = new_labels.localCheckpoint(eager=True)
             new_ids = pinned_ids(sc) - base
@@ -166,27 +180,40 @@ def label_propagation(
         e.unpersist()
 
 
-def _one_round(e: DataFrame, labels: DataFrame) -> DataFrame:
+def _one_round(e: DataFrame, labels: DataFrame,
+               combine_votes: bool = False) -> DataFrame:
     """One synchronous vote round (contract in the module docstring)."""
     edge_votes = (
         e.join(labels, e["__s"] == labels["__n"])
         .select(F.col("__d").alias("__n"), "__l")
     )
-    # r13: ONE exchange per round instead of two — hash-partitioning the
-    # raw votes by __n satisfies the ClusteredDistribution of BOTH
-    # downstream aggregates ((n,l) count and the per-n argmax), so
-    # neither inserts its own exchange.  Trade: the single exchange
-    # carries raw votes (|E|+|V| rows) where the old first exchange
-    # carried map-side-combined (n,l) partials — a loss only on graphs
-    # whose multi-edge duplication is heavy enough that the combine
-    # shrank below |E|+|pairs| combined across both old exchanges
-    # (measured 1.5-2x faster on the board's lineitem bipartite graph).
-    votes = (
-        edge_votes.unionByName(labels.select("__n", "__l"))
-        .repartition("__n")
-        .groupBy("__n", "__l")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-    )
+    all_votes = edge_votes.unionByName(labels.select("__n", "__l"))
+    if combine_votes:
+        # r14 guard shape: let the (n,l) aggregate insert its own
+        # exchange so Catalyst plans a map-side partial_count below it —
+        # the exchange carries per-partition-combined (n,l) partials
+        # instead of raw votes, and the argmax exchange carries the
+        # globally distinct pairs.  Right when vote duplication is
+        # heavy (see label_propagation docstring for the break-even).
+        votes = all_votes.groupBy("__n", "__l").agg(
+            F.count(F.lit(1)).alias("__cnt"))
+    else:
+        # r13: ONE exchange per round instead of two — hash-partitioning
+        # the raw votes by __n satisfies the ClusteredDistribution of
+        # BOTH downstream aggregates ((n,l) count and the per-n argmax),
+        # so neither inserts its own exchange.  Trade: the single
+        # exchange carries raw votes (|E|+|V| rows) where the old first
+        # exchange carried map-side-combined (n,l) partials — a loss
+        # only on graphs whose multi-edge duplication is heavy enough
+        # that the combine shrank below |E|+|pairs| combined across both
+        # old exchanges (measured 1.5-2x faster on the board's lineitem
+        # bipartite graph).
+        votes = (
+            all_votes
+            .repartition("__n")
+            .groupBy("__n", "__l")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
     # argmax(cnt), ties -> min label: a hash aggregate over a struct
     # whose lexicographic MIN is (max cnt, min label).  No window sort.
     return (

@@ -726,8 +726,18 @@ def digest_feedback_fused(
     feedback_metrics=None,
 ) -> tuple[DataFrame, DataFrame]:
     """The block cycle's digest→feedback chain coalesced into ONE
-    ``applyInPandas`` over (survey_id, digest_id) groups — the SURVEY §4
-    "coalesce adjacent LLM mapInPandas ops sharing a model" strategy.
+    ``applyInPandas`` over PER-SURVEY groups — the SURVEY §4 "coalesce
+    adjacent LLM mapInPandas ops sharing a model" strategy, taken one
+    level further in r14 (verdict task #7): grouping by ``survey_id``
+    alone (was: (survey_id, digest_id)) cuts the stage from
+    surveys×digest-groups Arrow groups to one per survey — one client
+    construction and one outline parse per SURVEY instead of per digest
+    group — while ``cfg.llm_threads`` fans the independent digest groups
+    out inside each survey (the reference's own per-node worker pool),
+    so at digest_batch=1 the intra-survey parallelism the finer grouping
+    provided is preserved.  LLM call count, prompts and replies are
+    UNCHANGED (per-group bodies run verbatim; metric adds are applied
+    outside the thread pool so accumulator counts stay exact).
 
     Unfused, each cycle costs: a mapInPandas digest stage over papers, a
     node explode + merge aggregation (shuffle), a per-group concat
@@ -761,11 +771,12 @@ def digest_feedback_fused(
     joined = joined.withColumn("digest_id", F.col("digest_id").cast("int"))
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        client = client_factory()
+        client = client_factory()      # ONE per survey (r14; was per group)
         survey_id = pdf["survey_id"].iloc[0]
-        digest_id = int(pdf["digest_id"].iloc[0])
         title = pdf["survey_title"].iloc[0]
         outline_md = pdf["outline_md"].iloc[0]
+        # outline parse/serialize once per survey (r14; was per group —
+        # it depends only on (title, outline_md))
         placeholder_md = skeleton.serialize_outline_py(
             skeleton.parse_outline_py(title, outline_md),
             with_digest_placeholder=True)
@@ -779,75 +790,98 @@ def digest_feedback_fused(
                 else:
                     m.reply_chars.add(len(reply))
 
-        # L7 per paper + J1 align gate; order within the group is
-        # irrelevant to the output (per-paper calls are independent)
-        good: list[tuple[str, list[dict]]] = []   # (bibkey, nodes)
-        for row in pdf.sort_values("bibkey").to_dict("records"):
-            prompt = _digest_prompt(ps, title, row["bibkey"], row["content"],
-                                    outline_md, placeholder_md)
-            reply, _err, _att = call_with_retry(client, prompt, retry)
-            _count(prompt, reply, metrics)
-            if reply is None:
-                continue
-            try:
-                md = _parse_fenced_with_suggestion(reply)["md"]
-            except Exception:   # any parse error == staged llm_ok=false
-                continue
-            if md is None or skeleton.align_reason_py(title, outline_md, md):
-                continue
-            good.append((row["bibkey"], skeleton.parse_outline_py(title, md)))
+        def one_group(g: pd.DataFrame) -> tuple[list[dict], list[tuple]]:
+            """The verbatim per-(survey, digest)-group body.  Returns
+            (output rows, deferred metric events) — metric adds happen
+            OUTSIDE the thread pool so accumulator counts stay exact."""
+            digest_id = int(g["digest_id"].iloc[0])
+            events: list[tuple] = []
+            # L7 per paper + J1 align gate; order within the group is
+            # irrelevant to the output (per-paper calls are independent)
+            good: list[tuple[str, list[dict]]] = []   # (bibkey, nodes)
+            for row in g.sort_values("bibkey").to_dict("records"):
+                prompt = _digest_prompt(ps, title, row["bibkey"],
+                                        row["content"], outline_md,
+                                        placeholder_md)
+                reply, _err, _att = call_with_retry(client, prompt, retry)
+                events.append((metrics, prompt, reply))
+                if reply is None:
+                    continue
+                try:
+                    md = _parse_fenced_with_suggestion(reply)["md"]
+                except Exception:   # any parse error == staged llm_ok=false
+                    continue
+                if md is None or skeleton.align_reason_py(title, outline_md,
+                                                          md):
+                    continue
+                good.append((row["bibkey"],
+                             skeleton.parse_outline_py(title, md)))
 
-        rows: list[dict] = []
-        if good:
-            # A3 merge — the deterministic contract of
-            # digest_ops.merge_digest_descriptions with bibkeys=[bibkey]:
-            # per pos, non-empty entries sorted by (bibkey, entry) joined
-            # on the 20-dash separator; all_bibkeys = sorted distinct over
-            # ALL papers contributing rows at that pos
-            by_pos: dict[int, list[tuple[str, str]]] = {}
-            keys_at: dict[int, set] = {}
-            for bibkey, nodes in good:
-                for n in nodes:
-                    keys_at.setdefault(n["pos"], set()).add(bibkey)
-                    desc = n["description"]
-                    if desc:
-                        by_pos.setdefault(n["pos"], []).append(
-                            (bibkey,
-                             f"Paper bibkey: [{bibkey}]\nDigest: \n{desc}"))
-                    else:
-                        by_pos.setdefault(n["pos"], [])
-            merged: list[tuple[int, str]] = []
-            for pos in sorted(by_pos):
-                desc = digest_ops.MERGE_SEPARATOR.join(
-                    v for _k, v in sorted(by_pos[pos]))
-                merged.append((pos, desc))
-                rows.append({
-                    "survey_id": survey_id, "digest_id": digest_id,
-                    "row_type": "digest", "pos": pos, "description": desc,
-                    "all_bibkeys": sorted(keys_at[pos]), "content": None,
-                })
-            # L9 feedback over the merged group (feedback_suggestions'
-            # digest_content: descriptions sorted by pos, '\n'-joined)
-            digest_content = "\n".join(d for _p, d in merged)
-            prompt = _feedback_prompt(ps, title, outline_md, digest_content)
-            reply, _err, _att = call_with_retry(client, prompt, retry)
-            _count(prompt, reply, feedback_metrics)
-            if reply is not None:
-                try:    # any parse error == staged filter("llm_ok") drop
-                    sugg = _parse_suggestion(reply)["suggestion"]
+            rows: list[dict] = []
+            if good:
+                # A3 merge — the deterministic contract of
+                # digest_ops.merge_digest_descriptions with
+                # bibkeys=[bibkey]: per pos, non-empty entries sorted by
+                # (bibkey, entry) joined on the 20-dash separator;
+                # all_bibkeys = sorted distinct over ALL papers
+                # contributing rows at that pos
+                by_pos: dict[int, list[tuple[str, str]]] = {}
+                keys_at: dict[int, set] = {}
+                for bibkey, nodes in good:
+                    for n in nodes:
+                        keys_at.setdefault(n["pos"], set()).add(bibkey)
+                        desc = n["description"]
+                        if desc:
+                            by_pos.setdefault(n["pos"], []).append(
+                                (bibkey,
+                                 f"Paper bibkey: [{bibkey}]\nDigest: \n{desc}"))
+                        else:
+                            by_pos.setdefault(n["pos"], [])
+                merged: list[tuple[int, str]] = []
+                for pos in sorted(by_pos):
+                    desc = digest_ops.MERGE_SEPARATOR.join(
+                        v for _k, v in sorted(by_pos[pos]))
+                    merged.append((pos, desc))
                     rows.append({
                         "survey_id": survey_id, "digest_id": digest_id,
-                        "row_type": "suggestion", "pos": None,
-                        "description": None, "all_bibkeys": None,
-                        "content": sugg,
+                        "row_type": "digest", "pos": pos, "description": desc,
+                        "all_bibkeys": sorted(keys_at[pos]), "content": None,
                     })
-                except Exception:
-                    pass
+                # L9 feedback over the merged group (feedback_suggestions'
+                # digest_content: descriptions sorted by pos, '\n'-joined)
+                digest_content = "\n".join(d for _p, d in merged)
+                prompt = _feedback_prompt(ps, title, outline_md,
+                                          digest_content)
+                reply, _err, _att = call_with_retry(client, prompt, retry)
+                events.append((feedback_metrics, prompt, reply))
+                if reply is not None:
+                    try:  # any parse error == staged filter("llm_ok") drop
+                        sugg = _parse_suggestion(reply)["suggestion"]
+                        rows.append({
+                            "survey_id": survey_id, "digest_id": digest_id,
+                            "row_type": "suggestion", "pos": None,
+                            "description": None, "all_bibkeys": None,
+                            "content": sugg,
+                        })
+                    except Exception:
+                        pass
+            return rows, events
+
+        # independent digest groups fan out on the reference's worker
+        # pool (cfg.llm_threads); the deterministic per-group bodies make
+        # the result order-independent, and sort=True keeps the emitted
+        # row order itself deterministic
+        groups = [g for _, g in pdf.groupby("digest_id", sort=True)]
+        rows: list[dict] = []
+        for g_rows, g_events in _pmap(one_group, groups, cfg.llm_threads):
+            rows.extend(g_rows)
+            for m, prompt, reply in g_events:
+                _count(prompt, reply, m)
         return pd.DataFrame(
             rows, columns=[f.name for f in _FUSED_DF_SCHEMA.fields])
 
     fused = (
-        joined.groupBy("survey_id", "digest_id")
+        joined.groupBy("survey_id")
         .applyInPandas(run, schema=_FUSED_DF_SCHEMA)
         .localCheckpoint(eager=True)    # LLM calls run ONCE for both views
     )

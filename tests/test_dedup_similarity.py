@@ -344,6 +344,98 @@ def test_minhash_exact_hashed_matches_exact(spark):
         assert abs(hashed[k_] - v) < 1e-12
 
 
+def test_minhash_int60_family_matches_md5_exact(spark):
+    """r14 portable integer family ("int60"): bit-identical jaccard
+    values on every pair both bandings catch (the exact set-Jaccard is
+    family-independent, and the hashed sets are collision-free here),
+    the planted positives covered, and family drift confined to the
+    banding margin — any pair caught by only one family sits BELOW the
+    certain-catch jaccard band, never a clear positive."""
+    import numpy as np
+
+    from llmxmapreduce_spark.operators.dedup import minhash_dedup_pairs
+
+    rng = np.random.default_rng(7)
+    vocab = "sun rain tree rock bird fish wind snow leaf star moon".split()
+
+    def doc(k=30):
+        return " ".join(rng.choice(vocab) for _ in range(k))
+
+    rows = [(i, doc()) for i in range(40)]
+    for j in range(8):
+        w = rows[j][1].split()
+        w[5] = "mutant" + str(j)
+        rows.append((100 + j, " ".join(w)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    md5 = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in minhash_dedup_pairs(df, threshold=0.5).collect()}
+    i60 = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in minhash_dedup_pairs(df, threshold=0.5,
+                                        family="int60").collect()}
+    common = set(md5) & set(i60)
+    assert len(common) >= 7
+    assert sum((j, 100 + j) in i60 for j in range(8)) >= 7
+    for k_ in common:
+        assert i60[k_] == md5[k_]
+    for k_ in set(md5) ^ set(i60):      # drift only at the banding margin
+        assert (md5.get(k_) or i60.get(k_)) < 0.9
+
+
+def test_minhash_int60_duckdb_parity(spark):
+    """Every int60 building block replays bit-for-bit in DuckDB: the
+    60-bit md5 slice, the affine permutation mins, and the injective
+    2-row band combine — the engine-parity contract the board oracle
+    rests on."""
+    import duckdb
+
+    from llmxmapreduce_spark.operators.dedup import (
+        MINHASH_P31, minhash_affine_params, minhash_signature_int,
+        shingle_hash60)
+
+    shingles = ["alpha beta gamma", "beta gamma delta", "zz 0 %~| unicode ü",
+                "gamma delta epsilon"]
+    df = spark.createDataFrame([(s,) for s in shingles], ["s"])
+    p = MINHASH_P31
+    params = minhash_affine_params(4)
+
+    # per-shingle: h60 + each permutation value
+    perm_cols = [((F.lit(a) * (F.col("h") % F.lit(p)) + F.lit(b)) % F.lit(p))
+                 .alias(f"m{i}") for i, (a, b) in enumerate(params)]
+    got = (df.select(shingle_hash60(F.col("s")).alias("h"), "s")
+             .select("s", "h", *perm_cols)
+             .orderBy("s").collect())
+    con = duckdb.connect()
+    perm_sql = ", ".join(
+        f"({a} * (h % {p}) + {b}) % {p} AS m{i}"
+        for i, (a, b) in enumerate(params))
+    want = con.execute(
+        "SELECT s, h, " + perm_sql + " FROM (SELECT s, "
+        "CAST(CAST(('0x' || substr(md5(s),1,15)) AS UBIGINT) AS BIGINT) AS h"
+        " FROM (SELECT unnest(?) AS s)) ORDER BY s",
+        [shingles]).fetchall()
+    assert [tuple(r) for r in got] == want
+
+    # array-level: signature mins + the injective band combine
+    arr = spark.createDataFrame([(shingles,)], "hs array<string>")
+    sig_row = arr.select(
+        minhash_signature_int(
+            F.transform("hs", shingle_hash60), 4).alias("sig")).head()
+    sig = sig_row["sig"]
+    want_sig = con.execute(
+        "SELECT " + ", ".join(
+            f"list_min(list_transform(h, x -> ({a} * (x % {p}) + {b}) % {p}))"
+            for a, b in params) +
+        " FROM (SELECT list_transform(?, s -> CAST(CAST(('0x' || "
+        "substr(md5(s),1,15)) AS UBIGINT) AS BIGINT)) AS h)",
+        [shingles]).fetchone()
+    assert tuple(sig) == want_sig
+    assert all(0 <= v < p for v in sig)
+    band = sig[0] * p + sig[1]
+    assert band == con.execute(
+        f"SELECT CAST(? AS BIGINT) * {p} + ?", [sig[0], sig[1]]).fetchone()[0]
+
+
 def test_signature_jaccard_estimator_value(spark):
     """Identical docs estimate 1.0; disjoint docs estimate 0.0."""
     rows = [(0, "w1 w2 w3 w4 w5 w6"), (1, "w1 w2 w3 w4 w5 w6"),

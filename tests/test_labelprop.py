@@ -91,6 +91,39 @@ def test_deterministic_under_repartition(spark):
     assert a == b
 
 
+def test_combine_votes_identical_labels_and_partial_agg_plan(spark):
+    """r14 guard shape (combine_votes=True): identical labels on a
+    HEAVY-multi-edge graph (every edge duplicated 5×, so the map-side
+    combine has real work), and the one-round plan shows a partial
+    count BELOW its exchange — the shuffle carries combined partials,
+    not raw votes — where the default raw-vote shape shows the
+    aggregate entirely above a repartition exchange."""
+    import io
+    from contextlib import redirect_stdout
+
+    heavy = [e for e in TWO_CLIQUES for _ in range(5)]
+    assert _run(spark, heavy, n_iter=3, combine_votes=True) == \
+        _run(spark, heavy, n_iter=3, combine_votes=False) == \
+        _ref_lpa(heavy, 3)
+
+    df = spark.createDataFrame(heavy, "src long, dst long")
+    e = df.selectExpr("src as __s", "dst as __d")
+    labels = e.selectExpr("__s as __n", "__s as __l").distinct()
+
+    def plan(combine):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            lp._one_round(e, labels, combine).explain("formatted")
+        return buf.getvalue()
+
+    combined, raw = plan(True), plan(False)
+    # partial_count marker: HashAggregate keys (__n, __l) running in
+    # partial mode below the exchange
+    assert "partial_count" in combined
+    assert "REPARTITION_BY_COL" not in combined
+    assert "REPARTITION_BY_COL" in raw
+
+
 def test_community_sizes_partitions_nodes(spark):
     df = spark.createDataFrame(TWO_CLIQUES, "src long, dst long")
     labels = lp.label_propagation(df, n_iter=5)
