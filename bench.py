@@ -173,6 +173,15 @@ ORACLE_TWIN = {
     "v2_digest_feedback_unfused",
 }
 
+# The original five-member twin set (pre-r13): "oracle_twin5_sec" in the
+# output tracks THIS subset so the cross-round twin trend stays
+# apples-to-apples after members were added in r13 (r13 verdict
+# what's-wrong #6); "oracle_twin_sec" stays the all-member sum.
+ORACLE_TWIN5 = [
+    "decontaminate", "embedding_cosine_topk", "minhash_lsh_neardup",
+    "substring_dedup", "split_scrub",
+]
+
 # The round-2..5 comparable set: "suite19_sec" in the output JSON is the
 # sum over these, so cross-round regression tracking is immune to queries
 # being ADDED to HEADLINE (round 5's 19-query total: 21.8 s; baseline
@@ -340,6 +349,11 @@ def main() -> int:
         "production_sec": round(total - twin, 3),
         "oracle_twin_sec": twin,
         "oracle_twin_queries": sorted(ORACLE_TWIN & set(timings)),
+        # the stable five-member subset (see ORACLE_TWIN5) for
+        # cross-round trending
+        "oracle_twin5_sec": round(
+            sum(v for k, v in timings.items()
+                if k in ORACLE_TWIN5 and v >= 0), 3),
     }
     verbose = dict(compact, mins=mins, runs=runs, spread_sec=spread)
     # Raw per-run detail goes to stderr + a committed sidecar, NOT stdout:

@@ -56,9 +56,14 @@ def _collect_sparse(df: DataFrame, text_col: str, id_col: str,
     the DataFrame — one source's documents on source-ordered parquet,
     a silently skewed classifier)."""
     d = df
-    probe = df.select(id_col).limit(max_sample + 1).count()
-    if probe > max_sample:
-        total = df.count()
+    # ONE count decides both "bigger than max_sample" and the sample
+    # fraction (r14): the former bounded probe (limit(max+1).count) was
+    # a separate job that measured SLOWER than the full count itself on
+    # this data (the class filter scans every row group either way), and
+    # the oversized path then paid the full count anyway.  Same
+    # decisions, same sampled rows, one job per class instead of two.
+    total = df.count()
+    if total > max_sample:
         frac = min(1.0, (1.1 * max_sample) / max(total, 1))
         d = df.sample(withReplacement=False, fraction=frac, seed=seed) \
             .limit(max_sample)
@@ -99,10 +104,20 @@ def train_quality_classifier(
     bounded sample per class.  Deterministic for fixed (data,
     partitioning, seed).  Returns the weight vector (n_buckets floats —
     80 KB at the default, closure/broadcast-sized) and the bias."""
-    np_, nt = _collect_sparse(positive, text_col, id_col, n_buckets,
-                              portable, max_sample, seed)
-    nn, tn = _collect_sparse(negative, text_col, id_col, n_buckets,
-                             portable, max_sample, seed + 1)
+    # The two class collects are independent Spark jobs — overlap them
+    # from a 2-thread pool (guide §2.6) so the smaller class's jobs
+    # back-fill executors freed by the bigger one's tail.  Each collect
+    # is self-contained (its own factorize), so the triples — and the
+    # fitted bits — are identical to the sequential path.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fpos = pool.submit(_collect_sparse, positive, text_col, id_col,
+                           n_buckets, portable, max_sample, seed)
+        fneg = pool.submit(_collect_sparse, negative, text_col, id_col,
+                           n_buckets, portable, max_sample, seed + 1)
+        np_, nt = fpos.result()
+        nn, tn = fneg.result()
     if np_ == 0 or nn == 0:
         raise ValueError("train_quality_classifier: empty class sample")
     rows = np.concatenate([nt[:, 0], tn[:, 0] + np_])
