@@ -1782,8 +1782,10 @@ def q_neardup_dedup_e2e(spark: SparkSession, sf: str) -> DataFrame:
     at-scale exact mode, sf5-measured in BASELINE.md).  Survivor set vs
     the old md5+exact knobs differs only on borderline-Jaccard pairs
     (4761 vs 4760 at sf0.1; exact vs exact_hashed itself is identical).
-    The md5 family remains priced by the board's `minhash_lsh_neardup`
-    and by `minhash_neardup_estimate`."""
+    The board's `minhash_lsh_neardup` and `minhash_neardup_estimate`
+    price the oracle-portable integer family (r14 "int60"); the md5
+    family remains the library default and is exercised by the dedup
+    pytest suite."""
     from llmxmapreduce_spark.operators import components, dedup
 
     corpus = _corpus_with_mutants(spark, sf)

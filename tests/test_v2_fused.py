@@ -55,6 +55,41 @@ def test_fused_stage_matches_staged_chain(spark):
     assert digests_f.count() > n_groups
 
 
+def test_fused_per_survey_threading_identical(spark):
+    """r14: digest_feedback_fused groups PER SURVEY with digest groups
+    fanned out on llm_threads — outputs and metric accumulator counts
+    must be identical at llm_threads=1 and 4 (the per-group bodies are
+    independent and deterministic; metric adds happen outside the
+    pool)."""
+    from llmxmapreduce_spark.operators.stage_metrics import StageMetrics
+
+    cfg1 = v2.V2Config(digest_batch=1, llm_threads=1)
+    grouped, outlines = _prep(spark, cfg1)
+
+    def run(threads):
+        cfg = v2.V2Config(digest_batch=1, llm_threads=threads)
+        sm = StageMetrics(spark)
+        d, s = v2.digest_feedback_fused(grouped, outlines,
+                                        MockSurveyClient, cfg,
+                                        metrics=sm.llm("digest"),
+                                        feedback_metrics=sm.llm("feedback"))
+        rows = (_rows(d), _rows(s))
+        counts = {r["stage"]: r["llm_calls"] for r in sm.report()
+                  if r.get("llm_calls")}
+        return rows, counts
+
+    (d1, s1), c1 = run(1)
+    (d4, s4), c4 = run(4)
+    assert d1 == d4 and s1 == s4
+    assert c1 == c4
+    # digest_batch=1 → one digest group per paper: the call counts must
+    # equal papers (digest) and groups (feedback), proving no call was
+    # lost or duplicated under threading
+    n_groups = grouped.select("survey_id", "digest_id").distinct().count()
+    assert c1.get("digest") == grouped.count()
+    assert c1.get("feedback") == n_groups
+
+
 def test_fused_e2e_survey_identical(spark):
     surveys = make_surveys(spark)
     base = dict(conv_layers=1, receptive_field=2, result_num=3,
