@@ -295,11 +295,12 @@ _MUTANT_SQL = """
 
 def q_minhash_lsh_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup pairs on the r14 portable integer family
-    (dedup.py "int60"): ONE md5 per shingle sliced to a 60-bit int, 8
+    (dedup.py "int60"): ONE md5 per WORD (60-bit slice mod 2^45),
+    shingle hashes by polynomial fold — no gram strings anywhere — 8
     affine permutations mod 2^31−1, integer band keys, and the exact
     hashed-set Jaccard verify — the DuckDB oracle replays the identical
     integer recurrence, so the comparison stays values-grade while the
-    signature pass drops 8 md5 string hashes per shingle to one (r13
+    signature pass drops 8 md5 string hashes per gram to one per word (r13
     verdict task #3; the family change is the round's one deliberate
     candidate-set drift, same class as the sanctioned md5↔xxh64 pair —
     measured at sf0.1: 6017 pairs vs md5's 6016, 6009 common with
@@ -4083,15 +4084,15 @@ def _simhash_oracle() -> str:
 
 
 def _minhash_oracle(num_hashes: int = 8, bands_n: int = 4) -> str:
-    """DuckDB replay of dedup.py's "int60" family: the affine constants
-    come from the SAME minhash_affine_params call the Spark expressions
-    use, every intermediate stays below 2^62 (exact signed-64 in both
-    engines), and the verify runs the identical set ops over the
-    identical duplicate-free 60-bit hash lists."""
-    from llmxmapreduce_spark.operators.dedup import (MINHASH_P31,
+    """DuckDB replay of dedup.py's "int60" family: word hashes (md5
+    60-bit slice mod 2^45), shingle hashes by the same polynomial fold,
+    affine permutation constants from the SAME minhash_affine_params
+    call the Spark expressions use; every intermediate stays below 2^62
+    (exact signed-64 in both engines), and the verify runs the identical
+    set ops over the identical duplicate-free hash lists."""
+    from llmxmapreduce_spark.operators.dedup import (MINHASH_K, MINHASH_M45,
+                                                     MINHASH_P31,
                                                      minhash_affine_params)
-
-    from llmxmapreduce_spark.operators.dedup import MINHASH_K, MINHASH_M45
 
     p = MINHASH_P31
     k, m = MINHASH_K, MINHASH_M45

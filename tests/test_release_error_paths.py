@@ -55,11 +55,11 @@ def test_labelprop_releases_on_midloop_error(spark, monkeypatch):
     calls = {"n": 0}
     real = lp._one_round
 
-    def exploding(e, labels):
+    def exploding(e, labels, *args):
         calls["n"] += 1
         if calls["n"] >= 2:
             raise RuntimeError("injected executor loss")
-        return real(e, labels)
+        return real(e, labels, *args)
 
     monkeypatch.setattr(lp, "_one_round", exploding)
     with pytest.raises(RuntimeError, match="injected"):
