@@ -1714,10 +1714,11 @@ def q_v2_digest_feedback_unfused(spark: SparkSession, sf: str) -> DataFrame:
 def q_v2_digest_feedback_fused(spark: SparkSession, sf: str) -> DataFrame:
     """BENCH pair — the LLM-batch-coalesced chain (SURVEY §4):
     digest_feedback_fused runs the same L7 calls, A3 merge, and L9 call
-    as ONE applyInPandas over PER-SURVEY groups (r14: one client and one
-    outline parse per survey, digest groups fanned out on
-    cfg.llm_threads) — one shuffle, one Python pass, zero intermediate
-    materialization."""
+    as ONE applyInPandas — one shuffle, one Python pass, zero
+    intermediate materialization.  This line keeps llm_threads=1, i.e.
+    the (survey_id, digest_id) keying, so the unfused-vs-fused delta
+    stays comparable across rounds; the r14 per-survey grouping is
+    priced where its threads knob is set (refdefaults/fullprompts)."""
     from llmxmapreduce_spark.llm.survey_mock import MockSurveyClient
     from llmxmapreduce_spark.pipelines import v2_survey as v2
 

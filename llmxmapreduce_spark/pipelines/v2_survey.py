@@ -728,16 +728,22 @@ def digest_feedback_fused(
     """The block cycle's digest→feedback chain coalesced into ONE
     ``applyInPandas`` over PER-SURVEY groups — the SURVEY §4 "coalesce
     adjacent LLM mapInPandas ops sharing a model" strategy, taken one
-    level further in r14 (verdict task #7): grouping by ``survey_id``
-    alone (was: (survey_id, digest_id)) cuts the stage from
-    surveys×digest-groups Arrow groups to one per survey — one client
-    construction and one outline parse per SURVEY instead of per digest
-    group — while ``cfg.llm_threads`` fans the independent digest groups
-    out inside each survey (the reference's own per-node worker pool),
-    so at digest_batch=1 the intra-survey parallelism the finer grouping
-    provided is preserved.  LLM call count, prompts and replies are
-    UNCHANGED (per-group bodies run verbatim; metric adds are applied
-    outside the thread pool so accumulator counts stay exact).
+    level further in r14 (verdict task #7): when ``cfg.llm_threads > 1``
+    the stage groups by ``survey_id`` alone (was: (survey_id,
+    digest_id)), cutting it from surveys×digest-groups Arrow groups to
+    one per survey — one client construction and one outline parse per
+    SURVEY instead of per digest group — while ``llm_threads`` fans the
+    independent digest groups out inside each survey (the reference's
+    own per-node worker pool), so the intra-survey parallelism the finer
+    grouping provided is preserved.  At ``llm_threads=1`` the per-group
+    keying is KEPT: per-survey grouping would run every digest group of
+    a survey serially in one task, a measured regression on the
+    single-survey v3 host (bench run: v3_host_e2e 8.7 → 12.2 s before
+    this guard).  LLM call count, prompts and replies are UNCHANGED
+    either way (per-group bodies run verbatim; metric adds are applied
+    outside the thread pool so accumulator counts stay exact), pinned by
+    tests/test_v2_fused.py::test_fused_per_survey_threading_identical,
+    which compares the two groupings directly.
 
     Unfused, each cycle costs: a mapInPandas digest stage over papers, a
     node explode + merge aggregation (shuffle), a per-group concat
@@ -880,8 +886,10 @@ def digest_feedback_fused(
         return pd.DataFrame(
             rows, columns=[f.name for f in _FUSED_DF_SCHEMA.fields])
 
+    group_keys = (["survey_id"] if cfg.llm_threads > 1
+                  else ["survey_id", "digest_id"])
     fused = (
-        joined.groupBy("survey_id")
+        joined.groupBy(*group_keys)
         .applyInPandas(run, schema=_FUSED_DF_SCHEMA)
         .localCheckpoint(eager=True)    # LLM calls run ONCE for both views
     )
