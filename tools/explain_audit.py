@@ -23,7 +23,10 @@ AUDITED = [
     ("t1_topk_per_group", "one window pass over one shuffle on the group key"),
     ("t3_topn", "TakeOrderedAndProject — no global sort"),
     ("p6_crawl_filter_backfill", "threshold split + one window for backfill rank"),
-    ("minhash_lsh_neardup", "persisted signatures; banded equi-join (no cartesian)"),
+    ("minhash_lsh_neardup", "persisted int60 signatures (r14: one md5 "
+     "per word, polynomial shingle fold, affine permutations — no gram "
+     "strings); banded integer-key equi-join (no cartesian); candidate "
+     "dedup shares the id_a exchange with the hashed-set verify join"),
     ("embedding_cosine_topk", "broadcast query side; corpus scanned once"),
     ("events_session_windows", "native session_window state operator"),
     ("p14_normalize_answer", "whole-stage codegen, zero Python nodes"),
@@ -155,9 +158,10 @@ AUDITED = [
      "partial agg + struct-argmax agg — NO window sort; labels "
      "localCheckpoint'ed so the iterative plan stays flat"),
     ("qdigest_values", "q-digest build: ONE corpus-scale partial-agg "
-     "groupBy (leaf counts, bounded by the universe), then k=10 "
-     "compression levels over geometrically-shrinking tables — every "
-     "join AQE-broadcastable"),
+     "groupBy (leaf counts, bounded by the universe), then the "
+     "deterministic sibling-pair compression in ONE Arrow pass over "
+     "the bounded leaf table (r14; bit-identical to the k-level "
+     "Catalyst recursion, which qdigest_values_catalyst still prices)"),
     ("pattern_hits", "Aho-Corasick: a single mapInPandas scan, no "
      "join, no regex alternation — plan shape independent of pattern "
      "count; only (id, pattern) hit rows move"),
