@@ -12,9 +12,13 @@ Four families, each designed for the 100 TB case:
                 (optionally with rotated bands for 1-2 bit tolerance)
 - n-gram Jaccard — exact verifier used after LSH candidate generation
 
-Two hash variants are provided: a *portable* md5-based one (bit-identical in
-DuckDB, used by the correctness oracle) and a *fast* xxhash64-based one for
-production (JVM-side, no md5 string churn).  Both share the same plan shape.
+Three hash families are provided (see ``minhash_dedup_pairs``): the
+historical *portable* md5 family (bit-identical in DuckDB), the *fast*
+xxhash64 family for production (JVM-side, no md5 string churn), and the
+r14 *int60* family — ALSO DuckDB-portable but at ~1/num_hashes of the
+md5 family's hash work (one md5 per word, integer shingle folds, affine
+permutations; the board oracle's family).  All share the same plan
+shape.
 """
 
 from __future__ import annotations
