@@ -876,10 +876,17 @@ def digest_feedback_fused(
         # independent digest groups fan out on the reference's worker
         # pool (cfg.llm_threads); the deterministic per-group bodies make
         # the result order-independent, and sort=True keeps the emitted
-        # row order itself deterministic
-        groups = [g for _, g in pdf.groupby("digest_id", sort=True)]
+        # row order itself deterministic.  Under the (survey_id,
+        # digest_id) keying (llm_threads=1) the pdf IS one digest group —
+        # skip the pandas groupby machinery entirely (it measured ~1 ms
+        # per Arrow group, a real tax at 256 groups).
+        if pdf["digest_id"].nunique() == 1:
+            results = [one_group(pdf)]
+        else:
+            groups = [g for _, g in pdf.groupby("digest_id", sort=True)]
+            results = _pmap(one_group, groups, cfg.llm_threads)
         rows: list[dict] = []
-        for g_rows, g_events in _pmap(one_group, groups, cfg.llm_threads):
+        for g_rows, g_events in results:
             rows.extend(g_rows)
             for m, prompt, reply in g_events:
                 _count(prompt, reply, m)
